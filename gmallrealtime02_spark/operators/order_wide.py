@@ -1,0 +1,63 @@
+"""Order-wide join (SURVEY.md §2.4 J4 + §2.5 A5).
+
+The reference joins the order_info and order_detail streams with
+overlapping 10s/5s sliding windows (DwsOrderWideApp.scala:88-97, J4) and
+then removes the duplicates the overlap creates via a Redis ZSET keyed by
+order_detail_id (DwsOrderWideApp.scala:104-122, J5/A5).  In batch form
+this is a plain inner equi-join + first-seen dedup on the detail id; the
+streaming form (streaming/jobs.py) is a watermarked stream-stream join
+which needs no post-dedup at all.
+
+The column merge/renames mirror bean/OrderWide.scala:40-80
+(order_price → sku_price at OrderWide.scala:69).
+
+Scale notes: fact⋈fact is the one unavoidable big shuffle — both sides
+hash-exchange on the order key.  AQE handles skewed order keys
+(skewJoin.enabled); at 100 TB the right physical layout is bucketing both
+tables by order key at write time, which removes the exchange entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dau import first_seen_dedup
+
+
+def order_wide(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """orders ⋈ lineitem → wide rows, unique per detail id.
+
+    Testdata mapping (FIXTURES.md §5): orders plays order_info, lineitem
+    plays order_detail (l_orderkey→order_id, l_partkey→sku_id,
+    l_extendedprice→order_price≈sku_price, l_quantity→sku_num).
+    """
+    joined = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey, "inner"
+    )
+    wide = joined.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("detail_seq"),
+        F.col("l_partkey").alias("sku_id"),
+        F.col("l_extendedprice").alias("sku_price"),
+        F.col("l_quantity").alias("sku_num"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("o_totalprice").alias("final_total_amount"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"),
+        # per-detail amount: price×(1-discount); decimal cast makes the
+        # value decimally exact so downstream sums are order-independent
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("final_detail_amount"),
+    )
+    # A5: unique per detail id.  The testdata's (orderkey, linenumber) is
+    # NOT unique, so the dedup genuinely drops rows; ordering by every
+    # varying output column makes the surviving row deterministic as a
+    # multiset regardless of partitioning.
+    return first_seen_dedup(
+        wide,
+        keys=["order_id", "detail_seq"],
+        order_by=["sku_id", "sku_price", "sku_num", "final_detail_amount"],
+    )

@@ -1,0 +1,65 @@
+"""Analytic window functions + sessionization (SURVEY.md §2.6).
+
+The reference has no SQL window functions — its dedup ops A4/A5 are
+semantically ``ROW_NUMBER() OVER (...) = 1`` (SURVEY.md §2.6) and its only
+window is the 10s/5s join-tolerance slide (W1).  The new engine exposes
+the full analytic surface; these helpers cover the shapes the pipelines
+use.
+
+Scale: every window here partitions by a key (user) — one hash exchange,
+then per-partition sort.  Never use a global (unpartitioned) window at
+scale; it serializes onto one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def user_event_seq(events: DataFrame) -> DataFrame:
+    """Per-user ordered event sequence: row_number, lag ts, gap seconds."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # exact µs arithmetic, then integer-div to seconds — second-truncation
+    # of each endpoint (unix_timestamp) is engine-dependent at boundaries
+    gap = (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts))
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.row_number().over(w).alias("seq"),
+        prev_ts.alias("prev_ts"),
+        gap.alias("gap_us"),
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Assign session ids: new session when the gap to the previous event
+    exceeds the threshold — lag + conditional cumsum (the batch twin of
+    streaming ``session_window``)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
+    return events.withColumn("session_seq", F.sum(is_new).over(w)).select(
+        "event_id", "user_id", "ts", "event_type", "session_seq"
+    )
+
+
+def running_total(events: DataFrame) -> DataFrame:
+    """Running per-user sum of ``value`` (frame: unbounded preceding→current).
+
+    Decimal accumulation keeps the prefix sums exact, so results are
+    engine- and partitioning-independent."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
+    )

@@ -1,0 +1,392 @@
+"""Analytics + serving-layer queries: aggregations (A1-A3/A6 family),
+window functions, top-k, set ops, pivot, CDC splitter path, scalar
+functions (SURVEY.md §2.5-2.8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import (
+    davg,
+    dsum,
+    group_avg_ordered,
+    top_k_global,
+    top_k_per_group,
+)
+from ..operators.cdc import ods_split, route_topic
+from ..operators.windows import running_total, sessionize, user_event_seq
+from ..sources import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_avg_ordered",
+    oracle="""
+    SELECT event_type, count(*) AS ct,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6)
+               AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("A3",),
+)
+def agg_avg_ordered(spark, sf_dir):
+    """GROUP BY + AVG + ORDER BY aggregate — ES DSL demo MyEsUtil.scala:25."""
+    return group_avg_ordered(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_disc_price,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(l_quantity), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(l_extendedprice), 6) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A2", "A3", "tpch"),
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: multi-agg hash aggregation with
+    map-side partials; decimal accumulation ⇒ partitioning-invariant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 2).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "sum_disc_price"
+            ),
+            davg("l_quantity", 2).alias("avg_qty"),
+            davg("l_extendedprice", 2).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n_name AS nation_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("J2", "A2", "tpch"),
+)
+def revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5-shaped star join + agg: fact shuffles once on the join key;
+    dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "distinct_users_daily",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           count(DISTINCT user_id) AS uniques
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("A4",),
+)
+def distinct_users_daily(spark, sf_dir):
+    """Exact distinct aggregation (expand+two-phase under the hood)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("dt", "event_type")
+        .agg(F.countDistinct("user_id").alias("uniques"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k / sort / limit (§2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_customers",
+    oracle="""
+    SELECT o_custkey AS user_id,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+    FROM orders GROUP BY o_custkey
+    ORDER BY spend DESC, user_id ASC LIMIT 10
+    """,
+    tags=("sort", "limit"),
+)
+def top_customers(spark, sf_dir):
+    """Global top-k: agg then TakeOrderedAndProject (no full sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        dsum("o_totalprice", 2).alias("spend")
+    )
+    return top_k_global(agg, [F.col("spend").desc(), F.col("user_id").asc()], 10)
+
+
+@register(
+    "top_events_per_user",
+    oracle="""
+    SELECT event_id, user_id, value, rank_in_group FROM (
+        SELECT event_id, user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id ASC) AS rank_in_group
+        FROM events
+    ) WHERE rank_in_group <= 3
+    """,
+    tags=("window", "topk"),
+)
+def top_events_per_user(spark, sf_dir):
+    """Top-k per group via ranked window — single shuffle on the group key."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return top_k_per_group(
+        e, ["user_id"], [F.col("value").desc(), F.col("event_id").asc()], 3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions / sessionization (§2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_event_seq",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type,
+           ROW_NUMBER() OVER w AS seq,
+           lag(ts) OVER w AS prev_ts,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+)
+def user_event_seq_q(spark, sf_dir):
+    """row_number + lag + gap — the analytic surface the reference lacks
+    (SURVEY.md §2.6: A4/A5 are semantically ROW_NUMBER()=1)."""
+    return user_event_seq(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "sessionize",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM (SELECT event_id, user_id, ts, event_type,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events)
+    )
+    """,
+    tags=("window", "session"),
+)
+def sessionize_q(spark, sf_dir):
+    """Gap-based sessionization (lag + conditional cumsum); streaming twin
+    is session_window."""
+    return sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register(
+    "running_total",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+    FROM events
+    """,
+    tags=("window",),
+)
+def running_total_q(spark, sf_dir):
+    """Running per-user sum with an explicit rows frame."""
+    return running_total(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Set ops + pivot (§2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "purchasers_without_errors",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+      AND strftime(ts, '%Y-%m-%d') = '2024-01-01'
+    """,
+    tags=("setop",),
+)
+def purchasers_without_errors(spark, sf_dir):
+    """EXCEPT set op (distinct semantics): purchasers minus day-1 errorers.
+
+    (The day filter keeps the result non-empty at every sf — without it
+    every purchaser eventually errors and the query degenerates to ∅.)
+    """
+    e = load_table(spark, sf_dir, "events")
+    day1_errors = e.filter(
+        (F.col("event_type") == "error")
+        & (F.date_format("ts", "yyyy-MM-dd") == "2024-01-01")
+    ).select("user_id")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .subtract(day1_errors)
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+    FROM events GROUP BY 1
+    """,
+    tags=("pivot",),
+)
+def pivot_event_counts(spark, sf_dir):
+    """Pivot with an explicit value list (single-pass, no second scan)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("dt")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC splitter path (P1/P5/P7/K2) + scalar functions (§2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+    FROM events
+    """,
+    tags=("P1", "json"),
+)
+def json_extract_props(spark, sf_dir):
+    """Ad-hoc JSON field access — get_json_object (fastjson getJSONObject
+    in the reference, DauApp.scala:66)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+@register(
+    "cdc_splitter",
+    oracle="""
+    SELECT 'ODS_MM_' || upper(event_type) AS topic,
+           event_type AS tbl, 'insert' AS op,
+           CAST(event_id AS VARCHAR) AS id, CAST(user_id AS VARCHAR) AS uid
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    """,
+    tags=("P1", "P5", "P7", "K2"),
+)
+def cdc_splitter(spark, sf_dir):
+    """Full ODS splitter path (parse → filter → explode → route) over a
+    Canal envelope synthesized from events; the oracle is the identity
+    because the envelope round-trips — OdsGmallCanal.scala:42-53.
+    """
+    e = load_table(spark, sf_dir, "events")
+    raw = e.select(
+        F.to_json(
+            F.struct(
+                F.lit("gmall").alias("database"),
+                F.col("event_type").alias("table"),
+                F.lit("insert").alias("type"),
+                F.array(
+                    F.create_map(
+                        F.lit("id"), F.col("event_id").cast("string"),
+                        F.lit("uid"), F.col("user_id").cast("string"),
+                    )
+                ).alias("data"),
+            )
+        ).alias("value")
+    )
+    split = ods_split(raw, [("purchase", ["insert"]), ("signup", ["insert"])])
+    return split.select(
+        "topic",
+        F.col("table").alias("tbl"),
+        F.col("type").alias("op"),
+        F.col("row")["id"].alias("id"),
+        F.col("row")["uid"].alias("uid"),
+    )
+
+
+@register(
+    "word_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+    """,
+    tags=("P7", "explode"),
+)
+def word_explode(spark, sf_dir):
+    """Array explode (the Canal data-array explode shape, P7)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+
+
+@register(
+    "topic_route",
+    oracle="""
+    SELECT DISTINCT event_type,
+           'ODS_MM_' || upper(event_type) AS topic
+    FROM events
+    """,
+    tags=("K2",),
+)
+def topic_route_q(spark, sf_dir):
+    """Dynamic topic routing column — OdsGmallCanal.scala:46."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_type", route_topic(F.col("event_type")).alias("topic")
+    ).distinct()

@@ -86,3 +86,116 @@ _COMPARE_DATE = "2024-01-02"
 def dau_today_yesterday(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Today-vs-yesterday hourly — ChartController.java:48-61 (A6)."""
     return dau_ops.dau_today_yesterday(_dau(spark, sf_dir), _COMPARE_DATE)
+
+
+# ---------------------------------------------------------------------------
+# Enrichment joins (J1-J3) + order-wide (J4/J5) + buckets (P9)
+# ---------------------------------------------------------------------------
+
+from ..operators.buckets import user_dim            # noqa: E402
+from ..operators.enrich import (                    # noqa: E402
+    enrich_detail_snowflake,
+    enrich_orders,
+)
+from ..operators.order_wide import order_wide as _order_wide  # noqa: E402
+
+
+@register(
+    "order_enrich",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+           strftime(o_orderdate, '%Y-%m-%d') AS create_date,
+           strftime(o_orderdate, '%H') AS create_hour,
+           c_name AS user_name, c_mktsegment AS user_segment,
+           n_name AS province_name, r_name AS region_name
+    FROM orders
+    LEFT JOIN customer ON o_custkey = c_custkey
+    LEFT JOIN nation   ON c_nationkey = n_nationkey
+    LEFT JOIN region   ON n_regionkey = r_regionkey
+    """,
+    tags=("J1", "J2", "P3"),
+)
+def order_enrich(spark, sf_dir):
+    """Fact enrichment against user+geo dims — DwdOrderInfoApp.scala:65-109."""
+    return enrich_orders(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "detail_snowflake",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+           l_extendedprice,
+           p_name AS sku_name, p_brand AS tm_name, p_type AS spu_name,
+           s_name AS supplier_name, n_name AS supplier_nation,
+           r_name AS supplier_region
+    FROM lineitem
+    LEFT JOIN part     ON l_partkey = p_partkey
+    LEFT JOIN supplier ON l_suppkey = s_suppkey
+    LEFT JOIN nation   ON s_nationkey = n_nationkey
+    LEFT JOIN region   ON n_regionkey = r_regionkey
+    """,
+    tags=("J3",),
+)
+def detail_snowflake(spark, sf_dir):
+    """4-way snowflake dim chain — DwdOrderDetailApp.scala:65-133."""
+    return enrich_detail_snowflake(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "order_wide",
+    oracle="""
+    SELECT order_id, detail_seq, sku_id, sku_price, sku_num, user_id,
+           order_status, final_total_amount, dt, final_detail_amount
+    FROM (
+        SELECT l_orderkey AS order_id, l_linenumber AS detail_seq,
+               l_partkey AS sku_id, l_extendedprice AS sku_price,
+               l_quantity AS sku_num, o_custkey AS user_id,
+               o_orderstatus AS order_status, o_totalprice AS final_total_amount,
+               strftime(o_orderdate, '%Y-%m-%d') AS dt,
+               CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS DOUBLE)
+                   AS final_detail_amount,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey, l_linenumber
+                   ORDER BY l_partkey, l_extendedprice, l_quantity,
+                            CAST(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,6)) AS DOUBLE)
+               ) AS rn
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ) WHERE rn = 1
+    """,
+    tags=("J4", "J5", "A5"),
+)
+def order_wide_q(spark, sf_dir):
+    """Fact⋈fact wide table, unique per detail — DwsOrderWideApp.scala:88-122."""
+    return _order_wide(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "user_tier_bucket",
+    oracle="""
+    SELECT c_custkey AS user_id, c_name AS user_name, c_acctbal AS balance,
+           CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'vip'
+                WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 'B' ELSE 'C' END AS segment_class
+    FROM customer
+    """,
+    tags=("P9",),
+)
+def user_tier_bucket(spark, sf_dir):
+    """CASE bucket with override precedence — DimUserInfoApp.scala:55-82."""
+    return user_dim(load_table(spark, sf_dir, "customer"))

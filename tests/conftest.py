@@ -39,6 +39,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Mimic the driver's order-insensitive compare: sort columns by name,
     then sort rows by every column's string render."""
     df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
     if len(df):
         key = df.astype(str).apply(lambda r: "\x1f".join(r.values), axis=1)
         df = df.iloc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
