@@ -1,0 +1,98 @@
+"""Multimodal (image/audio/video) column plumbing (north-star ops).
+
+Media is modeled as opaque ``binary`` content columns + a typed metadata
+struct.  The Spark-side machinery — schema, partition-preserving
+``mapInPandas`` with Arrow batches, deterministic feature extraction — is
+real and tested; the actual codec step is STUBBED (image/audio libraries
+are not available in this environment) behind ``decode_media``, which
+raises ``NotImplementedError`` unless a decoder is importable.
+
+At 100 TB: media rows are large, so the operators use ``mapInPandas``
+(streaming Arrow batches, bounded memory) rather than ``applyInPandas``
+(whole-group materialization), and never shuffle the binary payload —
+features are extracted scan-side, then only the small feature columns
+move.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, content binary, media_type string, n_bytes long"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, digest string, byte_entropy double, "
+    "first_byte int, last_byte int"
+)
+
+
+def as_media_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Wrap a text table as a media table (utf-8 bytes as the opaque
+    payload) — the plumbing fixture standing in for real image/audio
+    ingestion."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+        F.lit("text/plain").alias("media_type"),
+        F.length(F.encode(F.col(text_col), "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def _entropy(b: bytes) -> float:
+    if not b:
+        return 0.0
+    counts: dict[int, int] = {}
+    for x in b:
+        counts[x] = counts.get(x, 0) + 1
+    n = len(b)
+    return round(-sum((c / n) * math.log2(c / n) for c in counts.values()), 6)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Deterministic per-item byte-level features via Arrow-batched
+    ``mapInPandas`` (the shape a real decode/resize/frame-sample UDF
+    takes: Iterator[pd.DataFrame] → Iterator[pd.DataFrame])."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": content.map(len).astype("int64"),
+                    "digest": content.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "byte_entropy": content.map(lambda b: _entropy(bytes(b))),
+                    "first_byte": content.map(lambda b: b[0] if len(b) else -1),
+                    "last_byte": content.map(lambda b: b[-1] if len(b) else -1),
+                }
+            )
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def decode_media(media: DataFrame, target: str = "image") -> DataFrame:
+    """STUB: decode binary payloads into pixel/sample arrays.
+
+    The decode itself needs PIL/librosa/av, none of which ship in this
+    environment; the surrounding plumbing (schema, batching, partitioning)
+    is what this engine provides.  Raises unless a decoder is available.
+    """
+    try:
+        import PIL  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "media decode requires an image/audio codec library (e.g. "
+            "Pillow); not available in this environment — plug a decoder "
+            "into extract_features' mapInPandas slot"
+        ) from exc
+    raise NotImplementedError("decoder integration point")

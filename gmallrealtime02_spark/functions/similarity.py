@@ -1,0 +1,338 @@
+"""Deduplication + similarity-search operators for LLM-data pipelines
+(north-star ops — BASELINE.json ``north_star``; no reference analogue).
+
+Design for 100 TB:
+
+- **Exact dedup** — hash-groupBy on md5(text): one shuffle keyed by a
+  16-byte digest instead of the full document body.
+- **MinHash + LSH** — per-document signatures computed scan-side (array
+  lambdas over shingles: no shuffle, no UDF, whole-stage codegen).  The
+  only exchanges are the band-bucket join (shuffling small
+  (band_key, doc_id) pairs — classic sub-quadratic candidate generation)
+  and the per-candidate verify.  Candidate count ≈ O(near-dups), not
+  O(n²).
+- **N-gram Jaccard** — the exact verifier: a shingle self-join counts
+  intersections only for pairs sharing ≥1 shingle.  At scale it runs
+  AFTER LSH pruning; the standalone form here is also its own oracle.
+- **SimHash** — compact bit signature from word-hash sign sums, computed
+  scan-side; near-dup pairs by hamming distance.  At scale, pairing goes
+  through bit-segment banding (same LSH trick) instead of the
+  all-pairs join used at test scale.
+- **Cosine top-k** — brute-force double-precision fold (the exact
+  baseline); the LSH variant buckets vectors by random-hyperplane sign
+  bits so each query scans only its bucket.
+
+All hashing uses ``portable_hash`` (31-polynomial mod 2^31-1), so the
+DuckDB oracle reproduces every signature bit-for-bit — engine-independent
+exact correctness, not just statistical agreement.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import HASH_MOD, portable_hash
+
+N_SHINGLE = 3
+N_HASHES = 16
+N_BANDS = 4          # 4 bands × 4 rows — t ≈ (1/4)^(1/4) ≈ 0.71 S-curve midpoint
+SIMHASH_BITS = 24
+
+# Frozen permutation constants for (a*h + b) mod P, seeded so every run —
+# and the generated DuckDB oracle — uses identical values.
+_rng = random.Random(42)
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (_rng.randrange(1, HASH_MOD), _rng.randrange(0, HASH_MOD)) for _ in range(N_HASHES)
+]
+
+
+def word_shingles(text: Column, n: int = N_SHINGLE) -> Column:
+    """Distinct n-word shingles (array<string>), scan-side; empty array for
+    texts shorter than n words."""
+    ws = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.size(ws) - n)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(ws) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_hashes(text: Column, n: int = N_SHINGLE) -> Column:
+    """array<long> of portable shingle hashes."""
+    return F.transform(word_shingles(text, n), portable_hash)
+
+
+def minhash_signature_cols(text: Column) -> list[Column]:
+    """The k-permutation minhash signature as ``m0..m{k-1}`` columns,
+    computed scan-side from the shingle-hash array (no shuffle)."""
+    hs = shingle_hashes(text)
+    return [
+        F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_MOD)).alias(
+            f"m{j}"
+        )
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select("doc_id", *minhash_signature_cols(F.col(text_col)))
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature and self-join per band: docs agreeing on all rows
+    of any band become candidates.  Shuffles only (band, key, doc_id)."""
+    rows_per_band = N_HASHES // N_BANDS
+    bands = None
+    for b in range(N_BANDS):
+        cols = [f"m{b * rows_per_band + r}" for r in range(rows_per_band)]
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs + estimated Jaccard (fraction of agreeing minhashes),
+    filtered to ``est_jaccard >= threshold``."""
+    sig = minhash_signatures(docs)
+    cand = lsh_candidate_pairs(sig)
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.m{j}") == F.col(f"sb.m{j}"), 1).otherwise(0)
+        for j in range(N_HASHES)
+    )
+    return (
+        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
+        .join(sb, cand.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / N_HASHES).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def exact_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact shingle-Jaccard for every pair sharing ≥1 shingle."""
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Scan-side simhash: per bit, sign of Σ±1 over distinct word hashes."""
+    hs = F.transform(F.array_distinct(F.split(text, " ")), portable_hash)
+
+    def _bit_fold(i: int):
+        return lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_sum = F.aggregate(hs, F.lit(0).cast("long"), _bit_fold(i))
+        out = out + F.when(bit_sum > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return out
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """All-pairs hamming-≤k join (test scale).  At 100 TB: band the bits
+    into (max_hamming+1) segments — any near-pair matches exactly on ≥1
+    segment (pigeonhole) — and only join within segments."""
+    sig = docs.select("doc_id", simhash_col(F.col("text")).alias("simhash"))
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold double dot product — identical op order to the
+    oracle's list_reduce, so results are bit-exact."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Brute-force exact top-k cosine neighbors for the first ``n_queries``
+    vectors.  One broadcast of the (tiny) query set; candidates stream
+    scan-side — at 100 TB this is the per-partition scoring baseline that
+    IVF/LSH variants are measured against."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    dot = _dot(F.col("qe"), F.col("ce"))
+    qn = F.sqrt(_dot(F.col("qe"), F.col("qe")))
+    cn = F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("cid"))
+        .select("qid", "cid", F.round(dot / (qn * cn), 6).alias("cosine"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+N_TABLES = 8     # OR-amplification: candidate if bucket-equal in ANY table
+PLANES_PER_TABLE = 4
+
+_plane_rng = random.Random(1337)
+PLANE_PERMS: list[tuple[int, int]] = [
+    (_plane_rng.randrange(1, HASH_MOD), _plane_rng.randrange(0, HASH_MOD))
+    for _ in range(N_TABLES * PLANES_PER_TABLE)
+]
+
+
+def _plane_component(j: int, d: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in (-0.5, 0.5):
+    ((a_j·(d+1)+b_j) mod P)/P − 0.5 — reproducible in any engine."""
+    a, b = PLANE_PERMS[j % len(PLANE_PERMS)]
+    term = (F.lit(a).cast("long") * (d + 1).cast("long") + F.lit(b)) % HASH_MOD
+    return term / F.lit(float(HASH_MOD)) - 0.5
+
+
+def lsh_bucket_col(vec: Column, table: int, n_planes: int = PLANES_PER_TABLE) -> Column:
+    """Sign-bit bucket id for one LSH table, computed scan-side."""
+
+    def _proj_term(j: int):
+        return lambda x, d: x.cast("double") * _plane_component(j, d)
+
+    out = F.lit(0)
+    for p in range(n_planes):
+        j = table * n_planes + p
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), _proj_term(j)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return out
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH.
+
+    A candidate is scored iff it shares a bucket with the query in ANY of
+    the ``n_tables`` tables (OR-amplification) — single-table sign-LSH has
+    unusably low recall when neighbors sit at cos≈0.3-0.4, as this
+    dataset's do.  Tuning rule: more planes/table ⇒ fewer candidates &
+    lower recall; more tables ⇒ the reverse.  At scale: each vector is
+    exploded into its n_tables (table, bucket) keys once and repartitioned
+    by key; a query probes n_tables co-located partitions instead of the
+    full scan — the all-pairs cross join never happens.
+    """
+    buckets = emb.select(
+        "vec_id",
+        "embedding",
+        *[
+            lsh_bucket_col(F.col("embedding"), t).alias(f"b{t}")
+            for t in range(n_tables)
+        ],
+    )
+    table_keys = buckets.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").alias("bkt"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "embedding", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    q = table_keys.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "tbl", "bkt"
+    )
+    c = table_keys.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "tbl", "bkt"
+    )
+    cand = (
+        F.broadcast(q)
+        .join(c, ["tbl", "bkt"])
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "qe", "cid", "ce")
+        .distinct()
+    )
+    dot = _dot(F.col("qe"), F.col("ce"))
+    qn = F.sqrt(_dot(F.col("qe"), F.col("qe")))
+    cn = F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    scored = cand.select("qid", "cid", F.round(dot / (qn * cn), 6).alias("cosine"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

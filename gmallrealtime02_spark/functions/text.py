@@ -1,0 +1,146 @@
+"""Text-analysis column functions for LLM-data pipelines (north-star ops,
+no reference analogue — BASELINE.json ``north_star``).
+
+Everything here is built from codegen'd ``pyspark.sql.functions`` (array
+lambdas, regex, arithmetic) — no Python UDFs — so at 100 TB the operators
+run entirely JVM-side inside whole-stage codegen, scan-parallel with zero
+shuffle.  Each has an exact DuckDB-SQL twin for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Regex kept to portable character classes (identical semantics in Java
+# regex and RE2): words, numbers, or a single other non-space symbol.
+BPE_ISH_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+HASH_MOD = 2_147_483_647  # 2^31 - 1 (prime)
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(text, " ")
+
+
+def word_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count via regex segmentation (a cheap stand-in
+    for a BPE tokenizer's token count; same formula as the oracle)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_TOKEN_RE), F.lit(0)))
+
+
+def stopword_hits(text: Column, stopwords: list[str]) -> Column:
+    """How many tokens are in the stopword list (array filter, JVM-side)."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(words(text), lambda w: F.array_contains(sw, w)))
+
+
+# Marker words per language for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "que", "los", "una"],
+    "fr": ["le", "la", "les", "des", "une"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(text, ms) for lang, ms in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language = argmax marker-hit count, ties broken by language
+    code order (deterministic; 'und' = undetermined when nothing matches)."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in reverse alphabetical order: on equal scores a later
+    # (alphabetically earlier) language replaces, so ties go to the
+    # alphabetically-first code — same as the oracle's CASE ordering
+    for lang in sorted(scores, reverse=True):
+        s = scores[lang]
+        best_lang = F.when(s >= best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(s >= best_score, s).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def punct_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit("[^a-zA-Z0-9 ]"), F.lit(0)))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality signals: all integer counts + exact double
+    ratios (int/int division is bit-identical across engines)."""
+    n_chars = F.length(text)
+    n_words = word_count(text)
+    n_stop = stopword_hits(text, LANG_MARKERS["en"])
+    n_punct = punct_count(text)
+    uniq_words = F.size(F.array_distinct(words(text)))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "avg_word_len": F.round(
+            (n_chars - (n_words - 1)).cast("double") / n_words, 6
+        ),
+        "stopword_ratio": F.round(n_stop.cast("double") / n_words, 6),
+        "punct_ratio": F.round(n_punct.cast("double") / n_chars, 6),
+        "type_token_ratio": F.round(uniq_words.cast("double") / n_words, 6),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite 0-1 quality score (higher = better): rewards lexical
+    diversity and stopword presence, penalizes symbol soup.
+
+    Computed in exact integer micro-units (the input ratios are 6-decimal
+    rounded, so ×1e6 recovers exact integers) — float rounding at the
+    composition step is engine-dependent at halfway points, integer
+    arithmetic never is.
+    """
+    f = quality_features(text)
+    mill = F.lit(1_000_000).cast("long")
+    a = F.round(f["type_token_ratio"] * 1e6).cast("long")
+    b = F.round(f["stopword_ratio"] * 1e6).cast("long")
+    c = F.round(f["punct_ratio"] * 1e6).cast("long")
+    micro = 4 * a + 3 * F.least(b * 5, mill) + 3 * (mill - F.least(c * 10, mill))
+    return micro.cast("double") / F.lit(10_000_000.0)
+
+
+def char_codepoints(s: Column) -> Column:
+    """Array of codepoints (empty-string guard on both engines)."""
+    return F.transform(
+        F.filter(F.split(s, ""), lambda c: c != ""), lambda c: F.ascii(c)
+    )
+
+
+def portable_hash(s: Column) -> Column:
+    """Polynomial rolling hash ``acc*31 + codepoint (mod 2^31-1)`` — exactly
+    reproducible in any engine with a list fold (DuckDB: list_reduce), used
+    wherever the oracle must agree with a hash (minhash, fingerprints)."""
+    return F.aggregate(
+        char_codepoints(s),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % HASH_MOD,
+    )
+
+
+def positional_fingerprint(text: Column) -> Column:
+    """Order-sensitive document checksum: Σ position·codepoint (mod 2^31-1).
+
+    Distinguishes anagrams (unlike a bag-of-chars sum); cheap enough to
+    compute scan-side on every document.
+    """
+    pos_products = F.zip_with(
+        F.sequence(F.lit(1), F.length(text)),
+        char_codepoints(text),
+        lambda i, c: (i * c) % HASH_MOD,
+    )
+    return F.aggregate(
+        pos_products, F.lit(0).cast("long"), lambda acc, x: (acc + x) % HASH_MOD
+    )

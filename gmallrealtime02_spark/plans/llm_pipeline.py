@@ -1,0 +1,371 @@
+"""North-star LLM-data-pipeline queries over documents/embeddings
+(BASELINE.json ``north_star``): dedup (exact, minhash+LSH, simhash,
+n-gram Jaccard), similarity search (brute-force + LSH), text analysis
+(lang-id, quality, tokens, fingerprint), multimodal feature plumbing.
+
+MinHash/SimHash oracles are *generated* from the same frozen constants
+the Spark operators use (functions.similarity.MINHASH_PERMS), so the
+DuckDB SQL reproduces every signature bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import similarity as S
+from ..functions import text as TX
+from ..functions.multimodal import as_media_table, extract_features
+from ..sources import load_table
+from .registry import register
+
+P = TX.HASH_MOD
+
+# --- shared oracle SQL fragments -------------------------------------------
+
+# portable_hash(s) as a DuckDB expression over a string expression {s}
+def _hash_sql(s: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(list_filter(string_split({s}, ''), c -> c != ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc*31 + c) % {P})"
+    )
+
+
+_SHINGLES_CTE = """
+shingles AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(0, len(string_split(text, ' ')) - 3),
+        i -> string_split(text, ' ')[i+1] || ' ' ||
+             string_split(text, ' ')[i+2] || ' ' ||
+             string_split(text, ' ')[i+3]
+    ))) AS shingle
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+)
+"""
+
+_SIG_COLS = ", ".join(
+    f"min(({a}*h + {b}) % {P}) AS m{j}" for j, (a, b) in enumerate(S.MINHASH_PERMS)
+)
+_ROWS = S.N_HASHES // S.N_BANDS
+_BANDS_SQL = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, {key} AS bkey FROM sig".format(
+        b=b,
+        key=" || ',' || ".join(
+            f"CAST(m{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+        ),
+    )
+    for b in range(S.N_BANDS)
+)
+_MATCH_SUM = " + ".join(
+    f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(S.N_HASHES)
+)
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLES_CTE.strip().rstrip()},
+h AS (SELECT doc_id, {_hash_sql('shingle')} AS h FROM shingles),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM h GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST({_MATCH_SUM} AS DOUBLE) / {S.N_HASHES} AS est_jaccard
+FROM cand
+JOIN sig sa ON doc_a = sa.doc_id
+JOIN sig sb ON doc_b = sb.doc_id
+WHERE CAST({_MATCH_SUM} AS DOUBLE) / {S.N_HASHES} >= 0.5
+"""
+
+_SIMHASH_BIT_SUM = " + ".join(
+    f"(CASE WHEN sum(((h >> {i}) & 1) * 2 - 1) > 0 THEN {2**i} ELSE 0 END)"
+    for i in range(S.SIMHASH_BITS)
+)
+
+_SIMHASH_SIG_CTE = f"""
+w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+      FROM documents),
+wh AS (SELECT doc_id, {_hash_sql('word')} AS h FROM w),
+sim AS (SELECT doc_id, CAST({_SIMHASH_BIT_SUM} AS BIGINT) AS simhash
+        FROM wh GROUP BY doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+           count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the digest (the shuffle key is 16
+    bytes, not the document)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("dup_count")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE.strip()},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (the verifier LSH feeds)."""
+    return S.exact_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + LSH(4×4) candidate pairs with estimated Jaccard —
+    signatures bit-identical to the generated oracle."""
+    return S.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+
+
+@register(
+    "simhash_signatures",
+    oracle=f"WITH {_SIMHASH_SIG_CTE.strip()} SELECT doc_id, simhash FROM sim",
+    tags=("dedup", "simhash"),
+)
+def simhash_signatures(spark, sf_dir):
+    """Per-document 24-bit simhash signature (scan-side, no shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", S.simhash_col(F.col("text")).alias("simhash"))
+
+
+@register(
+    "simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_CTE.strip()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup", "simhash"),
+)
+def simhash_pairs_q(spark, sf_dir):
+    """Hamming-≤3 simhash near-dup pairs."""
+    return S.simhash_pairs(load_table(spark, sf_dir, "documents"), 3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DOT_FOLD = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT_FOLD.format(a=a, b=b)
+    na = _DOT_FOLD.format(a=a, b=a)
+    nb = _DOT_FOLD.format(a=b, b=b)
+    return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    SELECT qid, cid, cosine, rnk FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               {_cos_sql('q.embedding', 'c.embedding')} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id ASC
+               ) AS rnk
+        FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id != c.vec_id
+    ) WHERE rnk <= 5
+    """,
+    tags=("similarity", "ann"),
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 for 10 query vectors (left-fold
+    double dot product — bit-exact vs the oracle)."""
+    return S.cosine_topk(load_table(spark, sf_dir, "embeddings"), 10, 5)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate by construction; pytest checks recall vs brute force
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_topk_q(spark, sf_dir):
+    """LSH-bucketed approximate top-5 (random-hyperplane sign buckets) —
+    the 100 TB scale path; recall vs brute force asserted in tests."""
+    return S.ann_lsh_topk(load_table(spark, sf_dir, "embeddings"), 10, 5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_SW_HITS = (
+    "len(list_filter(string_split(text, ' '), w -> list_contains({lst}, w)))"
+)
+
+
+def _marker_sql(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{m}'" for m in TX.LANG_MARKERS[lang]) + "]"
+    return _SW_HITS.format(lst=lst)
+
+
+_GREATEST = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(TX.LANG_MARKERS)) + ")"
+_LANG_CASE = (
+    f"CASE WHEN {_GREATEST} = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{lang} = {_GREATEST} THEN '{lang}'"
+        for lang in sorted(TX.LANG_MARKERS)
+    )
+    + " END"
+)
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id, lang, {_LANG_CASE} AS pred_lang FROM (
+        SELECT doc_id, lang,
+               {', '.join(f'{_marker_sql(lang)} AS s_{lang}' for lang in sorted(TX.LANG_MARKERS))}
+        FROM documents
+    )
+    """,
+    tags=("text", "langid"),
+)
+def lang_id_q(spark, sf_dir):
+    """Marker-word language ID (argmax with alphabetical tie-break)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@register(
+    "doc_quality",
+    oracle="""
+    SELECT doc_id, n_chars, n_words,
+           round(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS avg_word_len,
+           round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+           round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+           round(CAST(uniq_words AS DOUBLE) / n_words, 6) AS type_token_ratio,
+           CAST(4 * CAST(round(round(CAST(uniq_words AS DOUBLE) / n_words, 6) * 1e6) AS BIGINT)
+              + 3 * least(CAST(round(round(CAST(n_stop AS DOUBLE) / n_words, 6) * 1e6) AS BIGINT) * 5, 1000000)
+              + 3 * (1000000 - least(CAST(round(round(CAST(n_punct AS DOUBLE) / n_chars, 6) * 1e6) AS BIGINT) * 10, 1000000))
+              AS DOUBLE) / 10000000.0 AS quality
+    FROM (
+        SELECT doc_id, length(text) AS n_chars,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_filter(string_split(text, ' '),
+                   w -> list_contains(['the', 'a', 'of', 'and', 'is'], w))) AS n_stop,
+               len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+               len(list_distinct(string_split(text, ' '))) AS uniq_words
+        FROM documents
+    )
+    """,
+    tags=("text", "quality"),
+)
+def doc_quality(spark, sf_dir):
+    """Quality features + composite score, all codegen'd column math."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[c.alias(n) for n, c in feats.items()],
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           len(regexp_extract_all(text, '{TX.BPE_ISH_TOKEN_RE}')) AS n_tokens
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def token_stats(spark, sf_dir):
+    """Whitespace + regex-segmentation token counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.word_count(F.col("text")).alias("n_words"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(text)),
+                   i -> (i * CAST(ascii(text[i]) AS BIGINT)) % {P})),
+               (acc, x) -> (acc + x) % {P}) AS fingerprint,
+           md5(text) AS text_hash
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint(spark, sf_dir):
+    """Order-sensitive positional checksum + content digest."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.positional_fingerprint(F.col("text")).alias("fingerprint"),
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only: byte-level features via mapInPandas)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "media_features",
+    oracle="""
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS digest
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def media_features(spark, sf_dir):
+    """Binary media column plumbing: utf-8 payload → Arrow-batched
+    mapInPandas feature extraction.  Oracle covers the deterministic
+    subset (byte length + digest); entropy is exercised in pytest."""
+    media = as_media_table(load_table(spark, sf_dir, "documents"))
+    return extract_features(media).select("doc_id", "n_bytes", "digest")
