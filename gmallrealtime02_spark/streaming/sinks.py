@@ -1,0 +1,88 @@
+"""Streaming sinks (SURVEY.md §2.2 K1-K5).
+
+The reference's sinks are: a per-record Kafka producer (K1,
+MyKafkaSender.scala:12-40 — idempotence intended but misconfigured), ES
+bulk doc-id-keyed upsert (K4, MyEsUtil.scala:79-95), and Phoenix/HBase PK
+upsert (K5, saveToPhoenix callers).  Their common semantic — *idempotent
+keyed upsert so at-least-once delivery becomes effectively-once* — maps
+to ``foreachBatch`` + MERGE.
+
+Without Delta jars in this environment, MERGE is emulated as
+anti-join + union + atomic directory swap; on a real deployment swap
+``upsert_batch`` for ``MERGE INTO dim USING updates ON ... WHEN MATCHED
+UPDATE WHEN NOT MATCHED INSERT`` (same call-site contract).  Kafka sinks
+are thin: ``to_kafka_frame`` shapes (topic, key, value); the actual
+``.format("kafka")`` write needs the kafka-sql jar at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def upsert_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    keys: list[str],
+) -> None:
+    """Idempotent keyed upsert of one micro-batch into a parquet table.
+
+    New rows win over existing rows with the same key (the reference's
+    doc-id overwrite semantic, MyEsUtil.scala:87-91).  Writes to a temp
+    dir then swaps, so a crash mid-write never corrupts the table —
+    together with checkpointed offsets this reproduces the reference's
+    at-least-once + idempotent-sink guarantee (OffsetManager.scala:33-46).
+    """
+    batch = batch.dropDuplicates(keys)
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        keep = existing.join(batch.select(*keys), keys, "left_anti")
+        merged = keep.unionByName(batch)
+    else:
+        merged = batch
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def make_upsert_sink(path: str, keys: list[str]):
+    """foreachBatch callback performing the keyed upsert (K4/K5)."""
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        upsert_batch(batch.sparkSession, batch, path, keys)
+
+    return sink
+
+
+def make_append_sink(path: str, partition_by: list[str] | None = None):
+    """foreachBatch callback appending dt-partitioned parquet (K3/K7 —
+    the OLAP layer the reference delegates to ES/ClickHouse)."""
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        w = batch.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    return sink
+
+
+def to_kafka_frame(df: DataFrame, topic_col: str = "topic", key_col: str | None = None) -> DataFrame:
+    """Shape a DataFrame for the Kafka sink: (topic, key, value=json(*)).
+
+    The per-record ``topic`` column replaces the reference's
+    one-job-per-table fan-out (K2, OdsGmallCanal.scala:46).
+    """
+    value = F.to_json(F.struct(*[c for c in df.columns if c != topic_col]))
+    cols = [F.col(topic_col).alias("topic"), value.alias("value")]
+    if key_col:
+        cols.insert(1, F.col(key_col).cast("string").alias("key"))
+    return df.select(*cols)
