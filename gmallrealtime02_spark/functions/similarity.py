@@ -49,6 +49,19 @@ MINHASH_PERMS: list[tuple[int, int]] = [
 ]
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across all cores before CPU-heavy per-row work.
+
+    A small parquet file arrives as one input split, which would serialize
+    the signature folds on a single task.  Only repartitions when the scan
+    has fewer partitions than ``defaultParallelism`` — at 100 TB the scan
+    already has thousands of splits and this is a no-op (no shuffle)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(text: Column, n: int = N_SHINGLE) -> Column:
     """Distinct n-word shingles (array<string>), scan-side; empty array for
     texts shorter than n words."""
@@ -68,35 +81,62 @@ def shingle_hashes(text: Column, n: int = N_SHINGLE) -> Column:
     return F.transform(word_shingles(text, n), portable_hash)
 
 
-def minhash_signature_cols(text: Column) -> list[Column]:
-    """The k-permutation minhash signature as ``m0..m{k-1}`` columns,
-    computed scan-side from the shingle-hash array (no shuffle)."""
+def minhash_signature_array(text: Column) -> Column:
+    """The k-permutation minhash signature as ONE ``array<long>`` column,
+    computed scan-side in a single fold over the shingle-hash array.
+
+    One pass: ``acc[j] = min(acc[j], (a_j*h + b_j) mod P)`` via
+    ``aggregate`` + ``zip_with`` — the shingle/char-fold pipeline is
+    evaluated once per row instead of once per permutation (k× cheaper),
+    and keeping the signature as a single column stops Catalyst's project
+    collapsing from ever duplicating the fold."""
     hs = shingle_hashes(text)
-    return [
-        F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_MOD)).alias(
-            f"m{j}"
-        )
-        for j, (a, b) in enumerate(MINHASH_PERMS)
-    ]
+    perms = F.array(
+        *[
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+            for a, b in MINHASH_PERMS
+        ]
+    )
+    init = F.array_repeat(F.lit(HASH_MOD).cast("long"), N_HASHES)
+    return F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, perms, lambda m, p: F.least(m, (p["a"] * h + p["b"]) % HASH_MOD)
+        ),
+    )
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.select("doc_id", *minhash_signature_cols(F.col(text_col)))
+    """(doc_id, sig: array<long>) for every doc with ≥ N_SHINGLE words —
+    the same population the oracle's shingles CTE covers (short docs have
+    no shingles, hence no signature)."""
+    eligible = docs.filter(F.size(F.split(F.col(text_col), " ")) >= N_SHINGLE)
+    return eligible.select(
+        "doc_id", minhash_signature_array(F.col(text_col)).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     """Band the signature and self-join per band: docs agreeing on all rows
-    of any band become candidates.  Shuffles only (band, key, doc_id)."""
+    of any band become candidates.  One scan pass (posexplode of the band
+    keys), shuffling only (band, key, doc_id) pairs."""
     rows_per_band = N_HASHES // N_BANDS
-    bands = None
-    for b in range(N_BANDS):
-        cols = [f"m{b * rows_per_band + r}" for r in range(rows_per_band)]
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("bkey"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.col("sig")[b * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+    )
     a, b_ = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -112,17 +152,30 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Candidate pairs + estimated Jaccard (fraction of agreeing minhashes),
-    filtered to ``est_jaccard >= threshold``."""
-    sig = minhash_signatures(docs)
+    filtered to ``est_jaccard >= threshold``.
+
+    The signature table is persisted: banding, the band self-join, and the
+    two verify joins all reuse one materialization instead of recomputing
+    the char-fold scan pipeline per branch.  At 100 TB the same shape
+    holds — signatures (17 longs/doc) are a ~1000× reduction of the corpus
+    and get persisted/written once, everything downstream touches only
+    them."""
+    sig = minhash_signatures(ensure_parallelism(docs)).persist()
     cand = lsh_candidate_pairs(sig)
-    sa, sb = sig.alias("sa"), sig.alias("sb")
-    matches = sum(
-        F.when(F.col(f"sa.m{j}") == F.col(f"sb.m{j}"), 1).otherwise(0)
-        for j in range(N_HASHES)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     return (
-        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
-        .join(sb, cand.doc_b == F.col("sb.doc_id"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -169,24 +222,43 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 
 def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
-    """Scan-side simhash: per bit, sign of Σ±1 over distinct word hashes."""
+    """Scan-side simhash: per bit, sign of Σ±1 over distinct word hashes.
+
+    Single pass: one fold accumulates all ``bits`` signed counts at once
+    (the word-hash array is evaluated once, not once per bit), then a
+    second fold packs sign bits — the hash pipeline appears exactly once
+    in the expression tree."""
     hs = F.transform(F.array_distinct(F.split(text, " ")), portable_hash)
-
-    def _bit_fold(i: int):
-        return lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        bit_sum = F.aggregate(hs, F.lit(0).cast("long"), _bit_fold(i))
-        out = out + F.when(bit_sum > 0, F.lit(2**i)).otherwise(F.lit(0))
-    return out
+    counts = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.array(
+            *[
+                acc[i] + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
+                for i in range(bits)
+            ]
+        ),
+    )
+    # pow(2,i) is exact in double for i < 53; fold keeps `counts` single-use
+    weights = F.zip_with(
+        counts,
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda c, i: F.when(
+            c > 0, F.pow(F.lit(2.0), i.cast("double")).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(weights, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """All-pairs hamming-≤k join (test scale).  At 100 TB: band the bits
     into (max_hamming+1) segments — any near-pair matches exactly on ≥1
     segment (pigeonhole) — and only join within segments."""
-    sig = docs.select("doc_id", simhash_col(F.col("text")).alias("simhash"))
+    sig = (
+        ensure_parallelism(docs)
+        .select("doc_id", simhash_col(F.col("text")).alias("simhash"))
+        .persist()
+    )
     a, b = sig.alias("a"), sig.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
