@@ -314,6 +314,37 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-dup pairs: all (a, b) with cosine ≥ threshold.
+
+    Norms are precomputed per vector (one fold each, persisted) so the
+    pair stage does exactly one dot-fold per pair.  Test-scale uses the
+    all-pairs product; at 100 TB the identical verify stage runs AFTER
+    LSH/IVF candidate pruning (see ``ann_lsh_topk``/``ann_ivf_topk``) so
+    the quadratic product never materializes."""
+    v = (
+        ensure_parallelism(emb)
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+        .persist()
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 N_TABLES = 8     # OR-amplification: candidate if bucket-equal in ANY table
 PLANES_PER_TABLE = 4
 
@@ -408,3 +439,62 @@ def ann_lsh_topk(
 
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+N_CELLS = 16
+N_PROBE = 4
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Every vector is assigned to its nearest of ``n_cells`` centroids; a
+    query scores only vectors in its ``n_probe`` nearest cells.  The
+    centroids here are the first ``n_cells`` vectors (deterministic --
+    production IVF would k-means them; the partition/probe mechanics are
+    identical).  At 100 TB the assignment table is written partitioned BY
+    cell, so a probe reads n_probe/n_cells of the data with partition
+    pruning instead of a full scan -- the classic IVF speed/recall dial.
+    """
+    cent = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    base = ensure_parallelism(emb).select("vec_id", "embedding")
+    scored_cells = base.join(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        (
+            _dot(F.col("embedding"), F.col("cvec"))
+            / (
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
+            )
+        ).alias("ccos"),
+    )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell").asc())
+    ranked = scored_cells.withColumn("crnk", F.row_number().over(wc)).persist()
+    assign = ranked.filter(F.col("crnk") == 1).select("vec_id", "embedding", "cell")
+    probes = ranked.filter(
+        (F.col("vec_id") < n_queries) & (F.col("crnk") <= n_probe)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cell")
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "qe", F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+    dot = _dot(F.col("qe"), F.col("ce"))
+    qn = F.sqrt(_dot(F.col("qe"), F.col("qe")))
+    cn = F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    scored = cand.select("qid", "cid", F.round(dot / (qn * cn), 6).alias("cosine"))
+    wq = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return scored.withColumn("rnk", F.row_number().over(wq)).filter(F.col("rnk") <= k)

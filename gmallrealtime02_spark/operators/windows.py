@@ -63,3 +63,38 @@ def running_total(events: DataFrame) -> DataFrame:
         "ts",
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
     )
+
+
+def asof_prev_event(
+    events: DataFrame, target_type: str, source_type: str
+) -> DataFrame:
+    """As-of join without a range join: for each ``target_type`` event, the
+    most recent ``source_type`` event timestamp by the same user at-or-before
+    it (``target.ts >= source.ts``).
+
+    Expressed as union + carry-forward: tag both event kinds, sort within
+    user (sources first on timestamp ties), and carry the last source ts
+    forward with ``last(..., ignorenulls)``.  One hash exchange on user_id
+    and a per-partition sort -- no O(n*m) range-join blowup, which is what
+    makes this shape survive 100 TB where a theta join would not.
+    """
+    sub = events.filter(F.col("event_type").isin([target_type, source_type]))
+    marked = sub.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == source_type, F.col("ts")).alias("src_ts"),
+        F.when(F.col("event_type") == source_type, 0).otherwise(1).alias("kind_ord"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind_ord", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = marked.withColumn(
+        "prev_src_ts", F.last("src_ts", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("event_type") == target_type).select(
+        "event_id", "user_id", "ts", "prev_src_ts"
+    )

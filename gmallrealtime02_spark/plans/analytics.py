@@ -390,3 +390,150 @@ def topic_route_q(spark, sf_dir):
     return e.select(
         "event_type", route_topic(F.col("event_type")).alias("topic")
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Extended relational surface: grouping sets, semi/anti joins, as-of join,
+# range join (SURVEY.md §2.4/2.5 "not present in the reference" items,
+# exposed because Catalyst provides them natively)
+# ---------------------------------------------------------------------------
+
+from ..operators.windows import asof_prev_event  # noqa: E402
+
+
+@register(
+    "revenue_rollup",
+    oracle="""
+    SELECT r_name AS region_name, n_name AS nation_name,
+           GROUPING(r_name, n_name) AS gid,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("rollup", "grouping-sets"),
+)
+def revenue_rollup(spark, sf_dir):
+    """ROLLUP(region, nation) with grouping id — hierarchical subtotals in
+    one pass (Expand + single shuffle), not three separate aggregations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup(
+            F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "customers_no_orders",
+    oracle="""
+    SELECT c_custkey AS user_id, c_name AS user_name, c_mktsegment AS segment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def customers_no_orders(spark, sf_dir):
+    """Left-anti join (NOT EXISTS) — dims broadcast the key set, no row
+    payload crosses the wire."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@register(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_custkey AS user_id, c_acctbal AS balance
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join", "semi"),
+)
+def customers_with_orders(spark, sf_dir):
+    """Left-semi join (EXISTS): early-out probe, emits each left row once."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_acctbal").alias("balance")
+    )
+
+
+@register(
+    "asof_prev_view",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, v.ts AS prev_src_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    tags=("join", "asof", "window"),
+)
+def asof_prev_view(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest view at-or-
+    before it — union + carry-forward (one exchange), no range join."""
+    return asof_prev_event(load_table(spark, sf_dir, "events"), "purchase", "view")
+
+
+_PRICE_BANDS = [
+    ("budget", 0.0, 20_000.0),
+    ("mid", 20_000.0, 45_000.0),
+    ("premium", 45_000.0, 1e12),
+]
+
+
+@register(
+    "price_band_join",
+    oracle="""
+    SELECT band, count(*) AS ct,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN (VALUES ('budget', 0.0, 20000.0),
+                 ('mid', 20000.0, 45000.0),
+                 ('premium', 45000.0, 1e12)) b(band, lo, hi)
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band
+    """,
+    tags=("join", "range"),
+)
+def price_band_join(spark, sf_dir):
+    """Range (theta) join against a tiny bands table — broadcast
+    nested-loop on 3 rows, then hash agg; the fact side never shuffles
+    pre-aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("ct"), dsum("l_extendedprice", 2).alias("revenue"))
+    )

@@ -230,6 +230,34 @@ def ann_lsh_topk_q(spark, sf_dir):
     return S.ann_lsh_topk(load_table(spark, sf_dir, "embeddings"), 10, 5)
 
 
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.4
+    """,
+    tags=("dedup", "similarity", "embedding"),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.4 — this synthetic
+    corpus has no true dups; max pairwise cosine ≈ 0.51).  Norms folded
+    once per vector; one dot-fold per pair."""
+    return S.embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), 0.4)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by construction; pytest checks recall vs brute force
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_topk_q(spark, sf_dir):
+    """IVF coarse-quantized approximate top-5: nearest-cell assignment +
+    n_probe cell probing — the partition-pruned scale path."""
+    return S.ann_ivf_topk(load_table(spark, sf_dir, "embeddings"), 10, 5)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

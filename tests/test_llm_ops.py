@@ -21,6 +21,14 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert recall >= 0.6, f"LSH recall {recall} below floor"
 
 
+def test_ann_ivf_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {(r.qid, r.cid) for r in S.cosine_topk(emb, 10, 5).collect()}
+    approx = {(r.qid, r.cid) for r in S.ann_ivf_topk(emb, 10, 5).collect()}
+    recall = len(approx & brute) / len(brute)
+    assert recall >= 0.5, f"IVF recall {recall} below floor"
+
+
 def test_minhash_lsh_finds_true_near_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     true_pairs = {
