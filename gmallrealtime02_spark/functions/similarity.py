@@ -34,7 +34,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import HASH_MOD, portable_hash
+from .text import HASH_MOD, char_codepoints, portable_hash
 
 N_SHINGLE = 3
 N_HASHES = 16
@@ -49,17 +49,7 @@ MINHASH_PERMS: list[tuple[int, int]] = [
 ]
 
 
-def ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Spread a narrow scan across all cores before CPU-heavy per-row work.
-
-    A small parquet file arrives as one input split, which would serialize
-    the signature folds on a single task.  Only repartitions when the scan
-    has fewer partitions than ``defaultParallelism`` — at 100 TB the scan
-    already has thousands of splits and this is a no-op (no shuffle)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from ..sources.tables import ensure_parallelism  # noqa: E402  (re-export)
 
 
 def word_shingles(text: Column, n: int = N_SHINGLE) -> Column:
@@ -77,8 +67,67 @@ def word_shingles(text: Column, n: int = N_SHINGLE) -> Column:
 
 
 def shingle_hashes(text: Column, n: int = N_SHINGLE) -> Column:
-    """array<long> of portable shingle hashes."""
+    """array<long> of portable shingle hashes (distinct shingles)."""
     return F.transform(word_shingles(text, n), portable_hash)
+
+
+def _bind(col: Column, fn) -> Column:
+    """Evaluate ``col`` once per row and let ``fn`` reference it freely.
+
+    ``transform(array(col), fn)[0]`` binds the value to a lambda variable;
+    HOF lambda variables hold materialized values, so every reference
+    inside ``fn`` is a lookup — unlike plain expression reuse, which
+    re-evaluates the whole subtree at each occurrence."""
+    return F.transform(F.array(col), fn)[0]
+
+
+def _word_hash_pows(text: Column) -> Column:
+    """Per word: (rolling hash h, 31^len mod P) — each character of the
+    document is folded exactly once."""
+    return F.transform(
+        F.split(text, " "),
+        lambda w: F.aggregate(
+            char_codepoints(w),
+            F.struct(
+                F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p")
+            ),
+            lambda acc, c: F.struct(
+                ((acc["h"] * 31 + c) % HASH_MOD).alias("h"),
+                ((acc["p"] * 31) % HASH_MOD).alias("p"),
+            ),
+        ),
+    )
+
+
+def shingle_hashes_fast(text: Column, n: int = N_SHINGLE) -> Column:
+    """array<long> of shingle hashes via rolling-hash composition:
+    ``H(a||b) = H(a)·31^len(b) + H(b) (mod P)``, with the space separator
+    contributing ``·31 + 32``.
+
+    Bit-identical to hashing each n-word shingle string char-by-char (the
+    oracle's formulation) but touches every character once instead of n
+    times and allocates no shingle strings.  May contain duplicate hash
+    values (no array_distinct) — irrelevant to the min-fold consumer.
+    """
+
+    def _combine(wh, i):
+        h = F.element_at(wh, i)["h"]
+        for j in range(1, n):
+            nxt = F.element_at(wh, i + j)
+            h = (h * 31 + 32) % HASH_MOD  # the ' ' separator char (code 32)
+            h = (h * nxt["p"] + nxt["h"]) % HASH_MOD
+        return h
+
+    return _bind(
+        _word_hash_pows(text),
+        lambda wh: F.when(
+            F.size(wh) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(wh) - (n - 1)),
+                lambda i: _combine(wh, i),
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+    )
 
 
 def minhash_signature_array(text: Column) -> Column:
@@ -90,7 +139,7 @@ def minhash_signature_array(text: Column) -> Column:
     evaluated once per row instead of once per permutation (k× cheaper),
     and keeping the signature as a single column stops Catalyst's project
     collapsing from ever duplicating the fold."""
-    hs = shingle_hashes(text)
+    hs = shingle_hashes_fast(text)
     perms = F.array(
         *[
             F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
@@ -294,16 +343,25 @@ def cosine_topk(
     scan-side — at 100 TB this is the per-partition scoring baseline that
     IVF/LSH variants are measured against."""
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    # norms are folded once per row BELOW the join (not once per pair)
+    c = ensure_parallelism(emb).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("cn"),
+    )
     dot = _dot(F.col("qe"), F.col("ce"))
-    qn = F.sqrt(_dot(F.col("qe"), F.col("qe")))
-    cn = F.sqrt(_dot(F.col("ce"), F.col("ce")))
     scored = (
         F.broadcast(q)
         .join(c, F.col("qid") != F.col("cid"))
-        .select("qid", "cid", F.round(dot / (qn * cn), 6).alias("cosine"))
+        .select(
+            "qid",
+            "cid",
+            F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+        )
     )
     from pyspark.sql import Window
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -56,16 +56,26 @@ def first_seen_dedup(
     (DauApp.scala:59-75, A4; DwsOrderWideApp.scala:104-122, A5):
     semantically ``ROW_NUMBER() OVER (PARTITION BY keys ORDER BY order_by) = 1``.
 
-    One hash exchange on ``keys``; rank computed within partitions.  For
+    Physical strategy: ``min(struct(order_by..., rest...))`` hash
+    aggregation, not a ranking window — partial (map-side) aggregation
+    collapses duplicates before the exchange and no per-partition sort is
+    needed, which is exactly what survives a 100 TB dedup (the window
+    form shuffles every duplicate and sorts each partition).  The struct
+    comparison is lexicographic, so this both matches ROW_NUMBER()=1
+    whenever ``order_by`` is unique per key and stays fully deterministic
+    on ties (the window form's tie-pick is partitioning-dependent).  For
     unbounded streams use ``streaming.jobs.streaming_first_seen_dedup``
     (state-store backed, watermark-bounded) instead.
     """
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_by])
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    cols = df.columns
+    packed_cols = list(order_by) + [c for c in cols if c not in keys and c not in order_by]
+    agg = df.groupBy(*keys).agg(
+        F.min(F.struct(*[F.col(c) for c in packed_cols])).alias("__first")
     )
+    return agg.select(
+        *[F.col(k) for k in keys],
+        *[F.col(f"__first.{c}").alias(c) for c in packed_cols],
+    ).select(*cols)
 
 
 def dau_rows(events: DataFrame) -> DataFrame:
@@ -76,7 +86,12 @@ def dau_rows(events: DataFrame) -> DataFrame:
     event time.  Output mirrors the dau_info golden schema
     (bean/DauInfo.scala:5-16) minus the constant columns.
     """
-    e = with_dt_hr(events, "ts")
+    from ..sources.tables import ensure_parallelism
+
+    # pre-cluster by user_id: satisfies the dedup's ClusteredDistribution
+    # on (dt, user_id) — subset rule — so no second exchange, and the
+    # derive + partial agg run on all cores even from a one-split scan
+    e = with_dt_hr(ensure_parallelism(events, by=("user_id",)), "ts")
     deduped = first_seen_dedup(e, keys=["dt", "user_id"], order_by=["ts", "event_id"])
     return deduped.select(
         F.col("user_id").alias("mid"),

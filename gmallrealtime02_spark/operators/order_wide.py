@@ -32,6 +32,13 @@ def order_wide(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     plays order_detail (l_orderkey→order_id, l_partkey→sku_id,
     l_extendedprice→order_price≈sku_price, l_quantity→sku_num).
     """
+    from ..sources.tables import ensure_parallelism
+
+    # pre-cluster the fact by the dedup key: the broadcast join preserves
+    # it and alias-aware output partitioning lets the final (order_id,
+    # detail_seq) aggregation skip its exchange — one shuffle total, with
+    # the join and partial agg running on all cores
+    lineitem = ensure_parallelism(lineitem, by=("l_orderkey", "l_linenumber"))
     joined = lineitem.join(
         orders, lineitem.l_orderkey == orders.o_orderkey, "inner"
     )

@@ -53,6 +53,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, by: tuple[str, ...] | None = None) -> DataFrame:
+    """Spread a narrow scan across all cores before heavy per-row work.
+
+    The testdata parquet files are single-row-group, so a scan arrives as
+    ONE split and everything before the first exchange runs on one task.
+    Conditional: only repartitions when the scan has fewer partitions than
+    ``defaultParallelism`` — at 100 TB scans have thousands of splits and
+    this is a no-op.  When ``by`` is given, hash-partitions on those
+    columns so a downstream aggregation/join keyed on them (or their
+    aliases — Spark's alias-aware output partitioning) needs no second
+    exchange."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if by:
+        return df.repartition(*[F.col(c) for c in by])
+    return df.repartition(target)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
 ) -> dict[str, DataFrame]:
