@@ -133,3 +133,92 @@ def streaming_order_wide(
         ),
         "inner",
     )
+
+
+def streaming_sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Event-time session windows (the streaming twin of the batch
+    ``sessionize`` operator): gap-merged per-user sessions via
+    ``session_window`` — state-store merged, watermark-bounded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("window_start"),
+            F.col("session_window.end").alias("window_end"),
+            "n_events",
+            "session_start",
+            "session_end",
+        )
+    )
+
+
+_DEDUP_OUT_SCHEMA = (
+    "mid long, dt string, hr string, ts timestamp, event_type string, value double"
+)
+
+
+def stateful_day_scoped_dedup(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """A4 with *explicit* custom state (``applyInPandasWithState``): the
+    reference's ``SADD dau:<dt> mid`` contract — one boolean per
+    (dt, mid), first-seen row emitted, later arrivals swallowed
+    (DauApp.scala:59-75).
+
+    ``dropDuplicates`` (``streaming_first_seen_dedup``) is the idiomatic
+    form; this variant exists for custom stateful semantics the built-in
+    can't express (per-key TTL policies, counters, side outputs) and as
+    the template for ``applyInPandasWithState`` operators generally.
+    State is Arrow-batched per group; at scale the state store shards by
+    the group key across executors (RocksDB-backed on a cluster).
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    e = with_dt_hr(events, "ts").withWatermark("ts", watermark)
+
+    def first_seen(key, pdfs, state):
+        if state.exists:
+            return  # key already emitted in an earlier batch
+        first = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            cand = pdf.sort_values(["ts", "event_id"]).iloc[0]
+            if first is None or (cand["ts"], cand["event_id"]) < (
+                first["ts"],
+                first["event_id"],
+            ):
+                first = cand
+        if first is None:
+            return
+        state.update((True,))
+        dt, mid = key
+        yield pd.DataFrame(
+            [
+                {
+                    "mid": mid,
+                    "dt": dt,
+                    "hr": first["hr"],
+                    "ts": first["ts"],
+                    "event_type": first["event_type"],
+                    "value": first["value"],
+                }
+            ]
+        )
+
+    return e.groupBy("dt", "user_id").applyInPandasWithState(
+        first_seen,
+        outputStructType=_DEDUP_OUT_SCHEMA,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -188,3 +188,105 @@ def test_checkpoint_restart_no_reprocess(spark, tmp_path):
     # mid 1 keeps its pre-restart first-seen row (state recovered from
     # checkpoint — the duplicate arriving after restart is suppressed)
     assert got == {("2024-01-01", 1, "05"), ("2024-01-01", 2, "06")}
+
+
+def test_streaming_sessionize_gap_merge(spark, tmp_path):
+    src = str(tmp_path / "sess_src")
+    from datetime import datetime
+
+    def ev(eid, minute, uid):
+        return (eid, datetime(2024, 1, 1, 10 + minute // 60, minute % 60), uid, "click", 1.0)
+
+    # uid 1: events at 10:00, 10:10 (one session), then 11:30 (new session
+    # after >30 min gap); uid 2: single event.  Session aggregation only
+    # supports append mode, which emits a session once the watermark
+    # passes its end — the uid-99 batches exist purely to advance event
+    # time and finalize the earlier sessions.
+    from datetime import datetime as dtt
+
+    _write_batch(spark, src, [ev(1, 0, 1), ev(2, 10, 1)])
+    _write_batch(spark, src, [ev(3, 90, 1), ev(4, 0, 2)])
+    _write_batch(spark, src, [(98, dtt(2024, 1, 2, 10), 99, "click", 1.0)])
+    _write_batch(spark, src, [(99, dtt(2024, 1, 3, 10), 99, "click", 1.0)])
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    sessions = SJ.streaming_sessionize(stream, gap="30 minutes", watermark="0 seconds")
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT user_id, n_events FROM sess_out WHERE user_id != 99 "
+        "ORDER BY user_id, session_start"
+    ).collect()
+    got = [(r.user_id, r.n_events) for r in rows]
+    assert got == [(1, 2), (1, 1), (2, 1)], got
+
+
+def test_stateful_day_scoped_dedup(spark, tmp_path):
+    src = str(tmp_path / "state_src")
+    # (dt=1, uid=1) appears in both micro-batches -> exactly one output,
+    # and it must be the FIRST-seen row (hour 0, not hour 2)
+    _write_batch(spark, src, _rows((1, 1, 0, 1), (2, 1, 1, 2)))
+    _write_batch(spark, src, _rows((3, 1, 2, 1), (4, 2, 0, 1)))
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    dedup = SJ.stateful_day_scoped_dedup(stream)
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("state_dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT mid, dt, hr FROM state_dedup_out").collect()
+    got = {(r.mid, r.dt, r.hr) for r in rows}
+    assert got == {
+        (1, "2024-01-01", "00"),  # first-seen hour for uid 1 on day 1
+        (2, "2024-01-01", "01"),
+        (1, "2024-01-02", "00"),  # same uid, new day -> new state key
+    }, got
+
+
+def test_dedup_drops_late_beyond_watermark(spark, tmp_path):
+    src = str(tmp_path / "late_src")
+    # batch 1 advances event time to day 10; watermark (48h) then sits at
+    # day 8, so batch 2's day-1 duplicate is late-beyond-watermark: it
+    # must NOT produce a second (dt=1, uid=1) row
+    _write_batch(spark, src, _rows((1, 1, 0, 1), (2, 10, 0, 9)))
+    _write_batch(spark, src, _rows((3, 1, 5, 1)))
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    dau = SJ.streaming_dau(stream)
+    q = (
+        dau.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT mid, dt, count(*) AS n FROM late_out GROUP BY mid, dt"
+    ).collect()
+    assert all(r.n == 1 for r in rows), rows
