@@ -537,3 +537,82 @@ def price_band_join(spark, sf_dir):
         .groupBy("band")
         .agg(F.count("*").alias("ct"), dsum("l_extendedprice", 2).alias("revenue"))
     )
+
+
+@register(
+    "start_event_route",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'signup' THEN 'GMALL_START'
+                ELSE 'GMALL_EVENT' END AS topic
+    FROM events
+    """,
+    tags=("P6", "route"),
+)
+def start_event_route(spark, sf_dir):
+    """Start-vs-event route on FIELD PRESENCE (LoggerController.java:31-36,
+    P6): the log envelope carries a `start` object only for startup logs;
+    the route predicate is presence, not a type tag.  Synthesized here by
+    round-tripping events through the envelope (signups play startup
+    logs), so the oracle is the identity on event_type."""
+    e = load_table(spark, sf_dir, "events")
+    raw = e.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.when(
+                    F.col("event_type") == "signup",
+                    F.struct(F.lit("open").alias("entry")),
+                ).alias("start"),
+            )
+        ).alias("value"),
+    )
+    return raw.select(
+        "event_id",
+        F.when(
+            F.get_json_object("value", "$.start").isNotNull(), "GMALL_START"
+        )
+        .otherwise("GMALL_EVENT")
+        .alias("topic"),
+    )
+
+
+_PAGE, _PAGE_SIZE = 3, 20
+
+
+@register(
+    "order_page",
+    oracle=f"""
+    SELECT order_id, user_id, order_status, final_total_amount, page_row FROM (
+        SELECT o_orderkey AS order_id, o_custkey AS user_id,
+               o_orderstatus AS order_status, o_totalprice AS final_total_amount,
+               ROW_NUMBER() OVER (ORDER BY o_orderdate DESC, o_orderkey ASC)
+                   AS page_row
+        FROM orders
+    ) WHERE page_row BETWEEN {(_PAGE - 1) * _PAGE_SIZE + 1} AND {_PAGE * _PAGE_SIZE}
+    """,
+    tags=("limit", "pagination", "serving"),
+)
+def order_page(spark, sf_dir):
+    """Serving-layer pagination (dw-chart IndexController.java:79-110:
+    startpage/size): deterministic global order + row_number page window.
+    A global window serializes — acceptable for a serving query whose
+    result is one page; at scale the same endpoint is served keyset-style
+    (WHERE (o_orderdate, o_orderkey) < last_seen ORDER BY ... LIMIT n),
+    which this operator's sort order is chosen to support."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+    lo, hi = (_PAGE - 1) * _PAGE_SIZE + 1, _PAGE * _PAGE_SIZE
+    return (
+        o.select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderstatus").alias("order_status"),
+            F.col("o_totalprice").alias("final_total_amount"),
+            F.row_number().over(w).alias("page_row"),
+        )
+        .filter(F.col("page_row").between(lo, hi))
+    )
