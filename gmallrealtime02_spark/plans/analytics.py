@@ -616,3 +616,143 @@ def order_page(spark, sf_dir):
         )
         .filter(F.col("page_row").between(lo, hi))
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate + percentile aggregates (scale path: sketches shuffle O(1)
+# state per group instead of O(distinct) rows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_uniques_approx",
+    oracle=None,  # HLL sketch is engine-specific; pytest bounds error vs exact
+    tags=("approx", "hll", "A4"),
+)
+def daily_uniques_approx(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) per day — at 100 TB the
+    sketch (kB) replaces the expand+two-phase exact distinct's full
+    shuffle of distinct keys.  Error bound asserted in pytest."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("dt")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("uniques_approx"))
+    )
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tags=("percentile", "agg"),
+)
+def value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (sort-based); the approx
+    variant below is the at-scale form."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@register(
+    "value_percentiles_approx",
+    oracle=None,  # t-digest-style sketch; pytest bounds error vs exact
+    tags=("approx", "percentile"),
+)
+def value_percentiles_approx(spark, sf_dir):
+    """approx_percentile with bounded accuracy — fixed-size sketch state
+    per group; mergeable, so partial aggregation works at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("value", F.lit(0.9), F.lit(10000)).alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additional TPC-H-shaped analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "urgent_orders_topk",
+    oracle="""
+    SELECT l_orderkey AS order_id,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderpriority = '1-URGENT'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, order_id ASC LIMIT 10
+    """,
+    tags=("tpch", "topk", "join"),
+)
+def urgent_orders_topk(spark, sf_dir):
+    """TPC-H Q3-shaped: selective dim filters reach the scans, broadcast
+    semi-reduced star join, agg, global top-k (TakeOrdered, no full
+    sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("order_id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            )
+        )
+    )
+    return top_k_global(
+        agg.select("order_id", "revenue", "order_date"),
+        [F.col("revenue").desc(), F.col("order_id").asc()],
+        10,
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN (SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS half_avg
+          FROM lineitem GROUP BY l_partkey) t ON l_partkey = pk
+    WHERE l_quantity < half_avg
+    """,
+    tags=("tpch", "subquery", "join"),
+)
+def small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17-shaped correlated-subquery decorrelation: the per-part
+    average is computed once as an aggregate and joined back — the
+    classic rewrite Catalyst applies to correlated scalar subqueries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    half_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(half_avg, li.l_partkey == half_avg.pk)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (dsum("l_extendedprice", 2) / 7.0).cast("double").alias("avg_yearly")
+        )
+    )

@@ -1,0 +1,49 @@
+"""Accuracy gates for approximate aggregates (no oracle entry — the
+sketches are engine-specific): HLL distinct counts and approx
+percentiles must sit within their configured error bounds of the exact
+answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmallrealtime02_spark.plans.registry import load_all
+from gmallrealtime02_spark.sources import load_table
+
+QUERIES = load_all()
+
+
+def test_hll_uniques_within_rsd(spark, sf_dir):
+    approx = {
+        r.dt: r.uniques_approx
+        for r in QUERIES["daily_uniques_approx"].fn(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r.dt: r.uniques
+        for r in e.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("dt")
+        .agg(F.countDistinct("user_id").alias("uniques"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for dt, ex in exact.items():
+        rel_err = abs(approx[dt] - ex) / ex
+        # rsd=0.02 is a standard deviation, not a hard cap; 5x headroom
+        assert rel_err < 0.10, (dt, approx[dt], ex, rel_err)
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    approx = {
+        r.event_type: (r.p50, r.p90)
+        for r in QUERIES["value_percentiles_approx"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: (r.p50, r.p90)
+        for r in QUERIES["value_percentiles"].fn(spark, sf_dir).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for et, (p50e, p90e) in exact.items():
+        p50a, p90a = approx[et]
+        assert abs(p50a - p50e) / max(abs(p50e), 1e-9) < 0.05, (et, p50a, p50e)
+        assert abs(p90a - p90e) / max(abs(p90e), 1e-9) < 0.05, (et, p90a, p90e)
