@@ -80,6 +80,83 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, "
+    "thumb binary, thumb_bytes long"
+)
+
+
+def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Deterministic stand-in for image resize: the payload is strided
+    down to exactly ``width*height`` bytes (a real resizer plugs into the
+    same ``mapInPandas`` slot with the same 1→1 batch shape and typed
+    output metadata).  Payloads shorter than the target are zero-padded —
+    output size is schema-stable, as a real thumbnail's would be."""
+    target = width * height
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def _thumb(b: bytes) -> bytes:
+                b = bytes(b)
+                if len(b) >= target:
+                    stride = len(b) // target
+                    out = b[:: stride][:target]
+                else:
+                    out = b
+                return out + b"\x00" * (target - len(out))
+
+            thumbs = pdf["content"].map(_thumb)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "thumb": thumbs,
+                    "thumb_bytes": thumbs.map(len).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary, frame_digest string"
+
+FRAME_SIZE = 256
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Deterministic stand-in for video frame sampling: the payload is
+    treated as consecutive ``FRAME_SIZE``-byte frames and every
+    ``every_n``-th frame is emitted as its own row — the 1→N batch shape
+    (one media row fans out to many frame rows) a real ``av``-based
+    sampler uses.  Frames never shuffle: sampling is scan-side and only
+    the sampled frames (1/every_n of the bytes) continue downstream."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, digests = [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(content)
+                n_frames = (len(b) + FRAME_SIZE - 1) // FRAME_SIZE
+                for fi in range(0, n_frames, every_n):
+                    fr = b[fi * FRAME_SIZE : (fi + 1) * FRAME_SIZE]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(fr)
+                    digests.append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                    "frame_digest": digests,
+                }
+            )
+
+    return media.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
 def decode_media(media: DataFrame, target: str = "image") -> DataFrame:
     """STUB: decode binary payloads into pixel/sample arrays.
 

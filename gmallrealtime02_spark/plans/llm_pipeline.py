@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 
 from ..functions import similarity as S
 from ..functions import text as TX
-from ..functions.multimodal import as_media_table, extract_features
+from ..functions.multimodal import (
+    as_media_table,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
 from ..sources import load_table
 from .registry import register
 
@@ -397,3 +402,31 @@ def media_features(spark, sf_dir):
     subset (byte length + digest); entropy is exercised in pytest."""
     media = as_media_table(load_table(spark, sf_dir, "documents"))
     return extract_features(media).select("doc_id", "n_bytes", "digest")
+
+
+@register(
+    "media_resize",
+    oracle=None,  # byte-stride thumbnailing; content checked in pytest
+    tags=("multimodal", "resize"),
+)
+def media_resize(spark, sf_dir):
+    """Resize plumbing (1→1 mapInPandas, schema-stable thumbnail output);
+    deterministic byte-stride stand-in for the codec."""
+    media = as_media_table(load_table(spark, sf_dir, "documents"))
+    return resize_media(media, 8, 8).select(
+        "doc_id", "width", "height", "thumb_bytes"
+    )
+
+
+@register(
+    "media_frames",
+    oracle=None,  # frame fan-out; content checked in pytest
+    tags=("multimodal", "frames"),
+)
+def media_frames(spark, sf_dir):
+    """Frame-sampling plumbing (1→N mapInPandas fan-out): every 4th
+    256-byte frame, scan-side."""
+    media = as_media_table(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, every_n=4).select(
+        "doc_id", "frame_idx", "frame_digest"
+    )

@@ -222,3 +222,24 @@ def stateful_day_scoped_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_hourly_counts(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """A2's streaming twin: event-time tumbling-hour active counts over
+    the deduped stream — dedup state and window state compose in one
+    query (dropDuplicates feeds the windowed agg); watermark bounds
+    both."""
+    deduped = streaming_first_seen_dedup(
+        with_dt_hr(events, "ts"), ["dt", "user_id"], "ts", watermark
+    )
+    return (
+        deduped.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("ct"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            F.col("w.end").alias("hour_end"),
+            "ct",
+        )
+    )

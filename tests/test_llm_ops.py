@@ -77,6 +77,40 @@ def test_media_feature_extraction(spark, sf_dir):
     assert abs(row.byte_entropy - ent) < 1e-9
 
 
+def test_resize_media_deterministic(spark, sf_dir):
+    from gmallrealtime02_spark.functions.multimodal import resize_media
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = resize_media(as_media_table(docs), 8, 8).collect()
+    assert len(out) == 20
+    assert all(r.thumb_bytes == 64 and len(r.thumb) == 64 for r in out)
+    # reproduce the stride independently for one row
+    sample = docs.collect()[0]
+    raw = sample.text.encode("utf-8")
+    stride = len(raw) // 64 if len(raw) >= 64 else 1
+    expect = (raw[::stride][:64] + b"\x00" * 64)[:64]
+    got = {r.doc_id: bytes(r.thumb) for r in out}[sample.doc_id]
+    assert got == expect
+
+
+def test_sample_frames_fanout(spark, sf_dir):
+    from gmallrealtime02_spark.functions.multimodal import FRAME_SIZE, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    frames = sample_frames(as_media_table(docs), every_n=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for row in docs.collect():
+        raw = row.text.encode("utf-8")
+        n_frames = (len(raw) + FRAME_SIZE - 1) // FRAME_SIZE
+        expect_idxs = list(range(0, n_frames, 4))
+        got = sorted(by_doc[row.doc_id], key=lambda r: r.frame_idx)
+        assert [g.frame_idx for g in got] == expect_idxs
+        first = bytes(got[0].frame)
+        assert first == raw[:FRAME_SIZE]
+
+
 def test_decode_media_is_stubbed(spark, sf_dir):
     import pytest
 

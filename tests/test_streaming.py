@@ -290,3 +290,31 @@ def test_dedup_drops_late_beyond_watermark(spark, tmp_path):
         "SELECT mid, dt, count(*) AS n FROM late_out GROUP BY mid, dt"
     ).collect()
     assert all(r.n == 1 for r in rows), rows
+
+
+def test_streaming_hourly_counts_windowed(spark, tmp_path):
+    src = str(tmp_path / "hourly_src")
+    # day 1: uid1 twice in hour 0 (dedup -> 1), uid2 in hour 0, uid3 hour 1
+    _write_batch(spark, src, _rows((1, 1, 0, 1), (2, 1, 0, 2)))
+    _write_batch(spark, src, _rows((3, 1, 0, 1), (4, 1, 1, 3)))
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    hourly = SJ.streaming_hourly_counts(stream)
+    q = (
+        hourly.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hourly_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT hour_start, ct FROM hourly_out ORDER BY hour_start"
+    ).collect()
+    got = [(r.hour_start.hour, r.ct) for r in rows]
+    assert got == [(0, 2), (1, 1)], got  # uid1 deduped within hour 0
