@@ -253,6 +253,20 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @register(
+    "ann_cosine_topk_np",
+    oracle=None,  # numpy summation order ≠ fold order at the last rounding
+    # digit; exact neighbor-set equivalence to ann_cosine_topk is
+    # asserted in tests/test_llm_ops.py::test_cosine_topk_np_matches_fold
+    tags=("similarity", "ann", "pandas-udf"),
+)
+def ann_cosine_topk_np_q(spark, sf_dir):
+    """Vectorized brute-force top-5: Arrow-batched mapInPandas + one BLAS
+    matmul per batch, per-partition partial top-k — the exact-scoring
+    kernel at scale."""
+    return S.cosine_topk_np(load_table(spark, sf_dir, "embeddings"), 10, 5)
+
+
+@register(
     "ann_ivf_topk",
     oracle=None,  # approximate by construction; pytest checks recall vs brute force
     tags=("similarity", "ann", "ivf"),

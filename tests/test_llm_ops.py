@@ -119,3 +119,10 @@ def test_decode_media_is_stubbed(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(1)
     with pytest.raises(NotImplementedError):
         decode_media(as_media_table(docs))
+
+
+def test_cosine_topk_np_matches_fold(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    fold = {(r.qid, r.cid) for r in S.cosine_topk(emb, 10, 5).collect()}
+    vec = {(r.qid, r.cid) for r in S.cosine_topk_np(emb, 10, 5).collect()}
+    assert fold == vec
