@@ -328,6 +328,61 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def simhash_banded_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Hamming-≤k simhash pairs WITHOUT the all-pairs product — the 100 TB
+    form of ``simhash_pairs``.
+
+    Pigeonhole: split the ``SIMHASH_BITS`` signature into ``max_hamming+1``
+    contiguous segments; two signatures within hamming ``max_hamming``
+    must agree exactly on ≥1 segment.  Candidates come from equality
+    joins on (segment_idx, segment_value) — shuffling only small keys —
+    then the exact hamming verify runs per candidate.  Result is
+    identical to the quadratic form (tests assert it)."""
+    n_seg = max_hamming + 1
+    seg_bits = [SIMHASH_BITS // n_seg + (1 if i < SIMHASH_BITS % n_seg else 0)
+                for i in range(n_seg)]
+    offsets = [sum(seg_bits[:i]) for i in range(n_seg)]
+    sig = (
+        ensure_parallelism(docs)
+        .select("doc_id", simhash_col(F.col("text")).alias("simhash"))
+        .persist()
+    )
+    segs = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+                        F.lit((1 << seg_bits[i]) - 1)
+                    )
+                    for i in range(n_seg)
+                ]
+            )
+        ).alias("seg_idx", "seg_val"),
+    )
+    a, b = segs.alias("a"), segs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Sequential left-fold double dot product — identical op order to the
     oracle's list_reduce, so results are bit-exact."""

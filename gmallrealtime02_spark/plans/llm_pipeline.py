@@ -184,6 +184,24 @@ def simhash_pairs_q(spark, sf_dir):
     return S.simhash_pairs(load_table(spark, sf_dir, "documents"), 3)
 
 
+@register(
+    "simhash_pairs_banded",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_CTE.strip()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup", "simhash", "lsh"),
+)
+def simhash_pairs_banded_q(spark, sf_dir):
+    """Same result as simhash_pairs via pigeonhole bit-segment banding —
+    equality joins on segments instead of the O(n²) product (exact, so it
+    shares the all-pairs oracle)."""
+    return S.simhash_banded_pairs(load_table(spark, sf_dir, "documents"), 3)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

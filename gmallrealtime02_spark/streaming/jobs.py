@@ -243,3 +243,40 @@ def streaming_hourly_counts(
             "ct",
         )
     )
+
+
+def streaming_enrich_orders(
+    order_stream: DataFrame, dim_path: str, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Stream-static enrichment (J1/J2 streaming form) with the
+    reference's per-batch dim refresh (DwdOrderInfoApp.scala:87-92).
+
+    The dim is re-READ inside ``foreachBatch`` — a fresh DataFrame per
+    micro-batch — rather than joined as a plan-level static side: a
+    plan-level parquet static side caches its file listing at stream
+    start, so dim upserts that rewrite files would crash (stale paths)
+    or go stale.  A fresh read per batch resolves the current snapshot
+    and still broadcasts (no driver-side collect, unlike the
+    reference).  The test pins the semantic: a dim row upserted between
+    batches enriches the next batch."""
+
+    def enrich_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        dim = spark.read.parquet(dim_path)
+        out = batch_df.join(
+            F.broadcast(dim), batch_df["user_id"] == dim["id"], "left"
+        ).select(
+            batch_df["order_id"],
+            batch_df["user_id"],
+            batch_df["ts"],
+            dim["name"].alias("user_name"),
+            dim["tier"].alias("user_tier"),
+        )
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        order_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(enrich_batch)
+        .start()
+    )

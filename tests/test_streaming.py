@@ -318,3 +318,60 @@ def test_streaming_hourly_counts_windowed(spark, tmp_path):
     ).collect()
     got = [(r.hour_start.hour, r.ct) for r in rows]
     assert got == [(0, 2), (1, 1)], got  # uid1 deduped within hour 0
+
+
+def test_stream_static_join_refreshes_dim_per_batch(spark, tmp_path):
+    """The static side of a stream-static join is re-resolved each
+    micro-batch: a dim row upserted between batches enriches the next
+    batch (the reference's per-batch broadcast refresh,
+    DwdOrderInfoApp.scala:87-92)."""
+    from datetime import datetime
+
+    src = str(tmp_path / "orders_src")
+    dim_path = str(tmp_path / "dim_user")
+    out_path = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ckpt")
+    order_schema = "order_id long, user_id long, ts timestamp"
+    t0 = datetime(2024, 1, 1)
+
+    # initial dim: only user 1 known
+    upsert_batch(
+        spark,
+        spark.createDataFrame([(1, "alice", "vip")], "id long, name string, tier string"),
+        dim_path,
+        ["id"],
+    )
+    _write_batch(
+        spark, src, [(100, 1, t0), (101, 2, t0)],
+        T._parse_datatype_string(order_schema),
+    )
+    stream = (
+        spark.readStream.schema(order_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = SJ.streaming_enrich_orders(stream, dim_path, out_path, ckpt)
+    try:
+        q.processAllAvailable()
+        first = {
+            r.order_id: r.user_name for r in spark.read.parquet(out_path).collect()
+        }
+        assert first == {100: "alice", 101: None}  # user 2 unknown yet
+
+        # dim upsert BETWEEN batches, then a new order for user 2
+        upsert_batch(
+            spark,
+            spark.createDataFrame([(2, "bob", "std")], "id long, name string, tier string"),
+            dim_path,
+            ["id"],
+        )
+        _write_batch(
+            spark, src, [(102, 2, t0)], T._parse_datatype_string(order_schema)
+        )
+        q.processAllAvailable()
+        got = {
+            r.order_id: r.user_name for r in spark.read.parquet(out_path).collect()
+        }
+    finally:
+        q.stop()
+    assert got == {100: "alice", 101: None, 102: "bob"}  # snapshot refreshed
