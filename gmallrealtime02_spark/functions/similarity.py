@@ -679,3 +679,71 @@ def cosine_topk_np(
         .filter(F.col("rnk") <= k)
         .select("qid", "cid", F.round(F.col("cosine"), 6).alias("cosine"), "rnk")
     )
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over an undirected pair graph by iterative
+    min-label propagation: every vertex repeatedly adopts the smallest
+    label among itself and its neighbors, converging in O(component
+    diameter) rounds.  Near-dup components are tiny and dense, so this
+    terminates in 2-4 rounds in practice at any corpus size; each round
+    is one join + one aggregation on (vertex, label) pairs only.
+
+    Input: (doc_a, doc_b) edges.  Output: (doc_id, component) where
+    component is the minimum doc_id reachable.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", "component")
+
+
+def dedup_canonical(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Full dedup assignment: MinHash+LSH near-dup pairs → connected
+    components → each clustered doc mapped to its canonical (minimum)
+    doc_id.  Docs with no near-dup are their own canonical and are
+    omitted here (identity rows add nothing and at 100 TB would dominate
+    the output)."""
+    pairs = minhash_lsh_pairs(docs, threshold).select("doc_a", "doc_b")
+    return connected_components(pairs).select(
+        "doc_id", F.col("component").alias("canonical_id")
+    )

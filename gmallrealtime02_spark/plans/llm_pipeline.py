@@ -66,8 +66,8 @@ _MATCH_SUM = " + ".join(
     f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(S.N_HASHES)
 )
 
-_MINHASH_ORACLE = f"""
-WITH {_SHINGLES_CTE.strip().rstrip()},
+_MINHASH_PAIRS_CTES = f"""
+{_SHINGLES_CTE.strip().rstrip()},
 h AS (SELECT doc_id, {_hash_sql('shingle')} AS h FROM shingles),
 sig AS (SELECT doc_id, {_SIG_COLS} FROM h GROUP BY doc_id),
 bands AS ({_BANDS_SQL}),
@@ -75,14 +75,20 @@ cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b,
+           CAST({_MATCH_SUM} AS DOUBLE) / {S.N_HASHES} AS est_jaccard
+    FROM cand
+    JOIN sig sa ON doc_a = sa.doc_id
+    JOIN sig sb ON doc_b = sb.doc_id
+    WHERE CAST({_MATCH_SUM} AS DOUBLE) / {S.N_HASHES} >= 0.5
 )
-SELECT doc_a, doc_b,
-       CAST({_MATCH_SUM} AS DOUBLE) / {S.N_HASHES} AS est_jaccard
-FROM cand
-JOIN sig sa ON doc_a = sa.doc_id
-JOIN sig sb ON doc_b = sb.doc_id
-WHERE CAST({_MATCH_SUM} AS DOUBLE) / {S.N_HASHES} >= 0.5
 """
+
+_MINHASH_ORACLE = (
+    f"WITH {_MINHASH_PAIRS_CTES} SELECT doc_a, doc_b, est_jaccard FROM pairs"
+)
 
 _SIMHASH_BIT_SUM = " + ".join(
     f"(CASE WHEN sum(((h >> {i}) & 1) * 2 - 1) > 0 THEN {2**i} ELSE 0 END)"
@@ -155,6 +161,31 @@ def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16) + LSH(4×4) candidate pairs with estimated Jaccard —
     signatures bit-identical to the generated oracle."""
     return S.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+
+
+@register(
+    "dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+    FROM reach GROUP BY a
+    """,
+    tags=("dedup", "minhash", "connected-components"),
+)
+def dedup_canonical_q(spark, sf_dir):
+    """The full dedup assignment: LSH pairs → connected components
+    (iterative min-label propagation) → canonical doc per cluster.  The
+    oracle computes the same components via a recursive transitive
+    closure."""
+    return S.dedup_canonical(load_table(spark, sf_dir, "documents"), 0.5)
 
 
 @register(

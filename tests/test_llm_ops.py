@@ -126,3 +126,18 @@ def test_cosine_topk_np_matches_fold(spark, sf_dir):
     fold = {(r.qid, r.cid) for r in S.cosine_topk(emb, 10, 5).collect()}
     vec = {(r.qid, r.cid) for r in S.cosine_topk_np(emb, 10, 5).collect()}
     assert fold == vec
+
+
+def test_connected_components_chain_and_island(spark):
+    # chain 10-20-30-40 (one component, min=10) + island pair 100-99
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (99, 100)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.component)
+        for r in S.connected_components(pairs).collect()
+    }
+    assert got == {
+        (10, 10), (20, 10), (30, 10), (40, 10),
+        (99, 99), (100, 99),
+    }
