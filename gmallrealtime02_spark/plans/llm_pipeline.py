@@ -493,3 +493,57 @@ def media_frames(spark, sf_dir):
     return sample_frames(media, every_n=4).select(
         "doc_id", "frame_idx", "frame_digest"
     )
+
+
+@register(
+    "doc_top_terms",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, word, score, rnk FROM (
+        SELECT tf.doc_id, tf.word,
+               CAST(tf.tf AS DOUBLE) * (SELECT n_docs + 1 FROM n) / (df.df + 1)
+                   AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf AS DOUBLE) * (SELECT n_docs + 1 FROM n)
+                            / (df.df + 1) DESC, tf.word ASC
+               ) AS rnk
+        FROM tf JOIN df ON tf.word = df.word
+    ) WHERE rnk <= 5
+    """,
+    tags=("text", "tfidf"),
+)
+def doc_top_terms(spark, sf_dir):
+    """Top-5 most distinctive terms per document: tf × (N+1)/(df+1) — a
+    tf-idf-style relevance kept as an exact integer ratio (no log), so
+    scores are bit-identical across engines.  Corpus pass (df) is one
+    word-keyed aggregation; join back is broadcastable (vocabulary ≪
+    corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        (F.col("tf").cast("double") * (n_docs + 1) / (F.col("df") + 1)).alias(
+            "score"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 5
+    )
