@@ -70,8 +70,13 @@ def enrich_detail_snowflake(
     Mirrors DwdOrderDetailApp.scala:65-133: the first join (sku≈part,
     supp) produces the keys (s_nationkey) consumed by the next joins
     (nation → region), preserving the reference's ordering dependency.
-    All dims broadcast — the fact table never shuffles.
+    All dims broadcast — the fact table never shuffles (the conditional
+    repartition below only fires on a one-split local scan; at scale the
+    fact arrives pre-split and flows straight through).
     """
+    from ..sources.tables import ensure_parallelism
+
+    lineitem = ensure_parallelism(lineitem)
     return (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left")
         .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey, "left")

@@ -19,6 +19,9 @@ from pyspark.sql import functions as F
 
 def user_event_seq(events: DataFrame) -> DataFrame:
     """Per-user ordered event sequence: row_number, lag ts, gap seconds."""
+    from ..sources.tables import ensure_parallelism
+
+    events = ensure_parallelism(events, by=("user_id",))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     # exact µs arithmetic, then integer-div to seconds — second-truncation
@@ -39,6 +42,9 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Assign session ids: new session when the gap to the previous event
     exceeds the threshold — lag + conditional cumsum (the batch twin of
     streaming ``session_window``)."""
+    from ..sources.tables import ensure_parallelism
+
+    events = ensure_parallelism(events, by=("user_id",))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
@@ -52,6 +58,9 @@ def running_total(events: DataFrame) -> DataFrame:
 
     Decimal accumulation keeps the prefix sums exact, so results are
     engine- and partitioning-independent."""
+    from ..sources.tables import ensure_parallelism
+
+    events = ensure_parallelism(events, by=("user_id",))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -59,8 +59,12 @@ def agg_avg_ordered(spark, sf_dir):
 )
 def pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary: multi-agg hash aggregation with
-    map-side partials; decimal accumulation ⇒ partitioning-invariant."""
-    li = load_table(spark, sf_dir, "lineitem")
+    map-side partials; decimal accumulation ⇒ partitioning-invariant.
+    (The shipdate filter still pushes to the scan through the conditional
+    repartition — Catalyst moves predicates below Repartition.)"""
+    from ..sources.tables import ensure_parallelism
+
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
@@ -95,7 +99,9 @@ def pricing_summary(spark, sf_dir):
 def revenue_by_nation(spark, sf_dir):
     """TPC-H Q5-shaped star join + agg: fact shuffles once on the join key;
     dims broadcast."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from ..sources.tables import ensure_parallelism
+
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
