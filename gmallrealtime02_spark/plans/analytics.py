@@ -762,3 +762,23 @@ def small_quantity_revenue(spark, sf_dir):
             (dsum("l_extendedprice", 2) / 7.0).cast("double").alias("avg_yearly")
         )
     )
+
+
+@register(
+    "purchasers_also_viewers",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+    tags=("setop", "intersect"),
+)
+def purchasers_also_viewers(spark, sf_dir):
+    """INTERSECT set op (distinct semantics) — the companion to the
+    EXCEPT query; physically a left-semi join on the distinct sets."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .intersect(e.filter(F.col("event_type") == "view").select("user_id"))
+    )

@@ -375,3 +375,22 @@ def test_stream_static_join_refreshes_dim_per_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == {100: "alice", 101: None, 102: "bob"}  # snapshot refreshed
+
+
+def test_kafka_option_builders():
+    from gmallrealtime02_spark.streaming.kafka import (
+        kafka_sink_options,
+        kafka_source_options,
+    )
+
+    src = kafka_source_options(
+        "b1:9092,b2:9092", ["GMALL_START", "GMALL_EVENT"], "g1",
+        {"GMALL_START": {"0": 42}},
+    )
+    assert src["subscribe"] == "GMALL_START,GMALL_EVENT"
+    assert json.loads(src["startingOffsets"]) == {"GMALL_START": {"0": 42}}
+    assert src["kafka.group.id"] == "g1"
+    snk = kafka_sink_options("b1:9092", "DWD_ORDER_INFO")
+    # idempotence genuinely on (the reference misspelled the key)
+    assert snk["kafka.enable.idempotence"] == "true"
+    assert snk["topic"] == "DWD_ORDER_INFO"
