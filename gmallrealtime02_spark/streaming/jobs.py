@@ -53,17 +53,23 @@ def streaming_dau(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> Data
 
 
 def start_dau_job(
-    events: DataFrame, out_path: str, checkpoint: str
+    events: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    trigger: str | None = None,
 ) -> StreamingQuery:
     """The full DAU pipeline as a streaming query: dedup → idempotent
-    keyed upsert into the serving table (ES bulk K4 → parquet upsert)."""
+    keyed upsert into the serving table (ES bulk K4 → parquet upsert).
+
+    ``trigger="5 seconds"`` reproduces the reference's micro-batch
+    cadence (DauApp.scala:25, W2); None = process-as-available (tests)."""
     dau = streaming_dau(events)
-    return (
-        dau.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .foreachBatch(make_upsert_sink(out_path, ["dt", "mid"]))
-        .start()
+    w = dau.writeStream.outputMode("append").option(
+        "checkpointLocation", checkpoint
     )
+    if trigger is not None:
+        w = w.trigger(processingTime=trigger)
+    return w.foreachBatch(make_upsert_sink(out_path, ["dt", "mid"])).start()
 
 
 def streaming_ods_split(raw: DataFrame) -> DataFrame:
@@ -83,17 +89,17 @@ def streaming_ods_split(raw: DataFrame) -> DataFrame:
 
 
 def start_ods_split_job(
-    raw: DataFrame, out_path: str, checkpoint: str
+    raw: DataFrame, out_path: str, checkpoint: str, trigger: str | None = None
 ) -> StreamingQuery:
     """Splitter sink: topic-partitioned parquet stands in for the Kafka
     sink's per-record topic routing (K2) in this environment."""
     routed = streaming_ods_split(raw)
-    return (
-        routed.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .foreachBatch(make_append_sink(out_path, ["topic"]))
-        .start()
+    w = routed.writeStream.outputMode("append").option(
+        "checkpointLocation", checkpoint
     )
+    if trigger is not None:
+        w = w.trigger(processingTime=trigger)
+    return w.foreachBatch(make_append_sink(out_path, ["topic"])).start()
 
 
 def streaming_dim_upsert(
