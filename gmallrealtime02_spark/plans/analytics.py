@@ -782,3 +782,39 @@ def purchasers_also_viewers(spark, sf_dir):
         .select("user_id")
         .intersect(e.filter(F.col("event_type") == "view").select("user_id"))
     )
+
+
+@register(
+    "dau_retention",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS dt, user_id FROM events
+    )
+    SELECT dt, count(*) AS retained FROM (
+        SELECT dt, user_id,
+               lag(dt) OVER (PARTITION BY user_id ORDER BY dt) AS prev_dt
+        FROM days
+    )
+    WHERE prev_dt IS NOT NULL
+      AND CAST(dt AS DATE) - CAST(prev_dt AS DATE) = 1
+    GROUP BY dt
+    """,
+    tags=("retention", "window", "A6"),
+)
+def dau_retention(spark, sf_dir):
+    """Day-over-day retention: users active on consecutive days — distinct
+    (day, user) then a per-user lag; one exchange on user_id, no
+    self-join of the full event log."""
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.select(F.date_format("ts", "yyyy-MM-dd").alias("dt"), "user_id")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("dt")
+    flagged = days.withColumn("prev_dt", F.lag("dt").over(w)).filter(
+        F.col("prev_dt").isNotNull()
+        & (F.datediff(F.to_date("dt"), F.to_date("prev_dt")) == 1)
+    )
+    return flagged.groupBy("dt").agg(F.count("*").alias("retained"))

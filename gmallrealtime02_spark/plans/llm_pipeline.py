@@ -547,3 +547,35 @@ def doc_top_terms(spark, sf_dir):
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= 5
     )
+
+
+@register(
+    "dedup_keep_list",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+        FROM reach GROUP BY a
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE canonical_id < doc_id)
+    """,
+    tags=("dedup", "minhash", "pipeline"),
+)
+def dedup_keep_list(spark, sf_dir):
+    """The dedup pipeline's end artifact: doc_ids that SURVIVE near-dup
+    removal (each cluster keeps its canonical member; unclustered docs
+    pass through) — corpus anti-joined against the non-canonical side of
+    the component assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    assign = S.dedup_canonical(docs, 0.5)
+    drops = assign.filter(F.col("canonical_id") < F.col("doc_id")).select("doc_id")
+    return docs.select("doc_id").join(drops, "doc_id", "left_anti")
