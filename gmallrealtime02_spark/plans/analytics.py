@@ -818,3 +818,293 @@ def dau_retention(spark, sf_dir):
         & (F.datediff(F.to_date("dt"), F.to_date("prev_dt")) == 1)
     )
     return flagged.groupBy("dt").agg(F.count("*").alias("retained"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-extended shapes + analytic window-function surface (§2.5/2.6/2.7
+# "not present in the reference" items: cube, distinct aggregates, window
+# frames, ranking). Exposed because Catalyst provides them natively and a
+# user of the reference's serving layer would reach for them next.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           count(*) AS ct,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("cube", "grouping-sets"),
+)
+def revenue_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping sets in one
+    Expand + a single shuffle — completes the rollup/cube family next to
+    `revenue_rollup`.  Expand multiplies rows 4x BEFORE the exchange, but
+    partial aggregation collapses them map-side, so the shuffle carries
+    only (distinct keys x 4) rows at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("ct"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+    )
+
+
+@register(
+    "promo_revenue",
+    oracle="""
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                        AS DOUBLE), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY date_trunc('month', l_shipdate)
+    """,
+    tags=("tpch", "conditional-agg"),
+)
+def promo_revenue(spark, sf_dir):
+    """TPC-H Q14-shaped promo-revenue ratio per ship month: broadcast the
+    part dim into the fact scan, conditional decimal sums (exact, so the
+    ratio is partitioning-invariant), one shuffle on the month key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "order_priority_late",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "semi", "A2"),
+)
+def order_priority_late(spark, sf_dir):
+    """TPC-H Q4-shaped: orders per priority having at least one lineitem
+    shipped >90 days after order date.  Left-semi join with a compound
+    (equi + theta) condition — the probe early-outs on first match, and
+    only the key columns of lineitem cross the exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "min_cost_supplier",
+    oracle="""
+    SELECT l_partkey AS part_key, best_price, supplier_key
+    FROM (SELECT l_partkey, l_extendedprice AS best_price,
+                 l_suppkey AS supplier_key,
+                 row_number() OVER (PARTITION BY l_partkey
+                                    ORDER BY l_extendedprice, l_suppkey) AS rn
+          FROM lineitem) t
+    WHERE rn = 1
+    """,
+    tags=("tpch", "argmin"),
+)
+def min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-shaped cheapest-supplier-per-part (no partsupp table in the
+    fixture star schema, so priced from lineitem).  min(struct(price,
+    suppkey)) instead of a ranking window: lexicographic struct-min gets
+    map-side partial aggregation, so the exchange carries one row per
+    part per task rather than the whole fact table — the same
+    scale-critical trick as `first_seen_dedup`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("l_extendedprice").alias("best_price"),
+                    F.col("l_suppkey").alias("supplier_key"),
+                )
+            ).alias("b")
+        )
+        .select("part_key", "b.best_price", "b.supplier_key")
+    )
+
+
+@register(
+    "brand_type_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size >= 20
+    GROUP BY p_brand, p_type
+    """,
+    tags=("tpch", "distinct-agg"),
+)
+def brand_type_supplier_counts(spark, sf_dir):
+    """TPC-H Q16-shaped COUNT(DISTINCT) per brand/type.  The p_size filter
+    prunes the broadcast side before the join; Spark plans the distinct
+    aggregate as a two-phase Expand (partial distinct per map task), so
+    duplicate (brand, type, suppkey) triples collapse before the
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "nation_revenue_share",
+    oracle="""
+    WITH nr AS (
+      SELECT r_name AS region_name, n_name AS nation_name,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name)
+    SELECT region_name, nation_name, revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY region_name), 6)
+               AS region_share
+    FROM nr
+    """,
+    tags=("window", "A2"),
+)
+def nation_revenue_share(spark, sf_dir):
+    """Windowed aggregate over an aggregate: each nation's share of its
+    region's revenue.  The window runs on the POST-aggregation frame
+    (25 rows at any fact scale), so the unbounded partition sum is free;
+    the heavy lifting stays in the partial-agg star join."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("region_name")
+    return nr.withColumn(
+        "region_share", F.round(F.col("revenue") / F.sum("revenue").over(w), 6)
+    )
+
+
+@register(
+    "priority_daily_moving_avg",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority, date_trunc('day', o_orderdate) AS order_day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+      FROM orders GROUP BY 1, 2)
+    SELECT o_orderpriority, order_day, day_total,
+           round(CAST(sum(CAST(day_total AS DECIMAL(18,2))) OVER (
+                     PARTITION BY o_orderpriority ORDER BY order_day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / count(*) OVER (
+                     PARTITION BY o_orderpriority ORDER BY order_day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg7
+    FROM d
+    """,
+    tags=("window", "frame"),
+)
+def priority_daily_moving_avg(spark, sf_dir):
+    """Explicit ROWS window frame: 7-day moving average of daily order
+    revenue per priority.  Aggregates to one row per (priority, day)
+    FIRST (partial-agg shuffle), then runs the frame over the small
+    per-day series — the frame never touches raw fact rows.  Decimal
+    accumulation inside the frame keeps the average bit-stable under any
+    partitioning."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.groupBy(
+            "o_orderpriority", F.date_trunc("day", "o_orderdate").alias("order_day")
+        )
+        .agg(dsum("o_totalprice", 2).alias("day_total"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("order_day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return d.withColumn(
+        "avg7",
+        F.round(
+            F.sum(F.col("day_total").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count("*").over(w),
+            6,
+        ),
+    )
+
+
+@register(
+    "supplier_balance_quartiles",
+    oracle="""
+    SELECT s_suppkey AS supplier_key, s_acctbal AS balance,
+           ntile(4) OVER (ORDER BY s_acctbal, s_suppkey) AS quartile,
+           round(percent_rank() OVER (ORDER BY s_acctbal, s_suppkey), 6) AS pct_rank
+    FROM supplier
+    """,
+    tags=("window", "ranking"),
+)
+def supplier_balance_quartiles(spark, sf_dir):
+    """Ranking window functions (ntile + percent_rank) over the supplier
+    dim.  Deliberately a GLOBAL window: correct on dim-sized inputs
+    (single-partition sort).  For fact-sized ranking the engine's pattern
+    is `top_events_per_user` (partitioned window) — a global ntile over a
+    100 TB fact would be re-expressed as approx percentiles
+    (`value_percentiles_approx`) instead."""
+    from pyspark.sql import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        F.col("s_suppkey").alias("supplier_key"),
+        F.col("s_acctbal").alias("balance"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
