@@ -60,14 +60,18 @@ def agg_avg_ordered(spark, sf_dir):
 def pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary: multi-agg hash aggregation with
     map-side partials; decimal accumulation ⇒ partitioning-invariant.
-    (The shipdate filter still pushes to the scan through the conditional
-    repartition — Catalyst moves predicates below Repartition.)"""
+    The shipdate bound goes through ``ts_bounds`` so it reaches the
+    parquet scan as a raw-long pushed filter (row-group skipping on a
+    date-sorted fact at scale), not a post-conversion residual."""
     from ..sources.tables import ensure_parallelism
 
-    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+    li = ensure_parallelism(
+        load_table(
+            spark, sf_dir, "lineitem", ts_bounds={"l_shipdate": (None, "1998-09-02")}
+        )
+    )
     return (
-        li.filter(F.col("l_shipdate") <= "1998-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", 2).alias("sum_qty"),
             dsum("l_extendedprice", 2).alias("sum_base_price"),

@@ -41,12 +41,52 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _iso_to_nanos(iso: str) -> int:
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(iso)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)  # testdata timestamps are UTC-naive
+    return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1_000
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_bounds: dict[str, tuple[str | None, str | None]] | None = None,
+) -> DataFrame:
     """Scan one testdata table. Plain parquet read so Catalyst keeps
-    pushdown/pruning; never cache here — callers decide lifetime."""
+    pushdown/pruning; never cache here — callers decide lifetime.
+
+    ``ts_bounds`` maps a timestamp column to an inclusive ``(lo_iso,
+    hi_iso)`` range applied BEFORE the nanos→µs conversion Project.  For
+    TIMESTAMP(NANOS) columns (which Spark surfaces as epoch-nanos longs)
+    a filter written after the conversion sits above a Project on a
+    computed expression, so it can never become a parquet pushed filter —
+    no row-group statistics skipping, which at 100 TB means scanning
+    every file of a date-sorted fact table.  The raw-long comparison
+    pushes (`PushedFilters: [LessThanOrEqual(ts, ...)]`), pinned by
+    tests/test_plan_shapes.py.  Semantics match a filter on the
+    µs-truncated value exactly: lo is whole-µs so `trunc(raw) >= lo ⇔
+    raw >= lo`; hi uses `raw <= hi + 999 ns ⇔ trunc(raw) <= hi`.
+    Native-unit timestamp columns take the ordinary pushable filter.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    for c in _nanos_ts_columns(path):
+    nanos_cols = _nanos_ts_columns(path)
+    for c, (lo, hi) in (ts_bounds or {}).items():
+        if c in nanos_cols:
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(_iso_to_nanos(lo)))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(_iso_to_nanos(hi) + 999))
+        else:
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo).cast("timestamp"))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi).cast("timestamp"))
+    for c in nanos_cols:
         # integer `div`, not `/1000` — the float path loses sub-µs bits on
         # epoch-nanos magnitudes and can flip a microsecond vs the oracle
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

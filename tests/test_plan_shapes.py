@@ -1,0 +1,113 @@
+"""Physical-plan-shape gates for the headline queries.
+
+Correctness tests prove the answers match the oracle; these prove the
+PLANS are the ones that survive a 100x scale-up: pushed filters reach the
+parquet scan, small dims broadcast instead of shuffling the fact, and the
+shuffle count stays at the designed minimum.  A regression here is a
+performance bug even when every value still matches.
+"""
+
+from __future__ import annotations
+
+import re
+
+from gmallrealtime02_spark.plans.registry import load_all
+from gmallrealtime02_spark.sources.tables import load_table
+
+QUERIES = load_all()
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan: str) -> int:
+    """Count shuffle exchanges (broadcast exchanges excluded — those are
+    the cheap, intended data movement for dim sides)."""
+    return len(re.findall(r"Exchange (?:hash|range|rounds|SinglePartition)", plan))
+
+
+def test_ts_bound_pushes_to_parquet_scan(spark, sf_dir):
+    """Bounds must appear as parquet PushedFilters, not as residuals above
+    the conversion Project — at scale this is the difference between
+    reading row-group stats and reading the whole fact table.  events.ts
+    is TIMESTAMP(NANOS) (surfaced as an epoch-nanos long), so its bound
+    pushes as a raw-long compare; l_shipdate is native-unit and pushes as
+    an ordinary timestamp predicate."""
+    df = load_table(
+        spark, sf_dir, "events", ts_bounds={"ts": ("2024-01-02", None)}
+    )
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", _executed_plan(df))
+    assert m and "GreaterThanOrEqual(ts" in m.group(1), m and m.group(1)
+
+    df = load_table(
+        spark, sf_dir, "lineitem", ts_bounds={"l_shipdate": (None, "1998-09-02")}
+    )
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", _executed_plan(df))
+    assert m and "LessThanOrEqual(l_shipdate" in m.group(1), m and m.group(1)
+
+
+def test_ts_bound_matches_post_conversion_filter(spark, sf_dir):
+    """Raw-nanos bound semantics == filtering the converted µs timestamp."""
+    from pyspark.sql import functions as F
+
+    bounded = load_table(
+        spark, sf_dir, "lineitem", ts_bounds={"l_shipdate": (None, "1998-09-02")}
+    ).count()
+    plain = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .count()
+    )
+    assert bounded == plain
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    """revenue_by_nation: customer/nation ride broadcast exchanges; only
+    the fact⋈orders equi join and the final agg may shuffle."""
+    plan = _executed_plan(QUERIES["revenue_by_nation"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_snowflake_chain_is_all_broadcast(spark, sf_dir):
+    """detail_snowflake: the 4-dim chain (sku→spu/tm/category) must be
+    broadcast joins end to end — zero shuffle exchanges for the joins
+    themselves (J3's scale contract: the fact never moves)."""
+    plan = _executed_plan(QUERIES["detail_snowflake"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_order_wide_single_shuffle(spark, sf_dir):
+    """order_wide: pre-clustering both sides on the join key leaves ONE
+    shuffle in the whole plan (the co-partitioning exchange); the join
+    and downstream dedup reuse that partitioning."""
+    plan = _executed_plan(QUERIES["order_wide"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 2, plan
+
+
+def test_pricing_summary_partial_agg(spark, sf_dir):
+    """Q1 shape: hash aggregate must run in partial+final mode (map-side
+    combine) so the exchange carries group rows, not fact rows."""
+    plan = _executed_plan(QUERIES["pricing_summary"].fn(spark, sf_dir))
+    assert "HashAggregate" in plan, plan
+    assert _exchanges(plan) <= 2, plan
+
+
+def test_min_cost_supplier_uses_partial_agg_not_window(spark, sf_dir):
+    """The argmin is a min(struct) aggregate — no Window node (a ranking
+    window would shuffle the FULL fact and keep every row until the
+    filter).  Struct min compiles to SortAggregate (no fixed-width hash
+    buffer), but crucially in partial+final mode: one row per key per map
+    task crosses the exchange."""
+    plan = _executed_plan(QUERIES["min_cost_supplier"].fn(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert plan.count("Aggregate") >= 2, plan  # partial + final
+
+
+def test_top_customers_takeordered(spark, sf_dir):
+    """Global top-k compiles to TakeOrderedAndProject — no full sort."""
+    plan = _executed_plan(QUERIES["top_customers"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
