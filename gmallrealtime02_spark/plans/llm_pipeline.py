@@ -579,3 +579,114 @@ def dedup_keep_list(spark, sf_dir):
     assign = S.dedup_canonical(docs, 0.5)
     drops = assign.filter(F.col("canonical_id") < F.col("doc_id")).select("doc_id")
     return docs.select("doc_id").join(drops, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Training-data assembly: deterministic sampling + the composed
+# filter -> dedup -> sample -> mix pipeline a pretraining corpus build runs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_hash_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+    """,
+    tags=("sampling", "training-data"),
+)
+def doc_hash_sample(spark, sf_dir):
+    """Deterministic 4/16 sample by md5 hex prefix of the key.  Unlike
+    ``rand(seed)`` (whose draws depend on row-to-partition assignment,
+    so a different cluster layout yields a different sample), a key-hash
+    sample is reproducible across engines and layouts, splittable into
+    disjoint folds by hex bucket, and executes as a pushed-down per-row
+    predicate — no shuffle, no coordination, embarrassing parallelism at
+    100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4"
+    ).select("doc_id", "lang")
+
+
+@register(
+    "token_count_histogram",
+    oracle="""
+    SELECT lang,
+           CASE WHEN len(string_split(text, ' ')) < 50 THEN 'short'
+                WHEN len(string_split(text, ' ')) < 200 THEN 'medium'
+                ELSE 'long' END AS bucket,
+           count(*) AS docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("text", "histogram", "training-data"),
+)
+def token_count_histogram(spark, sf_dir):
+    """Token-length histogram per language — the corpus-shape report that
+    drives context-length and mixture decisions.  Single scan, CASE
+    bucketing inside codegen, partial-agg shuffle of ≤ (langs x 3)
+    rows."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    bucket = (
+        F.when(ntok < 50, "short").when(ntok < 200, "medium").otherwise("long")
+    )
+    return d.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count("*").alias("docs"),
+        F.sum(ntok).cast("bigint").alias("tokens"),
+    )
+
+
+@register(
+    "training_mix",
+    oracle="""
+    WITH filtered AS (
+        SELECT doc_id, lang, text FROM documents
+        WHERE n_chars BETWEEN 100 AND 20000
+          AND len(string_split(text, ' ')) >= 10
+    ),
+    deduped AS (
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM filtered) t
+        WHERE rn = 1
+    ),
+    sampled AS (
+        SELECT * FROM deduped
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+    )
+    SELECT lang, count(*) AS docs FROM sampled GROUP BY lang
+    """,
+    tags=("pipeline", "dedup", "sampling", "training-data"),
+)
+def training_mix(spark, sf_dir):
+    """The composed corpus-build pipeline: length/token quality gate →
+    exact dedup on content hash (keep lowest doc_id) → deterministic 50%
+    key-hash sample → per-language mixture counts.  Dedup is a
+    min(struct) aggregate on md5(text), NOT a ranking window: partial
+    aggregation collapses duplicates map-side, so only one candidate row
+    per content hash per task reaches the single exchange — at 100 TB the
+    exchange carries ~unique-documents, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    filtered = d.filter(
+        F.col("n_chars").between(100, 20000) & (ntok >= 10)
+    )
+    deduped = (
+        filtered.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min(
+                F.struct(F.col("doc_id").alias("doc_id"), F.col("lang").alias("lang"))
+            ).alias("keep")
+        )
+        .select("keep.doc_id", "keep.lang")
+    )
+    sampled = deduped.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    )
+    return sampled.groupBy("lang").agg(F.count("*").alias("docs"))
