@@ -50,7 +50,7 @@ def register(
 
 def load_all() -> dict[str, Query]:
     """Import every plan module so registrations run, then return QUERIES."""
-    from . import analytics, tpch_extra, warehouse  # noqa: F401
+    from . import analytics, tpch_extra, training_data, warehouse  # noqa: F401
 
     try:
         from . import llm_pipeline  # noqa: F401

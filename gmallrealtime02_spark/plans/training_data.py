@@ -1,0 +1,256 @@
+"""Training-data assembly operators, part 2 (north-star ops — no
+reference analogue; BASELINE.json ``north_star``): sequence packing,
+benchmark decontamination, stratified sampling, and
+partitioning-invariant moment statistics.
+
+Shared scale discipline: the heavy side of every operator stays
+scan-parallel (shingles, token counts, power sums are computed map-side
+inside codegen); only small keyed artifacts (bin keys, eval-set
+shingles, power sums) cross an exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions import similarity as S
+from ..operators.aggregates import dsum
+from ..sources import load_table
+from .registry import register
+
+PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS ntok
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, ntok,
+               CAST(coalesce(sum(ntok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS prior
+        FROM t
+    )
+    SELECT lang, prior // {PACK_BUDGET} AS bin, count(*) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY 1, 2
+    """,
+    tags=("training-data", "packing", "window"),
+)
+def sequence_packing(spark, sf_dir):
+    """Sequence packing: assign documents to fixed token-budget training
+    bins ({budget} tokens) by sequential fill in doc_id order within each
+    language stream — each doc lands in the bin where its exclusive
+    cumulative token offset falls.  Deterministic (no first-fit
+    heuristic state), one exchange on lang, and the cumulative sum is a
+    running-window ROWS frame, not a self-join.  At 100 TB the per-lang
+    window serializes a language's docs through one task — the scale
+    path is the same formula over (lang, shard) where shard =
+    hash-bucket of doc_id, giving parallel independent fills.""".format(
+        budget=PACK_BUDGET
+    )
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    t = d.select("doc_id", "lang", ntok.alias("ntok"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("ntok").over(w), F.lit(0)).cast("long")
+    return (
+        t.withColumn("bin", F.floor(prior / PACK_BUDGET))
+        .groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("bin_tokens"),
+        )
+    )
+
+
+_SH4 = """
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(0, len(string_split(text, ' ')) - 4),
+        i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+             || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+             string_split(text, ' ')[i+4]
+    ))) AS shingle
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 4
+"""
+
+
+@register(
+    "decontamination",
+    oracle=f"""
+    WITH sh AS ({_SH4}),
+    ev AS (SELECT * FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+           count(*) AS shared_shingles
+    FROM tr JOIN ev ON tr.shingle = ev.shingle
+    GROUP BY 1, 2
+    """,
+    tags=("training-data", "decontamination", "ngram"),
+)
+def decontamination(spark, sf_dir):
+    """Benchmark decontamination: flag training documents that share any
+    4-word shingle with a held-out eval set (here: doc_id % 97 == 0 —
+    in production, the benchmark corpus).  The eval shingle set is tiny
+    relative to the corpus, so it BROADCASTS: the training side streams
+    through a map-side hash join with zero shuffle of train shingles —
+    the only exchange is the final per-pair count.  Same skeleton as the
+    LSH candidate join, but asymmetric smallness makes it cheaper."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.filter(F.size(F.split("text", " ")) >= 4)
+        .select(
+            "doc_id",
+            F.explode(S.word_shingles(F.col("text"), 4)).alias("shingle"),
+        )
+    )
+    ev = sh.filter(F.col("doc_id") % 97 == 0).withColumnRenamed(
+        "doc_id", "eval_doc"
+    )
+    tr = sh.filter(F.col("doc_id") % 97 != 0).withColumnRenamed(
+        "doc_id", "train_doc"
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents) t
+    WHERE rn <= 20
+    """,
+    tags=("training-data", "sampling", "stratified"),
+)
+def stratified_sample(spark, sf_dir):
+    """Stratified fixed-quota sample: exactly 20 docs per language,
+    selected by md5-of-key order — a deterministic shuffle that is
+    reproducible across engines and cluster layouts (unlike rand(seed),
+    whose draws depend on row→partition assignment).  One exchange on
+    lang; at scale, rank-by-hash within strata is the standard
+    reservoir-free exact-quota sampler."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+
+
+@register(
+    "value_moments",
+    oracle="""
+    SELECT event_type, n,
+           round(CAST(s1 AS DOUBLE) / n, 6) AS mean_value,
+           round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                 / (n - 1), 6) AS var_value,
+           round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                      / (n - 1)), 6) AS std_value
+    FROM (
+        SELECT event_type, count(value) AS n,
+               sum(CAST(value AS DECIMAL(18,6))) AS s1,
+               sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
+        FROM events GROUP BY event_type) t
+    """,
+    tags=("stats", "moments", "A3"),
+)
+def value_moments(spark, sf_dir):
+    """Sample variance/stddev per event type from EXACT decimal power sums
+    (n, Σx, Σx²): the map-side partials are decimals, so the moments are
+    partitioning-invariant — a double-accumulating stddev differs between
+    runs at the last ulp and would break oracle hashing AND cross-run
+    reproducibility at 100 TB.  The double math happens once, on the
+    three exact totals, in the same expression shape as the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    sums = e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+    )
+    s1d, s2d, n = F.col("s1").cast("double"), F.col("s2").cast("double"), F.col("n")
+    var = (s2d - s1d * s1d / n) / (n - 1)
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(s1d / n, 6).alias("mean_value"),
+        F.round(var, 6).alias("var_value"),
+        F.round(F.sqrt(var), 6).alias("std_value"),
+    )
+
+
+@register(
+    "quantity_price_corr",
+    oracle="""
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS qty_price_corr
+    FROM (
+        SELECT l_returnflag, count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               sum(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+               sum(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        FROM lineitem GROUP BY l_returnflag) t
+    """,
+    tags=("stats", "corr"),
+)
+def quantity_price_corr(spark, sf_dir):
+    """Pearson correlation of quantity vs extended price per return flag,
+    from five exact decimal power sums — same single-pass map-side-partial
+    shape as `value_moments` (a built-in corr() accumulates doubles in
+    visit order and is not partitioning-invariant)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    corr = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return sums.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("qty_price_corr")
+    )
