@@ -1,0 +1,142 @@
+"""Embedding clustering + compression for LLM-data pipelines (north-star
+ops — no reference analogue; BASELINE.json ``north_star``).
+
+- **K-means (Lloyd's)** as an iterative DataFrame algorithm: centroids
+  are always driver/broadcast-sized (k x dim floats); the corpus is never
+  collected.  Each iteration is one broadcast join (assignment via
+  min(struct(dist, cid)) argmin — map-side, no shuffle) plus one
+  per-(cid, dim) aggregation (posexplode → partial sums) — two narrow
+  exchanges of k·dim rows regardless of corpus size.  That is the
+  textbook 100 TB k-means layout: O(iters) passes, O(k·dim) driver state.
+- **Per-vector int8 scalar quantization**: each vector quantized against
+  its own [min, max] range — purely scan-side (zero shuffles, zero
+  global passes), 4x memory reduction for ANN candidate storage, with
+  the reconstruction error measured in the same pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import ensure_parallelism
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Sequential left-fold squared L2 distance (same op order as any
+    engine's list fold, so ties resolve identically)."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kmeans_assign(
+    emb: DataFrame, k: int = 10, iters: int = 5, id_col: str = "vec_id"
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column; returns (vec_id, cid, d2).
+
+    Deterministic: init = the first ``k`` vectors by id (no RNG — a
+    seeded sample's draws depend on partitioning; first-k does not), and
+    the argmin breaks distance ties by lowest cid via min(struct).
+    Each iteration: broadcast the k x dim centroid table, assign every
+    vector map-side, recompute centroids as per-dimension means via
+    posexplode + partial aggregation (the exchange carries k·dim rows
+    per task, never the corpus), collect the k centroids to the driver
+    for the next round."""
+    spark = emb.sparkSession
+    cents = [
+        (int(i), [float(x) for x in r.embedding])
+        for i, r in enumerate(
+            emb.orderBy(id_col).limit(k).select("embedding").collect()
+        )
+    ]
+    data = ensure_parallelism(emb.select(F.col(id_col), "embedding")).persist()
+    try:
+        assign = None
+        for _ in range(iters):
+            cdf = spark.createDataFrame(cents, "cid int, cvec array<double>")
+            scored = data.crossJoin(F.broadcast(cdf)).select(
+                id_col,
+                "embedding",
+                F.struct(
+                    _sq_dist(F.col("embedding"), F.col("cvec")).alias("d2"),
+                    F.col("cid").alias("cid"),
+                ).alias("dc"),
+            )
+            assign = (
+                scored.groupBy(id_col)
+                .agg(F.min("dc").alias("m"), F.first("embedding").alias("embedding"))
+                .select(id_col, F.col("m.cid").alias("cid"),
+                        F.col("m.d2").alias("d2"), "embedding")
+            )
+            new_cents = (
+                assign.select("cid", F.posexplode("embedding").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+                .groupBy("cid")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "mu"))
+                    ).alias("dims")
+                )
+                .select("cid", F.col("dims.mu").alias("cvec"))
+                .collect()
+            )
+            # a cluster that captured no points keeps its previous centroid
+            # (dropping it would shrink k run-over-run)
+            updated = {int(r.cid): [float(x) for x in r.cvec] for r in new_cents}
+            cents = [(cid, updated.get(cid, vec)) for cid, vec in cents]
+        return assign.select(id_col, "cid", "d2")
+    finally:
+        data.unpersist()
+
+
+def kmeans_inertia_per_iter(
+    emb: DataFrame, k: int = 10, iters: int = 5, id_col: str = "vec_id"
+) -> list[float]:
+    """Total within-cluster squared distance after each iteration (for the
+    monotone-descent test gate)."""
+    out = []
+    for i in range(1, iters + 1):
+        a = kmeans_assign(emb, k=k, iters=i, id_col=id_col)
+        out.append(a.agg(F.sum("d2")).collect()[0][0])
+    return out
+
+
+QUANT_LEVELS = 255  # int8 code range 0..255
+
+
+def quantize_per_vector(emb: DataFrame) -> DataFrame:
+    """Per-vector int8 scalar quantization with in-pass reconstruction
+    error: codes = round((x - lo) / (hi - lo) * 255), reconstruction
+    x' = lo + code * (hi - lo) / 255, mse = mean((x - x')²) — all
+    scan-side array lambdas (whole-stage codegen, zero exchanges).
+    Returns (vec_id, qmin, qmax, codes, mse)."""
+    e = F.col("embedding")
+    lo = F.array_min(e).cast("double")
+    hi = F.array_max(e).cast("double")
+    span = hi - lo
+    codes = F.transform(
+        e,
+        lambda x: F.when(
+            span > 0,
+            F.round((x.cast("double") - lo) / span * QUANT_LEVELS).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    recon_err = F.zip_with(
+        e,
+        codes,
+        lambda x, q: (
+            x.cast("double") - (lo + q.cast("double") * span / QUANT_LEVELS)
+        )
+        * (x.cast("double") - (lo + q.cast("double") * span / QUANT_LEVELS)),
+    )
+    mse = F.aggregate(recon_err, F.lit(0.0), lambda acc, v: acc + v) / F.size(e)
+    return emb.select(
+        "vec_id",
+        F.round(lo, 6).alias("qmin"),
+        F.round(hi, 6).alias("qmax"),
+        codes.alias("codes"),
+        F.round(mse, 9).alias("mse"),
+    )

@@ -690,3 +690,65 @@ def training_mix(spark, sf_dir):
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
     )
     return sampled.groupBy("lang").agg(F.count("*").alias("docs"))
+
+
+# ---------------------------------------------------------------------------
+# Clustering + embedding compression
+# ---------------------------------------------------------------------------
+
+from ..functions.clustering import kmeans_assign, quantize_per_vector  # noqa: E402
+
+
+@register(
+    "kmeans_clusters",
+    oracle=None,  # iterative algorithm; pytest gates: nearest-centroid
+    # invariant vs numpy replication + monotone inertia descent
+    tags=("clustering", "embedding", "iterative"),
+)
+def kmeans_clusters_q(spark, sf_dir):
+    """K-means (k=10, 3 Lloyd iterations, deterministic first-k init) over
+    the embedding corpus — the iterative-DataFrame-algorithm pattern:
+    broadcast k·dim centroids, map-side argmin assignment, k·dim-row
+    centroid recompute per iteration.  See functions/clustering.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=10, iters=3).select(
+        "vec_id", "cid", F.round("d2", 6).alias("d2")
+    )
+
+
+@register(
+    "embedding_quantization",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, embedding,
+               CAST(list_min(embedding) AS DOUBLE) AS lo,
+               CAST(list_max(embedding) AS DOUBLE) AS hi
+        FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id, embedding, lo, hi,
+               list_transform(embedding, x -> CASE WHEN hi - lo > 0
+                   THEN CAST(round((CAST(x AS DOUBLE) - lo) / (hi - lo) * 255)
+                             AS INTEGER)
+                   ELSE 0 END) AS codes
+        FROM q
+    )
+    SELECT vec_id, round(lo, 6) AS qmin, round(hi, 6) AS qmax,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(embedding)),
+                   i -> (CAST(embedding[i] AS DOUBLE)
+                         - (lo + CAST(codes[i] AS DOUBLE) * (hi - lo) / 255))
+                        * (CAST(embedding[i] AS DOUBLE)
+                           - (lo + CAST(codes[i] AS DOUBLE) * (hi - lo) / 255)))),
+               (acc, v) -> acc + v) / len(embedding), 9) AS mse
+    FROM c
+    """,
+    tags=("embedding", "quantization", "compression"),
+)
+def embedding_quantization_q(spark, sf_dir):
+    """Per-vector int8 scalar quantization with in-pass reconstruction
+    MSE — scan-side only (4x memory reduction for ANN storage at scale).
+    The codes array itself is exercised in pytest; the oracle pins the
+    (qmin, qmax, mse) summary bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_per_vector(emb).select("vec_id", "qmin", "qmax", "mse")

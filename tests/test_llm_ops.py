@@ -141,3 +141,66 @@ def test_connected_components_chain_and_island(spark):
         (10, 10), (20, 10), (30, 10), (40, 10),
         (99, 99), (100, 99),
     }
+
+
+def test_kmeans_matches_numpy_replication(spark, sf_dir):
+    """The Spark k-means must track an exact numpy replication of the same
+    algorithm (first-k init, Lloyd updates): assignments ≥99% identical
+    (fold-order float noise can flip exact ties) and inertia within 1e-6
+    relative."""
+    import numpy as np
+
+    from gmallrealtime02_spark.functions.clustering import kmeans_assign
+    from gmallrealtime02_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = (
+        kmeans_assign(emb, k=10, iters=3)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    cents = X[:10].copy()
+    # mirror the engine exactly: the returned assignment is the one computed
+    # at the START of the last iteration; empty clusters keep old centroids
+    for _ in range(3):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes lowest index on ties, like min(struct)
+        best = d2.min(axis=1)
+        for c in range(10):
+            if (assign == c).any():
+                cents[c] = X[assign == c].mean(axis=0)
+
+    agree = (got.cid.to_numpy() == assign).mean()
+    assert agree >= 0.99, f"assignment agreement {agree}"
+    np.testing.assert_allclose(got.d2.sum(), best.sum(), rtol=1e-6)
+
+
+def test_kmeans_inertia_decreases(spark, sf_dir):
+    from gmallrealtime02_spark.functions.clustering import kmeans_inertia_per_iter
+    from gmallrealtime02_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    inertia = kmeans_inertia_per_iter(emb, k=5, iters=3)
+    assert all(
+        a >= b - 1e-9 for a, b in zip(inertia, inertia[1:])
+    ), f"inertia not monotone: {inertia}"
+
+
+def test_quantization_codes_and_error_bound(spark, sf_dir):
+    """Codes stay in [0, 255]; per-element reconstruction error is bounded
+    by half a quantization step, so mse ≤ (span/255)²/4."""
+    from gmallrealtime02_spark.functions.clustering import quantize_per_vector
+    from gmallrealtime02_spark.sources import load_table
+
+    q = quantize_per_vector(load_table(spark, sf_dir, "embeddings")).toPandas()
+    assert len(q) > 0
+    for _, row in q.head(50).iterrows():
+        codes = list(row.codes)
+        assert min(codes) >= 0 and max(codes) <= 255
+        span = row.qmax - row.qmin
+        step = span / 255.0
+        assert row.mse <= step * step / 4.0 + 1e-12, (row.vec_id, row.mse)
