@@ -111,3 +111,60 @@ def test_top_customers_takeordered(spark, sf_dir):
     """Global top-k compiles to TakeOrderedAndProject — no full sort."""
     plan = _executed_plan(QUERIES["top_customers"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_forecast_revenue_all_predicates_push(spark, sf_dir):
+    """Q6 shape: the ship-year bound AND the discount/quantity bands must
+    all reach the parquet scan as PushedFilters — at scale this query is
+    pure row-group-pruned scan + partial agg, no shuffle of fact rows."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = _executed_plan(QUERIES["forecast_revenue"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, pushed
+
+
+def test_returned_items_pushes_both_scans(spark, sf_dir):
+    """Q10 shape: l_returnflag='R' pushes to the lineitem scan and the
+    quarter bound pushes to the orders scan — both inputs pre-reduced
+    before the join; top-20 is TakeOrdered."""
+    plan = _executed_plan(QUERIES["returned_item_customers"].fn(spark, sf_dir))
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+    assert re.search(r"GreaterThanOrEqual\(o_orderdate", plan), plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_decontamination_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle set must BROADCAST; the training corpus's shingles
+    must never cross a shuffle for the join itself (only the final
+    per-pair count aggregates)."""
+    plan = _executed_plan(QUERIES["decontamination"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_volume_shipping_single_fact_shuffle(spark, sf_dir):
+    """Q7 shape: supplier/customer/nation x2 all broadcast; the only
+    shuffles are the fact⋈orders join side(s) and the final agg."""
+    plan = _executed_plan(QUERIES["volume_shipping"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert _exchanges(plan) <= 3, plan
+
+
+def test_moments_are_partial_aggregated(spark, sf_dir):
+    """Power-sum moments must partial-aggregate map-side: the exchange
+    carries one row per event_type per task, not events."""
+    plan = _executed_plan(QUERIES["value_moments"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert _exchanges(plan) <= 1, plan
+
+
+def test_quantization_has_no_exchange(spark, sf_dir):
+    """Per-vector quantization is scan-side only — zero shuffles."""
+    plan = _executed_plan(QUERIES["embedding_quantization"].fn(spark, sf_dir))
+    assert _exchanges(plan) == 0, plan
