@@ -286,3 +286,63 @@ def streaming_enrich_orders(
         .foreachBatch(enrich_batch)
         .start()
     )
+
+
+def streaming_order_wide_outer(
+    order_info: DataFrame,
+    order_detail: DataFrame,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join: details keep flowing even
+    when their order_info never arrives — the null-padded row emits once
+    the watermark passes the join window (bounded wait, bounded state).
+    The reference's window+Redis scheme (DwsOrderWideApp.scala:88-122)
+    silently DROPS such orphans; the outer join surfaces them, which is
+    what a reconciliation/DQ consumer needs."""
+    oi = order_info.withWatermark("o_ts", watermark).alias("oi")
+    od = order_detail.withWatermark("d_ts", watermark).alias("od")
+    return od.join(
+        oi,
+        F.expr(
+            "order_id = o_order_id AND "
+            f"d_ts >= o_ts - INTERVAL {watermark} AND "
+            f"d_ts <= o_ts + INTERVAL {watermark}"
+        ),
+        "left_outer",
+    )
+
+
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Dedup with EVICTING state (``dropDuplicatesWithinWatermark``):
+    duplicates arriving within the watermark delay collapse even when
+    their event times differ; state for a key is dropped once the
+    watermark passes it, so a duplicate arriving much later emits again.
+    This is the right tool when "duplicate" means retransmission within a
+    bounded horizon (at-least-once producers) — unbounded-horizon
+    first-seen semantics are ``streaming_first_seen_dedup``.  At 100 TB
+    the distinction is state size: this one's store holds only the
+    watermark horizon, not the full key history."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_near_dup_suppress(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """In-stream near-duplicate suppression: the simhash signature is
+    computed scan-side (functions/similarity.py — word-hash sign sums,
+    no UDF) and used as the dedup key, so reworded-but-same-bag-of-words
+    arrivals collapse in one stateful pass.  Scale path: the state key is
+    the 24-bit signature (or its band segments for hamming>0 tolerance),
+    never the document body — state is O(distinct signatures)."""
+    from ..functions.similarity import simhash_col
+
+    sig = docs.withColumn("simhash", simhash_col(F.col(text_col)))
+    return sig.withWatermark(ts_col, watermark).dropDuplicates(["simhash"])

@@ -393,3 +393,146 @@ def test_kafka_option_builders():
     # idempotence genuinely on (the reference misspelled the key)
     assert snk["kafka.enable.idempotence"] == "true"
     assert snk["topic"] == "DWD_ORDER_INFO"
+
+
+def test_stream_stream_left_outer_emits_orphans(spark, tmp_path):
+    """Orphan details (no matching order_info) must emit null-padded once
+    the watermark passes the join window — the reference silently drops
+    them (DwsOrderWideApp.scala: inner windowed join)."""
+    from datetime import datetime, timedelta
+
+    oi_schema = "o_order_id long, o_ts timestamp, o_total double"
+    od_schema = "detail_id long, order_id long, d_ts timestamp, sku long"
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    oi_dir, od_dir = str(tmp_path / "oi"), str(tmp_path / "od")
+    _write_batch(spark, oi_dir, [(1, t0, 10.0)], T._parse_datatype_string(oi_schema))
+    _write_batch(
+        spark, od_dir, [(100, 1, t0, 7), (103, 3, t0, 5)],
+        T._parse_datatype_string(od_schema),
+    )
+    # late traffic on BOTH streams advances the global watermark far past t0
+    for dt_h in (1, 2):
+        late = t0 + timedelta(hours=dt_h)
+        _write_batch(
+            spark, oi_dir, [(90 + dt_h, late, 1.0)],
+            T._parse_datatype_string(oi_schema),
+        )
+        _write_batch(
+            spark, od_dir, [(900 + dt_h, 90 + dt_h, late, 1)],
+            T._parse_datatype_string(od_schema),
+        )
+    oi = (
+        spark.readStream.schema(oi_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(oi_dir + "/*")
+    )
+    od = (
+        spark.readStream.schema(od_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(od_dir + "/*")
+    )
+    wide = SJ.streaming_order_wide_outer(oi, od)
+    q = (
+        wide.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wide_outer_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.detail_id, r.o_order_id)
+            for r in spark.sql("SELECT * FROM wide_outer_out").collect()
+        }
+    finally:
+        q.stop()
+    assert (100, 1) in got           # matched pair
+    assert (103, None) in got        # orphan emitted null-padded
+
+
+def test_dedup_within_watermark_state_evicts(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate inside the horizon
+    collapses; the same key arriving after its state was evicted emits
+    AGAIN (bounded state — the semantic difference vs first-seen
+    dedup)."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "src")
+    # batch 1: event 1 twice (different ts, same key) -> one row
+    _write_batch(
+        spark, src,
+        [(1, t0, 1, "click", 1.0), (1, t0 + timedelta(seconds=30), 1, "click", 1.0)],
+    )
+    # batch 2: far-future traffic advances watermark past event 1's state
+    _write_batch(spark, src, [(2, t0 + timedelta(hours=3), 2, "click", 1.0)])
+    # batch 3: spacer — eviction runs during this batch with the advanced
+    # watermark (the dedup check precedes eviction inside a batch, so the
+    # replay must arrive in a LATER batch than the eviction)
+    _write_batch(spark, src, [(4, t0 + timedelta(hours=3, minutes=5), 4, "click", 1.0)])
+    # batch 4: event 1 again, at a fresh event time -> state gone -> emits
+    _write_batch(spark, src, [(1, t0 + timedelta(hours=3, minutes=6), 1, "click", 1.0)])
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    deduped = SJ.streaming_dedup_within_watermark(
+        stream, ["event_id"], "ts", "10 minutes"
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wwm_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ids = [r.event_id for r in spark.sql("SELECT * FROM wwm_out").collect()]
+    finally:
+        q.stop()
+    assert sorted(ids) == [1, 1, 2, 4], ids  # event 1 emitted twice, dup collapsed
+
+
+def test_streaming_near_dup_suppress(spark, tmp_path):
+    """Same bag-of-words (reworded order) collapses to one row in-stream;
+    genuinely different text passes."""
+    from datetime import datetime
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "docs")
+    _write_batch(
+        spark, src,
+        [(1, t0, "the quick brown fox"), (2, t0, "an entirely different doc")],
+        schema,
+    )
+    _write_batch(
+        spark, src,
+        [(3, t0, "brown quick the fox"), (4, t0, "yet another unique text")],
+        schema,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = SJ.streaming_near_dup_suppress(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ids = sorted(r.doc_id for r in spark.sql("SELECT * FROM neardup_out").collect())
+    finally:
+        q.stop()
+    assert ids == [1, 2, 4], ids  # doc 3 (reworded doc 1) suppressed
