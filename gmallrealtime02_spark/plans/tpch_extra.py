@@ -1,7 +1,7 @@
 """Remaining TPC-H-shaped relational surface (Q6/Q7/Q8/Q9/Q10/Q12/Q13/
-Q15/Q19/Q22 shapes, adapted to the fixture star schema — no partsupp
-table, no shipmode/commitdate columns, so those predicates map onto the
-columns that exist).
+Q15/Q19/Q20/Q21/Q22 shapes, adapted to the fixture star schema — no
+partsupp table, no shipmode/commitdate columns, so those predicates map
+onto the columns that exist).
 
 The reference has no SQL frontend at all (SURVEY.md §0) — its only
 aggregations are ES terms-aggs (gmall-publisher/.../DauServicelmpl.java:27-74).
@@ -547,4 +547,144 @@ def idle_customer_balance(spark, sf_dir):
             F.count("*").alias("numcust"),
             dsum("c_acctbal", 2).alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — excess-stock suppliers (nested aggregate predicate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "excess_stock_suppliers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey,
+               sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                         AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                        THEN CAST(l_quantity AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_1996,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_total
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2)
+    SELECT s_suppkey AS supplier_key, l_partkey AS part_key,
+           CAST(qty_1996 AS DOUBLE) AS qty_1996,
+           CAST(qty_total AS DOUBLE) AS qty_total
+    FROM supplier JOIN shipped ON s_suppkey = l_suppkey
+    WHERE CAST(qty_1996 AS DOUBLE) > 0.3 * CAST(qty_total AS DOUBLE)
+    """,
+    tags=("tpch", "nested-agg"),
+)
+def excess_stock_suppliers(spark, sf_dir):
+    """TPC-H Q20-shaped excess-stock detection (no partsupp table, so
+    "stock" is priced from shipped lineitems): (supplier, part) pairs
+    whose 1996 shipped quantity exceeds 30% of their all-time total —
+    both aggregates come out of ONE pass over the widget-filtered fact
+    (conditional decimal sum next to the unconditional one), then a
+    broadcast supplier join.  The original's nested-subquery shape
+    collapses into a single grouped scan: no second fact pass, no
+    correlated re-execution."""
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    in_1996 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(in_1996, qty).otherwise(F.lit(0).cast("decimal(18,2)"))
+            ).alias("qty_1996"),
+            F.sum(qty).alias("qty_total"),
+        )
+    )
+    return (
+        shipped.filter(
+            F.col("qty_1996").cast("double") > 0.3 * F.col("qty_total").cast("double")
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("supplier_key"),
+            F.col("l_partkey").alias("part_key"),
+            F.col("qty_1996").cast("double").alias("qty_1996"),
+            F.col("qty_total").cast("double").alias("qty_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — waiting-orders blame (semi + anti with outer-referencing predicate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "late_supplier_blame",
+    oracle="""
+    SELECT s_name AS supplier_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+    tags=("tpch", "semi", "anti"),
+)
+def late_supplier_blame(spark, sf_dir):
+    """TPC-H Q21-shaped sole-blame analysis: per supplier, how many
+    finished multi-supplier orders were late ONLY because of them
+    (late = shipped >60 days after order date).  EXISTS becomes a
+    left-semi join (another supplier touched the order), NOT EXISTS a
+    left-anti join whose condition references the outer side's
+    o_orderdate — Spark join conditions span both sides, so the
+    correlated subquery needs no re-execution; each is one pass over the
+    key columns of lineitem."""
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        ensure_parallelism(li)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .filter(late)
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    blamed = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3"))
+            & (F.col("d3") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(F.count("*").alias("numwait"))
     )
