@@ -94,3 +94,137 @@ def test_first_seen_dedup_equals_ranked_window(spark, rows):
         .collect()
     }
     assert got == want
+
+
+# --- packing conservation + quantization edge cases ------------------------
+
+_doc = st.tuples(
+    st.integers(min_value=0, max_value=50),         # doc_id (dups possible → distinct below)
+    st.sampled_from(["en", "de", "fr"]),            # lang
+    st.integers(min_value=0, max_value=5000),       # ntok
+)
+
+
+@given(st.lists(_doc, min_size=1, max_size=30, unique_by=lambda t: t[0]))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sequence_packing_conserves_tokens_and_fills_contiguously(spark, rows):
+    """For any corpus: (a) bin token totals sum to the corpus token total
+    per lang (nothing dropped or double-packed); (b) bin ids per lang are
+    exactly the contiguous prefix 0..max_bin implied by sequential fill
+    (cumulative offsets can't skip a bin)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gmallrealtime02_spark.plans.training_data import PACK_BUDGET
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ntok int")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("ntok").over(w), F.lit(0)).cast("long")
+    packed = (
+        df.withColumn("bin", F.floor(prior / PACK_BUDGET))
+        .groupBy("lang", "bin")
+        .agg(F.sum("ntok").alias("bin_tokens"))
+    ).collect()
+
+    by_lang_tokens: dict[str, int] = {}
+    by_lang_bins: dict[str, set] = {}
+    for r in packed:
+        by_lang_tokens[r.lang] = by_lang_tokens.get(r.lang, 0) + r.bin_tokens
+        by_lang_bins.setdefault(r.lang, set()).add(r.bin)
+    want_tokens: dict[str, int] = {}
+    for _, lang, ntok in rows:
+        want_tokens[lang] = want_tokens.get(lang, 0) + ntok
+    assert by_lang_tokens == want_tokens
+    for lang, bins in by_lang_bins.items():
+        assert bins == set(range(max(bins) + 1)), (lang, sorted(bins))
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e4, max_value=1e4, allow_nan=False, allow_infinity=False,
+            width=32,
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_quantization_roundtrip_bound_any_vector(spark, vec):
+    """For ANY float vector (constant vectors, single elements, negatives):
+    codes in [0,255] and mse ≤ (span/255)²/4 + ulp slack; span=0 vectors
+    quantize to code 0 with zero error."""
+    from gmallrealtime02_spark.functions.clustering import quantize_per_vector
+
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    row = quantize_per_vector(df).collect()[0]
+    assert all(0 <= c <= 255 for c in row.codes)
+    span = row.qmax - row.qmin
+    if span == 0:
+        assert row.mse == 0.0
+        assert set(row.codes) == {0}
+    else:
+        step = span / 255.0
+        assert row.mse <= step * step / 4.0 + 1e-9 * max(1.0, span * span)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.floats(min_value=-1e3, max_value=1e3, allow_nan=False,
+                      allow_infinity=False),
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_power_sum_variance_matches_numpy(spark, rows):
+    """The exact-decimal power-sum variance equals numpy's two-pass ddof=1
+    variance within float tolerance for any group with n ≥ 2 (the
+    one-pass-with-exact-sums formula has no catastrophic cancellation at
+    these magnitudes)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "g string, value double")
+    v = F.col("value").cast("decimal(18,6)")
+    got = {
+        r.g: r.var_value
+        for r in df.groupBy("g")
+        .agg(F.count("value").alias("n"), F.sum(v).alias("s1"), F.sum(v * v).alias("s2"))
+        .select(
+            "g",
+            "n",
+            (
+                (F.col("s2").cast("double")
+                 - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("var_value"),
+        )
+        .filter(F.col("n") >= 2)
+        .collect()
+    }
+    for g, var in got.items():
+        # mirror the operator's quantization: values enter as DECIMAL(18,6)
+        xs = np.round(
+            np.array([x for k, x in rows if k == g], dtype=np.float64), 6
+        )
+        np.testing.assert_allclose(var, xs.var(ddof=1), rtol=1e-6, atol=1e-9)
