@@ -112,7 +112,13 @@ def quantize_per_vector(emb: DataFrame) -> DataFrame:
     error: codes = round((x - lo) / (hi - lo) * 255), reconstruction
     x' = lo + code * (hi - lo) / 255, mse = mean((x - x')²) — all
     scan-side array lambdas (whole-stage codegen, zero exchanges).
-    Returns (vec_id, qmin, qmax, codes, mse)."""
+    Returns (vec_id, qmin, qmax, codes, mse).  qmin/qmax/mse are emitted
+    UNROUNDED: codes are computed against the true span, so rounding the
+    emitted range (as an earlier revision did, to 6 decimals) breaks
+    reconstruction for spans < 1e-6 — the reported range collapses to
+    zero while codes span 0..255.  Display/oracle rounding is the
+    registered query's job (plans/llm_pipeline.py embedding_quantization),
+    never the operator's."""
     e = F.col("embedding")
     lo = F.array_min(e).cast("double")
     hi = F.array_max(e).cast("double")
@@ -135,8 +141,8 @@ def quantize_per_vector(emb: DataFrame) -> DataFrame:
     mse = F.aggregate(recon_err, F.lit(0.0), lambda acc, v: acc + v) / F.size(e)
     return emb.select(
         "vec_id",
-        F.round(lo, 6).alias("qmin"),
-        F.round(hi, 6).alias("qmax"),
+        lo.alias("qmin"),
+        hi.alias("qmax"),
         codes.alias("codes"),
-        F.round(mse, 9).alias("mse"),
+        mse.alias("mse"),
     )

@@ -19,8 +19,9 @@ Scale notes:
   single wide exchange on (dt, mid), which is the minimum any
   distinct-by-key computation needs.  Map-side partial aggregation
   handles the (dt, hr) count without a second full shuffle of raw rows.
-- In streaming, ``dropDuplicates`` + 48h watermark bounds state (RocksDB
-  state store on a real cluster); see streaming/jobs.py.
+- In streaming, ``dropDuplicatesWithinWatermark`` (48h delay) both
+  dedups exactly for the day-scoped key and lets the watermark evict
+  state (RocksDB state store on a real cluster); see streaming/jobs.py.
 """
 
 from __future__ import annotations

@@ -208,28 +208,16 @@ def simhash_signatures(spark, sf_dir):
     FROM sim a JOIN sim b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
-    tags=("dedup", "simhash"),
-)
-def simhash_pairs_q(spark, sf_dir):
-    """Hamming-≤3 simhash near-dup pairs."""
-    return S.simhash_pairs(load_table(spark, sf_dir, "documents"), 3)
-
-
-@register(
-    "simhash_pairs_banded",
-    oracle=f"""
-    WITH {_SIMHASH_SIG_CTE.strip()}
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-    """,
     tags=("dedup", "simhash", "lsh"),
 )
-def simhash_pairs_banded_q(spark, sf_dir):
-    """Same result as simhash_pairs via pigeonhole bit-segment banding —
-    equality joins on segments instead of the O(n²) product (exact, so it
-    shares the all-pairs oracle)."""
+def simhash_pairs_q(spark, sf_dir):
+    """Hamming-≤3 simhash near-dup pairs via pigeonhole bit-segment
+    banding: equality joins on (segment, value) keys instead of the
+    O(n²) product.  Banding is EXACT for hamming ≤ max_hamming
+    (pigeonhole over max_hamming+1 segments), so this shares the
+    all-pairs oracle; the quadratic twin ``S.simhash_pairs`` survives
+    only as the tests' equivalence baseline
+    (tests/test_llm_ops.py::test_simhash_banded_equals_quadratic)."""
     return S.simhash_banded_pairs(load_table(spark, sf_dir, "documents"), 3)
 
 
@@ -286,19 +274,24 @@ def ann_lsh_topk_q(spark, sf_dir):
 
 @register(
     "dedup_embedding_cosine",
-    oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {_cos_sql('a.embedding', 'b.embedding')} AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.4
-    """,
-    tags=("dedup", "similarity", "embedding"),
+    # Approximate by construction (LSH candidate pruning): recall < 1 on
+    # this corpus's borderline 0.4-cosine pairs, so no SQL oracle —
+    # precision-exactness (output ⊆ the quadratic form, identical
+    # cosines) and a recall floor are pinned in
+    # tests/test_llm_ops.py::test_embedding_near_dup_lsh_precision_and_recall.
+    oracle=None,
+    tags=("dedup", "similarity", "embedding", "lsh"),
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (threshold 0.4 — this synthetic
-    corpus has no true dups; max pairwise cosine ≈ 0.51).  Norms folded
-    once per vector; one dot-fold per pair."""
-    return S.embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), 0.4)
+    """Embedding-cosine near-dup pairs (threshold 0.4), LSH-pruned: the
+    O(n²) pair product never materializes — candidates come from 16
+    random-hyperplane bucket tables, exact cosine verify after.  The
+    quadratic twin ``S.embedding_near_dup_pairs`` survives only as the
+    tests' equivalence baseline.  (This synthetic corpus has no true
+    dups; max pairwise cosine ≈ 0.51, right at the sign-LSH recall
+    cliff — at the cos ≥ 0.9 regime real near-dup dedup targets, miss
+    rate is < 1e-3.)"""
+    return S.embedding_near_dup_lsh(load_table(spark, sf_dir, "embeddings"), 0.4)
 
 
 @register(
@@ -751,4 +744,9 @@ def embedding_quantization_q(spark, sf_dir):
     The codes array itself is exercised in pytest; the oracle pins the
     (qmin, qmax, mse) summary bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_per_vector(emb).select("vec_id", "qmin", "qmax", "mse")
+    return quantize_per_vector(emb).select(
+        "vec_id",
+        F.round("qmin", 6).alias("qmin"),
+        F.round("qmax", 6).alias("qmax"),
+        F.round("mse", 9).alias("mse"),
+    )

@@ -20,58 +20,94 @@ from ..sources import load_table
 from .registry import register
 
 PACK_BUDGET = 2048  # tokens per packed training sequence
+PACK_SHARDS = 4  # independent fill streams per language
+
+
+def pack_bins(t, budget: int = PACK_BUDGET, n_shards: int = PACK_SHARDS):
+    """Core packing operator over a (doc_id, lang, ntok) DataFrame.
+
+    Each document occupies the half-open token interval
+    ``[prior, prior + ntok)`` of its (lang, shard) stream, where
+    ``prior`` is the exclusive cumulative token offset in doc_id order
+    and ``shard = doc_id % n_shards``.  The doc contributes tokens to
+    EVERY budget-aligned bin its interval spans — a doc larger than the
+    budget is split across consecutive bins (real packing semantics),
+    so within each stream bin ids are the exact contiguous prefix
+    0..max_bin and every bin except the last holds exactly ``budget``
+    tokens.  Zero-token docs are counted (n_docs) in the bin at their
+    offset with zero token contribution.
+
+    Scale: the per-stream running sum is a ROWS-frame window — one
+    exchange on (lang, shard) — and the shard split keeps a single
+    giant language from serializing onto one task: fills are
+    independent per shard, so parallelism is n_langs × n_shards.  The
+    bin explode is scan-side (no extra exchange); spanned-bin fan-out
+    is bounded by ntok/budget, i.e. total exploded rows ≈ corpus
+    tokens / budget + n_docs.
+    """
+    t = t.withColumn("shard", (F.col("doc_id") % n_shards).cast("int"))
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("ntok").over(w), F.lit(0)).cast("long")
+    t = t.withColumn("prior", prior)
+    start_bin = F.floor(F.col("prior") / budget)
+    end_bin = F.floor(
+        (F.col("prior") + F.greatest(F.col("ntok"), F.lit(1)) - 1) / budget
+    )
+    b = t.withColumn("bin", F.explode(F.sequence(start_bin, end_bin)))
+    tok_in_bin = F.least(
+        (F.col("bin") + 1) * budget, F.col("prior") + F.col("ntok")
+    ) - F.greatest(F.col("bin") * budget, F.col("prior"))
+    return b.groupBy("lang", "shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tok_in_bin).cast("bigint").alias("bin_tokens"),
+    )
 
 
 @register(
     "sequence_packing",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, lang, len(string_split(text, ' ')) AS ntok
+        SELECT doc_id, lang, doc_id % {PACK_SHARDS} AS shard,
+               len(string_split(text, ' ')) AS ntok
         FROM documents
     ),
     c AS (
-        SELECT lang, ntok,
+        SELECT lang, shard, ntok,
                CAST(coalesce(sum(ntok) OVER (
-                   PARTITION BY lang ORDER BY doc_id
+                   PARTITION BY lang, shard ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) AS BIGINT) AS prior
         FROM t
+    ),
+    b AS (
+        SELECT lang, shard, ntok, prior,
+               unnest(generate_series(prior // {PACK_BUDGET},
+                   (prior + greatest(ntok, 1) - 1) // {PACK_BUDGET})) AS bin
+        FROM c
     )
-    SELECT lang, prior // {PACK_BUDGET} AS bin, count(*) AS n_docs,
-           CAST(sum(ntok) AS BIGINT) AS bin_tokens
-    FROM c GROUP BY 1, 2
+    SELECT lang, CAST(shard AS INTEGER) AS shard, bin, count(*) AS n_docs,
+           CAST(sum(least((bin + 1) * {PACK_BUDGET}, prior + ntok)
+                    - greatest(bin * {PACK_BUDGET}, prior)) AS BIGINT)
+               AS bin_tokens
+    FROM b GROUP BY 1, 2, 3
     """,
     tags=("training-data", "packing", "window"),
 )
 def sequence_packing(spark, sf_dir):
-    """Sequence packing: assign documents to fixed token-budget training
-    bins ({budget} tokens) by sequential fill in doc_id order within each
-    language stream — each doc lands in the bin where its exclusive
-    cumulative token offset falls.  Deterministic (no first-fit
-    heuristic state), one exchange on lang, and the cumulative sum is a
-    running-window ROWS frame, not a self-join.  At 100 TB the per-lang
-    window serializes a language's docs through one task — the scale
-    path is the same formula over (lang, shard) where shard =
-    hash-bucket of doc_id, giving parallel independent fills.""".format(
+    """Sequence packing: split documents into fixed token-budget training
+    bins ({budget} tokens) by sequential interval fill in doc_id order
+    within each (lang, shard) stream — see :func:`pack_bins`.
+    Deterministic (no first-fit heuristic state), one exchange on
+    (lang, shard), parallel independent fills per shard.""".format(
         budget=PACK_BUDGET
     )
     d = load_table(spark, sf_dir, "documents")
     ntok = F.size(F.split(F.col("text"), " "))
-    t = d.select("doc_id", "lang", ntok.alias("ntok"))
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prior = F.coalesce(F.sum("ntok").over(w), F.lit(0)).cast("long")
-    return (
-        t.withColumn("bin", F.floor(prior / PACK_BUDGET))
-        .groupBy("lang", "bin")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("ntok").cast("bigint").alias("bin_tokens"),
-        )
-    )
+    return pack_bins(d.select("doc_id", "lang", ntok.alias("ntok")))
 
 
 _SH4 = """

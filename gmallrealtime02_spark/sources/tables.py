@@ -73,8 +73,16 @@ def load_table(
     Native-unit timestamp columns take the ordinary pushable filter.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
     nanos_cols = _nanos_ts_columns(path)
+    if nanos_cols:
+        # Self-sufficient on ANY SparkSession: the driver's harness builds
+        # its own vanilla session, which otherwise dies with
+        # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS) columns.  Both confs are
+        # runtime-settable.  UTC pins dt/hr derivations to the oracle's
+        # timezone on a non-UTC host.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
     for c, (lo, hi) in (ts_bounds or {}).items():
         if c in nanos_cols:
             if lo is not None:

@@ -15,9 +15,11 @@ Mapping:
   overlap, no loss at window edges, bounded state.
 
 Scale notes: dedup/join state lives in the state store (RocksDB on a
-real cluster — spark.sql.streaming.stateStore.providerClass); watermarks
-bound it.  The reference's day-scoped no-TTL Redis state maps to a 48 h
-watermark (late events within the watermark still dedup exactly).
+real cluster — spark.sql.streaming.stateStore.providerClass).  The
+reference's day-scoped no-TTL Redis state maps to
+``dropDuplicatesWithinWatermark`` with a 48 h delay: exact first-seen
+for day-scoped keys AND the watermark actually evicts state (plain
+``dropDuplicates`` on keys excluding event time would never evict).
 """
 
 from __future__ import annotations
@@ -40,8 +42,19 @@ def streaming_first_seen_dedup(
     watermark: str = DEFAULT_WATERMARK,
 ) -> DataFrame:
     """First-seen-wins dedup over an unbounded stream (A4/A5 streaming
-    form): state-store backed ``dropDuplicates``, watermark-bounded."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)
+    form): state-store backed ``dropDuplicatesWithinWatermark``.
+
+    Plain ``dropDuplicates(keys)`` with ``ts_col`` NOT in the keys keeps
+    state forever — the watermark never evicts it, so state grows
+    unboundedly across days.  The within-watermark variant evicts a
+    key's state once the watermark passes it, and is EXACTLY first-seen
+    whenever every duplicate of a key carries an event time within
+    ``watermark`` of the first occurrence — true by construction for
+    day-scoped keys like (dt, mid), whose duplicates all fall inside one
+    24 h day, with the default 48 h delay.  For keys without such a time
+    scope the horizon is the retransmission window
+    (``streaming_dedup_within_watermark`` documents that contract)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def streaming_dau(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
@@ -339,9 +352,13 @@ def streaming_near_dup_suppress(
     """In-stream near-duplicate suppression: the simhash signature is
     computed scan-side (functions/similarity.py — word-hash sign sums,
     no UDF) and used as the dedup key, so reworded-but-same-bag-of-words
-    arrivals collapse in one stateful pass.  Scale path: the state key is
-    the 24-bit signature (or its band segments for hamming>0 tolerance),
-    never the document body — state is O(distinct signatures)."""
+    arrivals collapse in one stateful pass.  Suppression horizon is
+    UNBOUNDED in time (plain ``dropDuplicates`` — the watermark only
+    drops late rows, it does not evict dedup state), but state is still
+    bounded: the key is the 24-bit signature, never the document body,
+    so the store can hold at most 2^24 entries regardless of stream
+    length.  For a time-bounded horizon swap in
+    ``dropDuplicatesWithinWatermark`` (``streaming_dedup_within_watermark``)."""
     from ..functions.similarity import simhash_col
 
     sig = docs.withColumn("simhash", simhash_col(F.col(text_col)))

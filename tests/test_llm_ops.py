@@ -204,3 +204,43 @@ def test_quantization_codes_and_error_bound(spark, sf_dir):
         span = row.qmax - row.qmin
         step = span / 255.0
         assert row.mse <= step * step / 4.0 + 1e-12, (row.vec_id, row.mse)
+
+
+def test_simhash_banded_equals_quadratic(spark, sf_dir):
+    """Pigeonhole banding is EXACT: the banded join must return the same
+    (pair, hamming) set as the quadratic all-pairs form it replaced in
+    the registry."""
+    docs = load_table(spark, sf_dir, "documents")
+    quad = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in S.simhash_pairs(docs, 3).collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in S.simhash_banded_pairs(docs, 3).collect()
+    }
+    assert banded == quad
+
+
+def test_embedding_near_dup_lsh_precision_and_recall(spark, sf_dir):
+    """LSH-pruned near-dup: every emitted pair must exist in the exact
+    quadratic result with the identical cosine (precision 1.0 — the
+    verify stage is exact), and recall over the exact pairs stays above
+    the floor.  This corpus's pairs sit at cos 0.4-0.51, near the
+    sign-LSH recall cliff, so the floor is deliberately modest; at the
+    cos >= 0.9 regime real dedup targets, the analytical miss rate at
+    the default 16x4 tables is < 1e-3."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in S.embedding_near_dup_pairs(emb, 0.4).collect()
+    }
+    pruned = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in S.embedding_near_dup_lsh(emb, 0.4).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs at 0.4"
+    for pair, cos in pruned.items():
+        assert exact.get(pair) == cos, pair
+    recall = len(set(pruned) & set(exact)) / len(exact)
+    assert recall >= 0.5, f"near-dup LSH recall {recall} below floor"

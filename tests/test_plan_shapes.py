@@ -168,3 +168,15 @@ def test_quantization_has_no_exchange(spark, sf_dir):
     """Per-vector quantization is scan-side only — zero shuffles."""
     plan = _executed_plan(QUERIES["embedding_quantization"].fn(spark, sf_dir))
     assert _exchanges(plan) == 0, plan
+
+
+def test_near_dup_queries_have_no_pair_product(spark, sf_dir):
+    """The registered simhash/embedding near-dup queries are the banded/
+    LSH-pruned forms: candidates come from equality joins on small keys,
+    so the physical plan must contain NO quadratic pair product (a
+    cartesian/nested-loop join over the corpus is the scale-killer the
+    quadratic test twins are quarantined for)."""
+    for name in ("simhash_pairs", "dedup_embedding_cosine"):
+        plan = _executed_plan(QUERIES[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)

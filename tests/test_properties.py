@@ -112,39 +112,37 @@ _doc = st.tuples(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_sequence_packing_conserves_tokens_and_fills_contiguously(spark, rows):
-    """For any corpus: (a) bin token totals sum to the corpus token total
-    per lang (nothing dropped or double-packed); (b) bin ids per lang are
-    exactly the contiguous prefix 0..max_bin implied by sequential fill
-    (cumulative offsets can't skip a bin)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from gmallrealtime02_spark.plans.training_data import PACK_BUDGET
+    """For any corpus, per (lang, shard) stream: (a) bin token totals sum
+    to the stream's corpus token total (nothing dropped or double-packed —
+    oversized docs are SPLIT across bins, not skipped over); (b) bin ids
+    are exactly the contiguous prefix 0..max_bin; (c) every bin except the
+    last holds exactly PACK_BUDGET tokens (perfect fill)."""
+    from gmallrealtime02_spark.plans.training_data import (
+        PACK_BUDGET,
+        PACK_SHARDS,
+        pack_bins,
+    )
 
     df = spark.createDataFrame(rows, "doc_id long, lang string, ntok int")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prior = F.coalesce(F.sum("ntok").over(w), F.lit(0)).cast("long")
-    packed = (
-        df.withColumn("bin", F.floor(prior / PACK_BUDGET))
-        .groupBy("lang", "bin")
-        .agg(F.sum("ntok").alias("bin_tokens"))
-    ).collect()
+    packed = pack_bins(df).collect()
 
-    by_lang_tokens: dict[str, int] = {}
-    by_lang_bins: dict[str, set] = {}
+    by_stream_tokens: dict[tuple, int] = {}
+    by_stream_bins: dict[tuple, dict] = {}
     for r in packed:
-        by_lang_tokens[r.lang] = by_lang_tokens.get(r.lang, 0) + r.bin_tokens
-        by_lang_bins.setdefault(r.lang, set()).add(r.bin)
-    want_tokens: dict[str, int] = {}
-    for _, lang, ntok in rows:
-        want_tokens[lang] = want_tokens.get(lang, 0) + ntok
-    assert by_lang_tokens == want_tokens
-    for lang, bins in by_lang_bins.items():
-        assert bins == set(range(max(bins) + 1)), (lang, sorted(bins))
+        key = (r.lang, r.shard)
+        by_stream_tokens[key] = by_stream_tokens.get(key, 0) + r.bin_tokens
+        by_stream_bins.setdefault(key, {})[r.bin] = r.bin_tokens
+    want_tokens: dict[tuple, int] = {}
+    for doc_id, lang, ntok in rows:
+        key = (lang, doc_id % PACK_SHARDS)
+        want_tokens[key] = want_tokens.get(key, 0) + ntok
+    assert by_stream_tokens == want_tokens
+    for key, bins in by_stream_bins.items():
+        last = max(bins)
+        assert set(bins) == set(range(last + 1)), (key, sorted(bins))
+        for b, toks in bins.items():
+            if b < last:
+                assert toks == PACK_BUDGET, (key, b, toks)
 
 
 @given(
