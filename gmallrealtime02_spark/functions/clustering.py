@@ -96,7 +96,13 @@ def kmeans_inertia_per_iter(
     emb: DataFrame, k: int = 10, iters: int = 5, id_col: str = "vec_id"
 ) -> list[float]:
     """Total within-cluster squared distance after each iteration (for the
-    monotone-descent test gate)."""
+    monotone-descent test gate).
+
+    TEST-GATE ONLY: re-running ``kmeans_assign`` from scratch per prefix
+    makes this O(iters²) full Lloyd recomputes.  Production inertia
+    tracking belongs inside the ``kmeans_assign`` loop (one extra agg per
+    iteration, O(iters)); this helper trades that for zero coupling to
+    the operator's internals."""
     out = []
     for i in range(1, iters + 1):
         a = kmeans_assign(emb, k=k, iters=i, id_col=id_col)

@@ -21,6 +21,7 @@ from ..functions.multimodal import (
     sample_frames,
 )
 from ..sources import load_table
+from ..sources.tables import ensure_parallelism
 from .registry import register
 
 P = TX.HASH_MOD
@@ -124,6 +125,115 @@ def dedup_exact(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
         F.min("doc_id").alias("canonical_id"), F.count("*").alias("dup_count")
+    )
+
+
+CHUNK_WORDS = 10  # pseudo-paragraph width (fixture docs are flat word streams)
+
+_CHUNKS_CTE = f"""
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ch AS (
+    SELECT doc_id, CAST(i AS INT) AS idx,
+           array_to_string(ws[i*{CHUNK_WORDS}+1 : i*{CHUNK_WORDS}+{CHUNK_WORDS}],
+                           ' ') AS chunk
+    FROM w, unnest(generate_series(0,
+        CAST(ceil(len(ws) / {CHUNK_WORDS}.0) AS BIGINT) - 1)) AS t(i)
+)
+"""
+
+
+def _chunked(docs):
+    """Scan-side chunking: each doc's word array sliced into CHUNK_WORDS
+    pseudo-paragraphs, posexploded to (doc_id, idx, chunk) — the explode
+    is the only fan-out; chunk text, not documents, is what shuffles."""
+    ws = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(ws) / CHUNK_WORDS).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(ws, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("idx", "chunk")
+    )
+
+
+@register(
+    "dedup_paragraphs_global",
+    oracle=f"""
+    WITH {_CHUNKS_CTE.strip()},
+    win AS (
+        SELECT doc_id, idx, chunk FROM (
+            SELECT doc_id, idx, chunk,
+                   ROW_NUMBER() OVER (PARTITION BY chunk
+                                      ORDER BY doc_id, idx) AS rn
+            FROM ch) WHERE rn = 1
+    )
+    SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS clean_text,
+           count(*) AS n_kept
+    FROM win GROUP BY doc_id
+    """,
+    tags=("dedup", "training-data", "paragraph"),
+)
+def dedup_paragraphs_global(spark, sf_dir):
+    """Corpus-wide paragraph dedup (the CCNet/RefinedWeb cleaning step):
+    every {n}-word pseudo-paragraph is kept only at its FIRST corpus
+    occurrence (min (doc_id, idx)); documents are reassembled from their
+    surviving paragraphs.  Two shuffles, both on small keys: the
+    min-struct winner aggregation on chunk text (map-side partials
+    collapse repeats before the exchange — no ranking window, no join
+    back), then the per-doc reassembly on doc_id.  At 100 TB the chunk
+    key can be replaced by its 16-byte digest to shrink the exchange
+    further; document bodies never shuffle.""".format(n=CHUNK_WORDS)
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    winners = (
+        _chunked(d)
+        .groupBy("chunk")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.idx").alias("idx"), "chunk")
+    )
+    kept = F.array_sort(F.collect_list(F.struct("idx", "chunk")))
+    return winners.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(kept, lambda s: s["chunk"]), " "
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+
+
+@register(
+    "intra_doc_dedup",
+    oracle=f"""
+    WITH {_CHUNKS_CTE.strip()},
+    firsts AS (
+        SELECT doc_id, chunk, min(idx) AS idx
+        FROM ch GROUP BY doc_id, chunk
+    )
+    SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS dedup_text,
+           count(*) AS n_unique_chunks
+    FROM firsts GROUP BY doc_id
+    """,
+    tags=("dedup", "training-data", "repetition"),
+)
+def intra_doc_dedup(spark, sf_dir):
+    """Within-document repetition removal (the C4-style "drop repeated
+    spans" cleaner): repeated {n}-word pseudo-paragraphs inside one doc
+    collapse to their first occurrence.  Entirely SCAN-SIDE — per-row
+    ``array_distinct`` preserves first-occurrence order, so there is no
+    explode, no shuffle, no state: whole-stage-codegen'd array lambdas
+    only (the oracle uses the explode+min formulation, which is the same
+    function by definition).""".format(n=CHUNK_WORDS)
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(ws) / CHUNK_WORDS).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(ws, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "),
+    )
+    uniq = F.array_distinct(chunks)
+    return d.select(
+        "doc_id",
+        F.array_join(uniq, " ").alias("dedup_text"),
+        F.size(uniq).cast("bigint").alias("n_unique_chunks"),
     )
 
 

@@ -24,6 +24,7 @@ from datetime import date as _date
 from datetime import timedelta
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .operators import dau as dau_ops
 from .sources import load_table
@@ -47,6 +48,107 @@ def _dau_for_dates(spark: SparkSession, sf_dir: str, dates: list[str]):
         ts_bounds={"ts": (_day_bounds(lo)[0], _day_bounds(hi)[1])},
     )
     return dau_ops.dau_rows(events)
+
+
+def paged_detail(
+    spark: SparkSession,
+    sf_dir: str,
+    page: int = 1,
+    size: int = 20,
+    keyword: str | None = None,
+    draw: int = 1,
+) -> str:
+    """GET /getData — the dw-chart DataTables contract
+    (IndexController.java:79-111 wraps the ES page as
+    ``{'draw':…,'data':…}``; the commented fallback at :112-186 shows the
+    intended inner shape ``total``+``rows``).  Here: customer-enriched
+    order rows, keyword-filtered (the ES keyword match maps to a
+    customer-name substring), deterministically ordered
+    (o_orderdate DESC, order key ASC) and paged.
+
+    Scale: offset pagination is rendered with a global row_number only
+    over the requested slice semantics — the sort key is chosen so a
+    100 TB serving deployment can switch to keyset pagination
+    (WHERE (o_orderdate, o_orderkey) < last_seen … LIMIT size) without
+    changing the contract."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_name"), F.col("c_mktsegment")
+    )
+    d = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("o_totalprice").alias("final_total_amount"),
+        F.col("o_orderdate").alias("order_date"),
+    )
+    if keyword:
+        d = d.filter(F.col("user_name").contains(keyword))
+    total = d.count()
+    w = Window.orderBy(F.col("order_date").desc(), F.col("order_id").asc())
+    lo, hi = (page - 1) * size + 1, page * size
+    rows = [
+        {
+            "order_id": r["order_id"],
+            "user_id": r["user_id"],
+            "user_name": r["user_name"],
+            "segment": r["segment"],
+            "order_status": r["order_status"],
+            "final_total_amount": r["final_total_amount"],
+            "order_date": str(r["order_date"]),
+        }
+        for r in d.withColumn("page_row", F.row_number().over(w))
+        .filter(F.col("page_row").between(lo, hi))
+        .drop("page_row")
+        .collect()
+    ]
+    return json.dumps({"draw": draw, "total": total, "rows": rows})
+
+
+def stat_groups(spark: SparkSession, sf_dir: str) -> str:
+    """GET /getSexData — the dw-chart demographic stat-group shape
+    (IndexController.java:189-195: ``{'stat':[{'group':[{name,value}…]},
+    …]}``).  The reference HARDCODES the values; here they are computed —
+    group 1 is the tier bucket distribution, group 2 the segment-class
+    distribution, both from the P9 CASE buckets (DimUserInfoApp.scala:
+    55-82 analogue in operators/buckets.py).  One scan, two tiny
+    grouped counts."""
+    from .operators.buckets import user_dim
+
+    dim = user_dim(load_table(spark, sf_dir, "customer")).persist()
+    try:
+        tiers = {
+            r["tier"]: r["ct"]
+            for r in dim.groupBy("tier").agg(F.count("*").alias("ct")).collect()
+        }
+        segs = {
+            r["segment_class"]: r["ct"]
+            for r in dim.groupBy("segment_class")
+            .agg(F.count("*").alias("ct"))
+            .collect()
+        }
+    finally:
+        dim.unpersist()
+    return json.dumps(
+        {
+            "stat": [
+                {
+                    "group": [
+                        {"name": k, "value": tiers[k]} for k in sorted(tiers)
+                    ]
+                },
+                {
+                    "group": [
+                        {"name": k, "value": segs[k]} for k in sorted(segs)
+                    ]
+                },
+            ]
+        }
+    )
 
 
 def realtime_total(spark: SparkSession, sf_dir: str, date: str) -> str:

@@ -180,3 +180,20 @@ def test_near_dup_queries_have_no_pair_product(spark, sf_dir):
         plan = _executed_plan(QUERIES[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_intra_doc_dedup_has_no_exchange(spark, sf_dir):
+    """Within-doc repetition removal is scan-side array work — zero
+    shuffles (the whole point of array_distinct over explode)."""
+    plan = _executed_plan(QUERIES["intra_doc_dedup"].fn(spark, sf_dir))
+    assert _exchanges(plan) == 0, plan
+
+
+def test_paragraph_dedup_two_small_key_shuffles(spark, sf_dir):
+    """Corpus-wide paragraph dedup: min-struct winner agg on chunk text +
+    per-doc reassembly — exactly two shuffle exchanges, no join, no
+    ranking window."""
+    plan = _executed_plan(QUERIES["dedup_paragraphs_global"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 2, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan

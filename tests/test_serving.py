@@ -54,3 +54,49 @@ def test_realtime_hour_contract(spark, duck, sf_dir):
         want[key] = {hr: ct for hr, ct in rows}
     assert out == want
     assert out["today"], "fixture day should have actives"
+
+
+def test_paged_detail_contract(spark, duck, sf_dir):
+    out = json.loads(serving.paged_detail(spark, sf_dir, page=2, size=5, draw=7))
+    assert out["draw"] == 7
+    want_total = duck.execute("SELECT count(*) FROM orders").fetchone()[0]
+    assert out["total"] == want_total
+    want_rows = duck.execute("""
+        SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_orderstatus,
+               o_totalprice, o_orderdate
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_orderdate DESC, o_orderkey ASC
+        LIMIT 5 OFFSET 5
+    """).fetchall()
+    assert [r["order_id"] for r in out["rows"]] == [w[0] for w in want_rows]
+    assert [r["user_name"] for r in out["rows"]] == [w[2] for w in want_rows]
+
+
+def test_paged_detail_keyword_filter(spark, duck, sf_dir):
+    kw = "0000001"
+    out = json.loads(serving.paged_detail(spark, sf_dir, size=10, keyword=kw))
+    want_total = duck.execute(
+        "SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey "
+        f"WHERE c_name LIKE '%{kw}%'"
+    ).fetchone()[0]
+    assert out["total"] == want_total
+    assert all(kw in r["user_name"] for r in out["rows"])
+
+
+def test_stat_groups_contract(spark, duck, sf_dir):
+    out = json.loads(serving.stat_groups(spark, sf_dir))
+    want_tiers = dict(duck.execute("""
+        SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'vip'
+                    WHEN c_acctbal < 0 THEN 'debt'
+                    WHEN c_acctbal < 5000 THEN 'standard'
+                    ELSE 'premium' END AS tier, count(*)
+        FROM customer GROUP BY 1
+    """).fetchall())
+    want_segs = dict(duck.execute("""
+        SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'B' ELSE 'C' END, count(*)
+        FROM customer GROUP BY 1
+    """).fetchall())
+    got_tiers = {g["name"]: g["value"] for g in out["stat"][0]["group"]}
+    got_segs = {g["name"]: g["value"] for g in out["stat"][1]["group"]}
+    assert got_tiers == want_tiers
+    assert got_segs == want_segs
