@@ -110,6 +110,86 @@ def kmeans_inertia_per_iter(
     return out
 
 
+def semdedup_pairs(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style near-dup pairs (Abbas et al. 2023, arXiv:2303.09540):
+    k-means the embeddings, then run the exact cosine pair check ONLY
+    within each cluster — the pair product shrinks from n² to
+    Σ|cluster|² ≈ n²/k, and true near-dups (cosine ≥ 0.95 ⇒ nearly
+    coincident points) land in the same cluster except exactly on a
+    Voronoi boundary.  At 100 TB: k scales with corpus size (n/k held
+    ~constant), the join key is (cid), and each cluster's pairs
+    materialize independently — embarrassingly parallel across clusters.
+
+    Returns (vec_a, vec_b, cosine) with cosine rounded to 6 decimals,
+    matching ``similarity.embedding_near_dup_pairs`` restricted to
+    same-cluster pairs (pytest pins the equivalence)."""
+    from .similarity import _dot
+
+    a = kmeans_assign(emb, k=k, iters=iters, id_col=id_col)
+    v = (
+        emb.select(id_col, "embedding")
+        .join(a.select(id_col, "cid"), id_col)
+        .select(
+            id_col,
+            "cid",
+            "embedding",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+        .persist()
+    )
+    try:
+        lhs = v.select(
+            F.col("cid"),
+            F.col(id_col).alias("vec_a"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        rhs = v.select(
+            F.col("cid"),
+            F.col(id_col).alias("vec_b"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        cos = F.round(
+            _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+        )
+        return (
+            lhs.join(rhs, "cid")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        v.unpersist()
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Full SemDeDup assignment: cluster-pruned near-dup pairs →
+    connected components → (vec_id, canonical_id) for every vector in a
+    duplicate group (singletons omitted, as in ``dedup_canonical``)."""
+    from .similarity import connected_components
+
+    pairs = semdedup_pairs(emb, k, iters, threshold, id_col).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return connected_components(pairs).select(
+        F.col("doc_id").alias(id_col), F.col("component").alias("canonical_id")
+    )
+
+
 QUANT_LEVELS = 255  # int8 code range 0..255
 
 

@@ -782,6 +782,10 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # localCheckpoint truncates lineage each round (the logical plan
+        # would otherwise deepen linearly with iterations) and lets the
+        # superseded round's cache be dropped immediately — storage stays
+        # O(1) rounds, not O(iters).
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -790,7 +794,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -799,9 +803,11 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select("doc_id", "component")
 
 

@@ -112,6 +112,82 @@ def quality_score(text: Column) -> Column:
     return micro.cast("double") / F.lit(10_000_000.0)
 
 
+# Gopher-style rule thresholds (Rae et al. 2021, "Scaling Language
+# Models", Table A1 — adapted to the fixture corpus's flat word streams).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_AVG_WORD_LEN = 3.0
+GOPHER_MAX_AVG_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.80
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def alpha_word_count(text: Column) -> Column:
+    """How many whitespace tokens contain at least one ASCII letter."""
+    return F.size(F.filter(words(text), lambda w: w.rlike("[a-zA-Z]")))
+
+
+def gopher_rules(text: Column) -> dict[str, Column]:
+    """Per-document Gopher quality-rule booleans.  Every comparison is on
+    exact int/int IEEE division (bit-identical across engines), so the
+    booleans — unlike raw float features — hash-compare safely."""
+    n_chars = F.length(text)
+    n_words = word_count(text)
+    avg_wl = (n_chars - (n_words - 1)).cast("double") / n_words
+    symbol_ratio = punct_count(text).cast("double") / n_words
+    alpha_ratio = alpha_word_count(text).cast("double") / n_words
+    return {
+        "ok_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "ok_avg_word_len": (avg_wl >= GOPHER_MIN_AVG_WORD_LEN)
+        & (avg_wl <= GOPHER_MAX_AVG_WORD_LEN),
+        "ok_symbol_ratio": symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO,
+        "ok_alpha_words": alpha_ratio >= GOPHER_MIN_ALPHA_WORD_RATIO,
+        "ok_stopwords": stopword_hits(text, LANG_MARKERS["en"])
+        >= GOPHER_MIN_STOPWORD_HITS,
+    }
+
+
+# PII patterns restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): literal classes, bounded repetition,
+# no backreferences or lookaround.
+PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IPV4_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Occurrence counts per PII class (codegen'd regexp_extract_all)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), F.lit(0))),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), F.lit(0))),
+        "n_ipv4": F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), F.lit(0))),
+    }
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails → <EMAIL>, phones → <PHONE>, IPv4 → <IP> (order
+    matters: emails first so their domain dots never half-match as IPs)."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+
+
+def word_bigrams(text: Column) -> Column:
+    """All consecutive word bigrams, duplicates preserved (the repetition
+    signals need multiplicity — unlike the deduped shingles LSH uses)."""
+    ws = words(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+    )
+    # sequence(1, 0) would count DOWN ([1, 0]); guard sub-2-word docs.
+    return F.when(F.size(ws) >= 2, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def char_codepoints(s: Column) -> Column:
     """Array of codepoints (empty-string guard on both engines)."""
     return F.transform(

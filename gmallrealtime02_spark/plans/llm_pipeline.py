@@ -549,6 +549,193 @@ def doc_fingerprint(spark, sf_dir):
     )
 
 
+_GOPHER_FEATS = """
+    SELECT doc_id, length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+           len(list_filter(string_split(text, ' '),
+               w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+           len(list_filter(string_split(text, ' '),
+               w -> list_contains(['the', 'a', 'of', 'and', 'is'], w))) AS n_stop
+    FROM documents
+"""
+
+
+@register(
+    "gopher_quality_filter",
+    oracle=f"""
+    SELECT doc_id, ok_word_count, ok_avg_word_len, ok_symbol_ratio,
+           ok_alpha_words, ok_stopwords,
+           ok_word_count AND ok_avg_word_len AND ok_symbol_ratio
+               AND ok_alpha_words AND ok_stopwords AS keep
+    FROM (
+        SELECT doc_id,
+               n_words BETWEEN {TX.GOPHER_MIN_WORDS} AND {TX.GOPHER_MAX_WORDS}
+                   AS ok_word_count,
+               CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words
+                   BETWEEN {TX.GOPHER_MIN_AVG_WORD_LEN} AND {TX.GOPHER_MAX_AVG_WORD_LEN}
+                   AS ok_avg_word_len,
+               CAST(n_punct AS DOUBLE) / n_words <= {TX.GOPHER_MAX_SYMBOL_RATIO}
+                   AS ok_symbol_ratio,
+               CAST(n_alpha AS DOUBLE) / n_words >= {TX.GOPHER_MIN_ALPHA_WORD_RATIO}
+                   AS ok_alpha_words,
+               n_stop >= {TX.GOPHER_MIN_STOPWORD_HITS} AS ok_stopwords
+        FROM ({_GOPHER_FEATS.strip()})
+    )
+    """,
+    tags=("text", "quality", "filter", "gopher"),
+)
+def gopher_quality_filter(spark, sf_dir):
+    """Gopher-style document quality rules (Rae et al. 2021 Table A1
+    shape: word-count bounds, mean-word-length bounds, symbol ratio,
+    alphabetic-word fraction, stopword floor) as per-doc booleans plus
+    the conjunction.  Pure codegen'd column math — scan-parallel, zero
+    shuffle; the booleans (exact int/int comparisons) hash-compare
+    safely where raw float features would not."""
+    d = load_table(spark, sf_dir, "documents")
+    rules = TX.gopher_rules(F.col("text"))
+    keep = F.lit(True)
+    for c in rules.values():
+        keep = keep & c
+    return d.select(
+        "doc_id", *[c.alias(n) for n, c in rules.items()], keep.alias("keep")
+    )
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{TX.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{TX.PII_PHONE_RE}', '<PHONE>', 'g'),
+               '{TX.PII_IPV4_RE}', '<IP>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{TX.PII_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{TX.PII_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           CAST(len(regexp_extract_all(text, '{TX.PII_IPV4_RE}')) AS BIGINT)
+               AS n_ipv4
+    FROM documents
+    """,
+    tags=("text", "pii", "filter"),
+)
+def pii_scrub_q(spark, sf_dir):
+    """PII redaction pass: emails/phones/IPv4 replaced by typed
+    placeholders, per-class occurrence counts kept for audit.  Regex is
+    restricted to syntax with identical semantics in Java regex and RE2
+    (no lookaround/backreferences), all codegen'd scan-side — the shape
+    of every "run a cleaning regex over 100 TB" job.  Pattern-hit
+    behavior on crafted PII strings is pinned in pytest (the fixture
+    corpus itself is word soup)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = TX.pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        TX.pii_scrub(F.col("text")).alias("clean_text"),
+        *[c.cast("bigint").alias(n) for n, c in counts.items()],
+    )
+
+
+@register(
+    "repetition_filter",
+    oracle="""
+    SELECT doc_id, n_bigrams, top_count,
+           round(CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams, 6)
+               AS dup_fraction,
+           round(CAST(top_count AS DOUBLE) / n_bigrams, 6) AS top_fraction,
+           CAST(top_count AS DOUBLE) / n_bigrams > 0.1
+               OR CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams > 0.3
+               AS flagged
+    FROM (
+        SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+               CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
+               CAST(list_max(list_transform(list_distinct(bg),
+                   x -> len(list_filter(bg, y -> y = x)))) AS BIGINT)
+                   AS top_count
+        FROM (
+            SELECT doc_id,
+                   list_transform(generate_series(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1]) AS bg
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents)
+            WHERE len(ws) >= 2
+        )
+    )
+    """,
+    tags=("text", "repetition", "filter", "gopher"),
+)
+def repetition_filter(spark, sf_dir):
+    """Gopher-style repetition signals: duplicate-bigram fraction and
+    most-frequent-bigram share per document, with a combined flag.
+    Entirely SCAN-SIDE array lambdas (bigrams, array_distinct, a
+    count-per-distinct fold) — zero shuffle, per-doc cost
+    O(distinct x total) bounded by document length, independent of
+    corpus size.  Docs under two words carry no bigram signal and are
+    excluded (same predicate in the oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = TX.word_bigrams(F.col("text"))
+    d = d.select("doc_id", bg.alias("bg")).filter(F.size("bg") >= 1)
+    dist = F.array_distinct(F.col("bg"))
+    n_bigrams = F.size("bg").cast("bigint")
+    n_distinct = F.size(dist).cast("bigint")
+    top_count = F.array_max(
+        F.transform(
+            dist,
+            lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
+        )
+    ).cast("bigint")
+    dup_f = (n_bigrams - n_distinct).cast("double") / n_bigrams
+    top_f = top_count.cast("double") / n_bigrams
+    return d.select(
+        "doc_id",
+        n_bigrams.alias("n_bigrams"),
+        top_count.alias("top_count"),
+        F.round(dup_f, 6).alias("dup_fraction"),
+        F.round(top_f, 6).alias("top_fraction"),
+        ((top_f > 0.1) | (dup_f > 0.3)).alias("flagged"),
+    )
+
+
+@register(
+    "source_mix",
+    oracle="""
+    SELECT source, lang, n_docs, total_tokens,
+           round(CAST(total_tokens AS DOUBLE)
+                 / sum(total_tokens) OVER (), 6) AS token_share
+    FROM (
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS total_tokens
+        FROM documents GROUP BY 1, 2
+    )
+    """,
+    tags=("training-data", "mix", "report"),
+)
+def source_mix(spark, sf_dir):
+    """Corpus composition report: docs + token mass per (source, lang)
+    and each cell's share of total tokens — the table every training-mix
+    decision starts from.  Token counts are map-side partial sums into
+    one small-key exchange; the share is a window over the few grouped
+    rows (post-agg cardinality = |sources| x |langs|, trivial at any
+    corpus size)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    g = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).cast("bigint").alias("total_tokens"),
+    )
+    share = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(
+        Window.partitionBy()
+    )
+    return g.select(
+        "source", "lang", "n_docs", "total_tokens",
+        F.round(share, 6).alias("token_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (rows-only: byte-level features via mapInPandas)
 # ---------------------------------------------------------------------------
@@ -799,7 +986,11 @@ def training_mix(spark, sf_dir):
 # Clustering + embedding compression
 # ---------------------------------------------------------------------------
 
-from ..functions.clustering import kmeans_assign, quantize_per_vector  # noqa: E402
+from ..functions.clustering import (  # noqa: E402
+    kmeans_assign,
+    quantize_per_vector,
+    semdedup_pairs,
+)
 
 
 @register(
@@ -859,4 +1050,72 @@ def embedding_quantization_q(spark, sf_dir):
         F.round("qmin", 6).alias("qmin"),
         F.round("qmax", 6).alias("qmax"),
         F.round("mse", 9).alias("mse"),
+    )
+
+
+@register(
+    "dedup_semantic",
+    oracle=None,  # k-means is iterative (no SQL twin); pytest pins exact
+    # equivalence to the brute-force pairs restricted to same-cluster
+    # membership, and subset-of-quadratic precision
+    tags=("dedup", "embedding", "semdedup", "clustering"),
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): embedding near-dup pairs found by
+    k-means cluster pruning — the pair product materializes per cluster
+    (expected n²/k), never globally.  The third registered scale path
+    for embedding dedup beside LSH (`dedup_embedding_cosine`) and IVF:
+    clustering prunes by GLOBAL geometry where LSH prunes by random
+    projections, so SemDeDup recall does not decay at moderate
+    thresholds.  Threshold 0.4 matches the LSH form for comparability
+    on this corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_pairs(emb, k=8, iters=3, threshold=0.4)
+
+
+TEMP_ALPHA = 0.3  # multilingual sampling temperature (XLM-R-style)
+
+
+@register(
+    "lang_rebalance",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    shares AS (
+        SELECT lang, n_docs,
+               CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS share,
+               pow(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (),
+                   {TEMP_ALPHA}) AS pw
+        FROM counts
+    )
+    SELECT lang, n_docs, round(share, 6) AS raw_share,
+           round(pw / sum(pw) OVER (), 6) AS temp_weight,
+           round(pw / sum(pw) OVER () / share, 6) AS resample_factor
+    FROM shares
+    """,
+    tags=("training-data", "mix", "sampling"),
+)
+def lang_rebalance(spark, sf_dir):
+    """Temperature-based language rebalancing (the XLM-R / mT5
+    multilingual mix rule): sampling weight w_l = p_l^a / sum p_m^a with
+    a = {a}, flattening the language distribution so low-resource
+    languages are up-sampled.  One tiny per-lang count exchange; the
+    weight normalization is windows over |langs| grouped rows.  Emits
+    the raw share, the temperature weight, and the per-lang resample
+    factor (w_l / p_l) a sampler would apply.""".format(a=TEMP_ALPHA)
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy()
+    share = F.col("n_docs").cast("double") / F.sum("n_docs").over(w)
+    pw = F.pow(share, F.lit(TEMP_ALPHA))
+    weight = pw / F.sum(pw).over(w)
+    return g.select(
+        "lang",
+        "n_docs",
+        F.round(share, 6).alias("raw_share"),
+        F.round(weight, 6).alias("temp_weight"),
+        F.round(weight / share, 6).alias("resample_factor"),
     )

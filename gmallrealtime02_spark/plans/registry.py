@@ -81,29 +81,37 @@ _PRIORITY = [
     "customers_no_orders",
     "customers_with_orders",
     # -- LLM-data-pipeline family (graded as first-class components) --
+    # Window economics: a rows-only query spends a slot on a weaker
+    # check, so inside the window rows-only entries appear ONLY where
+    # their judge-table line has no oracled sibling (embedding near-dup,
+    # k-means); ANN scale variants (np/LSH/IVF) and media resize/frames
+    # sit after the window — ann_cosine_topk / media_features are the
+    # oracled in-window representatives, and pytest recall/fan-out gates
+    # carry the variants' evidence.
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_canonical",
+    "dedup_paragraphs_global",
+    "intra_doc_dedup",
     "simhash_signatures",
     "simhash_pairs",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
-    "ann_cosine_topk_np",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
     "lang_id",
     "doc_quality",
     "token_stats",
     "doc_fingerprint",
     "doc_top_terms",
+    "gopher_quality_filter",
+    "pii_scrub",
+    "repetition_filter",
     "dedup_keep_list",
     "doc_hash_sample",
     "token_count_histogram",
     "training_mix",
+    "source_mix",
     "media_features",
-    "media_resize",
-    "media_frames",
     "kmeans_clusters",
     "embedding_quantization",
     # -- training-data assembly --
@@ -111,7 +119,13 @@ _PRIORITY = [
     "decontamination",
     "stratified_sample",
     "value_moments",
+    # -- post-window: scale variants whose lines are already covered --
     "quantity_price_corr",
+    "ann_cosine_topk_np",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "media_resize",
+    "media_frames",
 ]
 
 

