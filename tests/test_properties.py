@@ -226,3 +226,86 @@ def test_power_sum_variance_matches_numpy(spark, rows):
             np.array([x for k, x in rows if k == g], dtype=np.float64), 6
         )
         np.testing.assert_allclose(var, xs.var(ddof=1), rtol=1e-6, atol=1e-9)
+
+
+# --- cleaning family: Spark column math vs pure-python mirrors -------------
+
+_pii_atom = st.one_of(
+    st.sampled_from(
+        [
+            "plain", "words", "x1", "a-b", "semi@colon",  # near-misses
+            "bob.smith+x@example.co.uk", "a@b.io",        # emails
+            "555-867-5309", "123-456-7890",               # phones
+            "10.0.255.1", "1.2.3.4",                      # ipv4
+        ]
+    ),
+    st.text(alphabet="abc@.-0123456789", min_size=1, max_size=8),
+)
+
+
+@given(st.lists(_pii_atom, min_size=1, max_size=8).map(" ".join))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pii_scrub_matches_re_and_is_idempotent(spark, text):
+    """Spark's scrub/count == Python re with the same patterns (the
+    patterns are restricted to the Java∩RE2∩`re` common subset), and
+    scrubbing is idempotent (placeholders never re-match)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from gmallrealtime02_spark.functions import text as TX
+
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        TX.pii_scrub(F.col("text")).alias("clean"),
+        TX.pii_counts(F.col("text"))["n_emails"].alias("ne"),
+        TX.pii_counts(F.col("text"))["n_phones"].alias("np"),
+        TX.pii_counts(F.col("text"))["n_ipv4"].alias("ni"),
+        TX.pii_scrub(TX.pii_scrub(F.col("text"))).alias("clean2"),
+    ).collect()[0]
+    assert row.ne == len(re.findall(TX.PII_EMAIL_RE, text))
+    assert row.np == len(re.findall(TX.PII_PHONE_RE, text))
+    assert row.ni == len(re.findall(re.sub(r"\((.*?)\)", r"(?:\1)", TX.PII_IPV4_RE), text))
+    want = re.sub(TX.PII_EMAIL_RE, "<EMAIL>", text)
+    want = re.sub(TX.PII_PHONE_RE, "<PHONE>", want)
+    want = re.sub(TX.PII_IPV4_RE, "<IP>", want)
+    assert row.clean == want
+    assert row.clean2 == row.clean
+
+
+@given(st.lists(st.text(alphabet="ab", min_size=1, max_size=2), min_size=2, max_size=12).map(" ".join))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_repetition_signals_match_counter(spark, text):
+    """Bigram repetition stats == a collections.Counter mirror over the
+    identical whitespace tokenization (heavy-repeat alphabet 'a'/'b'
+    stresses the dup/top fractions)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from gmallrealtime02_spark.functions import text as TX
+
+    ws = text.split(" ")
+    grams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    cnt = Counter(grams)
+    df = spark.createDataFrame([(text,)], "text string")
+    bg = TX.word_bigrams(F.col("text"))
+    dist = F.array_distinct(bg)
+    row = df.select(
+        F.size(bg).alias("n"),
+        F.size(dist).alias("d"),
+        F.array_max(
+            F.transform(dist, lambda x: F.size(F.filter(bg, lambda y: y == x)))
+        ).alias("top"),
+    ).collect()[0]
+    assert row.n == len(grams)
+    assert row.d == len(cnt)
+    assert row.top == max(cnt.values())
