@@ -67,6 +67,7 @@ _PRIORITY = [
     "detail_snowflake",
     "order_wide",
     "user_tier_bucket",
+    "scd2_history",
     # -- remaining §2 ID coverage (S5/K2, P1/P2/P5/P6/P7, A3, J2, §2.7) --
     "agg_avg_ordered",
     "distinct_users_daily",
@@ -117,9 +118,9 @@ _PRIORITY = [
     # -- training-data assembly --
     "sequence_packing",
     "decontamination",
-    "stratified_sample",
     "value_moments",
     # -- post-window: scale variants whose lines are already covered --
+    "stratified_sample",
     "quantity_price_corr",
     "ann_cosine_topk_np",
     "ann_lsh_topk",

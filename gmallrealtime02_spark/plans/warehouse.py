@@ -8,6 +8,7 @@ signature query — parse → derive dt/hr → first-seen dedup → hourly agg.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dau as dau_ops
 from ..sources import load_table
@@ -199,3 +200,60 @@ def order_wide_q(spark, sf_dir):
 def user_tier_bucket(spark, sf_dir):
     """CASE bucket with override precedence — DimUserInfoApp.scala:55-82."""
     return user_dim(load_table(spark, sf_dir, "customer"))
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    chg AS (
+        SELECT user_id, event_id, ts, event_type FROM s
+        WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current,
+           CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS version
+    FROM chg
+    """,
+    tags=("P9", "warehouse", "scd2", "window"),
+)
+def scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build from a change stream: each
+    user's event stream becomes versioned state rows with
+    [valid_from, valid_to) intervals — consecutive repeats of the same
+    state collapse (lag change-detect), intervals close at the next
+    change (lead), the open row is current.  The batch form of the dim
+    maintenance the reference does per-record against Phoenix/HBase
+    (DimUserInfoApp.scala:55-82 upserts; this derives full history, not
+    just latest).  ONE exchange at any scale: lag/filter/lead/row_number
+    all share the (user_id) partitioning and (ts, event_id) sort, so
+    Catalyst plans a single hash exchange + sort (plan-gated);
+    event_id is the total-order tiebreak for equal timestamps —
+    without it, version numbering is nondeterministic across runs."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = e.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNull() | (F.col("event_type") != F.col("prev"))
+    )
+    return chg.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    )

@@ -213,3 +213,11 @@ def test_source_mix_single_grouped_exchange(spark, sf_dir):
     scales with corpus size crosses the wire twice."""
     plan = _executed_plan(QUERIES["source_mix"].fn(spark, sf_dir))
     assert _exchanges(plan) <= 2, plan
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """SCD2 history: lag change-detect, lead interval close, and version
+    row_number all share one (user_id) partitioning + (ts, event_id)
+    sort — exactly ONE hash exchange end-to-end."""
+    plan = _executed_plan(QUERIES["scd2_history"].fn(spark, sf_dir))
+    assert _exchanges(plan) == 1, plan
