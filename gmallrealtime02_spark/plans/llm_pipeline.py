@@ -668,23 +668,42 @@ def pii_scrub_q(spark, sf_dir):
 def repetition_filter(spark, sf_dir):
     """Gopher-style repetition signals: duplicate-bigram fraction and
     most-frequent-bigram share per document, with a combined flag.
-    Entirely SCAN-SIDE array lambdas (bigrams, array_distinct, a
-    count-per-distinct fold) — zero shuffle, per-doc cost
-    O(distinct x total) bounded by document length, independent of
-    corpus size.  Docs under two words carry no bigram signal and are
-    excluded (same predicate in the oracle)."""
+    Entirely SCAN-SIDE array lambdas, zero shuffle.  The max bigram
+    multiplicity is the LONGEST EQUAL-RUN OF THE SORTED bigram array —
+    one array_sort + one linear fold, O(n log n) per doc (a first-cut
+    count-per-distinct transform was O(distinct × total) and 13× slower
+    on sf0.1's longer documents; the oracle keeps that formulation since
+    the two are equal by definition).  Docs under two words carry no
+    bigram signal and are excluded (same predicate in the oracle).
+    The words array is PROJECTED before the bigram zip_with — inlining
+    the split re-evaluates it per element (10× slower, see
+    functions/text.py word_bigrams_of)."""
     d = load_table(spark, sf_dir, "documents")
-    bg = TX.word_bigrams(F.col("text"))
-    d = d.select("doc_id", bg.alias("bg")).filter(F.size("bg") >= 1)
-    dist = F.array_distinct(F.col("bg"))
+    ws_d = d.select("doc_id", F.split("text", " ").alias("ws"))
+    d = ws_d.select(
+        "doc_id", TX.word_bigrams_of(F.col("ws")).alias("bg")
+    ).filter(F.size("bg") >= 1)
     n_bigrams = F.size("bg").cast("bigint")
-    n_distinct = F.size(dist).cast("bigint")
-    top_count = F.array_max(
-        F.transform(
-            dist,
-            lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
-        )
-    ).cast("bigint")
+    n_distinct = F.size(F.array_distinct(F.col("bg"))).cast("bigint")
+    zero = F.lit(0).cast("long")
+    run_of = lambda acc, x: (  # noqa: E731 — run length through element x
+        F.when(x == acc["prev"], acc["run"] + F.lit(1).cast("long"))
+        .otherwise(F.lit(1).cast("long"))
+    )
+    top_count = F.aggregate(
+        F.array_sort(F.col("bg")),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("run"),
+            zero.alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_of(acc, x).alias("run"),
+            F.greatest(acc["best"], run_of(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
     dup_f = (n_bigrams - n_distinct).cast("double") / n_bigrams
     top_f = top_count.cast("double") / n_bigrams
     return d.select(
