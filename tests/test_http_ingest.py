@@ -103,3 +103,54 @@ def test_http_ingest_batched_spool(spark, tmp_path):
     q.awaitTermination(60)
     got = {r.mid for r in spark.sql("SELECT mid FROM ingest_batched").collect()}
     assert got == {f"b{i}" for i in range(6)}
+
+
+def test_http_to_dau_full_chain(spark, tmp_path):
+    """The reference's §3.1 architecture end-to-end in one test:
+    app →HTTP /applog→ start-route spool (the GMALL_START twin) →
+    streaming first-seen dedup → idempotent keyed DAU upsert (the ES
+    bulk twin) — LoggerController.java:28-37 + DauApp.scala:59-75
+    without a broker."""
+    from pyspark.sql import functions as F
+
+    from gmallrealtime02_spark.streaming import jobs as SJ
+
+    spool = str(tmp_path / "chain_spool")
+    out = str(tmp_path / "chain_out")
+    ckpt = str(tmp_path / "chain_ckpt")
+    col = LogCollector(spool).start()
+    host, port = col.address
+    url = f"http://{host}:{port}/applog"
+    day = 1704100000  # 2024-01-01 UTC
+    try:
+        posts = [
+            {"mid": "mid_a", "start": "1", "ts": day + 3600},
+            {"mid": "mid_a", "start": "1", "ts": day + 7200},  # same-day dup
+            {"mid": "mid_b", "start": "1", "ts": day + 60},
+            {"mid": "mid_a", "start": "1", "ts": day + 90000},  # next day
+            {"mid": "mid_c", "page": "home", "ts": day},  # event, not start
+        ]
+        for p in posts:
+            assert _post(url, p) == "success"
+    finally:
+        col.stop()
+
+    starts = log_stream(
+        spark, spool, "start", "mid string, start string, ts long"
+    ).select(
+        F.col("mid").alias("user_id"),
+        F.timestamp_seconds("ts").alias("ts"),
+        F.lit("start").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    q = SJ.start_dau_job(starts, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.dt, r.mid) for r in spark.read.parquet(out).collect()}
+    assert got == {
+        ("2024-01-01", "mid_a"),
+        ("2024-01-01", "mid_b"),
+        ("2024-01-02", "mid_a"),
+    }
