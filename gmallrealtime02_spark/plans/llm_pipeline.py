@@ -142,18 +142,24 @@ ch AS (
 """
 
 
+def _chunk_array(ws):
+    """CHUNK_WORDS-wide pseudo-paragraph array from a words-ARRAY column
+    (must be PROJECTED first — an inlined split re-evaluates per lambda
+    element, see functions/text.py word_bigrams_of)."""
+    n_chunks = F.ceil(F.size(ws) / CHUNK_WORDS).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(ws, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "),
+    )
+
+
 def _chunked(docs):
     """Scan-side chunking: each doc's word array sliced into CHUNK_WORDS
     pseudo-paragraphs, posexploded to (doc_id, idx, chunk) — the explode
     is the only fan-out; chunk text, not documents, is what shuffles."""
-    ws = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(ws) / CHUNK_WORDS).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(ws, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "),
-    )
-    return docs.select(
-        "doc_id", F.posexplode(chunks).alias("idx", "chunk")
+    ws_d = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    return ws_d.select(
+        "doc_id", F.posexplode(_chunk_array(F.col("ws"))).alias("idx", "chunk")
     )
 
 
@@ -223,14 +229,9 @@ def intra_doc_dedup(spark, sf_dir):
     only (the oracle uses the explode+min formulation, which is the same
     function by definition).""".format(n=CHUNK_WORDS)
     d = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(ws) / CHUNK_WORDS).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(ws, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "),
-    )
-    uniq = F.array_distinct(chunks)
-    return d.select(
+    ws_d = d.select("doc_id", F.split("text", " ").alias("ws"))
+    uniq = F.array_distinct(_chunk_array(F.col("ws")))
+    return ws_d.select(
         "doc_id",
         F.array_join(uniq, " ").alias("dedup_text"),
         F.size(uniq).cast("bigint").alias("n_unique_chunks"),
@@ -1137,4 +1138,51 @@ def lang_rebalance(spark, sf_dir):
         F.round(share, 6).alias("raw_share"),
         F.round(weight, 6).alias("temp_weight"),
         F.round(weight / share, 6).alias("resample_factor"),
+    )
+
+
+TOP_NGRAMS_K = 50
+
+
+@register(
+    "corpus_top_ngrams",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+        SELECT ws[i] || ' ' || ws[i+1] AS bigram
+        FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    counts AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram)
+    SELECT bigram, n FROM (
+        SELECT bigram, n,
+               row_number() OVER (ORDER BY n DESC, bigram ASC) AS rnk
+        FROM counts
+    ) WHERE rnk <= {TOP_NGRAMS_K}
+    """,
+    tags=("text", "ngram", "heavy-hitters", "tokenizer"),
+)
+def corpus_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-{k} bigrams by occurrence — the first iteration of
+    BPE-style merge-pair counting and the canonical heavy-hitters shape:
+    bigrams explode scan-side from a PROJECTED words array, partial
+    counts combine map-side so the exchange carries (distinct-bigram,
+    count) pairs, then a single top-k.  The final ordering exchange
+    moves only the grouped counts; ties break lexicographically for
+    cross-engine determinism.  At 100 TB, replace the exact global
+    ordering with per-partition top-k + merge (same two-stage shape
+    Spark already plans via TakeOrderedAndProject).""".format(
+        k=TOP_NGRAMS_K
+    )
+    d = load_table(spark, sf_dir, "documents")
+    ws_d = ensure_parallelism(
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+    )
+    bg = ws_d.select(
+        F.explode(TX.word_bigrams_of(F.col("ws"))).alias("bigram")
+    )
+    counts = bg.groupBy("bigram").agg(F.count("*").alias("n"))
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(TOP_NGRAMS_K)
     )

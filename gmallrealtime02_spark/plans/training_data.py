@@ -290,3 +290,105 @@ def quantity_price_corr(spark, sf_dir):
     return sums.select(
         "l_returnflag", "n", F.round(corr, 6).alias("qty_price_corr")
     )
+
+
+@register(
+    "pack_sequences_text",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, doc_id % {PACK_SHARDS} AS shard,
+               string_split(text, ' ') AS ws,
+               len(string_split(text, ' ')) AS ntok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, shard, ws, ntok,
+               CAST(coalesce(sum(ntok) OVER (
+                   PARTITION BY lang, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS prior
+        FROM t WHERE ntok > 0
+    ),
+    b AS (
+        SELECT doc_id, lang, shard, ws, ntok, prior,
+               unnest(generate_series(prior // {PACK_BUDGET},
+                   (prior + ntok - 1) // {PACK_BUDGET})) AS bin
+        FROM c
+    ),
+    pieces AS (
+        SELECT lang, shard, bin, doc_id,
+               array_to_string(ws[
+                   CAST(greatest(bin * {PACK_BUDGET} - prior, 0) AS BIGINT) + 1 :
+                   CAST(greatest(bin * {PACK_BUDGET} - prior, 0) AS BIGINT)
+                   + CAST(least((bin + 1) * {PACK_BUDGET}, prior + ntok)
+                          - greatest(bin * {PACK_BUDGET}, prior) AS BIGINT)
+               ], ' ') AS piece,
+               CAST(least((bin + 1) * {PACK_BUDGET}, prior + ntok)
+                    - greatest(bin * {PACK_BUDGET}, prior) AS BIGINT) AS n_piece
+        FROM b
+    )
+    SELECT lang, CAST(shard AS INTEGER) AS shard, bin,
+           string_agg(piece, ' ' ORDER BY doc_id) AS seq_text,
+           CAST(sum(n_piece) AS BIGINT) AS seq_tokens
+    FROM pieces GROUP BY 1, 2, 3
+    """,
+    tags=("training-data", "packing", "materialize"),
+)
+def pack_sequences_text(spark, sf_dir):
+    """MATERIALIZED packed training sequences: where `sequence_packing`
+    emits bin accounting, this emits the actual {budget}-token sequence
+    text per (lang, shard, bin) — documents are sliced at exact token
+    boundaries where they span bins, pieces concatenate in doc_id order.
+    Same single (lang, shard) window exchange as pack_bins, plus the
+    per-bin reassembly agg; each output row is <= budget tokens, so the
+    collect never exceeds one training sequence.  Zero-token docs are
+    excluded (they contribute no text; the accounting query counts
+    them).""".format(budget=PACK_BUDGET)
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard"),
+        F.split("text", " ").alias("ws"),
+    ).withColumn("ntok", F.size("ws")).filter(F.col("ntok") > 0)
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn(
+        "prior", F.coalesce(F.sum("ntok").over(w), F.lit(0)).cast("long")
+    )
+    b = t.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("prior") / PACK_BUDGET),
+                F.floor((F.col("prior") + F.col("ntok") - 1) / PACK_BUDGET),
+            )
+        ),
+    )
+    start_in_doc = F.greatest(
+        F.col("bin") * PACK_BUDGET - F.col("prior"), F.lit(0).cast("long")
+    )
+    n_piece = F.least(
+        (F.col("bin") + 1) * PACK_BUDGET, F.col("prior") + F.col("ntok")
+    ) - F.greatest(F.col("bin") * PACK_BUDGET, F.col("prior"))
+    pieces = b.select(
+        "lang",
+        "shard",
+        "bin",
+        "doc_id",
+        F.array_join(
+            F.slice(F.col("ws"), (start_in_doc + 1).cast("int"), n_piece.cast("int")),
+            " ",
+        ).alias("piece"),
+        n_piece.cast("long").alias("n_piece"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("doc_id", "piece")))
+    return pieces.groupBy("lang", "shard", "bin").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["piece"]), " "
+        ).alias("seq_text"),
+        F.sum("n_piece").cast("bigint").alias("seq_tokens"),
+    )

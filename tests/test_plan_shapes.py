@@ -221,3 +221,20 @@ def test_scd2_single_exchange(spark, sf_dir):
     sort — exactly ONE hash exchange end-to-end."""
     plan = _executed_plan(QUERIES["scd2_history"].fn(spark, sf_dir))
     assert _exchanges(plan) == 1, plan
+
+
+def test_corpus_top_ngrams_two_stage_topk(spark, sf_dir):
+    """Heavy hitters: ONE exchange (the count agg) and the top-k planned
+    as TakeOrderedAndProject (per-partition top-k + merge) — no global
+    sort shuffle of the distinct-ngram table."""
+    plan = _executed_plan(QUERIES["corpus_top_ngrams"].fn(spark, sf_dir))
+    assert _exchanges(plan) == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pack_sequences_reuses_window_partitioning(spark, sf_dir):
+    """Materialized packing: the per-bin reassembly groups on
+    (lang, shard, bin), a superset of the window's (lang, shard)
+    partitioning — Catalyst must plan ONE exchange total."""
+    plan = _executed_plan(QUERIES["pack_sequences_text"].fn(spark, sf_dir))
+    assert _exchanges(plan) == 1, plan
