@@ -477,13 +477,23 @@ def embedding_near_dup_lsh(
     targets (cos ≥ 0.9 ⇒ θ ≤ 26°) the miss rate is < 1e-3 at the
     defaults; this synthetic corpus's borderline 0.4-cosine pairs sit
     near the recall cliff, which tests measure explicitly.  Shuffle cost:
-    each vector is exploded into n_tables small keys; the pair product
-    only ever materializes within buckets (n/2^n_planes expected
-    occupancy), never globally."""
-    keys = ensure_parallelism(emb).select(
+    ONLY (vec_id, table, bucket) triples explode and self-join — vectors
+    never ride the n_tables fan-out, and the candidate dedup is a
+    distinct over two longs, not over embedding arrays; the vectors join
+    back exactly once per side after dedup.  The pair product only ever
+    materializes within buckets (n/2^n_planes expected occupancy),
+    never globally."""
+    v = (
+        ensure_parallelism(emb)
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+        .persist()
+    )
+    keys = v.select(
         "vec_id",
-        "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
         F.explode(
             F.array(
                 *[
@@ -497,32 +507,31 @@ def embedding_near_dup_lsh(
                 ]
             )
         ).alias("tb"),
-    ).select(
-        "vec_id", "embedding", "nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
-    )
-    a = keys.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-        "tbl",
-        "bkt",
-    )
-    b = keys.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-        "tbl",
-        "bkt",
-    )
+    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    a = keys.select(F.col("vec_id").alias("vec_a"), "tbl", "bkt")
+    b = keys.select(F.col("vec_id").alias("vec_b"), "tbl", "bkt")
     cand = (
         a.join(b, ["tbl", "bkt"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "ea", "na", "vec_b", "eb", "nb")
+        .select("vec_a", "vec_b")
         .distinct()
     )
+    pa = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    pb = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     cos = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
-    return cand.select("vec_a", "vec_b", cos.alias("cosine")).filter(
-        F.col("cosine") >= threshold
+    return (
+        cand.join(pa, "vec_a")
+        .join(pb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 
@@ -579,43 +588,46 @@ def ann_lsh_topk(
     by key; a query probes n_tables co-located partitions instead of the
     full scan — the all-pairs cross join never happens.
     """
-    buckets = emb.select(
+    base = ensure_parallelism(emb).select("vec_id", "embedding").persist()
+    table_keys = base.select(
         "vec_id",
-        "embedding",
-        *[
-            lsh_bucket_col(F.col("embedding"), t).alias(f"b{t}")
-            for t in range(n_tables)
-        ],
-    )
-    table_keys = buckets.select(
-        "vec_id",
-        "embedding",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").alias("bkt"))
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket_col(F.col("embedding"), t).alias("bkt"),
+                    )
                     for t in range(n_tables)
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "embedding", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
-    q = table_keys.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "tbl", "bkt"
-    )
-    c = table_keys.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "tbl", "bkt"
+    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    # ids-only probe: vectors never ride the n_tables fan-out, the
+    # candidate dedup is a distinct over two longs, and each side's
+    # vector joins back once after dedup (query side broadcast).
+    qk = table_keys.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), "tbl", "bkt"
     )
     cand = (
-        F.broadcast(q)
-        .join(c, ["tbl", "bkt"])
+        F.broadcast(qk)
+        .join(table_keys.select(F.col("vec_id").alias("cid"), "tbl", "bkt"), ["tbl", "bkt"])
         .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "qe", "cid", "ce")
+        .select("qid", "cid")
         .distinct()
     )
+    qv = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cv = base.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
     dot = _dot(F.col("qe"), F.col("ce"))
     qn = F.sqrt(_dot(F.col("qe"), F.col("qe")))
     cn = F.sqrt(_dot(F.col("ce"), F.col("ce")))
-    scored = cand.select("qid", "cid", F.round(dot / (qn * cn), 6).alias("cosine"))
+    scored = (
+        cand.join(F.broadcast(qv), "qid")
+        .join(cv, "cid")
+        .select("qid", "cid", F.round(dot / (qn * cn), 6).alias("cosine"))
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
