@@ -54,16 +54,26 @@ from ..sources.tables import ensure_parallelism  # noqa: E402  (re-export)
 
 def word_shingles(text: Column, n: int = N_SHINGLE) -> Column:
     """Distinct n-word shingles (array<string>), scan-side; empty array for
-    texts shorter than n words."""
-    ws = F.split(text, " ")
-    idx = F.sequence(F.lit(0), F.size(ws) - n)
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(n)]),
-    )
-    return F.when(F.size(ws) >= n, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
-    )
+    texts shorter than n words.
+
+    The words array is bound to a lambda variable first (``_bind``): HOF
+    lambda variables hold materialized values, so every ``element_at``
+    inside the shingle transform is an O(1) lookup — inlining the split
+    instead re-parses the text once per (shingle, word-of-shingle), which
+    measured ~3n× slower on long documents."""
+
+    def shingles_of(ws: Column) -> Column:
+        sh = F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j + 1) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(ws) >= n, F.array_distinct(sh)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return _bind(F.split(text, " "), shingles_of)
 
 
 def shingle_hashes(text: Column, n: int = N_SHINGLE) -> Column:
@@ -235,9 +245,18 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 
 def exact_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact shingle-Jaccard for every pair sharing ≥1 shingle."""
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    """Exact shingle-Jaccard for every pair sharing ≥1 shingle.
+
+    The exploded shingle table is persisted: it feeds three consumers
+    (both self-join sides and the per-doc size agg), and without the
+    persist each one re-runs the scan + shingle expression — the
+    shingle construction, not the tiny (doc_id, shingle) shuffle, is
+    the dominant cost of this operator."""
+    sh = (
+        docs.select(
+            "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+        )
+        .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
