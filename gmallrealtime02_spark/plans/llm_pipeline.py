@@ -1186,3 +1186,119 @@ def corpus_top_ngrams(spark, sf_dir):
         counts.orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(TOP_NGRAMS_K)
     )
+
+
+@register(
+    "doc_lm_perplexity",
+    oracle="""
+    WITH bg AS (
+        SELECT doc_id, lang, unnest(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 1),
+            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        )) AS bg
+        FROM documents
+    ),
+    c12 AS (SELECT lang, bg, count(*) AS c12 FROM bg GROUP BY lang, bg),
+    c1 AS (
+        SELECT lang, split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+        FROM c12 GROUP BY lang, w1
+    ),
+    v AS (
+        SELECT lang, count(DISTINCT split_part(bg, ' ', 2)) AS v
+        FROM c12 GROUP BY lang
+    ),
+    lm AS (
+        SELECT c12.lang, c12.bg,
+               CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE) AS p
+        FROM c12
+        JOIN c1 ON c12.lang = c1.lang AND split_part(c12.bg, ' ', 1) = c1.w1
+        JOIN v ON c12.lang = v.lang
+    ),
+    scored AS (
+        SELECT bg.doc_id, count(*) AS n_bigrams,
+               sum(CAST(round(-ln(lm.p), 6) AS DECIMAL(18,6))) AS nll
+        FROM bg JOIN lm ON bg.lang = lm.lang AND bg.bg = lm.bg
+        GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(CAST(nll AS DOUBLE) / n_bigrams, 6) AS avg_nll
+    FROM scored
+    """,
+    tags=("text", "quality", "language-model", "ccnet"),
+)
+def doc_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality score: train a per-language add-1-smoothed
+    bigram LM on the corpus itself, then score every document by average
+    negative log-likelihood under ITS language's model (low = fluent /
+    in-distribution, high = noise — the filter signal CCNet derives from
+    a KenLM model; here the LM is corpus-trained so the operator is
+    self-contained).  P(w2|w1,lang) = (c(w1 w2)+1) / (c(w1 ·)+V_lang),
+    V_lang = distinct right-words of that language.
+
+    Scale shape: bigrams explode scan-side from a projected words array;
+    the exploded table is persisted (it feeds LM training AND scoring —
+    without the persist the scan+bigram transform runs twice).  All LM
+    tables derive from ONE (lang, bigram) aggregation, also persisted
+    (three consumers: context counts, vocab sizes, the prob join).
+    Context counts and vocab sizes aggregate FROM the bigram counts, so
+    nothing re-reads the corpus; V is per-lang (a handful of rows) and
+    broadcasts.  At 100 TB the scoring join shuffles on (lang, bigram) —
+    the same key the LM table is already grouped by, so AQE plans the
+    big side's exchange once.  Per-bigram NLL terms are rounded to 1e-6
+    and summed as DECIMAL(18,6): decimal addition is exact and
+    order-independent, so the result hashes identically across engines
+    despite unordered parallel sums.
+
+    Beyond-reference op (LLM training-data family); CCNet: Wenzek et
+    al. 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data"."""
+    d = load_table(spark, sf_dir, "documents")
+    ws_d = ensure_parallelism(
+        d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
+    )
+    bg = (
+        ws_d.select(
+            "doc_id",
+            "lang",
+            F.explode(TX.word_bigrams_of(F.col("ws"))).alias("bg"),
+        )
+        .persist()
+    )
+    c12 = bg.groupBy("lang", "bg").agg(F.count("*").alias("c12")).persist()
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    c1 = c12.groupBy("lang", w1.alias("w1")).agg(F.sum("c12").alias("c1"))
+    v = (
+        c12.select("lang", F.substring_index(F.col("bg"), " ", -1).alias("w2"))
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count("*").alias("v"))
+    )
+    lm = (
+        c12.withColumn("w1", w1)
+        .join(c1, ["lang", "w1"])
+        .join(F.broadcast(v), "lang")
+        .select(
+            "lang",
+            "bg",
+            (
+                (F.col("c12") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("p"),
+        )
+    )
+    nll_term = F.round(-F.log(F.col("p")), 6).cast("decimal(18,6)")
+    return (
+        bg.join(lm, ["lang", "bg"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(nll_term).alias("nll"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("nll").cast("double") / F.col("n_bigrams"), 6).alias(
+                "avg_nll"
+            ),
+        )
+    )

@@ -238,3 +238,31 @@ def test_pack_sequences_reuses_window_partitioning(spark, sf_dir):
     partitioning — Catalyst must plan ONE exchange total."""
     plan = _executed_plan(QUERIES["pack_sequences_text"].fn(spark, sf_dir))
     assert _exchanges(plan) == 1, plan
+
+
+def test_lm_perplexity_trains_and_scores_from_cached_bigrams(spark, sf_dir):
+    """The LM scorer reads the corpus ONCE: the exploded bigram table is
+    persisted (LM training + scoring = 2 consumers) and every LM table
+    derives from the persisted (lang, bigram) counts (context counts,
+    vocab sizes, prob join = 3 consumers) — so the plan shows ≥5
+    InMemoryTableScans and at most the one original parquet scan."""
+    df = QUERIES["doc_lm_perplexity"].fn(spark, sf_dir)
+    try:
+        plan = _executed_plan(df)
+        assert plan.count("InMemoryTableScan") >= 5, plan
+        assert "CartesianProduct" not in plan, plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_ngram_jaccard_computes_shingles_once(spark, sf_dir):
+    """Exact-Jaccard's shingle table feeds three consumers (both self-join
+    sides and the per-doc size agg); the shingle expression dominates the
+    operator's cost, so all three must read the persisted table — three
+    InMemoryTableScans, not three re-runs of scan + shingle transform."""
+    df = QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir)
+    try:
+        plan = _executed_plan(df)
+        assert plan.count("InMemoryTableScan") >= 3, plan
+    finally:
+        spark.catalog.clearCache()
