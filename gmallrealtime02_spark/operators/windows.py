@@ -24,9 +24,10 @@ def user_event_seq(events: DataFrame) -> DataFrame:
     events = ensure_parallelism(events, by=("user_id",))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
-    # exact µs arithmetic, then integer-div to seconds — second-truncation
-    # of each endpoint (unix_timestamp) is engine-dependent at boundaries
-    gap = (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts))
+    # exact µs arithmetic via timestamp_diff — works on both TIMESTAMP and
+    # TIMESTAMP_NTZ (the testdata's naive-µs parquet reads as NTZ), unlike
+    # unix_micros which rejects NTZ input
+    gap = F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts"))
     return events.select(
         "event_id",
         "user_id",
@@ -46,7 +47,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     events = ensure_parallelism(events, by=("user_id",))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
     return events.withColumn("session_seq", F.sum(is_new).over(w)).select(
         "event_id", "user_id", "ts", "event_type", "session_seq"

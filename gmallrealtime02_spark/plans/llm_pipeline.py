@@ -1221,7 +1221,8 @@ def corpus_top_ngrams(spark, sf_dir):
         GROUP BY bg.doc_id
     )
     SELECT doc_id, n_bigrams,
-           round(CAST(nll AS DOUBLE) / n_bigrams, 6) AS avg_nll
+           ((2 * CAST(nll * 1000000 AS BIGINT) + n_bigrams)
+            // (2 * n_bigrams)) / 1000000.0 AS avg_nll
     FROM scored
     """,
     tags=("text", "quality", "language-model", "ccnet"),
@@ -1297,8 +1298,14 @@ def doc_lm_perplexity(spark, sf_dir):
         .select(
             "doc_id",
             "n_bigrams",
-            F.round(F.col("nll").cast("double") / F.col("n_bigrams"), 6).alias(
-                "avg_nll"
-            ),
+            # Exact tie rule: round(nll/n, 6) via integer half-up on µ-units.
+            # nll is an exact DECIMAL(18,6) sum, so the true quotient can
+            # land exactly on a 1e-6 rounding tie, which double-rounding
+            # breaks differently per engine; (2a+n) div (2n) on exact
+            # bigints is engine-independent (nll >= 0 always: p <= 1).
+            F.expr(
+                "CAST((2 * CAST(nll * 1000000 AS BIGINT) + n_bigrams)"
+                " div (2 * n_bigrams) AS DOUBLE) / 1000000"
+            ).alias("avg_nll"),
         )
     )

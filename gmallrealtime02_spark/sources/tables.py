@@ -23,22 +23,40 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 @lru_cache(maxsize=None)
-def _nanos_ts_columns(path: str) -> tuple[str, ...]:
-    """Footer-only metadata read: which columns are TIMESTAMP(NANOS)?
+def _ts_column_kinds(path: str) -> tuple[tuple[str, str], ...]:
+    """Footer-only metadata read: classify each timestamp column.
 
-    Spark's parquet reader has no nanos timestamp type; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` they surface as epoch-nanos
-    longs, which we convert back to microsecond timestamps (the same
-    truncation DuckDB applies to these files).
+    Returns ``(name, kind)`` pairs where kind is:
+
+    - ``"nanos"`` — TIMESTAMP(NANOS).  Spark's parquet reader has no nanos
+      type; with ``spark.sql.legacy.parquet.nanosAsLong`` they surface as
+      epoch-nanos longs, which we convert back to microsecond timestamps
+      (the same truncation DuckDB applies).
+    - ``"ntz"`` — µs/ms timestamps with ``isAdjustedToUTC=false``, which
+      Spark 4 reads as TIMESTAMP_NTZ.  Literals compared against these
+      MUST be cast to ``timestamp_ntz``: an LTZ literal gets coerced
+      through the *session timezone*, silently shifting the bound on a
+      non-UTC host.
+    - ``"ltz"`` — tz-adjusted timestamps (ordinary TIMESTAMP).
     """
     import pyarrow as pa
 
     schema = pq.read_schema(path)
-    return tuple(
-        f.name
-        for f in schema
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    )
+    out = []
+    for f in schema:
+        if not pa.types.is_timestamp(f.type):
+            continue
+        if f.type.unit == "ns":
+            out.append((f.name, "nanos"))
+        elif f.type.tz is None:
+            out.append((f.name, "ntz"))
+        else:
+            out.append((f.name, "ltz"))
+    return tuple(out)
+
+
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    return tuple(n for n, k in _ts_column_kinds(path) if k == "nanos")
 
 
 def _iso_to_nanos(iso: str) -> int:
@@ -73,6 +91,7 @@ def load_table(
     Native-unit timestamp columns take the ordinary pushable filter.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    kinds = dict(_ts_column_kinds(path))
     nanos_cols = _nanos_ts_columns(path)
     if nanos_cols:
         # Self-sufficient on ANY SparkSession: the driver's harness builds
@@ -84,16 +103,20 @@ def load_table(
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c, (lo, hi) in (ts_bounds or {}).items():
-        if c in nanos_cols:
+        kind = kinds.get(c)
+        if kind == "nanos":
             if lo is not None:
                 df = df.filter(F.col(c) >= F.lit(_iso_to_nanos(lo)))
             if hi is not None:
                 df = df.filter(F.col(c) <= F.lit(_iso_to_nanos(hi) + 999))
         else:
+            # NTZ literals parse the ISO string tz-independently; an LTZ
+            # cast would route the comparison through the session timezone.
+            lit_type = "timestamp_ntz" if kind == "ntz" else "timestamp"
             if lo is not None:
-                df = df.filter(F.col(c) >= F.lit(lo).cast("timestamp"))
+                df = df.filter(F.col(c) >= F.lit(lo).cast(lit_type))
             if hi is not None:
-                df = df.filter(F.col(c) <= F.lit(hi).cast("timestamp"))
+                df = df.filter(F.col(c) <= F.lit(hi).cast(lit_type))
     for c in nanos_cols:
         # integer `div`, not `/1000` — the float path loses sub-µs bits on
         # epoch-nanos magnitudes and can flip a microsecond vs the oracle
