@@ -556,11 +556,16 @@ def embedding_near_dup_lsh(
 
 N_TABLES = 8     # OR-amplification: candidate if bucket-equal in ANY table
 PLANES_PER_TABLE = 4
+MAX_LSH_TABLES = 16  # embedding_near_dup_lsh's table budget
 
 _plane_rng = random.Random(1337)
+# Sized for MAX_LSH_TABLES so every table's planes are distinct — the RNG
+# prefix is stable, so the first N_TABLES tables (ann_lsh_topk) are
+# byte-identical to when the list was 32 long; previously tables 8..15
+# wrapped onto 0..7 (identical buckets: 2x fan-out, zero recall gain).
 PLANE_PERMS: list[tuple[int, int]] = [
     (_plane_rng.randrange(1, HASH_MOD), _plane_rng.randrange(0, HASH_MOD))
-    for _ in range(N_TABLES * PLANES_PER_TABLE)
+    for _ in range(MAX_LSH_TABLES * PLANES_PER_TABLE)
 ]
 
 

@@ -1112,3 +1112,92 @@ def supplier_balance_quartiles(spark, sf_dir):
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential conversion funnel (view → click → purchase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS vts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS cts
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.vts
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS pts
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.cts
+        GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'view' AS event_type,
+           (SELECT count(*) FROM v) AS users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM c)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM p)
+    """,
+    tags=("analytics", "funnel", "A4"),
+)
+def event_funnel(spark, sf_dir):
+    """Strictly-ordered conversion funnel: users whose first view precedes
+    a click that precedes a purchase (each stage anchored at the
+    earliest qualifying event — the product-analytics funnel shape the
+    reference's dashboard family would grow into).
+
+    Scale shape: the fact is filtered to the three funnel event types at
+    the scan, then repartitioned ONCE on user_id; every stage (min-ts
+    aggregation + next-stage join) is user_id-keyed, so stages 2 and 3
+    reuse the same partitioning with no further fact exchange — AQE sees
+    co-partitioned children.  Stage tables shrink monotonically (v ⊇ c ⊇
+    p), and the three output counts are single-row aggregates.  All
+    comparisons are exact µs-timestamp orderings, so the result is
+    engine- and partitioning-exact."""
+    from ..sources.tables import ensure_parallelism
+
+    ev = ensure_parallelism(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(["view", "click", "purchase"]))
+        .select("user_id", "event_type", "ts"),
+        by=("user_id",),
+    ).persist()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("cts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+
+    def _stage(df, stage, name):
+        return df.agg(F.count("*").alias("users")).select(
+            F.lit(stage).alias("stage"),
+            F.lit(name).alias("event_type"),
+            F.col("users"),
+        )
+
+    return (
+        _stage(v, 1, "view")
+        .unionByName(_stage(c, 2, "click"))
+        .unionByName(_stage(p, 3, "purchase"))
+    )

@@ -383,14 +383,59 @@ def ann_lsh_topk_q(spark, sf_dir):
     return S.ann_lsh_topk(load_table(spark, sf_dir, "embeddings"), 10, 5)
 
 
+def _lsh_bucket_sql(tbl: int) -> str:
+    """DuckDB mirror of ``S.lsh_bucket_col``: the hyperplanes are
+    deterministic integer arithmetic (((a_j·i + b_j) mod P)/P − 0.5) and
+    the projection folds in index order, so both engines compute
+    bit-identical doubles and therefore identical sign buckets."""
+    from ..functions.similarity import PLANE_PERMS, PLANES_PER_TABLE
+    from ..functions.text import HASH_MOD
+
+    bits = []
+    for p in range(PLANES_PER_TABLE):
+        a, b = PLANE_PERMS[tbl * PLANES_PER_TABLE + p]
+        proj = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(generate_series(1, len(embedding)), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * "
+            f"((({a} * i + {b}) % {HASH_MOD}) / {float(HASH_MOD)} - 0.5))), "
+            "(x, y) -> x + y)"
+        )
+        bits.append(f"CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END")
+    return " + ".join(bits)
+
+
+_NEAR_DUP_LSH_KEYS = " UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_lsh_bucket_sql(t)} AS bkt FROM embeddings"
+    for t in range(16)
+)
+
+
 @register(
     "dedup_embedding_cosine",
-    # Approximate by construction (LSH candidate pruning): recall < 1 on
-    # this corpus's borderline 0.4-cosine pairs, so no SQL oracle —
-    # precision-exactness (output ⊆ the quadratic form, identical
-    # cosines) and a recall floor are pinned in
+    # The LSH pruning is DETERMINISTIC (integer-arithmetic hyperplanes,
+    # index-ordered folds), so the oracle replicates the same 16 bucket
+    # tables in SQL and the approximate result is still hash-exact
+    # cross-engine.  Precision-exactness vs the quadratic form and a
+    # recall floor are additionally pinned in
     # tests/test_llm_ops.py::test_embedding_near_dup_lsh_precision_and_recall.
-    oracle=None,
+    oracle=f"""
+    WITH keys AS (
+        {_NEAR_DUP_LSH_KEYS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM keys a
+        JOIN keys b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT c.vec_a, c.vec_b,
+               {_cos_sql('va.embedding', 'vb.embedding')} AS cosine
+        FROM cand c
+        JOIN embeddings va ON va.vec_id = c.vec_a
+        JOIN embeddings vb ON vb.vec_id = c.vec_b
+    ) WHERE cosine >= 0.4
+    """,
     tags=("dedup", "similarity", "embedding", "lsh"),
 )
 def dedup_embedding_cosine(spark, sf_dir):
@@ -401,7 +446,9 @@ def dedup_embedding_cosine(spark, sf_dir):
     tests' equivalence baseline.  (This synthetic corpus has no true
     dups; max pairwise cosine ≈ 0.51, right at the sign-LSH recall
     cliff — at the cos ≥ 0.9 regime real near-dup dedup targets, miss
-    rate is < 1e-3.)"""
+    rate is < 1e-3.)  The hyperplanes are deterministic, so the DuckDB
+    oracle reproduces the identical candidate set and the driver gets a
+    full hash-match row despite the op being approximate."""
     return S.embedding_near_dup_lsh(load_table(spark, sf_dir, "embeddings"), 0.4)
 
 
@@ -1307,5 +1354,489 @@ def doc_lm_perplexity(spark, sf_dir):
                 "CAST((2 * CAST(nll * 1000000 AS BIGINT) + n_bigrams)"
                 " div (2 * n_bigrams) AS DOUBLE) / 1000000"
             ).alias("avg_nll"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collocations, inverted index, quality-ranked canonical dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bigram_pmi",
+    oracle="""
+    WITH bg AS (
+        SELECT unnest(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 1),
+            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        )) AS bg
+        FROM documents
+    ),
+    c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+    c1 AS (
+        SELECT split_part(bg, ' ', 1) AS w, sum(c12) AS c FROM c12 GROUP BY w
+    ),
+    c2 AS (
+        SELECT split_part(bg, ' ', 2) AS w, sum(c12) AS c FROM c12 GROUP BY w
+    ),
+    n AS (SELECT sum(c12) AS n FROM c12)
+    SELECT bg, c12, lift, rnk FROM (
+        SELECT c12.bg, c12.c12,
+               CAST(c12.c12 * (SELECT n FROM n) AS DOUBLE) / (c1.c * c2.c)
+                   AS lift,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(c12.c12 * (SELECT n FROM n) AS DOUBLE)
+                            / (c1.c * c2.c) DESC, c12.bg ASC
+               ) AS rnk
+        FROM c12
+        JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w
+        JOIN c2 ON split_part(c12.bg, ' ', 2) = c2.w
+        WHERE c12.c12 >= 5
+    ) WHERE rnk <= 50
+    """,
+    tags=("text", "collocation", "pmi"),
+)
+def bigram_pmi(spark, sf_dir):
+    """Top-50 collocations by PMI lift: c(w1 w2)·N / (c(w1·)·c(·w2)) —
+    the exact integer-ratio form of pointwise mutual information (no
+    log, so the score is one IEEE division of exact integers and
+    bit-identical across engines).
+
+    Scale shape: everything derives from ONE (bigram) count aggregation
+    — left/right marginals re-aggregate the bigram counts (vocabulary-
+    sized, ≪ corpus), never the corpus, and broadcast back.  The corpus
+    is touched exactly once."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = ensure_parallelism(
+        d.select(F.split("text", " ").alias("ws"))
+    )
+    bg = ws.select(F.explode(TX.word_bigrams_of(F.col("ws"))).alias("bg"))
+    c12 = bg.groupBy("bg").agg(F.count("*").alias("c12")).persist()
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    w2 = F.substring_index(F.col("bg"), " ", -1)
+    c1 = c12.groupBy(w1.alias("w")).agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy(w2.alias("w")).agg(F.sum("c12").alias("c2"))
+    n = c12.agg(F.sum("c12")).collect()[0][0]
+    scored = (
+        c12.filter(F.col("c12") >= 5)
+        .withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(F.broadcast(c1), F.col("w1") == c1.w)
+        .drop("w")
+        .join(F.broadcast(c2), F.col("w2") == c2.w)
+        .select(
+            "bg",
+            "c12",
+            ((F.col("c12") * F.lit(n)).cast("double") / (F.col("c1") * F.col("c2"))).alias("lift"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("lift").desc(), F.col("bg").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 50)
+    )
+
+
+@register(
+    "inverted_index",
+    oracle="""
+    SELECT word, shard, df_shard, postings FROM (
+        SELECT word, CAST(doc_id % 8 AS BIGINT) AS shard,
+               count(*) AS df_shard,
+               list(doc_id ORDER BY doc_id) AS postings
+        FROM (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        )
+        GROUP BY word, shard
+    )
+    """,
+    tags=("text", "index", "retrieval"),
+)
+def inverted_index(spark, sf_dir):
+    """Sharded inverted index: (term, shard) → sorted posting list of
+    doc_ids + shard document frequency.
+
+    The shard key (doc_id % 8) is the 100 TB design point: a common
+    term's posting list never lands on ONE reducer — each (term, shard)
+    cell builds independently and serving unions the 8 cells.  Postings
+    are sort_array(collect_set(...)), deterministic and engine-exact.
+    At scale the shard count follows corpus size (keep cells ~10⁶
+    postings); the distinct-ify before grouping is the one fact
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    words = ensure_parallelism(
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    ).distinct()
+    return (
+        words.withColumn("shard", (F.col("doc_id") % 8).cast("bigint"))
+        .groupBy("word", "shard")
+        .agg(
+            F.count("*").alias("df_shard"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+        FROM reach GROUP BY a
+    )
+    SELECT canonical_id, keep_doc_id, n_members FROM (
+        SELECT comp.canonical_id,
+               d.doc_id AS keep_doc_id,
+               count(*) OVER (PARTITION BY comp.canonical_id) AS n_members,
+               ROW_NUMBER() OVER (
+                   PARTITION BY comp.canonical_id
+                   ORDER BY d.n_chars DESC, d.doc_id ASC
+               ) AS rnk
+        FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+    ) WHERE rnk = 1
+    """,
+    tags=("dedup", "minhash", "quality", "pipeline"),
+)
+def dedup_keep_best(spark, sf_dir):
+    """Quality-ranked canonical dedup (the FineWeb/RefinedWeb keep rule):
+    within each near-dup cluster keep the LONGEST document (ties → min
+    doc_id) instead of the min-id canonical — dedup_keep_list's naive
+    survivor rule loses the best copy whenever a truncated variant has
+    the smaller id.
+
+    Scale shape: reuses the LSH → connected-components assignment
+    (functions/similarity.dedup_canonical — banded candidates, iterative
+    min-label join, O(diameter) rounds); the keep rule is one ranked
+    window over the assignment joined to per-doc metadata, shuffling
+    only cluster members (≪ corpus), keyed by canonical_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    assign = S.dedup_canonical(docs, 0.5)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    joined = assign.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        joined.withColumn("n_members", F.count("*").over(Window.partitionBy("canonical_id")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "canonical_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("join", "hash", "spark")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "bm25_search",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    n AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM d),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ) WHERE word IN ('join', 'hash', 'spark')
+        GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    idf AS (
+        -- CAST(0.5 AS DOUBLE) keeps the whole chain in IEEE doubles:
+        -- bare 0.5/2.2 literals are DECIMAL in DuckDB, and decimal-exact
+        -- intermediates diverge from Spark's double arithmetic by 1 ulp
+        SELECT word,
+               round(ln(((SELECT n FROM n) - df + CAST(0.5 AS DOUBLE))
+                        / (df + CAST(0.5 AS DOUBLE)) + 1), 6) AS idf
+        FROM df
+    ),
+    sc AS (
+        SELECT tf.doc_id, tf.word,
+               idf.idf * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+               / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) *
+                   (d.dl / ((SELECT sum_dl FROM n) / (SELECT n FROM n)))))
+                   AS s
+        FROM tf
+        JOIN idf ON tf.word = idf.word
+        JOIN d ON d.doc_id = tf.doc_id
+    ),
+    tot AS (
+        SELECT doc_id,
+               coalesce(max(CASE WHEN word = 'join' THEN s END), 0.0)
+             + coalesce(max(CASE WHEN word = 'hash' THEN s END), 0.0)
+             + coalesce(max(CASE WHEN word = 'spark' THEN s END), 0.0)
+                   AS score
+        FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id, score, rnk FROM (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM tot
+    ) WHERE rnk <= 20
+    """,
+    tags=("text", "retrieval", "bm25"),
+)
+def bm25_search(spark, sf_dir):
+    """BM25 top-20 for a fixed disjunctive term query (k1=1.2, b=0.75) —
+    the retrieval scorer a serving layer runs over the inverted_index's
+    corpus.
+
+    Engine-exactness: idf = round(ln((N−df+0.5)/(df+0.5)+1), 6) — the
+    only transcendental — is rounded to 1e-6 in BOTH engines before use
+    (the doc_lm_perplexity discipline); everything downstream is IEEE
+    +,*,/ in an explicitly parenthesized order, and the per-doc total
+    adds the (≤3) term scores in FIXED term order via conditional
+    max-pivot, never an unordered SUM of doubles.
+
+    Scale shape: doc lengths and the corpus scalars (N, Σdl) come from
+    the same single projected scan; only rows whose word ∈ query terms
+    survive into the tf shuffle (term-selective — the exchange carries
+    matching postings, not the corpus); df/idf are term-cardinality and
+    broadcast.  Top-20 plans as TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    base = ensure_parallelism(
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+    ).persist()
+    dl = base.select("doc_id", F.size("ws").alias("dl"))
+    row = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n, sum_dl = row["n"], row["sum_dl"]
+    avgdl = float(sum_dl) / float(n)
+    tf = (
+        base.select("doc_id", F.explode("ws").alias("word"))
+        .filter(F.col("word").isin(list(BM25_TERMS)))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "word",
+            F.round(
+                F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1),
+                6,
+            ).alias("idf"),
+        )
+    )
+    sc = (
+        tf.join(F.broadcast(idf), "word")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.col("idf") * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.lit(avgdl)))
+                )
+            ).alias("s"),
+        )
+    )
+    tot = sc.groupBy("doc_id").agg(
+        (
+            F.coalesce(F.max(F.when(F.col("word") == "join", F.col("s"))), F.lit(0.0))
+            + F.coalesce(F.max(F.when(F.col("word") == "hash", F.col("s"))), F.lit(0.0))
+            + F.coalesce(F.max(F.when(F.col("word") == "spark", F.col("s"))), F.lit(0.0))
+        ).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        tot.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-span coverage + DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_doc_span_overlap",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(ws) - 4),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                     ws[i+3] || ' ' || ws[i+4]
+            )) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+            WHERE len(ws) >= 5
+        )
+    ),
+    cnt AS (SELECT shingle, count(*) AS nd FROM sh GROUP BY shingle)
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+    FROM sh JOIN cnt USING (shingle)
+    GROUP BY doc_id
+    HAVING CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) >= 1
+    """,
+    tags=("dedup", "ngram", "substring"),
+)
+def cross_doc_span_overlap(spark, sf_dir):
+    """Cross-document repeated-span coverage: for every document, how many
+    of its distinct 5-word spans also appear in ANOTHER document — the
+    per-doc signal behind substring-level train-set dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better":
+    duplicated spans are memorization fuel; docs with high shared-span
+    counts get span-sliced or dropped).
+
+    Scale shape: spans explode scan-side (array-bound 5-gram transform,
+    each word touched once); the exploded span table is persisted and
+    shuffles ONCE on the span key — Spark reuses that exchange for both
+    the span-frequency aggregation and the doc join-back (ReusedExchange
+    in the plan), then one doc_id-keyed re-aggregation.  No pair product
+    anywhere: a span shared by k docs costs k rows, not k² pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        ensure_parallelism(
+            d.select(
+                "doc_id",
+                F.explode(S.word_shingles(F.col("text"), 5)).alias("shingle"),
+            ),
+            by=("shingle",),
+        )
+        .persist()
+    )
+    cnt = sh.groupBy("shingle").agg(F.count("*").alias("nd"))
+    return (
+        sh.join(cnt, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= 1)
+    )
+
+
+@register(
+    "dsir_weights",
+    oracle="""
+    WITH bg AS (
+        SELECT doc_id, lang, unnest(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 1),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1]
+        )) AS bg
+        FROM documents
+    ),
+    src AS (SELECT bg, count(*) AS c_src FROM bg GROUP BY bg),
+    tgt AS (SELECT bg, count(*) AS c_tgt FROM bg WHERE lang = 'en' GROUP BY bg),
+    n AS (
+        SELECT (SELECT count(*) FROM bg) AS n_src,
+               (SELECT count(*) FROM bg WHERE lang = 'en') AS n_tgt,
+               (SELECT count(*) FROM src) AS v
+    ),
+    ratio AS (
+        SELECT src.bg,
+               round(ln(
+                   ((coalesce(tgt.c_tgt, 0) + 1)
+                    / ((SELECT n_tgt FROM n) + CAST((SELECT v FROM n) AS DOUBLE)))
+                   / ((src.c_src + 1)
+                      / ((SELECT n_src FROM n) + CAST((SELECT v FROM n) AS DOUBLE)))
+               ), 6) AS lr
+        FROM src LEFT JOIN tgt ON src.bg = tgt.bg
+    )
+    SELECT bg.doc_id, count(*) AS n_bigrams,
+           CAST(sum(CAST(lr AS DECIMAL(18,6))) AS DOUBLE) AS log_weight
+    FROM bg JOIN ratio ON bg.bg = ratio.bg
+    GROUP BY bg.doc_id
+    """,
+    tags=("training-data", "sampling", "dsir"),
+)
+def dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-doc
+    log-importance = Σ over its bigrams of ln(p_target/p_source), with
+    add-1-smoothed bigram LMs — target = the English slice, source = the
+    whole corpus.  High weight ⇒ doc looks like the target distribution;
+    downstream sampling draws ∝ exp(weight).
+
+    Engine-exactness (doc_lm_perplexity discipline): each bigram's
+    log-ratio is rounded to 1e-6 in both engines, then summed as
+    DECIMAL(18,6) — exact, order-independent addition.
+
+    Scale shape: bigrams explode scan-side from the projected words
+    array and the exploded table is persisted (feeds both LM counts and
+    scoring); target counts derive from the SAME exploded table (lang
+    filter, no second corpus read); the smoothing scalars (n_src, n_tgt,
+    V) are three driver literals; scoring shuffles once on the bigram
+    key against the bigram-keyed ratio table, then re-aggregates per
+    doc."""
+    d = load_table(spark, sf_dir, "documents")
+    ws_d = ensure_parallelism(
+        d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
+    )
+    bg = (
+        ws_d.select(
+            "doc_id",
+            "lang",
+            F.explode(TX.word_bigrams_of(F.col("ws"))).alias("bg"),
+        )
+        .persist()
+    )
+    src = bg.groupBy("bg").agg(F.count("*").alias("c_src")).persist()
+    tgt = bg.filter(F.col("lang") == "en").groupBy("bg").agg(
+        F.count("*").alias("c_tgt")
+    )
+    n_src = bg.count()
+    n_tgt = bg.filter(F.col("lang") == "en").count()
+    v = src.count()
+    lr = F.round(
+        F.log(
+            (
+                (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1)
+                / (F.lit(n_tgt) + F.lit(float(v)))
+            )
+            / ((F.col("c_src") + 1) / (F.lit(n_src) + F.lit(float(v))))
+        ),
+        6,
+    )
+    ratio = src.join(tgt, "bg", "left").select("bg", lr.alias("lr"))
+    return (
+        bg.join(ratio, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.col("lr").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("log_weight"),
         )
     )

@@ -688,3 +688,141 @@ def late_supplier_blame(spark, sf_dir):
         .groupBy(F.col("s_name").alias("supplier_name"))
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume orders (aggregate-filtered fact joined back to itself)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "large_order_customers",
+    oracle="""
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty FROM (
+        SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               big.sum_qty,
+               ROW_NUMBER() OVER (
+                   ORDER BY o.o_totalprice DESC, o.o_orderdate ASC,
+                            o.o_orderkey ASC
+               ) AS rnk
+        FROM (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 170
+        ) big
+        JOIN orders o ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    ) WHERE rnk <= 100
+    """,
+    tags=("tpch", "J1", "A3"),
+)
+def large_order_customers(spark, sf_dir):
+    """TPC-H Q18-shaped large-volume orders: per-order quantity totals
+    filtered by a HAVING threshold, joined back to orders + customer,
+    global top-100 by order value.
+
+    Scale shape: the lineitem aggregation is the only fact shuffle
+    (partial map-side sums on l_orderkey); the survivor set (~0.1% of
+    orders at threshold 170) rides a broadcast into the orders join, so
+    the orders fact never shuffles.  Quantities accumulate as DECIMAL so
+    the HAVING boundary is partitioning-invariant; top-100 is the
+    per-partition-local + global-merge shape of top_k_global."""
+    li = ensure_parallelism(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        by=("l_orderkey",),
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 170)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+    return top_k_global(
+        joined,
+        order=[F.col("o_totalprice").desc(), F.col("o_orderdate").asc(),
+               F.col("o_orderkey").asc()],
+        k=100,
+    ).select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock value (scalar-subquery threshold over one grouping)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "important_stock_value",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS part_key, CAST(value AS DOUBLE) AS part_value
+    FROM pv
+    WHERE value * (SELECT count(*) FROM pv) > (SELECT sum(value) FROM pv) * 2
+    """,
+    tags=("tpch", "scalar-subquery", "A3"),
+)
+def important_stock_value(spark, sf_dir):
+    """TPC-H Q11-shaped important stock value (no partsupp in the fixture
+    schema, so supplied value per part derives from lineitem): per-part
+    supplied value within one nation, keeping parts above 2x the mean
+    part value (TPC-H's FRACTION is 0.0001/SF — scale-dependent by
+    construction; the mean-multiple rule is the scale-invariant
+    equivalent, selective at every SF).
+
+    Scale shape: the per-part aggregation is the only fact shuffle
+    (map-side partial DECIMAL sums on l_partkey); the nation's supplier
+    set broadcasts into the scan side.  The Q11 scalar subquery — the
+    grand total — re-aggregates the already-grouped per-part table
+    (part-cardinality, ≪ fact) and arrives as ONE driver-collected
+    literal, so the threshold filter is scan-side on the grouped result;
+    the fact is read exactly once (the grouped table is persisted for
+    its two consumers).  The threshold test cross-multiplies exact
+    DECIMAL sums (value·n_parts > total·2) — no division, no doubles,
+    partitioning- and engine-invariant."""
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = ensure_parallelism(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_suppkey", "l_extendedprice"
+        ),
+        by=("l_partkey",),
+    )
+    pv = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice"), 2).alias("value"))
+        .persist()
+    )
+    row = pv.agg(
+        F.sum("value").alias("t"), F.count("*").alias("n")
+    ).collect()[0]
+    total, n_parts = row["t"], row["n"]
+    return (
+        pv.filter(F.col("value") * F.lit(n_parts) > F.lit(total) * 2)
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            F.col("value").cast("double").alias("part_value"),
+        )
+    )

@@ -266,3 +266,88 @@ def test_ngram_jaccard_computes_shingles_once(spark, sf_dir):
         assert plan.count("InMemoryTableScan") >= 3, plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_large_order_customers_broadcasts_survivors(spark, sf_dir):
+    """Q18 shape: the HAVING-filtered survivor set and the customer dim
+    ride broadcast exchanges — the orders fact never shuffles; the only
+    hash exchange is the lineitem per-order aggregation, and the global
+    top-100 plans as TakeOrderedAndProject, not a full sort."""
+    plan = _executed_plan(QUERIES["large_order_customers"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _exchanges(plan) <= 1, plan
+
+
+def test_bigram_pmi_single_corpus_pass(spark, sf_dir):
+    """PMI: marginals re-aggregate the persisted bigram counts (vocab-
+    sized), never the corpus — the exploded corpus crosses the wire once
+    into the (bigram) agg; both marginal joins broadcast; no n² product."""
+    df = QUERIES["bigram_pmi"].fn(spark, sf_dir)
+    try:
+        plan = _executed_plan(df)
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("InMemoryTableScan") >= 3, plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_inverted_index_no_global_hotspot(spark, sf_dir):
+    """Sharded inverted index: grouping key is (word, shard) so no single
+    reducer owns a whole term's postings; bounded exchanges (distinct +
+    grouped agg), no sort shuffle of the corpus."""
+    plan = _executed_plan(QUERIES["inverted_index"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_keep_best_no_pair_product(spark, sf_dir):
+    """Keep-best dedup: candidates come from the banded LSH join and the
+    keep rule is a canonical_id-keyed window — no all-pairs product
+    anywhere in the physical plan."""
+    plan = _executed_plan(QUERIES["dedup_keep_best"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_important_stock_value_single_fact_shuffle(spark, sf_dir):
+    """Q11 shape: the nation's supplier set broadcasts into the lineitem
+    scan; the per-part DECIMAL aggregation is the only fact shuffle, and
+    the scalar threshold arrives as a literal (no join for it)."""
+    df = QUERIES["important_stock_value"].fn(spark, sf_dir)
+    try:
+        plan = _executed_plan(df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "InMemoryTableScan" in plan, plan  # grouped table reused
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_bm25_only_matching_postings_shuffle(spark, sf_dir):
+    """BM25: the word-IN-terms filter sits below the tf exchange (only
+    matching postings cross the wire), idf broadcasts, and the top-20
+    plans as TakeOrderedAndProject, not a global sort."""
+    df = QUERIES["bm25_search"].fn(spark, sf_dir)
+    try:
+        plan = _executed_plan(df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        # corpus scan is cached+projected once; both consumers read the cache
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_event_funnel_one_fact_exchange(spark, sf_dir):
+    """Funnel: the fact repartitions ONCE on user_id; each stage's
+    aggregation and join reuses that partitioning (AQE sees
+    co-partitioned children), so no further full-fact exchanges appear."""
+    df = QUERIES["event_funnel"].fn(spark, sf_dir)
+    try:
+        plan = _executed_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("InMemoryTableScan") >= 3, plan  # v/c/p read cache
+    finally:
+        spark.catalog.clearCache()
