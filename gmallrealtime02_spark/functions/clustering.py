@@ -36,22 +36,36 @@ def kmeans_assign(
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column; returns (vec_id, cid, d2).
 
-    Deterministic: init = the first ``k`` vectors by id (no RNG — a
-    seeded sample's draws depend on partitioning; first-k does not), and
-    the argmin breaks distance ties by lowest cid via min(struct).
+    Deterministic AND partitioning-invariant: init = the first ``k``
+    vectors by id (no RNG — a seeded sample's draws depend on
+    partitioning; first-k does not), the argmin breaks distance ties by
+    lowest cid via min(struct), inputs are quantized to 1e-6 scan-side,
+    and centroid means accumulate as exact DECIMAL(18,6) sums — double
+    ``avg`` (the earlier revision) sums in task-completion order, so the
+    same data could yield different centroids run-over-run on a real
+    cluster; exact decimal sums make every iteration's centroids a pure
+    function of the data.  That also makes the whole algorithm
+    reproducible in ANY engine (the DuckDB oracle unrolls these exact
+    iterations — plans/llm_pipeline.py kmeans_clusters).
     Each iteration: broadcast the k x dim centroid table, assign every
-    vector map-side, recompute centroids as per-dimension means via
-    posexplode + partial aggregation (the exchange carries k·dim rows
-    per task, never the corpus), collect the k centroids to the driver
-    for the next round."""
+    vector map-side, recompute centroids via posexplode + partial
+    aggregation (the exchange carries k·dim rows per task, never the
+    corpus), collect the k centroids to the driver for the next round."""
     spark = emb.sparkSession
+    data = ensure_parallelism(
+        emb.select(
+            F.col(id_col),
+            F.transform(
+                F.col("embedding"), lambda x: F.round(x.cast("double"), 6)
+            ).alias("embedding"),
+        )
+    ).persist()
     cents = [
         (int(i), [float(x) for x in r.embedding])
         for i, r in enumerate(
-            emb.orderBy(id_col).limit(k).select("embedding").collect()
+            data.orderBy(id_col).limit(k).select("embedding").collect()
         )
     ]
-    data = ensure_parallelism(emb.select(F.col(id_col), "embedding")).persist()
     try:
         assign = None
         for _ in range(iters):
@@ -73,7 +87,13 @@ def kmeans_assign(
             new_cents = (
                 assign.select("cid", F.posexplode("embedding").alias("pos", "x"))
                 .groupBy("cid", "pos")
-                .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+                .agg(
+                    # exact partial sums: order-independent, engine-exact
+                    (
+                        F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+                        / F.count("*")
+                    ).alias("mu")
+                )
                 .groupBy("cid")
                 .agg(
                     F.array_sort(

@@ -1060,17 +1060,81 @@ from ..functions.clustering import (  # noqa: E402
 )
 
 
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """DuckDB mirror of ``kmeans_assign`` with the iterations unrolled as
+    chained CTEs.  Works because the operator is engine-reproducible:
+    inputs quantized to 1e-6 (round on double agrees across engines away
+    from dyadic ties, which quantized float32 data cannot hit), distances
+    fold in index order (bit-identical IEEE doubles), argmin ties break
+    on lowest cid, and centroid means are exact DECIMAL(18,6) sums cast
+    to double then divided — no order-dependent float accumulation
+    anywhere."""
+    dist = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(generate_series(1, len(v.e)), "
+        "j -> (v.e[j] - c.cvec[j]) * (v.e[j] - c.cvec[j]))), "
+        "(x, y) -> x + y)"
+    )
+    ctes = [
+        "v AS (SELECT vec_id, "
+        "list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS e "
+        "FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, e AS cvec FROM v "
+        f"WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i} AS ("
+            f" SELECT vec_id, e, cid, d2 FROM ("
+            f"  SELECT v.vec_id, v.e, c.cid, {dist} AS d2,"
+            f"   row_number() OVER (PARTITION BY v.vec_id"
+            f"    ORDER BY {dist} ASC, c.cid ASC) AS rn"
+            f"  FROM v CROSS JOIN c{i - 1} c"
+            f" ) WHERE rn = 1)"
+        )
+        if i == iters:
+            break
+        ctes.append(
+            f"m{i} AS ("
+            f" SELECT cid, u.pos AS pos,"
+            f"  CAST(sum(u.xq) AS DOUBLE) / count(*) AS mu"
+            f" FROM (SELECT cid, unnest(list_transform("
+            f"   generate_series(1, len(e)),"
+            f"   j -> struct_pack(pos := j, xq := CAST(e[j] AS DECIMAL(18,6)))"
+            f"  )) AS u FROM a{i})"
+            f" GROUP BY cid, u.pos)"
+        )
+        ctes.append(
+            f"c{i} AS ("
+            f" SELECT p.cid, coalesce(n.cvec, p.cvec) AS cvec"
+            f" FROM c{i - 1} p LEFT JOIN ("
+            f"  SELECT cid, list(mu ORDER BY pos) AS cvec FROM m{i} GROUP BY cid"
+            f" ) n ON n.cid = p.cid)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cid, round(d2, 6) AS d2 FROM a{iters}"
+    )
+
+
 @register(
     "kmeans_clusters",
-    oracle=None,  # iterative algorithm; pytest gates: nearest-centroid
-    # invariant vs numpy replication + monotone inertia descent
+    # The operator is engine-reproducible (1e-6-quantized inputs,
+    # DECIMAL-exact centroid sums, fold-ordered distances, cid-tie-broken
+    # argmin), so the oracle unrolls the same 3 Lloyd iterations in SQL.
+    # pytest additionally gates nearest-centroid vs numpy replication +
+    # monotone inertia descent.
+    oracle=_kmeans_oracle_sql(k=10, iters=3),
     tags=("clustering", "embedding", "iterative"),
 )
 def kmeans_clusters_q(spark, sf_dir):
     """K-means (k=10, 3 Lloyd iterations, deterministic first-k init) over
     the embedding corpus — the iterative-DataFrame-algorithm pattern:
     broadcast k·dim centroids, map-side argmin assignment, k·dim-row
-    centroid recompute per iteration.  See functions/clustering.py."""
+    centroid recompute per iteration.  Partitioning-invariant by
+    construction (quantized inputs + exact decimal centroid sums), which
+    is what lets an iterative algorithm carry a cross-engine hash-exact
+    oracle at all.  See functions/clustering.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, k=10, iters=3).select(
         "vec_id", "cid", F.round("d2", 6).alias("d2")

@@ -162,7 +162,10 @@ def test_kmeans_matches_numpy_replication(spark, sf_dir):
     )
 
     pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
-    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    # mirror the operator's 1e-6 input quantization (engine-exactness)
+    X = np.round(
+        np.array([np.asarray(v, dtype=np.float64) for v in pdf.embedding]), 6
+    )
     cents = X[:10].copy()
     # mirror the engine exactly: the returned assignment is the one computed
     # at the START of the last iteration; empty clusters keep old centroids

@@ -41,7 +41,10 @@ def test_driver_window_curation():
     qs = load_all()
     window = list(qs)[:50]
     rows_only = {n for n in window if qs[n].oracle is None}
-    assert rows_only <= {"dedup_embedding_cosine", "kmeans_clusters"}, rows_only
+    # every in-window entry now carries a full oracle: the deterministic
+    # LSH near-dup and the partitioning-invariant k-means both became
+    # SQL-reproducible in round 3
+    assert rows_only == set(), rows_only
     for flagship in (
         "dau_mids", "dau_hourly", "order_wide", "detail_snowflake",
         "user_tier_bucket", "dedup_minhash_lsh", "dedup_paragraphs_global",
