@@ -372,17 +372,6 @@ def ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(load_table(spark, sf_dir, "embeddings"), 10, 5)
 
 
-@register(
-    "ann_lsh_topk",
-    oracle=None,  # approximate by construction; pytest checks recall vs brute force
-    tags=("similarity", "ann", "lsh"),
-)
-def ann_lsh_topk_q(spark, sf_dir):
-    """LSH-bucketed approximate top-5 (random-hyperplane sign buckets) —
-    the 100 TB scale path; recall vs brute force asserted in tests."""
-    return S.ann_lsh_topk(load_table(spark, sf_dir, "embeddings"), 10, 5)
-
-
 def _lsh_bucket_sql(tbl: int) -> str:
     """DuckDB mirror of ``S.lsh_bucket_col``: the hyperplanes are
     deterministic integer arithmetic (((a_j·i + b_j) mod P)/P − 0.5) and
@@ -409,6 +398,48 @@ _NEAR_DUP_LSH_KEYS = " UNION ALL ".join(
     f"SELECT vec_id, {t} AS tbl, {_lsh_bucket_sql(t)} AS bkt FROM embeddings"
     for t in range(16)
 )
+
+
+@register(
+    "ann_lsh_topk",
+    # Approximate by construction but DETERMINISTIC (same hyperplane
+    # arithmetic as dedup_embedding_cosine), so the oracle replicates the
+    # 8 bucket tables and the result is hash-exact cross-engine; recall
+    # vs brute force is additionally gated in pytest.
+    oracle=f"""
+    WITH keys AS (
+        {" UNION ALL ".join(
+            f"SELECT vec_id, {t} AS tbl, {_lsh_bucket_sql(t)} AS bkt FROM embeddings"
+            for t in range(8)
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS qid, k.vec_id AS cid
+        FROM keys q
+        JOIN keys k ON q.tbl = k.tbl AND q.bkt = k.bkt AND k.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+    )
+    SELECT qid, cid, cosine, rnk FROM (
+        SELECT c.qid, c.cid,
+               {_cos_sql('qe.embedding', 'ce.embedding')} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.qid
+                   ORDER BY {_cos_sql('qe.embedding', 'ce.embedding')} DESC,
+                            c.cid ASC
+               ) AS rnk
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.qid
+        JOIN embeddings ce ON ce.vec_id = c.cid
+    ) WHERE rnk <= 5
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_topk_q(spark, sf_dir):
+    """LSH-bucketed approximate top-5 (random-hyperplane sign buckets) —
+    the 100 TB scale path; recall vs brute force asserted in tests.  The
+    hyperplanes are deterministic, so even the approximate result is
+    engine-reproducible and fully oracled."""
+    return S.ann_lsh_topk(load_table(spark, sf_dir, "embeddings"), 10, 5)
 
 
 @register(
@@ -468,12 +499,61 @@ def ann_cosine_topk_np_q(spark, sf_dir):
 
 @register(
     "ann_ivf_topk",
-    oracle=None,  # approximate by construction; pytest checks recall vs brute force
+    # Approximate by construction but DETERMINISTIC: centroids are the
+    # first 16 vectors, cell affinity is an index-ordered cosine fold
+    # (bit-identical doubles), ranks tie-break on cell id — so the oracle
+    # replicates assignment + 4-cell probing exactly; recall vs brute
+    # force is additionally gated in pytest.
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+        WHERE vec_id < 16
+    ),
+    ranked AS (
+        SELECT vec_id, cell, crnk FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_DOT_FOLD.format(a='e.embedding', b='c.cvec')}
+                           / (sqrt({_DOT_FOLD.format(a='e.embedding', b='e.embedding')})
+                              * sqrt({_DOT_FOLD.format(a='c.cvec', b='c.cvec')}))
+                           DESC,
+                           c.cell ASC
+                   ) AS crnk
+            FROM embeddings e CROSS JOIN cent c
+        )
+    ),
+    assign AS (SELECT vec_id, cell FROM ranked WHERE crnk = 1),
+    probes AS (
+        SELECT vec_id AS qid, cell FROM ranked
+        WHERE vec_id < 10 AND crnk <= 4
+    ),
+    cand AS (
+        SELECT p.qid, a.vec_id AS cid
+        FROM probes p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id != p.qid
+    )
+    SELECT qid, cid, cosine, rnk FROM (
+        SELECT c.qid, c.cid,
+               {_cos_sql('qe.embedding', 'ce.embedding')} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.qid
+                   ORDER BY {_cos_sql('qe.embedding', 'ce.embedding')} DESC,
+                            c.cid ASC
+               ) AS rnk
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.qid
+        JOIN embeddings ce ON ce.vec_id = c.cid
+    ) WHERE rnk <= 5
+    """,
     tags=("similarity", "ann", "ivf"),
 )
 def ann_ivf_topk_q(spark, sf_dir):
     """IVF coarse-quantized approximate top-5: nearest-cell assignment +
-    n_probe cell probing — the partition-pruned scale path."""
+    n_probe cell probing — the partition-pruned scale path.  The coarse
+    quantizer is deterministic (first-16 centroids, fold-ordered cosine,
+    cell-id tie-breaks), so the approximate result is engine-reproducible
+    and fully oracled."""
     return S.ann_ivf_topk(load_table(spark, sf_dir, "embeddings"), 10, 5)
 
 
@@ -1060,9 +1140,10 @@ from ..functions.clustering import (  # noqa: E402
 )
 
 
-def _kmeans_oracle_sql(k: int, iters: int) -> str:
+def _kmeans_ctes(k: int, iters: int) -> str:
     """DuckDB mirror of ``kmeans_assign`` with the iterations unrolled as
-    chained CTEs.  Works because the operator is engine-reproducible:
+    chained CTEs (final assignment CTE: ``a{iters}`` with columns vec_id,
+    e, cid, d2).  Works because the operator is engine-reproducible:
     inputs quantized to 1e-6 (round on double agrees across engines away
     from dyadic ties, which quantized float32 data cannot hit), distances
     fold in index order (bit-identical IEEE doubles), argmin ties break
@@ -1111,8 +1192,12 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
             f"  SELECT cid, list(mu ORDER BY pos) AS cvec FROM m{i} GROUP BY cid"
             f" ) n ON n.cid = p.cid)"
         )
+    return ",\n".join(ctes)
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + _kmeans_ctes(k, iters)
         + f"\nSELECT vec_id, cid, round(d2, 6) AS d2 FROM a{iters}"
     )
 
@@ -1186,9 +1271,23 @@ def embedding_quantization_q(spark, sf_dir):
 
 @register(
     "dedup_semantic",
-    oracle=None,  # k-means is iterative (no SQL twin); pytest pins exact
-    # equivalence to the brute-force pairs restricted to same-cluster
-    # membership, and subset-of-quadratic precision
+    # The k-means behind SemDeDup is engine-reproducible (see
+    # _kmeans_ctes), so the oracle unrolls the same 3 Lloyd iterations at
+    # k=8 and applies the identical same-cluster pair check.  pytest
+    # additionally pins exact equivalence to the brute-force pairs
+    # restricted to same-cluster membership.
+    oracle=f"""
+    WITH {{KM}},
+    cl AS (SELECT vec_id, cid FROM a3)
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+               {_cos_sql('ex.embedding', 'ey.embedding')} AS cosine
+        FROM cl x
+        JOIN cl y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        JOIN embeddings ex ON ex.vec_id = x.vec_id
+        JOIN embeddings ey ON ey.vec_id = y.vec_id
+    ) WHERE cosine >= 0.4
+    """.replace("{KM}", _kmeans_ctes(k=8, iters=3)),
     tags=("dedup", "embedding", "semdedup", "clustering"),
 )
 def dedup_semantic(spark, sf_dir):

@@ -82,13 +82,15 @@ _PRIORITY = [
     "customers_no_orders",
     "customers_with_orders",
     # -- LLM-data-pipeline family (graded as first-class components) --
-    # Window economics: a rows-only query spends a slot on a weaker
-    # check, so inside the window rows-only entries appear ONLY where
-    # their judge-table line has no oracled sibling (embedding near-dup,
-    # k-means); ANN scale variants (np/LSH/IVF) and media resize/frames
-    # sit after the window — ann_cosine_topk / media_features are the
-    # oracled in-window representatives, and pytest recall/fan-out gates
-    # carry the variants' evidence.
+    # Window economics: every in-window entry now carries a full value-
+    # hash oracle — round 3 made the approximate ops deterministic
+    # (integer-arithmetic LSH hyperplanes, partitioning-invariant
+    # k-means), so even dedup_embedding_cosine and kmeans_clusters are
+    # SQL-reproducible.  ANN scale variants (np/LSH/IVF) and media
+    # resize/frames sit after the window — ann_cosine_topk /
+    # media_features are the in-window representatives, and LSH/IVF are
+    # themselves oracled post-window (only BLAS-summed np and the binary
+    # media stubs remain rows-only, by nature).
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
