@@ -363,3 +363,76 @@ def streaming_near_dup_suppress(
 
     sig = docs.withColumn("simhash", simhash_col(F.col(text_col)))
     return sig.withWatermark(ts_col, watermark).dropDuplicates(["simhash"])
+
+
+_FUNNEL_OUT_SCHEMA = "user_id long, stage int, event_type string, ts timestamp"
+
+_FUNNEL_ORDER = {"view": 1, "click": 2, "purchase": 3}
+
+
+def stateful_funnel(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Streaming twin of the batch ``event_funnel`` query: a per-user
+    stage machine (``applyInPandasWithState``) that emits one row per
+    funnel advance — the first view anchors stage 1, the first click
+    strictly after it stage 2, the first purchase strictly after that
+    stage 3 (the same strict-ordering anchors the batch query computes
+    with min-ts chaining; tests pin the per-stage user counts equal).
+
+    State per user is (stage, anchor_ts) — two fields, not an event
+    buffer, so state size is O(users), never O(events).  Within a batch
+    the group's rows are processed in (ts, event_id) order; across
+    batches the anchors carry forward.  Out-of-order delivery beyond a
+    batch boundary (e.g. a view arriving after a later view already
+    anchored stage 1) is bounded by the watermark, the standard
+    streaming-funnel tradeoff — the batch query remains the exact
+    retrospective form."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    e = events.filter(
+        F.col("event_type").isin(list(_FUNNEL_ORDER))
+    ).withWatermark("ts", watermark)
+
+    def advance(key, pdfs, state):
+        if state.exists:
+            stage, anchor = state.get
+        else:
+            stage, anchor = 0, None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((stage, anchor))
+            return
+        rows = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        out = []
+        for _, r in rows.iterrows():
+            if stage >= 3:
+                break
+            if _FUNNEL_ORDER.get(r["event_type"]) != stage + 1:
+                continue
+            if anchor is not None and not (r["ts"] > anchor):
+                continue
+            stage += 1
+            anchor = r["ts"]
+            out.append(
+                {
+                    "user_id": key[0],
+                    "stage": stage,
+                    "event_type": r["event_type"],
+                    "ts": r["ts"],
+                }
+            )
+        state.update((stage, anchor))
+        if out:
+            yield pd.DataFrame(out)
+
+    return e.groupBy("user_id").applyInPandasWithState(
+        advance,
+        outputStructType=_FUNNEL_OUT_SCHEMA,
+        stateStructType="stage int, anchor timestamp",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -351,3 +351,31 @@ def test_event_funnel_one_fact_exchange(spark, sf_dir):
         assert plan.count("InMemoryTableScan") >= 3, plan  # v/c/p read cache
     finally:
         spark.catalog.clearCache()
+
+
+def test_cross_doc_span_overlap_reuses_span_exchange(spark, sf_dir):
+    """Repeated-span coverage: the exploded span table is persisted and
+    feeds both the span-frequency agg and the doc join-back — the corpus
+    explodes once, and no pair product appears (a span shared by k docs
+    costs k rows, not k^2)."""
+    df = QUERIES["cross_doc_span_overlap"].fn(spark, sf_dir)
+    try:
+        plan = _executed_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_dsir_weights_single_corpus_explode(spark, sf_dir):
+    """DSIR: source and target LM counts both derive from the SAME
+    persisted exploded-bigram table (lang filter, no second corpus
+    read); the smoothing scalars are driver literals, not joins."""
+    df = QUERIES["dsir_weights"].fn(spark, sf_dir)
+    try:
+        plan = _executed_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        # bg persisted: scoring + src counts + tgt counts all read cache
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        spark.catalog.clearCache()

@@ -536,3 +536,119 @@ def test_streaming_near_dup_suppress(spark, tmp_path):
     finally:
         q.stop()
     assert ids == [1, 2, 4], ids  # doc 3 (reworded doc 1) suppressed
+
+
+def _typed_rows(*specs):
+    from datetime import datetime
+
+    return [
+        (eid, datetime(2024, 1, day, hour, 0, 0), uid, etype, 1.0)
+        for eid, day, hour, uid, etype in specs
+    ]
+
+
+def test_stateful_funnel_advances_across_batches(spark, tmp_path):
+    """Per-user funnel stage machine: anchors carry across micro-batches,
+    stage order is enforced (purchase before its click is swallowed),
+    same-timestamp events do NOT advance (strict >), and each user emits
+    at most one row per stage."""
+    src = str(tmp_path / "funnel_src")
+    # batch 1: uid1 view@h0, click@h1 (advances to 2); uid2 purchase@h0
+    # (swallowed: stage 1 not reached), view@h1
+    _write_batch(
+        spark,
+        src,
+        _typed_rows(
+            (1, 1, 0, 1, "view"),
+            (2, 1, 1, 1, "click"),
+            (3, 1, 0, 2, "purchase"),
+            (4, 1, 1, 2, "view"),
+        ),
+    )
+    # batch 2: uid1 purchase@h2 completes; uid2 click@h1 (same ts as its
+    # view -> strict > rejects), click@h3 advances; uid1 second view
+    # ignored (stage already past 1)
+    _write_batch(
+        spark,
+        src,
+        _typed_rows(
+            (5, 1, 2, 1, "purchase"),
+            (6, 1, 1, 2, "click"),
+            (7, 1, 3, 2, "click"),
+            (8, 1, 4, 1, "view"),
+        ),
+    )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        SJ.stateful_funnel(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.stage, r.event_type, r.ts.hour)
+        for r in spark.sql("SELECT * FROM funnel_out").collect()
+    }
+    assert got == {
+        (1, 1, "view", 0),
+        (1, 2, "click", 1),
+        (1, 3, "purchase", 2),
+        (2, 1, "view", 1),
+        (2, 2, "click", 3),
+    }, got
+
+
+def test_stateful_funnel_matches_batch_query_counts(spark, sf_dir):
+    """Replaying the whole events table as ONE batch through the streaming
+    funnel must reproduce the batch event_funnel per-stage user counts
+    (in-order replay -> the state machine anchors == min-ts chaining)."""
+    from gmallrealtime02_spark.plans.registry import load_all
+    from gmallrealtime02_spark.sources import load_table
+
+    batch = {
+        r.stage: r.users
+        for r in load_all()["event_funnel"].fn(spark, sf_dir).collect()
+    }
+
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        # watermarks require TIMESTAMP (LTZ); the naive-µs testdata loads
+        # as NTZ — the session is UTC-pinned so the cast preserves values
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "events_replay")
+        src.write.parquet(path)
+        stream = spark.readStream.schema(src.schema).parquet(path)
+        q = (
+            SJ.stateful_funnel(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("funnel_replay_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r.stage: r.users
+            for r in spark.sql(
+                "SELECT stage, count(*) AS users FROM funnel_replay_out GROUP BY stage"
+            ).collect()
+        }
+    assert got == batch, (got, batch)
