@@ -68,7 +68,7 @@ def kmeans_assign(
     ]
     try:
         assign = None
-        for _ in range(iters):
+        for it in range(iters):
             cdf = spark.createDataFrame(cents, "cid int, cvec array<double>")
             scored = data.crossJoin(F.broadcast(cdf)).select(
                 id_col,
@@ -84,6 +84,13 @@ def kmeans_assign(
                 .select(id_col, F.col("m.cid").alias("cid"),
                         F.col("m.d2").alias("d2"), "embedding")
             )
+            if it == iters - 1:
+                # the last iteration's recomputed centroids are never
+                # used (the returned assignment is against the previous
+                # round's centroids — same as the oracle's unroll, which
+                # skips m{iters}); recomputing them is a wasted
+                # full-corpus aggregation + collect
+                break
             new_cents = (
                 assign.select("cid", F.posexplode("embedding").alias("pos", "x"))
                 .groupBy("cid", "pos")

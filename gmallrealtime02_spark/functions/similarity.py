@@ -176,25 +176,43 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Band the signature and self-join per band: docs agreeing on all rows
-    of any band become candidates.  One scan pass (posexplode of the band
-    keys), shuffling only (band, key, doc_id) pairs."""
+def band_keys_col(sig: Column | None = None) -> Column:
+    """array<string> of the N_BANDS LSH band keys of a signature column —
+    the SINGLE definition of the banding layout; every consumer
+    (symmetric pairs, the incremental probe, the DuckDB _BANDS_SQL
+    mirror) must band identically or candidates silently diverge."""
+    sig = F.col("sig") if sig is None else sig
     rows_per_band = N_HASHES // N_BANDS
-    band_keys = F.array(
+    return F.array(
         *[
             F.concat_ws(
                 ",",
                 *[
-                    F.col("sig")[b * rows_per_band + r].cast("string")
+                    sig[b * rows_per_band + r].cast("string")
                     for r in range(rows_per_band)
                 ],
             )
             for b in range(N_BANDS)
         ]
     )
+
+
+def sig_agreement(sig_a: Column, sig_b: Column) -> Column:
+    """Count of agreeing minhash positions (the est-Jaccard numerator) —
+    shared by the symmetric and incremental verify stages."""
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature and self-join per band: docs agreeing on all rows
+    of any band become candidates.  One scan pass (posexplode of the band
+    keys), shuffling only (band, key, doc_id) pairs."""
     bands = sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+        "doc_id", F.posexplode(band_keys_col()).alias("band", "bkey")
     )
     a, b_ = bands.alias("a"), bands.alias("b")
     return (
@@ -223,15 +241,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     cand = lsh_candidate_pairs(sig)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    matches = F.aggregate(
-        F.zip_with(
-            F.col("sig_a"),
-            F.col("sig_b"),
-            lambda x, y: F.when(x == y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    matches = sig_agreement(F.col("sig_a"), F.col("sig_b"))
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -477,10 +487,25 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFram
     )
 
 
+N_TABLES = 8     # OR-amplification: candidate if bucket-equal in ANY table
+PLANES_PER_TABLE = 4
+MAX_LSH_TABLES = 16  # embedding_near_dup_lsh's table budget
+
+_plane_rng = random.Random(1337)
+# Sized for MAX_LSH_TABLES so every table's planes are distinct — the RNG
+# prefix is stable, so the first N_TABLES tables (ann_lsh_topk) are
+# byte-identical to when the list was 32 long; previously tables 8..15
+# wrapped onto 0..7 (identical buckets: 2x fan-out, zero recall gain).
+PLANE_PERMS: list[tuple[int, int]] = [
+    (_plane_rng.randrange(1, HASH_MOD), _plane_rng.randrange(0, HASH_MOD))
+    for _ in range(MAX_LSH_TABLES * PLANES_PER_TABLE)
+]
+
+
 def embedding_near_dup_lsh(
     emb: DataFrame,
     threshold: float = 0.4,
-    n_tables: int = 16,
+    n_tables: int = MAX_LSH_TABLES,
     n_planes: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs WITHOUT the all-pairs product — the
@@ -554,25 +579,14 @@ def embedding_near_dup_lsh(
     )
 
 
-N_TABLES = 8     # OR-amplification: candidate if bucket-equal in ANY table
-PLANES_PER_TABLE = 4
-MAX_LSH_TABLES = 16  # embedding_near_dup_lsh's table budget
-
-_plane_rng = random.Random(1337)
-# Sized for MAX_LSH_TABLES so every table's planes are distinct — the RNG
-# prefix is stable, so the first N_TABLES tables (ann_lsh_topk) are
-# byte-identical to when the list was 32 long; previously tables 8..15
-# wrapped onto 0..7 (identical buckets: 2x fan-out, zero recall gain).
-PLANE_PERMS: list[tuple[int, int]] = [
-    (_plane_rng.randrange(1, HASH_MOD), _plane_rng.randrange(0, HASH_MOD))
-    for _ in range(MAX_LSH_TABLES * PLANES_PER_TABLE)
-]
-
-
 def _plane_component(j: int, d: Column) -> Column:
     """Deterministic pseudo-random hyperplane component in (-0.5, 0.5):
-    ((a_j·(d+1)+b_j) mod P)/P − 0.5 — reproducible in any engine."""
-    a, b = PLANE_PERMS[j % len(PLANE_PERMS)]
+    ((a_j·(d+1)+b_j) mod P)/P − 0.5 — reproducible in any engine.
+
+    Indexes PLANE_PERMS directly (IndexError past MAX_LSH_TABLES): a
+    silent modulo wrap here is exactly how tables 8-15 once aliased onto
+    0-7 — doubled fan-out, zero recall gain."""
+    a, b = PLANE_PERMS[j]
     term = (F.lit(a).cast("long") * (d + 1).cast("long") + F.lit(b)) % HASH_MOD
     return term / F.lit(float(HASH_MOD)) - 0.5
 
@@ -857,3 +871,55 @@ def dedup_canonical(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return connected_components(pairs).select(
         "doc_id", F.col("component").alias("canonical_id")
     )
+
+
+def minhash_incremental_survivors(
+    docs: DataFrame, new_pred: Column, threshold: float = 0.5
+) -> DataFrame:
+    """Incremental-ingest dedup: documents of a NEW batch (``new_pred``)
+    that are NOT near-dups of the existing corpus — the shape a
+    continuously-ingesting pipeline runs per batch, where re-deduping
+    the whole corpus would be quadratic over time.
+
+    The probe is ASYMMETRIC: only the new batch's (band, bkey) keys join
+    against the corpus index — corpus×corpus pairs are never generated
+    (the symmetric form wastes the dominant share of candidate work on
+    already-deduped history).  At 100 TB the corpus side IS the
+    persisted band index (written once, bucketed by (band, bkey)); each
+    incremental batch shuffles only its own keys plus matching corpus
+    postings.  Verification is the same est-Jaccard signature compare as
+    ``minhash_lsh_pairs``, so survivors match the symmetric pipeline's
+    answer exactly (pinned by the registered query's oracle).
+
+    Returns surviving new-batch (doc_id, lang); new docs too short to
+    carry a signature survive trivially (no shingles ⇒ no near-dup)."""
+    base = ensure_parallelism(docs)
+    eligible = base.filter(F.size(F.split(F.col("text"), " ")) >= N_SHINGLE)
+    sig = eligible.select(
+        "doc_id",
+        new_pred.alias("is_new"),
+        minhash_signature_array(F.col("text")).alias("sig"),
+    ).persist()
+    bands = sig.select(
+        "doc_id", "is_new", F.posexplode(band_keys_col()).alias("band", "bkey")
+    )
+    probe = bands.filter(F.col("is_new")).select(
+        F.col("doc_id").alias("new_id"), "band", "bkey"
+    )
+    index = bands.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("old_id"), "band", "bkey"
+    )
+    cand = probe.join(index, ["band", "bkey"]).select("new_id", "old_id").distinct()
+    sa = sig.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_b"))
+    matches = sig_agreement(F.col("sig_a"), F.col("sig_b"))
+    dup_ids = (
+        cand.join(sa, "new_id")
+        .join(sb, "old_id")
+        .filter((matches.cast("double") / N_HASHES) >= threshold)
+        .select("new_id")
+        .distinct()
+    )
+    return base.filter(new_pred).join(
+        dup_ids, F.col("doc_id") == F.col("new_id"), "left_anti"
+    ).select("doc_id", "lang")

@@ -1160,8 +1160,13 @@ def _kmeans_ctes(k: int, iters: int) -> str:
         "v AS (SELECT vec_id, "
         "list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS e "
         "FROM embeddings)",
-        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, e AS cvec FROM v "
-        f"WHERE vec_id < {k})",
+        # first-k BY ORDER with positional cids — mirrors Spark's
+        # orderBy(id).limit(k) + enumerate exactly, with no assumption
+        # that vec_ids are contiguous/0-based (a testdata regeneration
+        # could gap them, as round 2's did to timestamps)
+        f"c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, e AS cvec FROM "
+        f"(SELECT e, row_number() OVER (ORDER BY vec_id) AS rn FROM v) "
+        f"WHERE rn <= {k})",
     ]
     for i in range(1, iters + 1):
         ctes.append(
@@ -1544,13 +1549,17 @@ def doc_lm_perplexity(spark, sf_dir):
         SELECT split_part(bg, ' ', 2) AS w, sum(c12) AS c FROM c12 GROUP BY w
     ),
     n AS (SELECT sum(c12) AS n FROM c12)
+    -- factors cast to DOUBLE before multiplying: at the 100 TB design
+    -- point c12*N and c1*c2 overflow int64 (Spark would wrap silently)
     SELECT bg, c12, lift, rnk FROM (
         SELECT c12.bg, c12.c12,
-               CAST(c12.c12 * (SELECT n FROM n) AS DOUBLE) / (c1.c * c2.c)
-                   AS lift,
+               (CAST(c12.c12 AS DOUBLE) * CAST((SELECT n FROM n) AS DOUBLE))
+                   / (CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE)) AS lift,
                ROW_NUMBER() OVER (
-                   ORDER BY CAST(c12.c12 * (SELECT n FROM n) AS DOUBLE)
-                            / (c1.c * c2.c) DESC, c12.bg ASC
+                   ORDER BY (CAST(c12.c12 AS DOUBLE)
+                             * CAST((SELECT n FROM n) AS DOUBLE))
+                            / (CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE))
+                            DESC, c12.bg ASC
                ) AS rnk
         FROM c12
         JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w
@@ -1591,7 +1600,12 @@ def bigram_pmi(spark, sf_dir):
         .select(
             "bg",
             "c12",
-            ((F.col("c12") * F.lit(n)).cast("double") / (F.col("c1") * F.col("c2"))).alias("lift"),
+            # double factors BEFORE multiplying — c12*N and c1*c2 overflow
+            # int64 at 100 TB corpus sizes (silent wrap with ANSI off)
+            (
+                (F.col("c12").cast("double") * F.lit(float(n)))
+                / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+            ).alias("lift"),
         )
     )
     from pyspark.sql import Window
@@ -1979,8 +1993,12 @@ def dsir_weights(spark, sf_dir):
     tgt = bg.filter(F.col("lang") == "en").groupBy("bg").agg(
         F.count("*").alias("c_tgt")
     )
-    n_src = bg.count()
-    n_tgt = bg.filter(F.col("lang") == "en").count()
+    # one pass over the cached bigram table for both corpus scalars
+    row = bg.agg(
+        F.count("*").alias("n_src"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_tgt"),
+    ).collect()[0]
+    n_src, n_tgt = row["n_src"], int(row["n_tgt"])
     v = src.count()
     lr = F.round(
         F.log(
@@ -2002,4 +2020,44 @@ def dsir_weights(spark, sf_dir):
             .cast("double")
             .alias("log_weight"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-ingest dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTES},
+    dups AS (
+        SELECT doc_a AS doc_id FROM pairs
+        WHERE doc_a % 5 = 4 AND doc_b % 5 != 4
+        UNION
+        SELECT doc_b FROM pairs
+        WHERE doc_b % 5 = 4 AND doc_a % 5 != 4
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id % 5 = 4
+      AND doc_id NOT IN (SELECT doc_id FROM dups)
+    """,
+    tags=("dedup", "minhash", "incremental", "pipeline"),
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup: the newest 20% of documents (doc_id % 5
+    == 4 — the scale-invariant stand-in for "today's batch") that are
+    NOT minhash-LSH near-dups of the existing 80% corpus.
+
+    Scale shape (the continuous-pipeline form of dedup_minhash_lsh): the
+    probe join is ASYMMETRIC — only the new batch's band keys probe the
+    corpus band index, so corpus×corpus candidates are never generated;
+    per-batch cost is O(batch + matching postings), not O(corpus²).  The
+    oracle derives the same answer from the symmetric pair set restricted
+    to new×old pairs, pinning the asymmetric probe's exactness."""
+    return S.minhash_incremental_survivors(
+        load_table(spark, sf_dir, "documents"),
+        (F.col("doc_id") % 5) == 4,
+        0.5,
     )

@@ -809,10 +809,14 @@ def important_stock_value(spark, sf_dir):
         ),
         by=("l_partkey",),
     )
+    # value stays DECIMAL end-to-end (dsum's double cast would make the
+    # threshold order-dependent float math); the grand total is therefore
+    # an exact decimal and the cross-multiplied filter is exact integer
+    # arithmetic on both engines — double appears only in the output
     pv = (
         li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(dsum(F.col("l_extendedprice"), 2).alias("value"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value"))
         .persist()
     )
     row = pv.agg(

@@ -379,3 +379,18 @@ def test_dsir_weights_single_corpus_explode(spark, sf_dir):
         assert plan.count("InMemoryTableScan") >= 2, plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_dedup_incremental_probe_is_asymmetric(spark, sf_dir):
+    """Incremental dedup: the signature table is persisted (one scan
+    pipeline feeds probe keys, index keys, and both verify sides) and no
+    pair product appears — candidates come only from the new-batch probe
+    against the corpus band index."""
+    df = QUERIES["dedup_incremental"].fn(spark, sf_dir)
+    try:
+        plan = _executed_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert plan.count("InMemoryTableScan") >= 3, plan
+    finally:
+        spark.catalog.clearCache()
