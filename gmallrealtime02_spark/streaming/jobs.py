@@ -436,3 +436,72 @@ def stateful_funnel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+
+def streaming_ingest_dedup(
+    new_docs: DataFrame,
+    corpus_path: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+) -> StreamingQuery:
+    """Dedup-at-ingest: each micro-batch of incoming documents keeps only
+    docs that are NOT minhash-LSH near-dups of (a) the existing corpus
+    or (b) earlier docs within the same batch — the streaming form of
+    the batch ``dedup_incremental`` operator, reusing the same
+    asymmetric probe (``minhash_incremental_survivors``) inside
+    ``foreachBatch``.
+
+    Survivors append to ``out_path`` and the corpus parquet; batch N+1
+    therefore sees batch N's survivors as corpus — the continuously-
+    growing-index semantics a production ingest pipeline runs.  At
+    100 TB the corpus side is the persisted band index (bucketed by
+    (band, bkey)); the per-batch "re-read" is a metadata refresh and the
+    probe join prunes to matching buckets, so per-batch cost follows the
+    batch, not the corpus.  In-batch self-dups resolve lowest-doc_id-
+    wins via the symmetric pair check restricted to the batch.
+
+    ``new_docs`` must be documents-shaped (doc_id, text, lang)."""
+    from ..functions.similarity import (
+        minhash_incremental_survivors,
+        minhash_lsh_pairs,
+    )
+
+    def ingest(batch: DataFrame, _bid: int) -> None:
+        spark = batch.sparkSession
+        # in-batch self-dedup: drop the higher doc_id of every near-dup
+        # pair found within the batch itself
+        self_dup_ids = (
+            minhash_lsh_pairs(batch, threshold)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        kept = batch.join(self_dup_ids, "doc_id", "left_anti")
+        from pyspark.errors import AnalysisException
+
+        try:
+            corpus = spark.read.parquet(corpus_path)
+        except AnalysisException:  # first batch: no corpus yet
+            corpus = None
+        if corpus is not None:
+            cols = kept.columns
+            tagged = (
+                corpus.select(*cols)
+                .withColumn("is_new", F.lit(False))
+                .unionByName(kept.withColumn("is_new", F.lit(True)))
+            )
+            survivor_ids = minhash_incremental_survivors(
+                tagged, F.col("is_new"), threshold
+            ).select("doc_id")
+            kept = kept.join(survivor_ids, "doc_id", "left_semi")
+        kept = kept.localCheckpoint(eager=True)  # pin before double write
+        kept.write.mode("append").parquet(out_path)
+        kept.write.mode("append").parquet(corpus_path)
+
+    return (
+        new_docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(ingest)
+        .start()
+    )

@@ -652,3 +652,52 @@ def test_stateful_funnel_matches_batch_query_counts(spark, sf_dir):
             ).collect()
         }
     assert got == batch, (got, batch)
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def test_streaming_ingest_dedup_grows_corpus(spark, tmp_path):
+    """Dedup-at-ingest via foreachBatch: batch 1 self-dedups (lowest
+    doc_id wins), batch 2's docs are probed against batch 1's survivors
+    (now the corpus), and only genuinely novel docs append."""
+    src = str(tmp_path / "ingest_src")
+    corpus = str(tmp_path / "ingest_corpus")
+    out = str(tmp_path / "ingest_out")
+    ckpt = str(tmp_path / "ingest_ckpt")
+    tx = "alpha beta gamma delta epsilon zeta"
+    ty = "one two three four five six seven"
+    tz = "red green blue cyan magenta yellow"
+    # batch 1: doc 2 duplicates doc 1 in-batch; doc 3 distinct
+    _write_batch(
+        spark, src,
+        [(1, tx, "en"), (2, tx, "en"), (3, ty, "en")],
+        schema=DOC_SCHEMA,
+    )
+    # batch 2: doc 4 duplicates the corpus (doc 1); doc 5 novel
+    _write_batch(
+        spark, src,
+        [(4, tx, "en"), (5, tz, "en")],
+        schema=DOC_SCHEMA,
+    )
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = SJ.streaming_ingest_dedup(stream, corpus, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3, 5}, kept
+    # the corpus grew to exactly the survivor set
+    grown = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert grown == {1, 3, 5}, grown
