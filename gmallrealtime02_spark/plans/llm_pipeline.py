@@ -2061,3 +2061,95 @@ def dedup_incremental(spark, sf_dir):
         (F.col("doc_id") % 5) == 4,
         0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF document similarity (inverted-index retrieval)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_similar_topk",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+    dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n FROM documents),
+    w AS (
+        SELECT tf.doc_id, tf.word,
+               CAST(round(
+                   (tf.tf / CAST(dl.dl AS DOUBLE))
+                   * round(ln(CAST((SELECT n FROM n) AS DOUBLE) / df.df), 6),
+               6) AS DECIMAL(18,6)) AS w
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (word)
+    ),
+    q AS (SELECT word, w FROM w WHERE doc_id = 0),
+    scored AS (
+        SELECT w.doc_id, CAST(sum(q.w * w.w) AS DOUBLE) AS score
+        FROM w JOIN q USING (word)
+        WHERE w.doc_id != 0
+        GROUP BY w.doc_id
+    )
+    SELECT doc_id, score, rnk FROM (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+    """,
+    tags=("similarity", "retrieval", "tfidf", "sparse"),
+)
+def doc_similar_topk(spark, sf_dir):
+    """Sparse-vector document similarity: top-10 most-similar docs to a
+    query document (doc_id 0) under TF-IDF dot product — the
+    inverted-index complement to dense ANN (`ann_cosine_topk`) and term
+    retrieval (`bm25_search`): score = Σ over SHARED terms of
+    w(t,q)·w(t,d), so only postings of the query's terms are touched,
+    never a doc×doc product.
+
+    Engine-exactness: w(t,d) = round((tf/dl)·round(ln(N/df),6), 6) is
+    quantized to 1e-6 in both engines and the per-pair sum accumulates
+    DECIMAL products exactly (order-independent), making the score
+    partitioning- and engine-invariant.
+
+    Scale shape: one corpus explode feeds tf/dl/df (persisted); the
+    query vector is term-cardinality and broadcasts; the scoring join
+    shuffles only postings of the query's terms (term-selective, like a
+    posting-list lookup); top-10 plans as TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    words = ensure_parallelism(
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    ).persist()
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    df_t = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.round(F.log(F.lit(float(n)) / F.col("df")), 6)
+    w = (
+        tf.join(dl, "doc_id")
+        .join(df_t, "word")
+        .select(
+            "doc_id",
+            "word",
+            F.round((F.col("tf") / F.col("dl").cast("double")) * idf, 6)
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+        .persist()
+    )
+    q = w.filter(F.col("doc_id") == 0).select("word", F.col("w").alias("qw"))
+    scored = (
+        w.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(q), "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("qw") * F.col("w")).cast("double").alias("score"))
+    )
+    from pyspark.sql import Window
+
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 10)
+    )

@@ -394,3 +394,17 @@ def test_dedup_incremental_probe_is_asymmetric(spark, sf_dir):
         assert plan.count("InMemoryTableScan") >= 3, plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_doc_similar_topk_term_selective(spark, sf_dir):
+    """Sparse TF-IDF similarity: the query vector broadcasts, scoring
+    touches only postings of the query's terms (no doc x doc product),
+    and the weight table is persisted for both consumers."""
+    df = QUERIES["doc_similar_topk"].fn(spark, sf_dir)
+    try:
+        plan = _executed_plan(df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        spark.catalog.clearCache()
