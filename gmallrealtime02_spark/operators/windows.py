@@ -108,3 +108,28 @@ def asof_prev_event(
     return carried.filter(F.col("event_type") == target_type).select(
         "event_id", "user_id", "ts", "prev_src_ts"
     )
+
+
+def scd2_of(events: DataFrame) -> DataFrame:
+    """SCD type-2 history from a change stream (user_id, event_id, ts,
+    event_type): consecutive repeats collapse, intervals close at the
+    next change, the open row is current.  ONE exchange: lag/filter/
+    lead/row_number share the (user_id) partitioning and (ts, event_id)
+    sort.  ``event_id`` rides along as the change row's provenance (and
+    the streaming job's replay tiebreak); relational consumers drop it."""
+    from ..sources.tables import ensure_parallelism
+
+    events = ensure_parallelism(events, by=("user_id",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = events.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNull() | (F.col("event_type") != F.col("prev"))
+    )
+    return chg.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    )

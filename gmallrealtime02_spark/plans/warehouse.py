@@ -240,20 +240,9 @@ def scd2_history(spark, sf_dir):
     Catalyst plans a single hash exchange + sort (plan-gated);
     event_id is the total-order tiebreak for equal timestamps —
     without it, version numbering is nondeterministic across runs."""
-    from pyspark.sql import Window
+    from ..operators.windows import scd2_of
 
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = e.withColumn("prev", F.lag("event_type").over(w)).filter(
-        F.col("prev").isNull() | (F.col("event_type") != F.col("prev"))
-    )
-    return chg.select(
-        "user_id",
-        F.col("event_type").alias("state"),
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w).alias("valid_to"),
-        F.lead("ts").over(w).isNull().alias("is_current"),
-        F.row_number().over(w).cast("bigint").alias("version"),
-    )
+    return scd2_of(e).drop("event_id")

@@ -701,3 +701,60 @@ def test_streaming_ingest_dedup_grows_corpus(spark, tmp_path):
     # the corpus grew to exactly the survivor set
     grown = {r.doc_id for r in spark.read.parquet(corpus).collect()}
     assert grown == {1, 3, 5}, grown
+
+
+def test_streaming_scd2_rewrites_affected_users(spark, tmp_path):
+    """Streaming SCD2: batch 2's LATE event for user 1 lands between two
+    existing versions — the interval re-splits, versions renumber, and
+    the final table equals the batch scd2_of over ALL events; user 2's
+    rows are untouched by batch 2 (no events for them)."""
+    from datetime import datetime
+
+    from gmallrealtime02_spark.operators.windows import scd2_of
+
+    src = str(tmp_path / "scd2_src")
+    tbl = str(tmp_path / "scd2_tbl")
+    ckpt = str(tmp_path / "scd2_ckpt")
+
+    def ev(eid, hour, uid, etype):
+        return (eid, datetime(2024, 1, 1, hour), uid, etype, 1.0)
+
+    b1 = [ev(1, 0, 1, "view"), ev(2, 4, 1, "purchase"), ev(10, 0, 2, "signup")]
+    b2 = [ev(3, 2, 1, "click")]  # late: between view@0 and purchase@4
+    _write_batch(spark, src, b1)
+    _write_batch(spark, src, b2)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = SJ.streaming_scd2(
+        stream.select("user_id", "event_id", "ts", "event_type"), tbl, ckpt
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.version, r.state, r.valid_from.hour,
+         r.valid_to.hour if r.valid_to else None, r.is_current)
+        for r in spark.read.parquet(tbl).collect()
+    }
+    # batch reference over the full concatenated event set
+    all_ev = spark.createDataFrame(b1 + b2, EVENT_SCHEMA).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    want = {
+        (r.user_id, r.version, r.state, r.valid_from.hour,
+         r.valid_to.hour if r.valid_to else None, r.is_current)
+        for r in scd2_of(all_ev).collect()
+    }
+    assert got == want, (got, want)
+    # explicit shape: user 1 now has view→click→purchase with re-split bounds
+    u1 = sorted(t for t in got if t[0] == 1)
+    assert u1 == [
+        (1, 1, "view", 0, 2, False),
+        (1, 2, "click", 2, 4, False),
+        (1, 3, "purchase", 4, None, True),
+    ], u1
