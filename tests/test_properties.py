@@ -309,3 +309,78 @@ def test_repetition_signals_match_counter(spark, text):
     assert row.n == len(grams)
     assert row.d == len(cnt)
     assert row.top == max(cnt.values())
+
+
+# --- funnel: relational min-ts chaining == brute-force state machine -------
+
+
+_funnel_event = st.tuples(
+    st.integers(min_value=1, max_value=6),      # user_id
+    st.integers(min_value=0, max_value=50),     # ts offset (minutes)
+    st.sampled_from(["view", "click", "purchase", "error"]),
+)
+
+
+def _brute_funnel(rows):
+    """Per-user state machine over ts-ordered events (event_id breaks
+    ties): first view anchors, first click strictly after it, first
+    purchase strictly after that."""
+    order = {"view": 1, "click": 2, "purchase": 3}
+    by_user: dict[int, list] = {}
+    for eid, (uid, ts, et) in enumerate(rows):
+        by_user.setdefault(uid, []).append((ts, eid, et))
+    counts = {1: 0, 2: 0, 3: 0}
+    for evs in by_user.values():
+        stage, anchor = 0, None
+        for ts, _eid, et in sorted(evs):
+            if stage < 3 and order.get(et) == stage + 1 and (
+                anchor is None or ts > anchor
+            ):
+                stage += 1
+                anchor = ts
+        for s in range(1, stage + 1):
+            counts[s] += 1
+    return counts
+
+
+@given(st.lists(_funnel_event, min_size=0, max_size=40))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_event_funnel_matches_brute_force(spark, events):
+    """The registered event_funnel's min-ts-chained relational form must
+    equal a brute-force per-user state machine on arbitrary event
+    streams (ties, repeats, out-of-order stages, missing stages)."""
+    from datetime import datetime, timedelta
+
+    from gmallrealtime02_spark.plans.analytics import event_funnel
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (eid, t0 + timedelta(minutes=ts), uid, et, 1.0)
+        for eid, (uid, ts, et) in enumerate(events)
+    ]
+    sdf = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    import gmallrealtime02_spark.sources.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda _s, _d, _t: sdf  # inject the random table
+        # plans.analytics imported load_table by name — patch there too
+        import gmallrealtime02_spark.plans.analytics as an
+
+        an_orig = an.load_table
+        an.load_table = lambda _s, _d, _t: sdf
+        try:
+            got = {
+                r.stage: r.users for r in event_funnel(spark, "unused").collect()
+            }
+        finally:
+            an.load_table = an_orig
+    finally:
+        tables.load_table = orig
+    assert got == _brute_funnel(events), (got, _brute_funnel(events))
