@@ -2153,3 +2153,55 @@ def doc_similar_topk(spark, sf_dir):
         scored.withColumn("rnk", F.row_number().over(win))
         .filter(F.col("rnk") <= 10)
     )
+
+
+@register(
+    "phrase_search",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, u.w AS word, u.p AS p FROM (
+            SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(ws)),
+                i -> struct_pack(w := ws[i], p := i)
+            )) AS u
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        )
+    )
+    SELECT a.doc_id, count(*) AS n_matches
+    FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+    WHERE a.word = 'hash' AND b.word = 'join'
+    GROUP BY a.doc_id
+    """,
+    tags=("text", "retrieval", "phrase", "positional-index"),
+)
+def phrase_search(spark, sf_dir):
+    """Exact phrase search ("hash join") via a POSITIONAL index: the
+    (doc_id, word, position) table is the inverted_index's positional
+    extension, and a phrase match is an equi-join on (doc_id,
+    position+1) between the phrase's terms — the standard two-term
+    phrase-query plan over positional postings.
+
+    Scale shape: positions explode scan-side and are filtered to the
+    phrase's TERMS before any exchange (only 'hash'/'join' postings
+    shuffle — term-selective like bm25_search); the join key is
+    (doc_id, position), so matching is partition-local after one
+    co-partitioned exchange per term list.  At 100 TB the positional
+    postings are the persisted index and this query reads two term
+    slices of it.  Integer-only arithmetic — trivially engine- and
+    partitioning-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    pos = ensure_parallelism(
+        d.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("p0", "word"),
+        ).select("doc_id", "word", (F.col("p0") + 1).alias("p"))
+    )
+    a = pos.filter(F.col("word") == "hash").select("doc_id", "p")
+    b = pos.filter(F.col("word") == "join").select(
+        "doc_id", (F.col("p") - 1).alias("p")
+    )
+    return (
+        a.join(b, ["doc_id", "p"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+    )

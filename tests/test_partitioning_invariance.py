@@ -28,6 +28,8 @@ INVARIANCE_CRITICAL = [
     "dsir_weights",            # decimal-summed rounded log-ratios
     "doc_lm_perplexity",       # decimal-summed rounded NLL terms
     "bm25_search",             # rounded idf + fixed-order pivot sum
+    "bigram_pmi",              # double factors, integer counts
+    "doc_similar_topk",        # decimal-summed quantized weight products
 ]
 
 
