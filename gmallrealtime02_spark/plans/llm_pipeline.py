@@ -1403,10 +1403,8 @@ def corpus_top_ngrams(spark, sf_dir):
     )
 
 
-@register(
-    "doc_lm_perplexity",
-    oracle="""
-    WITH bg AS (
+_PERPLEXITY_CTES = """
+    bg AS (
         SELECT doc_id, lang, unnest(list_transform(
             generate_series(1, len(string_split(text, ' ')) - 1),
             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
@@ -1434,11 +1432,21 @@ def corpus_top_ngrams(spark, sf_dir):
                sum(CAST(round(-ln(lm.p), 6) AS DECIMAL(18,6))) AS nll
         FROM bg JOIN lm ON bg.lang = lm.lang AND bg.bg = lm.bg
         GROUP BY bg.doc_id
+    ),
+    perdoc AS (
+        SELECT doc_id, n_bigrams,
+               ((2 * CAST(nll * 1000000 AS BIGINT) + n_bigrams)
+                // (2 * n_bigrams)) / 1000000.0 AS avg_nll
+        FROM scored
     )
-    SELECT doc_id, n_bigrams,
-           ((2 * CAST(nll * 1000000 AS BIGINT) + n_bigrams)
-            // (2 * n_bigrams)) / 1000000.0 AS avg_nll
-    FROM scored
+"""
+
+
+@register(
+    "doc_lm_perplexity",
+    oracle=f"""
+    WITH {_PERPLEXITY_CTES}
+    SELECT doc_id, n_bigrams, avg_nll FROM perdoc
     """,
     tags=("text", "quality", "language-model", "ccnet"),
 )
@@ -2204,4 +2212,52 @@ def phrase_search(spark, sf_dir):
         a.join(b, ["doc_id", "p"])
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_matches"))
+    )
+
+
+@register(
+    "ccnet_quality_buckets",
+    oracle=f"""
+    WITH {_PERPLEXITY_CTES}
+    SELECT doc_id, lang, avg_nll, bucket, bucket <= 2 AS keep FROM (
+        SELECT p.doc_id, d.lang, p.avg_nll,
+               ntile(3) OVER (
+                   PARTITION BY d.lang ORDER BY p.avg_nll ASC, p.doc_id ASC
+               ) AS bucket
+        FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+    )
+    """,
+    tags=("text", "quality", "language-model", "ccnet", "filter"),
+)
+def ccnet_quality_buckets(spark, sf_dir):
+    """CCNet's actual filtering step (Wenzek et al. 2020 §4.3): split each
+    language's documents into head/middle/tail terciles by LM perplexity
+    (bucket 1 = most fluent) and keep head+middle — the per-language
+    bucketing neutralizes cross-language LM-scale differences so one
+    global threshold isn't needed.
+
+    Engine-exactness: avg_nll is the integer-half-up exact score from
+    doc_lm_perplexity, and the tercile assignment orders by (avg_nll,
+    doc_id) — identical doubles + total ordering ⇒ identical ntile in
+    both engines.
+
+    Scale shape: reuses doc_lm_perplexity's plan (one corpus explode,
+    persisted bigram tables) plus one lang-partitioned ranking window —
+    per-language orderings run independently, no global sort."""
+    from pyspark.sql import Window
+
+    scores = doc_lm_perplexity(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_nll").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.join(langs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_nll",
+            F.ntile(3).over(w).alias("bucket"),
+        )
+        .withColumn("keep", F.col("bucket") <= 2)
     )
