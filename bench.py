@@ -4,6 +4,13 @@
 Prints ONE JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+``python bench.py --streaming`` instead micro-benches the structured-
+streaming jobs (streaming_dau first-seen dedup, streaming_order_wide
+watermarked stream-stream join) through a file source split into
+micro-batches, printing one JSON line with end-to-end rows/s per job —
+recorded in BASELINE.md so streaming regressions are visible
+round-over-round.
+
 Each query is fully materialized through the noop sink (all rows computed,
 no collect/IO skew).  The headline set spans every subsystem: dedup+agg
 (DAU), fact⋈fact shuffle join (order_wide), broadcast snowflake
@@ -83,5 +90,113 @@ def main() -> None:
     )
 
 
+N_MICRO_BATCHES = 8
+
+
+def bench_streaming() -> None:
+    """rows/s through the two flagship streaming jobs, file-source twin
+    (the suite's broker stand-in), N_MICRO_BATCHES triggers each."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gmallrealtime02_spark.sources.tables import load_table
+    from gmallrealtime02_spark.streaming.jobs import (
+        streaming_dau,
+        streaming_order_wide,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(re.search(r"sf([\d.]+)", sf_dir).group(1))
+    spark = get_spark(app_name="bench-streaming")
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    jobs: dict[str, float] = {}
+    try:
+        # --- streaming_dau: events → first-seen dedup (stateful) ---
+        # watermarks need TIMESTAMP (LTZ); testdata surfaces NTZ
+        events = load_table(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        src = os.path.join(work, "events_src")
+        events.repartition(N_MICRO_BATCHES).write.parquet(src)
+        n_rows = events.count()
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", max(1, N_MICRO_BATCHES // 4))
+            .parquet(src)
+        )
+        q = (
+            streaming_dau(stream)
+            .writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", os.path.join(work, "dau_ckpt"))
+            .start()
+        )
+        t0 = time.perf_counter()
+        q.processAllAvailable()
+        q.stop()
+        jobs["streaming_dau_rows_per_s"] = round(n_rows / (time.perf_counter() - t0), 1)
+
+        # --- streaming_order_wide: watermarked stream-stream join ---
+        orders = load_table(spark, sf_dir, "orders")
+        oi = orders.select(
+            F.col("o_orderkey").alias("o_order_id"),
+            F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+            F.col("o_totalprice").cast("double").alias("o_total"),
+        )
+        od = load_table(spark, sf_dir, "lineitem").select(
+            F.monotonically_increasing_id().alias("detail_id"),
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_shipdate").cast("timestamp").alias("d_ts"),
+            F.col("l_partkey").alias("sku"),
+        )
+        oi_src, od_src = os.path.join(work, "oi_src"), os.path.join(work, "od_src")
+        oi.repartition(N_MICRO_BATCHES).write.parquet(oi_src)
+        od.repartition(N_MICRO_BATCHES).write.parquet(od_src)
+        n_rows = od.count() + oi.count()
+        oi_s = (
+            spark.readStream.schema(oi.schema)
+            .option("maxFilesPerTrigger", max(1, N_MICRO_BATCHES // 4))
+            .parquet(oi_src)
+        )
+        od_s = (
+            spark.readStream.schema(od.schema)
+            .option("maxFilesPerTrigger", max(1, N_MICRO_BATCHES // 4))
+            .parquet(od_src)
+        )
+        q = (
+            streaming_order_wide(oi_s, od_s, watermark="7 days")
+            .writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", os.path.join(work, "ow_ckpt"))
+            .start()
+        )
+        t0 = time.perf_counter()
+        q.processAllAvailable()
+        q.stop()
+        jobs["streaming_order_wide_rows_per_s"] = round(
+            n_rows / (time.perf_counter() - t0), 1
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_rows_per_s",
+                "value": round(min(jobs.values()), 1),
+                "unit": "rows/s",
+                "queries": jobs,
+                "sf": sf,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--streaming" in sys.argv[1:]:
+        bench_streaming()
+    else:
+        main()

@@ -2,12 +2,14 @@
 ops — no reference analogue; BASELINE.json ``north_star``).
 
 - **K-means (Lloyd's)** as an iterative DataFrame algorithm: centroids
-  are always driver/broadcast-sized (k x dim floats); the corpus is never
-  collected.  Each iteration is one broadcast join (assignment via
-  min(struct(dist, cid)) argmin — map-side, no shuffle) plus one
-  per-(cid, dim) aggregation (posexplode → partial sums) — two narrow
-  exchanges of k·dim rows regardless of corpus size.  That is the
-  textbook 100 TB k-means layout: O(iters) passes, O(k·dim) driver state.
+  are always driver-sized (k x dim floats); the corpus is never
+  collected.  Each iteration assigns every vector with a ZERO-exchange
+  scan-side fold (centroid array literal → transform → array_min
+  argmin), then recomputes centroids via one per-(cid, dim) aggregation
+  (posexplode → partial sums) whose exchange carries k·dim partial rows
+  per task, never the corpus.  Plan-gated: the assignment subplan has no
+  Exchange at all (tests/test_plan_shapes.py).  That is the textbook
+  100 TB k-means layout: O(iters) passes, O(k·dim) driver state.
 - **Per-vector int8 scalar quantization**: each vector quantized against
   its own [min, max] range — purely scan-side (zero shuffles, zero
   global passes), 4x memory reduction for ANN candidate storage, with
@@ -47,11 +49,11 @@ def kmeans_assign(
     function of the data.  That also makes the whole algorithm
     reproducible in ANY engine (the DuckDB oracle unrolls these exact
     iterations — plans/llm_pipeline.py kmeans_clusters).
-    Each iteration: broadcast the k x dim centroid table, assign every
-    vector map-side, recompute centroids via posexplode + partial
-    aggregation (the exchange carries k·dim rows per task, never the
-    corpus), collect the k centroids to the driver for the next round."""
-    spark = emb.sparkSession
+    Each iteration: embed the k x dim centroids as an array literal in
+    the plan, assign every vector scan-side (zero exchanges — gated),
+    recompute centroids via posexplode + partial aggregation (the
+    exchange carries k·dim rows per task, never the corpus), collect the
+    k centroids to the driver for the next round."""
     data = ensure_parallelism(
         emb.select(
             F.col(id_col),
@@ -69,20 +71,38 @@ def kmeans_assign(
     try:
         assign = None
         for it in range(iters):
-            cdf = spark.createDataFrame(cents, "cid int, cvec array<double>")
-            scored = data.crossJoin(F.broadcast(cdf)).select(
-                id_col,
-                "embedding",
-                F.struct(
-                    _sq_dist(F.col("embedding"), F.col("cvec")).alias("d2"),
-                    F.col("cid").alias("cid"),
-                ).alias("dc"),
+            # Centroids as a k-element array LITERAL of (cid, cvec) structs:
+            # the argmin is a pure scan-side fold (transform → array_min),
+            # so assignment adds ZERO exchanges.  The earlier revision's
+            # crossJoin(broadcast) + groupBy(vec_id) re-shuffled the whole
+            # corpus (embeddings included) once per Lloyd iteration —
+            # Catalyst can't know vec_id is unique per partition, so the
+            # "map-side" claim was false in the physical plan.  array_min
+            # over struct(d2, cid) keeps the exact min(struct) tie-break:
+            # lowest distance, then lowest cid.
+            cent_arr = F.array(
+                *[
+                    F.struct(
+                        F.lit(cid).alias("cid"),
+                        F.array(*[F.lit(x) for x in vec]).alias("cvec"),
+                    )
+                    for cid, vec in cents
+                ]
             )
-            assign = (
-                scored.groupBy(id_col)
-                .agg(F.min("dc").alias("m"), F.first("embedding").alias("embedding"))
-                .select(id_col, F.col("m.cid").alias("cid"),
-                        F.col("m.d2").alias("d2"), "embedding")
+            dcs = F.transform(
+                cent_arr,
+                lambda c: F.struct(
+                    _sq_dist(F.col("embedding"), c["cvec"]).alias("d2"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+            assign = data.select(
+                id_col, "embedding", F.array_min(dcs).alias("m")
+            ).select(
+                id_col,
+                F.col("m.cid").alias("cid"),
+                F.col("m.d2").alias("d2"),
+                "embedding",
             )
             if it == iters - 1:
                 # the last iteration's recomputed centroids are never

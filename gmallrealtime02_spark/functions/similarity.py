@@ -49,6 +49,7 @@ MINHASH_PERMS: list[tuple[int, int]] = [
 ]
 
 
+from ..caching import materialized  # noqa: E402
 from ..sources.tables import ensure_parallelism  # noqa: E402  (re-export)
 
 
@@ -237,12 +238,21 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     holds — signatures (17 longs/doc) are a ~1000× reduction of the corpus
     and get persisted/written once, everything downstream touches only
     them."""
+    result, caches = minhash_lsh_pairs_plan(docs, threshold)
+    return materialized(result, *caches)
+
+
+def minhash_lsh_pairs_plan(
+    docs: DataFrame, threshold: float = 0.5
+) -> tuple[DataFrame, tuple[DataFrame, ...]]:
+    """Lazy (result, caches) pair — plan gates inspect this; the public
+    fn materializes and releases the signature cache."""
     sig = minhash_signatures(ensure_parallelism(docs)).persist()
     cand = lsh_candidate_pairs(sig)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     matches = sig_agreement(F.col("sig_a"), F.col("sig_b"))
-    return (
+    result = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -252,6 +262,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+    return result, (sig,)
 
 
 def exact_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -262,6 +273,15 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     persist each one re-runs the scan + shingle expression — the
     shingle construction, not the tiny (doc_id, shingle) shuffle, is
     the dominant cost of this operator."""
+    result, caches = exact_jaccard_pairs_plan(docs, threshold)
+    return materialized(result, *caches)
+
+
+def exact_jaccard_pairs_plan(
+    docs: DataFrame, threshold: float = 0.5
+) -> tuple[DataFrame, tuple[DataFrame, ...]]:
+    """Lazy (result, caches) pair — plan gates inspect this; the public
+    fn materializes and releases the shingle cache."""
     sh = (
         docs.select(
             "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
@@ -283,7 +303,7 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
+    result = (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .select(
@@ -297,6 +317,7 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return result, (sh,)
 
 
 def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
@@ -341,7 +362,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
-    return (
+    result = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -350,6 +371,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    return materialized(result, sig)
 
 
 # ---------------------------------------------------------------------------
@@ -367,6 +389,15 @@ def simhash_banded_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     joins on (segment_idx, segment_value) — shuffling only small keys —
     then the exact hamming verify runs per candidate.  Result is
     identical to the quadratic form (tests assert it)."""
+    result, caches = simhash_banded_pairs_plan(docs, max_hamming)
+    return materialized(result, *caches)
+
+
+def simhash_banded_pairs_plan(
+    docs: DataFrame, max_hamming: int = 3
+) -> tuple[DataFrame, tuple[DataFrame, ...]]:
+    """Lazy (result, caches) pair — plan gates inspect this; the public
+    fn materializes and releases the signature cache."""
     n_seg = max_hamming + 1
     seg_bits = [SIMHASH_BITS // n_seg + (1 if i < SIMHASH_BITS % n_seg else 0)
                 for i in range(n_seg)]
@@ -407,9 +438,10 @@ def simhash_banded_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+    result = cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+    return result, (sig,)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -480,11 +512,12 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFram
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
     )
     cos = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
-    return (
+    result = (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+    return materialized(result, v)
 
 
 N_TABLES = 8     # OR-amplification: candidate if bucket-equal in ANY table
@@ -527,6 +560,18 @@ def embedding_near_dup_lsh(
     back exactly once per side after dedup.  The pair product only ever
     materializes within buckets (n/2^n_planes expected occupancy),
     never globally."""
+    result, caches = embedding_near_dup_lsh_plan(emb, threshold, n_tables, n_planes)
+    return materialized(result, *caches)
+
+
+def embedding_near_dup_lsh_plan(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_tables: int = MAX_LSH_TABLES,
+    n_planes: int = 4,
+) -> tuple[DataFrame, tuple[DataFrame, ...]]:
+    """Lazy (result, caches) pair — plan gates inspect this; the public
+    fn materializes and releases the vector cache."""
     v = (
         ensure_parallelism(emb)
         .select(
@@ -571,12 +616,13 @@ def embedding_near_dup_lsh(
         F.col("nrm").alias("nb"),
     )
     cos = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
-    return (
+    result = (
         cand.join(pa, "vec_a")
         .join(pb, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+    return result, (v,)
 
 
 def _plane_component(j: int, d: Column) -> Column:
@@ -626,6 +672,18 @@ def ann_lsh_topk(
     by key; a query probes n_tables co-located partitions instead of the
     full scan — the all-pairs cross join never happens.
     """
+    result, caches = ann_lsh_topk_plan(emb, n_queries, k, n_tables)
+    return materialized(result, *caches)
+
+
+def ann_lsh_topk_plan(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_tables: int = N_TABLES,
+) -> tuple[DataFrame, tuple[DataFrame, ...]]:
+    """Lazy (result, caches) pair — plan gates inspect this; the public
+    fn materializes and releases the base-vector cache."""
     base = ensure_parallelism(emb).select("vec_id", "embedding").persist()
     table_keys = base.select(
         "vec_id",
@@ -669,7 +727,10 @@ def ann_lsh_topk(
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    result = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+    return result, (base,)
 
 
 N_CELLS = 16
@@ -693,6 +754,19 @@ def ann_ivf_topk(
     cell, so a probe reads n_probe/n_cells of the data with partition
     pruning instead of a full scan -- the classic IVF speed/recall dial.
     """
+    result, caches = ann_ivf_topk_plan(emb, n_queries, k, n_cells, n_probe)
+    return materialized(result, *caches)
+
+
+def ann_ivf_topk_plan(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> tuple[DataFrame, tuple[DataFrame, ...]]:
+    """Lazy (result, caches) pair — plan gates inspect this; the public
+    fn materializes and releases the cell-ranked cache."""
     cent = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
     )
@@ -728,7 +802,10 @@ def ann_ivf_topk(
     cn = F.sqrt(_dot(F.col("ce"), F.col("ce")))
     scored = cand.select("qid", "cid", F.round(dot / (qn * cn), 6).alias("cosine"))
     wq = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
-    return scored.withColumn("rnk", F.row_number().over(wq)).filter(F.col("rnk") <= k)
+    result = scored.withColumn("rnk", F.row_number().over(wq)).filter(
+        F.col("rnk") <= k
+    )
+    return result, (ranked,)
 
 
 def cosine_topk_np(
@@ -893,6 +970,17 @@ def minhash_incremental_survivors(
 
     Returns surviving new-batch (doc_id, lang); new docs too short to
     carry a signature survive trivially (no shingles ⇒ no near-dup)."""
+    from ..caching import materialized
+
+    result, caches = minhash_incremental_survivors_plan(docs, new_pred, threshold)
+    return materialized(result, *caches)
+
+
+def minhash_incremental_survivors_plan(
+    docs: DataFrame, new_pred: Column, threshold: float = 0.5
+) -> tuple[DataFrame, tuple[DataFrame, ...]]:
+    """Lazy (result, caches) pair — the plan gate inspects this; the
+    public fn materializes and releases the signature cache."""
     base = ensure_parallelism(docs)
     eligible = base.filter(F.size(F.split(F.col("text"), " ")) >= N_SHINGLE)
     sig = eligible.select(
@@ -920,6 +1008,7 @@ def minhash_incremental_survivors(
         .select("new_id")
         .distinct()
     )
-    return base.filter(new_pred).join(
+    result = base.filter(new_pred).join(
         dup_ids, F.col("doc_id") == F.col("new_id"), "left_anti"
     ).select("doc_id", "lang")
+    return result, (sig,)

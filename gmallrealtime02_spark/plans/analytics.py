@@ -606,25 +606,34 @@ _PAGE, _PAGE_SIZE = 3, 20
 )
 def order_page(spark, sf_dir):
     """Serving-layer pagination (dw-chart IndexController.java:79-110:
-    startpage/size): deterministic global order + row_number page window.
-    A global window serializes — acceptable for a serving query whose
-    result is one page; at scale the same endpoint is served keyset-style
-    (WHERE (o_orderdate, o_orderkey) < last_seen ORDER BY ... LIMIT n),
-    which this operator's sort order is chosen to support."""
+    startpage/size): deterministic global order + absolute page_row
+    numbers.  The page is fetched as ``orderBy().limit(page·size)`` — a
+    distributed TakeOrderedAndProject (per-task local top-k, driver-side
+    merge) — and row_number runs only over those page·size survivors,
+    never a global-window sort of the full orders fact on one reducer
+    (the scale-killer the earlier revision had).  At scale deep pages are
+    served keyset-style (WHERE (o_orderdate, o_orderkey) < last_seen
+    ORDER BY ... LIMIT n), which this sort order supports."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+    order = [F.col("o_orderdate").desc(), F.col("order_id").asc()]
     lo, hi = (_PAGE - 1) * _PAGE_SIZE + 1, _PAGE * _PAGE_SIZE
-    return (
+    top = (
         o.select(
+            "o_orderdate",
             F.col("o_orderkey").alias("order_id"),
             F.col("o_custkey").alias("user_id"),
             F.col("o_orderstatus").alias("order_status"),
             F.col("o_totalprice").alias("final_total_amount"),
-            F.row_number().over(w).alias("page_row"),
         )
+        .orderBy(*order)
+        .limit(hi)
+    )
+    return (
+        top.withColumn("page_row", F.row_number().over(Window.orderBy(*order)))
         .filter(F.col("page_row").between(lo, hi))
+        .drop("o_orderdate")
     )
 
 
@@ -1161,6 +1170,15 @@ def event_funnel(spark, sf_dir):
     p), and the three output counts are single-row aggregates.  All
     comparisons are exact µs-timestamp orderings, so the result is
     engine- and partitioning-exact."""
+    from ..caching import materialized
+
+    result, caches = _event_funnel_plan(spark, sf_dir)
+    return materialized(result, *caches)
+
+
+def _event_funnel_plan(spark, sf_dir):
+    """Lazy (result, caches) pair — the plan gate inspects this; the
+    registered fn materializes and releases the fact cache."""
     from ..sources.tables import ensure_parallelism
 
     ev = ensure_parallelism(
@@ -1196,8 +1214,9 @@ def event_funnel(spark, sf_dir):
             F.col("users"),
         )
 
-    return (
+    result = (
         _stage(v, 1, "view")
         .unionByName(_stage(c, 2, "click"))
         .unionByName(_stage(p, 3, "purchase"))
     )
+    return result, (ev,)

@@ -20,6 +20,7 @@ from ..functions.multimodal import (
     resize_media,
     sample_frames,
 )
+from ..caching import materialized
 from ..sources import load_table
 from ..sources.tables import ensure_parallelism
 from .registry import register
@@ -959,17 +960,25 @@ def media_frames(spark, sf_dir):
 def doc_top_terms(spark, sf_dir):
     """Top-5 most distinctive terms per document: tf × (N+1)/(df+1) — a
     tf-idf-style relevance kept as an exact integer ratio (no log), so
-    scores are bit-identical across engines.  Corpus pass (df) is one
-    word-keyed aggregation; join back is broadcastable (vocabulary ≪
-    corpus)."""
+    scores are bit-identical across engines.
+
+    Scale shape: ONE word-keyed exchange serves the whole query — the
+    exploded corpus is hash-partitioned on word, so the (doc_id, word)
+    tf agg, the word-keyed df agg, and the tf⋈df join all reuse that
+    partitioning with no further shuffle (word-partitioning satisfies
+    ClusteredDistribution(doc_id, word)).  The df table is NOT broadcast:
+    the distinct-token set of a 100 TB web corpus is 10⁸–10⁹ rows, far
+    past any broadcast threshold — the earlier revision's forced hint
+    would OOM the driver.  Only the final per-doc top-5 window re-keys,
+    on doc_id."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
-    )
+    ).repartition(F.col("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()
-    scored = tf.join(F.broadcast(df), "word").select(
+    scored = tf.join(df, "word").select(
         "doc_id",
         "word",
         (F.col("tf").cast("double") * (n_docs + 1) / (F.col("df") + 1)).alias(
@@ -1476,6 +1485,13 @@ def doc_lm_perplexity(spark, sf_dir):
     Beyond-reference op (LLM training-data family); CCNet: Wenzek et
     al. 2020, "CCNet: Extracting High Quality Monolingual Datasets from
     Web Crawl Data"."""
+    result, caches = _doc_lm_perplexity_plan(spark, sf_dir)
+    return materialized(result, *caches)
+
+
+def _doc_lm_perplexity_plan(spark, sf_dir):
+    """Lazy (result, caches) pair — the plan gate inspects this; the
+    registered fn materializes and releases the caches."""
     d = load_table(spark, sf_dir, "documents")
     ws_d = ensure_parallelism(
         d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
@@ -1511,7 +1527,7 @@ def doc_lm_perplexity(spark, sf_dir):
         )
     )
     nll_term = F.round(-F.log(F.col("p")), 6).cast("decimal(18,6)")
-    return (
+    result = (
         bg.join(lm, ["lang", "bg"])
         .groupBy("doc_id")
         .agg(
@@ -1532,6 +1548,7 @@ def doc_lm_perplexity(spark, sf_dir):
             ).alias("avg_nll"),
         )
     )
+    return result, (bg, c12)
 
 
 # ---------------------------------------------------------------------------
@@ -1584,9 +1601,23 @@ def bigram_pmi(spark, sf_dir):
     bit-identical across engines).
 
     Scale shape: everything derives from ONE (bigram) count aggregation
-    — left/right marginals re-aggregate the bigram counts (vocabulary-
-    sized, ≪ corpus), never the corpus, and broadcast back.  The corpus
-    is touched exactly once."""
+    — left/right marginals re-aggregate the bigram counts, never the
+    corpus; the corpus is touched exactly once.  The marginal joins are
+    PLAIN shuffle joins on the word key: on a 100 TB web corpus the
+    distinct-token set (URLs, typos, numbers) is 10⁸–10⁹ rows — far past
+    any broadcast threshold, so a forced broadcast hint (the earlier
+    revision) would OOM the driver before the job starts.  AQE still
+    auto-broadcasts when the measured size is genuinely small.  The
+    top-50 is orderBy().limit() — a distributed TakeOrderedAndProject —
+    with row_number applied only to the surviving 50 rows, never a
+    global-window sort of the whole vocabulary on one reducer."""
+    c12, ranked = _bigram_pmi_plan(spark, sf_dir)
+    return materialized(ranked, c12)
+
+
+def _bigram_pmi_plan(spark, sf_dir):
+    """Lazy (c12_persisted, ranked) pair — split out so the plan gate can
+    inspect the pre-materialization physical plan."""
     d = load_table(spark, sf_dir, "documents")
     ws = ensure_parallelism(
         d.select(F.split("text", " ").alias("ws"))
@@ -1602,9 +1633,9 @@ def bigram_pmi(spark, sf_dir):
         c12.filter(F.col("c12") >= 5)
         .withColumn("w1", w1)
         .withColumn("w2", w2)
-        .join(F.broadcast(c1), F.col("w1") == c1.w)
+        .join(c1, F.col("w1") == c1.w)
         .drop("w")
-        .join(F.broadcast(c2), F.col("w2") == c2.w)
+        .join(c2, F.col("w2") == c2.w)
         .select(
             "bg",
             "c12",
@@ -1618,11 +1649,10 @@ def bigram_pmi(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("lift").desc(), F.col("bg").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 50)
-    )
+    order = [F.col("lift").desc(), F.col("bg").asc()]
+    top = scored.orderBy(*order).limit(50)
+    ranked = top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+    return c12, ranked
 
 
 @register(
@@ -1803,7 +1833,17 @@ def bm25_search(spark, sf_dir):
     the same single projected scan; only rows whose word ∈ query terms
     survive into the tf shuffle (term-selective — the exchange carries
     matching postings, not the corpus); df/idf are term-cardinality and
-    broadcast.  Top-20 plans as TakeOrderedAndProject."""
+    broadcast.  Top-20 is orderBy().limit() — a distributed
+    TakeOrderedAndProject with row_number applied only to the 20
+    survivors, never a global-window sort of every matching doc on one
+    reducer."""
+    result, caches = _bm25_search_plan(spark, sf_dir)
+    return materialized(result, *caches)
+
+
+def _bm25_search_plan(spark, sf_dir):
+    """Lazy (result, caches) pair — the plan gate inspects this; the
+    registered fn materializes and releases the caches."""
     d = load_table(spark, sf_dir, "documents")
     base = ensure_parallelism(
         d.select("doc_id", F.split("text", " ").alias("ws"))
@@ -1855,11 +1895,10 @@ def bm25_search(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        tot.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-    )
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    top = tot.orderBy(*order).limit(20)
+    result = top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+    return result, (base,)
 
 
 # ---------------------------------------------------------------------------
@@ -1906,6 +1945,13 @@ def cross_doc_span_overlap(spark, sf_dir):
     the span-frequency aggregation and the doc join-back (ReusedExchange
     in the plan), then one doc_id-keyed re-aggregation.  No pair product
     anywhere: a span shared by k docs costs k rows, not k² pairs."""
+    result, caches = _cross_doc_span_overlap_plan(spark, sf_dir)
+    return materialized(result, *caches)
+
+
+def _cross_doc_span_overlap_plan(spark, sf_dir):
+    """Lazy (result, caches) pair — the plan gate inspects this; the
+    registered fn materializes and releases the caches."""
     d = load_table(spark, sf_dir, "documents")
     sh = (
         ensure_parallelism(
@@ -1918,7 +1964,7 @@ def cross_doc_span_overlap(spark, sf_dir):
         .persist()
     )
     cnt = sh.groupBy("shingle").agg(F.count("*").alias("nd"))
-    return (
+    result = (
         sh.join(cnt, "shingle")
         .groupBy("doc_id")
         .agg(
@@ -1929,6 +1975,7 @@ def cross_doc_span_overlap(spark, sf_dir):
         )
         .filter(F.col("n_shared") >= 1)
     )
+    return result, (sh,)
 
 
 @register(
@@ -1985,6 +2032,13 @@ def dsir_weights(spark, sf_dir):
     V) are three driver literals; scoring shuffles once on the bigram
     key against the bigram-keyed ratio table, then re-aggregates per
     doc."""
+    result, caches = _dsir_weights_plan(spark, sf_dir)
+    return materialized(result, *caches)
+
+
+def _dsir_weights_plan(spark, sf_dir):
+    """Lazy (result, caches) pair — the plan gate inspects this; the
+    registered fn materializes and releases the caches."""
     d = load_table(spark, sf_dir, "documents")
     ws_d = ensure_parallelism(
         d.select("doc_id", "lang", F.split("text", " ").alias("ws"))
@@ -2019,7 +2073,7 @@ def dsir_weights(spark, sf_dir):
         6,
     )
     ratio = src.join(tgt, "bg", "left").select("bg", lr.alias("lr"))
-    return (
+    result = (
         bg.join(ratio, "bg")
         .groupBy("doc_id")
         .agg(
@@ -2029,6 +2083,7 @@ def dsir_weights(spark, sf_dir):
             .alias("log_weight"),
         )
     )
+    return result, (bg, src)
 
 
 # ---------------------------------------------------------------------------
@@ -2125,7 +2180,16 @@ def doc_similar_topk(spark, sf_dir):
     Scale shape: one corpus explode feeds tf/dl/df (persisted); the
     query vector is term-cardinality and broadcasts; the scoring join
     shuffles only postings of the query's terms (term-selective, like a
-    posting-list lookup); top-10 plans as TakeOrderedAndProject."""
+    posting-list lookup); top-10 is orderBy().limit() — a distributed
+    TakeOrderedAndProject with row_number applied only to the 10
+    survivors."""
+    result, caches = _doc_similar_topk_plan(spark, sf_dir)
+    return materialized(result, *caches)
+
+
+def _doc_similar_topk_plan(spark, sf_dir):
+    """Lazy (result, caches) pair — the plan gate inspects this; the
+    registered fn materializes and releases the caches."""
     d = load_table(spark, sf_dir, "documents")
     n = d.count()
     words = ensure_parallelism(
@@ -2156,11 +2220,10 @@ def doc_similar_topk(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    win = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(win))
-        .filter(F.col("rnk") <= 10)
-    )
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    top = scored.orderBy(*order).limit(10)
+    result = top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+    return result, (words, w)
 
 
 @register(

@@ -795,6 +795,15 @@ def important_stock_value(spark, sf_dir):
     its two consumers).  The threshold test cross-multiplies exact
     DECIMAL sums (value·n_parts > total·2) — no division, no doubles,
     partitioning- and engine-invariant."""
+    from ..caching import materialized
+
+    result, caches = _important_stock_value_plan(spark, sf_dir)
+    return materialized(result, *caches)
+
+
+def _important_stock_value_plan(spark, sf_dir):
+    """Lazy (result, caches) pair — the plan gate inspects this; the
+    registered fn materializes and releases the grouped-table cache."""
     sup = (
         load_table(spark, sf_dir, "supplier")
         .join(
@@ -823,10 +832,11 @@ def important_stock_value(spark, sf_dir):
         F.sum("value").alias("t"), F.count("*").alias("n")
     ).collect()[0]
     total, n_parts = row["t"], row["n"]
-    return (
+    result = (
         pv.filter(F.col("value") * F.lit(n_parts) > F.lit(total) * 2)
         .select(
             F.col("l_partkey").alias("part_key"),
             F.col("value").cast("double").alias("part_value"),
         )
     )
+    return result, (pv,)

@@ -62,17 +62,21 @@ def paged_detail(
     (IndexController.java:79-111 wraps the ES page as
     ``{'draw':…,'data':…}``; the commented fallback at :112-186 shows the
     intended inner shape ``total``+``rows``).  Here: customer-enriched
-    order rows, keyword-filtered (the ES keyword match maps to a
-    customer-name substring), deterministically ordered
+    order rows, keyword-filtered with ES-match semantics (the reference
+    forwards ``keyword`` to an ES match query, which ANALYZES the input
+    and ORs the terms — so a multi-token keyword here ORs per-token
+    substring matches on the customer name), deterministically ordered
     (o_orderdate DESC, order key ASC) and paged.
 
-    Scale: offset pagination is rendered with a global row_number only
-    over the requested slice semantics — the sort key is chosen so a
-    100 TB serving deployment can switch to keyset pagination
-    (WHERE (o_orderdate, o_orderkey) < last_seen … LIMIT size) without
-    changing the contract."""
-    from pyspark.sql import Window
-
+    Scale: the page is fetched as ``orderBy().limit(page*size)`` — a
+    distributed ``TakeOrderedAndProject`` (each task keeps its local
+    top-(page·size), the driver merges) — then sliced driver-side.  The
+    earlier revision ranked with a GLOBAL no-partition window, which
+    sends every matching row to one task for a full sort; plan-gated
+    against regression in tests/test_plan_shapes.py.  The sort key also
+    supports keyset pagination (WHERE (o_orderdate, o_orderkey) <
+    last_seen … LIMIT size) for deep pages without changing the
+    contract."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_name"), F.col("c_mktsegment")
@@ -87,10 +91,16 @@ def paged_detail(
         F.col("o_orderdate").alias("order_date"),
     )
     if keyword:
-        d = d.filter(F.col("user_name").contains(keyword))
+        # ES match-query semantics: analyze (whitespace-tokenize) the
+        # keyword, OR the per-term matches
+        terms = [t for t in keyword.split() if t]
+        cond = F.lit(False)
+        for t in terms:
+            cond = cond | F.col("user_name").contains(t)
+        d = d.filter(cond)
     total = d.count()
-    w = Window.orderBy(F.col("order_date").desc(), F.col("order_id").asc())
-    lo, hi = (page - 1) * size + 1, page * size
+    hi = page * size
+    page_rows = paged_detail_plan(d, hi).collect()[(page - 1) * size : hi]
     rows = [
         {
             "order_id": r["order_id"],
@@ -101,12 +111,16 @@ def paged_detail(
             "final_total_amount": r["final_total_amount"],
             "order_date": str(r["order_date"]),
         }
-        for r in d.withColumn("page_row", F.row_number().over(w))
-        .filter(F.col("page_row").between(lo, hi))
-        .drop("page_row")
-        .collect()
+        for r in page_rows
     ]
     return json.dumps({"draw": draw, "total": total, "rows": rows})
+
+
+def paged_detail_plan(d, hi: int):
+    """The distributed page fetch: a top-(page·size) limit under the
+    serving sort — plans as TakeOrderedAndProject (split out so the plan
+    gate can assert no global-window sort sneaks back in)."""
+    return d.orderBy(F.col("order_date").desc(), F.col("order_id").asc()).limit(hi)
 
 
 def stat_groups(spark: SparkSession, sf_dir: str) -> str:

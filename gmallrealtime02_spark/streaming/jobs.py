@@ -453,35 +453,56 @@ def streaming_ingest_dedup(
     asymmetric probe (``minhash_incremental_survivors``) inside
     ``foreachBatch``.
 
-    Survivors append to ``out_path`` and the corpus parquet; batch N+1
-    therefore sees batch N's survivors as corpus — the continuously-
-    growing-index semantics a production ingest pipeline runs.  At
-    100 TB the corpus side is the persisted band index (bucketed by
-    (band, bkey)); the per-batch "re-read" is a metadata refresh and the
-    probe join prunes to matching buckets, so per-batch cost follows the
-    batch, not the corpus.  In-batch self-dups resolve lowest-doc_id-
-    wins via the symmetric pair check restricted to the batch.
+    Survivors land in ``out_path`` and the corpus parquet PARTITIONED BY
+    the micro-batch id with DYNAMIC partition overwrite: foreachBatch is
+    at-least-once, so a replayed batch REWRITES its own partition
+    instead of re-appending (the earlier revision's plain appends
+    duplicated survivors on any crash between the two writes — and
+    short docs with no signature re-survived every replay).  The corpus
+    read excludes the current batch's own partition, so a replay after
+    a partial corpus write still computes the same survivor set against
+    prior batches only — idempotent under any crash point.  Batch N+1
+    sees batch N's survivors as corpus — the continuously-growing-index
+    semantics a production ingest pipeline runs.  At 100 TB the corpus
+    side is the persisted band index (bucketed by (band, bkey)); the
+    per-batch "re-read" is a metadata refresh and the probe join prunes
+    to matching buckets, so per-batch cost follows the batch, not the
+    corpus.
+
+    In-batch self-dups resolve by CONNECTED COMPONENT: each component of
+    the batch's near-dup graph keeps only its minimum doc_id — the same
+    canonical rule as the batch ``dedup_canonical`` operator.  (The
+    earlier revision dropped the higher id of every PAIR, which
+    over-deletes on chains: with A~B and B~C but A≁C, C was dropped even
+    though its only near-dup B was dropped too.)
 
     ``new_docs`` must be documents-shaped (doc_id, text, lang)."""
     from ..functions.similarity import (
+        connected_components,
         minhash_incremental_survivors,
         minhash_lsh_pairs,
     )
 
-    def ingest(batch: DataFrame, _bid: int) -> None:
+    def ingest(batch: DataFrame, bid: int) -> None:
         spark = batch.sparkSession
-        # in-batch self-dedup: drop the higher doc_id of every near-dup
-        # pair found within the batch itself
+        # in-batch self-dedup, component-min semantics: every clustered
+        # doc whose id is not its component's minimum is dropped
         self_dup_ids = (
-            minhash_lsh_pairs(batch, threshold)
-            .select(F.col("doc_b").alias("doc_id"))
-            .distinct()
+            connected_components(
+                minhash_lsh_pairs(batch, threshold).select("doc_a", "doc_b")
+            )
+            .filter(F.col("doc_id") != F.col("component"))
+            .select("doc_id")
         )
         kept = batch.join(self_dup_ids, "doc_id", "left_anti")
         from pyspark.errors import AnalysisException
 
         try:
-            corpus = spark.read.parquet(corpus_path)
+            # exclude this batch's own partition: a replay after a crash
+            # mid-write must not probe against its own partial output
+            corpus = spark.read.parquet(corpus_path).filter(
+                F.col("ingest_batch") != F.lit(int(bid))
+            )
         except AnalysisException:  # first batch: no corpus yet
             corpus = None
         if corpus is not None:
@@ -495,9 +516,16 @@ def streaming_ingest_dedup(
                 tagged, F.col("is_new"), threshold
             ).select("doc_id")
             kept = kept.join(survivor_ids, "doc_id", "left_semi")
-        kept = kept.localCheckpoint(eager=True)  # pin before double write
-        kept.write.mode("append").parquet(out_path)
-        kept.write.mode("append").parquet(corpus_path)
+        kept = kept.withColumn(
+            "ingest_batch", F.lit(int(bid))
+        ).localCheckpoint(eager=True)  # pin before double write
+        for path in (out_path, corpus_path):
+            (
+                kept.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(path)
+            )
 
     return (
         new_docs.writeStream.outputMode("append")

@@ -56,7 +56,14 @@ def read_kafka_stream(
         brokers, topics, group_id, starting_offsets
     ).items():
         reader = reader.option(k, v)
-    raw = reader.load()
+    return project_kafka_frame(reader.load())
+
+
+def project_kafka_frame(raw: DataFrame) -> DataFrame:
+    """The source's record contract: binary key/value cast to string plus
+    the (topic, partition, offset, timestamp) metadata — split out so the
+    projection is testable on a kafka-schema batch frame without a
+    broker."""
     return raw.select(
         F.col("key").cast("string").alias("key"),
         F.col("value").cast("string").alias("value"),

@@ -1,0 +1,149 @@
+"""Contract tests for the Kafka adapters (S1/S2/K1/K2) — no broker exists
+in this environment, so these pin the OPTION DICTS and the record-shape
+contracts the adapters would hand a real cluster, mirroring the
+reference's consumer/producer params (MyKafkaUtil.scala:17-55,
+MyKafkaSender.scala:12-40).  The streaming test-suite drives the same
+jobs through file-source twins; this file closes the remaining gap —
+the generated reader/writer configuration itself.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import types as T
+
+from gmallrealtime02_spark.streaming.kafka import (
+    kafka_sink_options,
+    kafka_source_options,
+    project_kafka_frame,
+    read_kafka_stream,
+    write_kafka_stream,
+)
+from gmallrealtime02_spark.streaming.sinks import to_kafka_frame
+
+KAFKA_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def test_source_options_subscribe_and_group(spark):
+    opts = kafka_source_options("b1:9092,b2:9092", ["ods_log", "ods_db"], "g1")
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "ods_log,ods_db",
+        "startingOffsets": "latest",
+        "kafka.group.id": "g1",
+    }
+
+
+def test_source_options_explicit_offsets_json(spark):
+    """S2: a per-partition offset dict serializes to the startingOffsets
+    JSON contract ({topic: {partition: offset}})."""
+    opts = kafka_source_options(
+        "b:9092", ["t"], "g", starting_offsets={"t": {"0": 42, "1": 7}}
+    )
+    assert json.loads(opts["startingOffsets"]) == {"t": {"0": 42, "1": 7}}
+
+
+def test_sink_options_idempotent_producer(spark):
+    """K1: idempotence actually ON (the reference misspelled the flag),
+    acks=all, and the default topic only when given."""
+    opts = kafka_sink_options("b:9092")
+    assert opts["kafka.enable.idempotence"] == "true"
+    assert opts["kafka.acks"] == "all"
+    assert "topic" not in opts
+    assert kafka_sink_options("b:9092", "dwd_page_log")["topic"] == "dwd_page_log"
+
+
+def test_reader_receives_all_source_options(spark, monkeypatch):
+    """read_kafka_stream must push every source option into the
+    DataStreamReader and project through the record contract — asserted
+    against a recording fake so no broker (or kafka connector jar) is
+    needed."""
+    recorded = {}
+    fake_raw = spark.createDataFrame([], KAFKA_SCHEMA)
+
+    class FakeReader:
+        def format(self, fmt):
+            recorded["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            recorded[k] = v
+            return self
+
+        def load(self):
+            return fake_raw
+
+    class FakeStreamSource:
+        readStream = FakeReader()
+
+    df = read_kafka_stream(
+        FakeStreamSource(), "b:9092", ["ods_log"], "gmall", "earliest"
+    )
+    assert recorded["format"] == "kafka"
+    assert recorded["kafka.bootstrap.servers"] == "b:9092"
+    assert recorded["subscribe"] == "ods_log"
+    assert recorded["startingOffsets"] == "earliest"
+    assert recorded["kafka.group.id"] == "gmall"
+    assert df.columns == ["key", "value", "topic", "partition", "offset", "timestamp"]
+
+
+def test_project_kafka_frame_casts_binary_to_string(spark):
+    raw = spark.createDataFrame(
+        [(b"k1", b'{"mid":"m1"}', "ods_log", 0, 5, None, 0)], KAFKA_SCHEMA
+    )
+    row = project_kafka_frame(raw).collect()[0]
+    assert row.key == "k1"
+    assert row.value == '{"mid":"m1"}'
+    assert row.topic == "ods_log"
+    assert row.offset == 5
+
+
+def test_writer_receives_sink_options_and_checkpoint(spark):
+    """write_kafka_stream pushes checkpoint + producer options into the
+    DataStreamWriter (recording fake; .start() needs a broker)."""
+    recorded = {}
+
+    class FakeWriter:
+        def format(self, fmt):
+            recorded["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            recorded[k] = v
+            return self
+
+    class FakeRouted:
+        writeStream = FakeWriter()
+
+    write_kafka_stream(FakeRouted(), "b:9092", "/ckpt/k", default_topic="dwd_log")
+    assert recorded["format"] == "kafka"
+    assert recorded["checkpointLocation"] == "/ckpt/k"
+    assert recorded["kafka.bootstrap.servers"] == "b:9092"
+    assert recorded["kafka.enable.idempotence"] == "true"
+    assert recorded["topic"] == "dwd_log"
+
+
+def test_to_kafka_frame_topic_column_contract(spark):
+    """K2: the per-record topic column routes dynamically; remaining
+    columns serialize into the JSON value; the optional key casts to
+    string."""
+    df = spark.createDataFrame(
+        [(1, "insert", "order_info"), (2, "update", "user_info")],
+        "id long, type string, topic string",
+    )
+    out = to_kafka_frame(df, key_col="id").collect()
+    assert {r.topic for r in out} == {"order_info", "user_info"}
+    by_key = {r.key: json.loads(r.value) for r in out}
+    assert by_key["1"] == {"id": 1, "type": "insert"}
+    assert by_key["2"] == {"id": 2, "type": "update"}

@@ -176,10 +176,26 @@ def test_near_dup_queries_have_no_pair_product(spark, sf_dir):
     so the physical plan must contain NO quadratic pair product (a
     cartesian/nested-loop join over the corpus is the scale-killer the
     quadratic test twins are quarantined for)."""
-    for name in ("simhash_pairs", "dedup_embedding_cosine"):
-        plan = _executed_plan(QUERIES[name].fn(spark, sf_dir))
-        assert "CartesianProduct" not in plan, (name, plan)
-        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+    from gmallrealtime02_spark.functions.similarity import (
+        embedding_near_dup_lsh_plan,
+        simhash_banded_pairs_plan,
+    )
+
+    banded, b_caches = simhash_banded_pairs_plan(
+        load_table(spark, sf_dir, "documents"), 3
+    )
+    lsh, l_caches = embedding_near_dup_lsh_plan(
+        load_table(spark, sf_dir, "embeddings"), 0.4
+    )
+    try:
+        for name, df in (("simhash_pairs", banded), ("dedup_embedding_cosine", lsh)):
+            plan = _executed_plan(df)
+            assert "CartesianProduct" not in plan, (name, plan)
+            assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+    finally:
+        for c in (*b_caches, *l_caches):
+            c.unpersist()
+        spark.catalog.clearCache()
 
 
 def test_intra_doc_dedup_has_no_exchange(spark, sf_dir):
@@ -246,12 +262,16 @@ def test_lm_perplexity_trains_and_scores_from_cached_bigrams(spark, sf_dir):
     derives from the persisted (lang, bigram) counts (context counts,
     vocab sizes, prob join = 3 consumers) — so the plan shows ≥5
     InMemoryTableScans and at most the one original parquet scan."""
-    df = QUERIES["doc_lm_perplexity"].fn(spark, sf_dir)
+    from gmallrealtime02_spark.plans.llm_pipeline import _doc_lm_perplexity_plan
+
+    df, caches = _doc_lm_perplexity_plan(spark, sf_dir)
     try:
         plan = _executed_plan(df)
         assert plan.count("InMemoryTableScan") >= 5, plan
         assert "CartesianProduct" not in plan, plan
     finally:
+        for c in caches:
+            c.unpersist()
         spark.catalog.clearCache()
 
 
@@ -260,11 +280,15 @@ def test_ngram_jaccard_computes_shingles_once(spark, sf_dir):
     sides and the per-doc size agg); the shingle expression dominates the
     operator's cost, so all three must read the persisted table — three
     InMemoryTableScans, not three re-runs of scan + shingle transform."""
-    df = QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir)
+    from gmallrealtime02_spark.functions.similarity import exact_jaccard_pairs_plan
+
+    df, caches = exact_jaccard_pairs_plan(load_table(spark, sf_dir, "documents"), 0.5)
     try:
         plan = _executed_plan(df)
         assert plan.count("InMemoryTableScan") >= 3, plan
     finally:
+        for c in caches:
+            c.unpersist()
         spark.catalog.clearCache()
 
 
@@ -280,16 +304,27 @@ def test_large_order_customers_broadcasts_survivors(spark, sf_dir):
 
 
 def test_bigram_pmi_single_corpus_pass(spark, sf_dir):
-    """PMI: marginals re-aggregate the persisted bigram counts (vocab-
-    sized), never the corpus — the exploded corpus crosses the wire once
-    into the (bigram) agg; both marginal joins broadcast; no n² product."""
-    df = QUERIES["bigram_pmi"].fn(spark, sf_dir)
+    """PMI: marginals re-aggregate the persisted bigram counts, never the
+    corpus — the exploded corpus crosses the wire once into the (bigram)
+    agg; no n² product.  The marginal joins carry NO broadcast hint (the
+    token vocabulary is unbounded at 100 TB — a forced broadcast OOMs the
+    driver; AQE may still choose broadcast from measured size), and the
+    top-50 is a distributed TakeOrderedAndProject, not a global-window
+    sort of the vocabulary on one reducer."""
+    from gmallrealtime02_spark.plans.llm_pipeline import _bigram_pmi_plan
+
+    c12, ranked = _bigram_pmi_plan(spark, sf_dir)
     try:
-        plan = _executed_plan(df)
-        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "ResolvedHint" not in ranked._jdf.queryExecution().analyzed().toString()
+        plan = _executed_plan(ranked)
         assert "CartesianProduct" not in plan, plan
         assert plan.count("InMemoryTableScan") >= 3, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        # the only Window left ranks the 50 survivors, downstream of the
+        # distributed top-k limit
+        assert plan.index("TakeOrderedAndProject") > plan.index("Window"), plan
     finally:
+        c12.unpersist()
         spark.catalog.clearCache()
 
 
@@ -315,13 +350,17 @@ def test_important_stock_value_single_fact_shuffle(spark, sf_dir):
     """Q11 shape: the nation's supplier set broadcasts into the lineitem
     scan; the per-part DECIMAL aggregation is the only fact shuffle, and
     the scalar threshold arrives as a literal (no join for it)."""
-    df = QUERIES["important_stock_value"].fn(spark, sf_dir)
+    from gmallrealtime02_spark.plans.tpch_extra import _important_stock_value_plan
+
+    df, caches = _important_stock_value_plan(spark, sf_dir)
     try:
         plan = _executed_plan(df)
         assert "BroadcastHashJoin" in plan, plan
         assert "SortMergeJoin" not in plan, plan
         assert "InMemoryTableScan" in plan, plan  # grouped table reused
     finally:
+        for c in caches:
+            c.unpersist()
         spark.catalog.clearCache()
 
 
@@ -329,14 +368,20 @@ def test_bm25_only_matching_postings_shuffle(spark, sf_dir):
     """BM25: the word-IN-terms filter sits below the tf exchange (only
     matching postings cross the wire), idf broadcasts, and the top-20
     plans as TakeOrderedAndProject, not a global sort."""
-    df = QUERIES["bm25_search"].fn(spark, sf_dir)
+    from gmallrealtime02_spark.plans.llm_pipeline import _bm25_search_plan
+
+    df, caches = _bm25_search_plan(spark, sf_dir)
     try:
         plan = _executed_plan(df)
         assert "BroadcastHashJoin" in plan, plan
         assert "CartesianProduct" not in plan, plan
         # corpus scan is cached+projected once; both consumers read the cache
         assert plan.count("InMemoryTableScan") >= 2, plan
+        # top-20 is a distributed TakeOrdered, not a global-window sort
+        assert "TakeOrderedAndProject" in plan, plan
     finally:
+        for c in caches:
+            c.unpersist()
         spark.catalog.clearCache()
 
 
@@ -344,12 +389,16 @@ def test_event_funnel_one_fact_exchange(spark, sf_dir):
     """Funnel: the fact repartitions ONCE on user_id; each stage's
     aggregation and join reuses that partitioning (AQE sees
     co-partitioned children), so no further full-fact exchanges appear."""
-    df = QUERIES["event_funnel"].fn(spark, sf_dir)
+    from gmallrealtime02_spark.plans.analytics import _event_funnel_plan
+
+    df, caches = _event_funnel_plan(spark, sf_dir)
     try:
         plan = _executed_plan(df)
         assert "CartesianProduct" not in plan, plan
         assert plan.count("InMemoryTableScan") >= 3, plan  # v/c/p read cache
     finally:
+        for c in caches:
+            c.unpersist()
         spark.catalog.clearCache()
 
 
@@ -358,12 +407,18 @@ def test_cross_doc_span_overlap_reuses_span_exchange(spark, sf_dir):
     feeds both the span-frequency agg and the doc join-back — the corpus
     explodes once, and no pair product appears (a span shared by k docs
     costs k rows, not k^2)."""
-    df = QUERIES["cross_doc_span_overlap"].fn(spark, sf_dir)
+    from gmallrealtime02_spark.plans.llm_pipeline import (
+        _cross_doc_span_overlap_plan,
+    )
+
+    df, caches = _cross_doc_span_overlap_plan(spark, sf_dir)
     try:
         plan = _executed_plan(df)
         assert "CartesianProduct" not in plan, plan
         assert plan.count("InMemoryTableScan") >= 2, plan
     finally:
+        for c in caches:
+            c.unpersist()
         spark.catalog.clearCache()
 
 
@@ -371,13 +426,17 @@ def test_dsir_weights_single_corpus_explode(spark, sf_dir):
     """DSIR: source and target LM counts both derive from the SAME
     persisted exploded-bigram table (lang filter, no second corpus
     read); the smoothing scalars are driver literals, not joins."""
-    df = QUERIES["dsir_weights"].fn(spark, sf_dir)
+    from gmallrealtime02_spark.plans.llm_pipeline import _dsir_weights_plan
+
+    df, caches = _dsir_weights_plan(spark, sf_dir)
     try:
         plan = _executed_plan(df)
         assert "CartesianProduct" not in plan, plan
         # bg persisted: scoring + src counts + tgt counts all read cache
         assert plan.count("InMemoryTableScan") >= 2, plan
     finally:
+        for c in caches:
+            c.unpersist()
         spark.catalog.clearCache()
 
 
@@ -386,13 +445,23 @@ def test_dedup_incremental_probe_is_asymmetric(spark, sf_dir):
     pipeline feeds probe keys, index keys, and both verify sides) and no
     pair product appears — candidates come only from the new-batch probe
     against the corpus band index."""
-    df = QUERIES["dedup_incremental"].fn(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    from gmallrealtime02_spark.functions.similarity import (
+        minhash_incremental_survivors_plan,
+    )
+
+    df, caches = minhash_incremental_survivors_plan(
+        load_table(spark, sf_dir, "documents"), (F.col("doc_id") % 5) == 4, 0.5
+    )
     try:
         plan = _executed_plan(df)
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert plan.count("InMemoryTableScan") >= 3, plan
     finally:
+        for c in caches:
+            c.unpersist()
         spark.catalog.clearCache()
 
 
@@ -400,11 +469,83 @@ def test_doc_similar_topk_term_selective(spark, sf_dir):
     """Sparse TF-IDF similarity: the query vector broadcasts, scoring
     touches only postings of the query's terms (no doc x doc product),
     and the weight table is persisted for both consumers."""
-    df = QUERIES["doc_similar_topk"].fn(spark, sf_dir)
+    from gmallrealtime02_spark.plans.llm_pipeline import _doc_similar_topk_plan
+
+    df, caches = _doc_similar_topk_plan(spark, sf_dir)
     try:
         plan = _executed_plan(df)
         assert "BroadcastHashJoin" in plan, plan
         assert "CartesianProduct" not in plan, plan
         assert plan.count("InMemoryTableScan") >= 2, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        for c in caches:
+            c.unpersist()
     finally:
         spark.catalog.clearCache()
+
+
+def test_kmeans_assignment_zero_exchange(spark, sf_dir):
+    """Lloyd assignment must be scan-side: centroids embed in the plan as
+    an array literal and the argmin is a transform/array_min fold, so the
+    assignment plan has NO join and NO corpus shuffle.  (The earlier
+    revision's crossJoin(broadcast) + groupBy(vec_id) re-shuffled the
+    full corpus — embeddings included — once per iteration.)  The only
+    Exchange allowed in the returned plan is ensure_parallelism's
+    one-time input spread that materializes the persisted corpus."""
+    from gmallrealtime02_spark.functions.clustering import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = kmeans_assign(emb, k=4, iters=2)
+    try:
+        plan = _executed_plan(df)
+        assert "Join" not in plan, plan
+        assert "hashpartitioning(vec_id" not in plan, plan
+        assert "array_min" in plan, plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_doc_top_terms_no_vocab_broadcast_single_word_exchange(spark, sf_dir):
+    """tf-idf top terms: no broadcast HINT on the vocabulary-sized df
+    table (unbounded cardinality at 100 TB), and the word-keyed exchange
+    happens ONCE — tf agg, df agg, and the tf⋈df join all reuse the
+    word repartition; only the per-doc top-5 window re-keys on doc_id."""
+    df = QUERIES["doc_top_terms"].fn(spark, sf_dir)
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    # static plan: one word repartition per branch (tf / df), nothing more
+    plan = _executed_plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning\(word", plan)) <= 2, plan
+    # runtime: AQE dedupes the two canonically-identical word shuffles, so
+    # only ONE executes — the second branch reads a ReusedExchange
+    df.collect()  # count() would build a separate QueryExecution
+    final = _executed_plan(df)
+    assert "isFinalPlan=true" in final, final
+    assert "ReusedExchange" in final, final
+
+
+def test_paged_detail_is_takeordered_not_global_window(spark, sf_dir):
+    """Serving pagination must fetch the page as a distributed
+    TakeOrderedAndProject (per-task local top-k, driver merge) — never a
+    no-partition window, which sorts every matching row on ONE task."""
+    from pyspark.sql import functions as F
+
+    from gmallrealtime02_spark.serving import paged_detail_plan
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    d = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").alias("order_date"),
+    )
+    plan = _executed_plan(paged_detail_plan(d, 40))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_order_page_is_takeordered_not_global_window(spark, sf_dir):
+    """order_page fetches the page via a distributed TakeOrderedAndProject
+    over the orders fact; the only Window ranks the page*size survivors
+    downstream of the limit."""
+    plan = _executed_plan(QUERIES["order_page"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window"), plan

@@ -100,3 +100,21 @@ def test_stat_groups_contract(spark, duck, sf_dir):
     got_segs = {g["name"]: g["value"] for g in out["stat"][1]["group"]}
     assert got_tiers == want_tiers
     assert got_segs == want_segs
+
+
+def test_paged_detail_multi_token_keyword_is_es_or(spark, duck, sf_dir):
+    """ES match-query parity: a two-token keyword ORs the terms (the
+    reference forwards keyword to an ES match, whose standard analyzer
+    ORs analyzed terms) — not a single substring match."""
+    kw = "0000001 0000002"
+    out = json.loads(serving.paged_detail(spark, sf_dir, size=10, keyword=kw))
+    want_total = duck.execute(
+        "SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_name LIKE '%0000001%' OR c_name LIKE '%0000002%'"
+    ).fetchone()[0]
+    assert out["total"] == want_total
+    assert want_total > 0
+    assert all(
+        "0000001" in r["user_name"] or "0000002" in r["user_name"]
+        for r in out["rows"]
+    )

@@ -703,6 +703,87 @@ def test_streaming_ingest_dedup_grows_corpus(spark, tmp_path):
     assert grown == {1, 3, 5}, grown
 
 
+def test_streaming_ingest_dedup_chain_keeps_component_min(spark, tmp_path):
+    """In-batch self-dedup uses CONNECTED-COMPONENT semantics: for a
+    near-dup chain A~B, B~C with A~/~C (overlapping shifted windows), the
+    whole component keeps only its minimum doc_id — C must NOT survive
+    just because its only near-dup B was also dropped (the old
+    pairwise-drop rule), matching dedup_canonical's rule."""
+    from gmallrealtime02_spark.functions.similarity import minhash_lsh_pairs
+
+    seq = [f"t{k}" for k in range(60)]
+    texts = [" ".join(seq[i * 3 : i * 3 + 21]) for i in range(3)]
+    rows = [(i + 1, t, "en") for i, t in enumerate(texts)]
+    # pin the premise: the fixture really is a chain (1~2, 2~3, not 1~3)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(rows, DOC_SCHEMA), 0.5
+        ).collect()
+    }
+    assert pairs == {(1, 2), (2, 3)}, pairs
+
+    src = str(tmp_path / "chain_src")
+    corpus = str(tmp_path / "chain_corpus")
+    out = str(tmp_path / "chain_out")
+    ckpt = str(tmp_path / "chain_ckpt")
+    _write_batch(spark, src, rows, schema=DOC_SCHEMA)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = SJ.streaming_ingest_dedup(stream, corpus, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1}, kept
+
+
+def test_streaming_ingest_dedup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch (fresh
+    checkpoint over the same source and the same sink paths — the crash-
+    before-checkpoint-commit replay) must leave out_path and corpus
+    unchanged, not re-append survivors.  Includes a doc too short to
+    carry a signature (trivial survivor), which the old append sink
+    duplicated on every replay."""
+    src = str(tmp_path / "replay_src")
+    corpus = str(tmp_path / "replay_corpus")
+    out = str(tmp_path / "replay_out")
+    short = "tiny doc"  # < N_SHINGLE words -> no signature
+    _write_batch(
+        spark, src,
+        [(1, "alpha beta gamma delta epsilon zeta", "en"), (2, short, "en")],
+        schema=DOC_SCHEMA,
+    )
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = SJ.streaming_ingest_dedup(stream, corpus, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "replay_ckpt1"))
+    first = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+    run(str(tmp_path / "replay_ckpt2"))  # full replay of batch 0
+    again = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+    assert first == again == [(1, "alpha beta gamma delta epsilon zeta"), (2, short)]
+    grown = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert grown == [1, 2], grown
+
+
 def test_streaming_scd2_rewrites_affected_users(spark, tmp_path):
     """Streaming SCD2: batch 2's LATE event for user 1 lands between two
     existing versions — the interval re-splits, versions renumber, and
