@@ -194,13 +194,20 @@ _PRIORITY = [
     "ann_cosine_topk_np",
     "media_resize",
     "media_frames",
+    # -- round-4 additions (sketch/graph/mixing family) — round-5 window --
+    "hll_distinct_daily",
+    "cms_heavy_hitters",
+    "bloom_decontamination",
+    "coview_pagerank",
+    "temperature_mix",
+    "token_budget_mix",
 ]
 
 
 def load_all() -> dict[str, Query]:
     """Import every plan module so registrations run, then return QUERIES
     in priority order (see ``_PRIORITY``)."""
-    from . import analytics, tpch_extra, training_data, warehouse  # noqa: F401
+    from . import analytics, sketches, tpch_extra, training_data, warehouse  # noqa: F401
 
     try:
         from . import llm_pipeline  # noqa: F401

@@ -47,3 +47,47 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
         p50a, p90a = approx[et]
         assert abs(p50a - p50e) / max(abs(p50e), 1e-9) < 0.05, (et, p50a, p50e)
         assert abs(p90a - p90e) / max(abs(p90e), 1e-9) < 0.05, (et, p90a, p90e)
+
+
+def test_portable_hll_within_error(spark, sf_dir):
+    """hll_distinct_daily (m=64 portable sketch) vs exact distincts:
+    1.04/sqrt(64) ~ 13% rsd; gate at 2x headroom."""
+    approx = {
+        r.dt: r.hll_distinct
+        for r in QUERIES["hll_distinct_daily"].fn(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r.dt: r.uniques
+        for r in e.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("dt")
+        .agg(F.countDistinct("user_id").alias("uniques"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for dt, ex in exact.items():
+        rel_err = abs(approx[dt] - ex) / ex
+        assert rel_err < 0.26, (dt, approx[dt], ex, rel_err)
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-min guarantees estimate >= true count; with 1024 cells vs
+    a small vocab, collisions should also keep it within 2x here."""
+    rows = QUERIES["cms_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cms_count >= r.exact_count, r
+        assert r.cms_count <= 2 * r.exact_count, r
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Bloom membership never misses: every truly-contaminated shingle is
+    flagged, so bloom_hits >= exact_hits per doc; aggregate false-positive
+    rate stays under 5% of probed shingles (m=64Ki bits, k=3)."""
+    rows = QUERIES["bloom_decontamination"].fn(spark, sf_dir).collect()
+    assert rows
+    fp = sum(r.bloom_hits - r.exact_hits for r in rows)
+    probed = sum(r.n_shingles for r in rows)
+    for r in rows:
+        assert r.bloom_hits >= r.exact_hits, r
+    assert fp / probed < 0.05, (fp, probed)

@@ -549,3 +549,65 @@ def test_order_page_is_takeordered_not_global_window(spark, sf_dir):
     plan = _executed_plan(QUERIES["order_page"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.index("TakeOrderedAndProject") > plan.index("Window"), plan
+
+
+def test_hll_sketch_is_two_exchange_partial_agg(spark, sf_dir):
+    """hll_distinct_daily: the register fold is a (dt, reg)->max partial
+    aggregate then a per-dt re-agg — two keyed exchanges total, never a
+    distinct-keys shuffle or a single-partition collapse."""
+    plan = _executed_plan(QUERIES["hll_distinct_daily"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 2, plan
+    assert "SinglePartition" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_cms_topk_is_distributed_take_ordered(spark, sf_dir):
+    """cms_heavy_hitters: exact top-20 must plan as TakeOrderedAndProject
+    (distributed partial top-k), and the probe join must broadcast the
+    fixed-size cell table, not shuffle it."""
+    from gmallrealtime02_spark.plans.sketches import _cms_heavy_hitters_plan
+
+    result, caches = _cms_heavy_hitters_plan(spark, sf_dir)
+    try:
+        plan = _executed_plan(result)
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+def test_bloom_probe_is_scan_side(spark, sf_dir):
+    """bloom_decontamination: the training-side membership test is a
+    literal-bitmap expression (zero joins for the bloom flag); the only
+    joins are the broadcast exact-audit join, and the only exchanges are
+    the eval-bits distinct and the final per-doc aggregate."""
+    plan = _executed_plan(QUERIES["bloom_decontamination"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert _exchanges(plan) <= 2, plan
+
+
+def test_pagerank_iterations_broadcast_rank_tables(spark, sf_dir):
+    """coview_pagerank: every iteration joins the O(catalog) rank/degree
+    tables INTO the persisted edges table via broadcast — no sort-merge
+    join anywhere, so the corpus-scale side never re-shuffles per pass."""
+    from gmallrealtime02_spark.plans.sketches import _coview_pagerank_plan
+
+    result, caches = _coview_pagerank_plan(spark, sf_dir)
+    try:
+        plan = _executed_plan(result)
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+def test_token_budget_mix_single_exchange(spark, sf_dir):
+    """token_budget_mix: the per-lang running sum and the per-lang result
+    aggregate share one lang-keyed exchange."""
+    plan = _executed_plan(QUERIES["token_budget_mix"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 1, plan
+    assert "Window" in plan, plan
