@@ -74,6 +74,30 @@ def _rho_sql(w: str) -> str:
     return f"({HLL_W_BITS + 1} - ({bitlen}))"
 
 
+def hll_reg_rho_cols(key_col):
+    """(register, rho) columns for a string key — the scan-side half of
+    the HLL sketch, shared by the batch query and the streaming twin
+    (the stream computes these JVM-side so the stateful Python op only
+    merges per-register maxima, never hashes rows)."""
+    h = (F.lit(HLL_MIX_A) * TX.portable_hash(key_col) + HLL_MIX_B) % P
+    return h.bitwiseAND(HLL_M - 1), _rho_spark(F.shiftright(h, 6))
+
+
+def hll_estimate_py(regs: list[int]) -> tuple[int, float]:
+    """Scalar mirror of the batch estimator (same branch structure and
+    1e-6 rounding) for the streaming state op."""
+    import math
+
+    hit = sum(1 for r in regs if r > 0)
+    z = sum(2.0 ** -r for r in regs if r > 0) + (HLL_M - hit)
+    raw = (HLL_ALPHA * HLL_M * HLL_M) / z
+    if raw <= 2.5 * HLL_M and hit < HLL_M:
+        est = HLL_M * math.log(HLL_M / (HLL_M - hit))
+    else:
+        est = raw
+    return hit, round(est, 6)
+
+
 _HLL_EST_SQL = f"""
 SELECT dt,
        CAST(hit AS INTEGER) AS hit_registers,
@@ -128,16 +152,12 @@ def hll_distinct_daily(spark, sf_dir):
     estimate hash-oracle-safe.  Accuracy ~1.04/sqrt(64) ≈ 13%
     (pinned against exact counts in tests/test_approx.py)."""
     e = load_table(spark, sf_dir, "events")
-    h = (
-        F.lit(HLL_MIX_A) * TX.portable_hash(F.col("user_id").cast("string"))
-        + HLL_MIX_B
-    ) % P
-    w = F.shiftright(h, 6)
+    reg, rho = hll_reg_rho_cols(F.col("user_id").cast("string"))
     regs = (
         e.select(
             F.date_format("ts", "yyyy-MM-dd").alias("dt"),
-            h.bitwiseAND(HLL_M - 1).alias("reg"),
-            _rho_spark(w).alias("rho"),
+            reg.alias("reg"),
+            rho.alias("rho"),
         )
         .groupBy("dt", "reg")
         .agg(F.max("rho").alias("m"))

@@ -438,6 +438,53 @@ def stateful_funnel(
     )
 
 
+def streaming_hll(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``hll_distinct_daily`` sketch: per-day
+    distinct-user estimates that update every micro-batch.
+
+    The split of work is the mergeable-sketch pattern at its best: the
+    (register, rho) pair is computed JVM-side inside codegen
+    (``sketches.hll_reg_rho_cols`` — the identical expressions the batch
+    query uses), so the Python state op never hashes a row; it only
+    folds per-register maxima into the 64-int state vector and re-emits
+    the estimate.  State per day is 64 ints — O(days), not O(users) —
+    which is the whole reason HLL exists: the exact streaming dedup
+    (``streaming_dau``) keeps one state row per (day, user).  Full
+    replay reproduces the batch estimates bit-for-bit (pinned in
+    tests/test_streaming.py) because max-merge is order- and
+    batching-insensitive."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..plans import sketches as SK
+
+    reg, rho = SK.hll_reg_rho_cols(F.col("user_id").cast("string"))
+    e = with_dt_hr(events, "ts").select(
+        "dt", reg.alias("reg"), rho.alias("rho")
+    )
+
+    def merge(key, pdfs, state):
+        regs = list(state.get[0]) if state.exists else [0] * SK.HLL_M
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for r, m in pdf.groupby("reg")["rho"].max().items():
+                if m > regs[r]:
+                    regs[r] = int(m)
+        state.update((regs,))
+        hit, est = SK.hll_estimate_py(regs)
+        yield pd.DataFrame(
+            [{"dt": key[0], "hit_registers": hit, "hll_distinct": est}]
+        )
+
+    return e.groupBy("dt").applyInPandasWithState(
+        merge,
+        outputStructType="dt string, hit_registers int, hll_distinct double",
+        stateStructType="regs array<int>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
 
 def streaming_ingest_dedup(
     new_docs: DataFrame,

@@ -839,3 +839,56 @@ def test_streaming_scd2_rewrites_affected_users(spark, tmp_path):
         (1, 2, "click", 2, 4, False),
         (1, 3, "purchase", 4, None, True),
     ], u1
+
+
+def test_streaming_hll_replay_matches_batch(spark, sf_dir):
+    """Replaying the events table through the streaming HLL twin in two
+    micro-batches reproduces the batch hll_distinct_daily estimates
+    bit-for-bit: register max-merge is order- and batching-insensitive,
+    so the final per-day sketch state is identical to the one-pass
+    batch fold."""
+    import tempfile
+
+    from gmallrealtime02_spark.plans.registry import load_all
+    from gmallrealtime02_spark.sources import load_table
+
+    batch = {
+        r.dt: (r.hit_registers, r.hll_distinct)
+        for r in load_all()["hll_distinct_daily"].fn(spark, sf_dir).collect()
+    }
+
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    final: dict[str, tuple[int, float]] = {}
+
+    def sink(df, _bid):
+        for r in df.collect():
+            final[r.dt] = (r.hit_registers, r.hll_distinct)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "events_hll")
+        # two files -> two micro-batches, so cross-batch register merging
+        # is actually exercised
+        src.filter(F.col("event_id") % 2 == 0).write.parquet(path)
+        src.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(path)
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        q = (
+            SJ.streaming_hll(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    assert final == batch, (final, batch)
