@@ -36,7 +36,19 @@ def _sq_dist(a: Column, b: Column) -> Column:
 def kmeans_assign(
     emb: DataFrame, k: int = 10, iters: int = 5, id_col: str = "vec_id"
 ) -> DataFrame:
-    """Lloyd's k-means over an embedding column; returns (vec_id, cid, d2).
+    """Lloyd's k-means assignment; returns (vec_id, cid, d2).  See
+    :func:`kmeans_fit` for the algorithm and determinism contract."""
+    assign, _ = kmeans_fit(emb, k=k, iters=iters, id_col=id_col)
+    return assign
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int = 10, iters: int = 5, id_col: str = "vec_id"
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Lloyd's k-means over an embedding column; returns the assignment
+    DataFrame (vec_id, cid, d2) AND the codebook the final assignment
+    was computed against (the c_{iters-1} centroids — what ADC scoring
+    in product quantization must use).
 
     Deterministic AND partitioning-invariant: init = the first ``k``
     vectors by id (no RNG — a seeded sample's draws depend on
@@ -134,7 +146,7 @@ def kmeans_assign(
             # (dropping it would shrink k run-over-run)
             updated = {int(r.cid): [float(x) for x in r.cvec] for r in new_cents}
             cents = [(cid, updated.get(cid, vec)) for cid, vec in cents]
-        return assign.select(id_col, "cid", "d2")
+        return assign.select(id_col, "cid", "d2"), cents
     finally:
         data.unpersist()
 
@@ -235,6 +247,49 @@ def semantic_dedup(
     return connected_components(pairs).select(
         F.col("doc_id").alias(id_col), F.col("component").alias("canonical_id")
     )
+
+
+# --- Product quantization -------------------------------------------------
+
+PQ_NSUB = 4  # subspaces
+PQ_SUBDIM = 16  # dims per subspace (4 x 16 = the 64-dim corpus)
+PQ_K = 16  # centroids per subspace codebook (4-bit codes)
+PQ_ITERS = 2  # Lloyd iterations per codebook
+
+
+def pq_fit(
+    emb: DataFrame,
+    nsub: int = PQ_NSUB,
+    subdim: int = PQ_SUBDIM,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[tuple[int, list[float]]]]]:
+    """Product-quantization fit (Jégou et al. 2011): split each vector
+    into ``nsub`` contiguous subvectors and k-means each subspace
+    independently; a vector's PQ code is its ``nsub`` centroid ids —
+    here 4 x 4-bit = 2 bytes replacing 256 bytes of float32, the
+    compression that makes billion-vector ANN indexes fit in memory.
+
+    Returns (codes DataFrame with columns vec_id, c0..c{nsub-1};
+    codebooks per subspace).  Every subspace fit inherits
+    ``kmeans_fit``'s determinism contract (first-k init, quantized
+    inputs, decimal-exact centroid sums), so codes and codebooks are
+    engine-reproducible — the ann_pq_topk oracle unrolls all four
+    subspace fits in SQL.  The per-subspace assignments join back on
+    vec_id; at scale those joins co-partition on the id and the heavy
+    work (nsub scan-side argmin folds) never shuffles the corpus."""
+    codes = None
+    books: list[list[tuple[int, list[float]]]] = []
+    for s in range(nsub):
+        sub = emb.select(
+            id_col, F.slice("embedding", s * subdim + 1, subdim).alias("embedding")
+        )
+        assign, cents = kmeans_fit(sub, k=k, iters=iters, id_col=id_col)
+        books.append(cents)
+        a = assign.select(id_col, F.col("cid").alias(f"c{s}"))
+        codes = a if codes is None else codes.join(a, id_col)
+    return codes, books
 
 
 QUANT_LEVELS = 255  # int8 code range 0..255

@@ -1149,61 +1149,70 @@ from ..functions.clustering import (  # noqa: E402
 )
 
 
-def _kmeans_ctes(k: int, iters: int) -> str:
+def _kmeans_ctes(
+    k: int, iters: int, prefix: str = "", dims: tuple[int, int] | None = None
+) -> str:
     """DuckDB mirror of ``kmeans_assign`` with the iterations unrolled as
-    chained CTEs (final assignment CTE: ``a{iters}`` with columns vec_id,
-    e, cid, d2).  Works because the operator is engine-reproducible:
-    inputs quantized to 1e-6 (round on double agrees across engines away
-    from dyadic ties, which quantized float32 data cannot hit), distances
-    fold in index order (bit-identical IEEE doubles), argmin ties break
-    on lowest cid, and centroid means are exact DECIMAL(18,6) sums cast
-    to double then divided — no order-dependent float accumulation
-    anywhere."""
+    chained CTEs (final assignment CTE: ``{prefix}a{iters}`` with columns
+    vec_id, e, cid, d2).  Works because the operator is
+    engine-reproducible: inputs quantized to 1e-6 (round on double agrees
+    across engines away from dyadic ties, which quantized float32 data
+    cannot hit), distances fold in index order (bit-identical IEEE
+    doubles), argmin ties break on lowest cid, and centroid means are
+    exact DECIMAL(18,6) sums cast to double then divided — no
+    order-dependent float accumulation anywhere.
+
+    ``prefix`` namespaces every CTE (product quantization unrolls four
+    independent subspace fits in one query); ``dims=(lo, hi)`` fits on
+    the 1-based-inclusive embedding slice — the mirror of
+    ``clustering.pq_fit``'s ``F.slice``."""
+    p = prefix
     dist = (
-        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        "list_transform(generate_series(1, len(v.e)), "
-        "j -> (v.e[j] - c.cvec[j]) * (v.e[j] - c.cvec[j]))), "
-        "(x, y) -> x + y)"
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len(v.e)), "
+        f"j -> (v.e[j] - c.cvec[j]) * (v.e[j] - c.cvec[j]))), "
+        f"(x, y) -> x + y)"
     )
+    src = "embedding" if dims is None else f"embedding[{dims[0]}:{dims[1]}]"
     ctes = [
-        "v AS (SELECT vec_id, "
-        "list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS e "
-        "FROM embeddings)",
+        f"{p}v AS (SELECT vec_id, "
+        f"list_transform({src}, x -> round(CAST(x AS DOUBLE), 6)) AS e "
+        f"FROM embeddings)",
         # first-k BY ORDER with positional cids — mirrors Spark's
         # orderBy(id).limit(k) + enumerate exactly, with no assumption
         # that vec_ids are contiguous/0-based (a testdata regeneration
         # could gap them, as round 2's did to timestamps)
-        f"c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, e AS cvec FROM "
-        f"(SELECT e, row_number() OVER (ORDER BY vec_id) AS rn FROM v) "
+        f"{p}c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, e AS cvec FROM "
+        f"(SELECT e, row_number() OVER (ORDER BY vec_id) AS rn FROM {p}v) "
         f"WHERE rn <= {k})",
     ]
     for i in range(1, iters + 1):
         ctes.append(
-            f"a{i} AS ("
+            f"{p}a{i} AS ("
             f" SELECT vec_id, e, cid, d2 FROM ("
             f"  SELECT v.vec_id, v.e, c.cid, {dist} AS d2,"
             f"   row_number() OVER (PARTITION BY v.vec_id"
             f"    ORDER BY {dist} ASC, c.cid ASC) AS rn"
-            f"  FROM v CROSS JOIN c{i - 1} c"
+            f"  FROM {p}v v CROSS JOIN {p}c{i - 1} c"
             f" ) WHERE rn = 1)"
         )
         if i == iters:
             break
         ctes.append(
-            f"m{i} AS ("
+            f"{p}m{i} AS ("
             f" SELECT cid, u.pos AS pos,"
             f"  CAST(sum(u.xq) AS DOUBLE) / count(*) AS mu"
             f" FROM (SELECT cid, unnest(list_transform("
             f"   generate_series(1, len(e)),"
             f"   j -> struct_pack(pos := j, xq := CAST(e[j] AS DECIMAL(18,6)))"
-            f"  )) AS u FROM a{i})"
+            f"  )) AS u FROM {p}a{i})"
             f" GROUP BY cid, u.pos)"
         )
         ctes.append(
-            f"c{i} AS ("
+            f"{p}c{i} AS ("
             f" SELECT p.cid, coalesce(n.cvec, p.cvec) AS cvec"
-            f" FROM c{i - 1} p LEFT JOIN ("
-            f"  SELECT cid, list(mu ORDER BY pos) AS cvec FROM m{i} GROUP BY cid"
+            f" FROM {p}c{i - 1} p LEFT JOIN ("
+            f"  SELECT cid, list(mu ORDER BY pos) AS cvec FROM {p}m{i} GROUP BY cid"
             f" ) n ON n.cid = p.cid)"
         )
     return ",\n".join(ctes)
@@ -2323,4 +2332,156 @@ def ccnet_quality_buckets(spark, sf_dir):
             F.ntile(3).over(w).alias("bucket"),
         )
         .withColumn("keep", F.col("bucket") <= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (completes the scale ladder: brute → LSH →
+# IVF → PQ)
+# ---------------------------------------------------------------------------
+
+from ..functions.clustering import (  # noqa: E402
+    PQ_ITERS,
+    PQ_K,
+    PQ_NSUB,
+    PQ_SUBDIM,
+    pq_fit,
+)
+
+_PQ_DIST = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len(q.e)), "
+    "j -> (q.e[j] - c.cvec[j]) * (q.e[j] - c.cvec[j]))), "
+    "(x, y) -> x + y)"
+)
+
+_PQ_SUB_CTES = ",\n".join(
+    _kmeans_ctes(
+        PQ_K,
+        PQ_ITERS,
+        prefix=f"s{s}_",
+        dims=(s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM),
+    )
+    for s in range(PQ_NSUB)
+)
+
+_PQ_CODES_JOIN = " ".join(
+    f"JOIN s{s}_a{PQ_ITERS} a{s} ON a{s}.vec_id = a0.vec_id"
+    for s in range(1, PQ_NSUB)
+)
+
+_PQ_DQ_CTES = ",\n".join(
+    f"dq{s} AS (SELECT q.vec_id AS qid, c.cid, {_PQ_DIST} AS d "
+    f"FROM s{s}_v q CROSS JOIN s{s}_c{PQ_ITERS - 1} c WHERE q.vec_id < 10)"
+    for s in range(PQ_NSUB)
+)
+
+_PQ_ADC_SUM = " + ".join(f"q{s}.d" for s in range(PQ_NSUB))
+_PQ_ADC_JOIN = " ".join(
+    f"JOIN dq{s} q{s} ON q{s}.cid = k.c{s} AND q{s}.qid = q0.qid"
+    for s in range(1, PQ_NSUB)
+)
+
+_PQ_ORACLE = f"""
+WITH {_PQ_SUB_CTES},
+codes AS (
+    SELECT a0.vec_id, {", ".join(f"a{s}.cid AS c{s}" for s in range(PQ_NSUB))}
+    FROM s0_a{PQ_ITERS} a0 {_PQ_CODES_JOIN}
+),
+{_PQ_DQ_CTES},
+adc AS (
+    SELECT q0.qid, k.vec_id AS cid, {_PQ_ADC_SUM} AS adc_d2
+    FROM codes k
+    JOIN dq0 q0 ON q0.cid = k.c0 {_PQ_ADC_JOIN}
+    WHERE k.vec_id <> q0.qid
+)
+SELECT qid, cid, round(adc_d2, 6) AS adc_d2, rnk FROM (
+    SELECT qid, cid, adc_d2,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY adc_d2 ASC, cid ASC) AS rnk
+    FROM adc
+) WHERE rnk <= 5
+"""
+
+
+@register(
+    "ann_pq_topk",
+    # Approximate by construction but deterministic end to end: the four
+    # subspace codebooks inherit kmeans' engine-reproducibility, the ADC
+    # lookup tables are fold-ordered IEEE doubles, and the top-5 ranking
+    # totals on (adc, cid) — so the oracle unrolls all four fits + ADC
+    # scoring in SQL and the result is hash-exact.  Recall vs exact L2
+    # is additionally gated in pytest.
+    oracle=_PQ_ORACLE,
+    tags=("similarity", "ann", "quantization"),
+)
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): 4 subspace
+    codebooks (k=16, 2 Lloyd iterations each) compress every 64-dim
+    vector to 4 centroid ids; queries score candidates with asymmetric
+    distance computation — per-subspace query→centroid lookup tables
+    (4 x 16 doubles per query, built driver-side from the codebooks)
+    summed via element_at, never touching the original vectors.
+
+    This is the memory end of the ANN scale ladder: at 10⁹+ vectors the
+    float corpus cannot stay resident, but 2-byte PQ codes can — the
+    scan reads 4 small ints per row, the distance is 4 array lookups
+    inside codegen, and the per-query top-5 is a qid-partitioned
+    window over the candidate stream.  Candidate generation here scores
+    ALL codes (the honest baseline); production composes this with the
+    IVF cell pruning of ann_ivf_topk (IVFPQ)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, books = pq_fit(emb)
+
+    qrows = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double"), 6)
+            ).alias("e"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+
+    def _sub_d2(qvec: list[float], cvec: list[float]) -> float:
+        acc = 0.0
+        for a, b in zip(qvec, cvec):
+            acc += (a - b) * (a - b)
+        return acc
+
+    # one (qid, d0[16], …, d3[16]) literal per query — 10 x 4 x 16 doubles
+    q_structs = []
+    for r in qrows:
+        fields = [F.lit(int(r.vec_id)).alias("qid")]
+        for s in range(PQ_NSUB):
+            qs = list(r.e[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM])
+            table = [
+                F.lit(_sub_d2(qs, vec)) for _cid, vec in books[s]
+            ]
+            fields.append(F.array(*table).alias(f"d{s}"))
+        q_structs.append(F.struct(*fields))
+
+    cand = codes.select(
+        F.col("vec_id").alias("cid_vec"),
+        *[f"c{s}" for s in range(PQ_NSUB)],
+        F.explode(F.array(*q_structs)).alias("q"),
+    ).filter(F.col("q.qid") != F.col("cid_vec"))
+    adc = None
+    for s in range(PQ_NSUB):
+        term = F.element_at(F.col(f"q.d{s}"), F.col(f"c{s}") + 1)
+        adc = term if adc is None else adc + term
+    scored = cand.select(
+        F.col("q.qid").alias("qid"),
+        F.col("cid_vec").alias("cid"),
+        adc.alias("adc_d2"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_d2").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "cid", F.round("adc_d2", 6).alias("adc_d2"), "rnk")
     )

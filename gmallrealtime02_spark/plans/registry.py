@@ -201,6 +201,7 @@ _PRIORITY = [
     "coview_pagerank",
     "temperature_mix",
     "token_budget_mix",
+    "ann_pq_topk",
 ]
 
 

@@ -91,3 +91,40 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     for r in rows:
         assert r.bloom_hits >= r.exact_hits, r
     assert fp / probed < 0.05, (fp, probed)
+
+
+def test_pq_recall_vs_exact_l2(spark, sf_dir):
+    """ann_pq_topk: 2-byte PQ codes vs exact L2 top-5.  The synthetic
+    embeddings are near-uniform random — PQ's worst case (no cluster
+    structure; distances concentrate) — so the gate is a floor against
+    degenerate-to-random behavior (random recall@5 over 500 candidates
+    ~ 0.01), not a production recall target."""
+    from pyspark.sql import Window
+
+    from gmallrealtime02_spark.functions.similarity import _dot  # noqa: F401
+
+    pq: dict[int, set[int]] = {}
+    for r in QUERIES["ann_pq_topk"].fn(spark, sf_dir).collect():
+        pq.setdefault(r.qid, set()).add(r.cid)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double"), 6)).alias("e"),
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    j = q.crossJoin(emb).filter(F.col("qid") != F.col("vec_id")).select(
+        "qid", "vec_id", d2.alias("d2")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    exact: dict[int, set[int]] = {}
+    for r in j.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 5").collect():
+        exact.setdefault(r.qid, set()).add(r.vec_id)
+    assert pq.keys() == exact.keys()
+    recalls = [len(pq[k] & exact[k]) / 5 for k in exact]
+    assert sum(recalls) / len(recalls) >= 0.15, recalls

@@ -611,3 +611,13 @@ def test_token_budget_mix_single_exchange(spark, sf_dir):
     plan = _executed_plan(QUERIES["token_budget_mix"].fn(spark, sf_dir))
     assert _exchanges(plan) <= 1, plan
     assert "Window" in plan, plan
+
+
+def test_pq_scoring_never_touches_vectors(spark, sf_dir):
+    """ann_pq_topk: ADC candidate scoring reads 4 small int codes + the
+    per-query literal lookup tables — the embedding column must not
+    appear in the scoring subplan (no vector crossJoin), and the top-5
+    window is qid-partitioned, never a single global sort."""
+    plan = _executed_plan(QUERIES["ann_pq_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
