@@ -202,6 +202,7 @@ _PRIORITY = [
     "temperature_mix",
     "token_budget_mix",
     "ann_pq_topk",
+    "interval_error_purchase_join",
 ]
 
 

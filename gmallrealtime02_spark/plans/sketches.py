@@ -696,3 +696,74 @@ def token_budget_mix(spark, sf_dir):
             F.sum("ntok").cast("bigint").alias("tokens_selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Banded interval join (big-big range join)
+# ---------------------------------------------------------------------------
+
+INTERVAL_US = 3_600_000_000  # ±1 hour, in microseconds
+
+_IVJ_ORACLE = f"""
+WITH e AS (SELECT event_id AS error_id, user_id, epoch_us(ts) AS t
+           FROM events WHERE event_type = 'error'),
+p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'purchase')
+SELECT e.error_id, p.purchase_id, p.t - e.t AS delta_us
+FROM e JOIN p ON e.user_id = p.user_id
+WHERE abs(p.t - e.t) <= {INTERVAL_US}
+"""
+
+
+@register(
+    "interval_error_purchase_join",
+    oracle=_IVJ_ORACLE,
+    tags=("join", "range", "interval"),
+)
+def interval_error_purchase_join(spark, sf_dir):
+    """Interval self-join: pair every error event with the same user's
+    purchases within ±1 hour — the big-big RANGE join that a plain theta
+    join would execute as a per-user cross product.
+
+    The banded rewrite (the standard distributed interval-join shape,
+    cf. Flink's interval join): quantize time into 1-hour buckets, give
+    each purchase its one bucket, explode each error to its bucket ±1,
+    equi-join on (user_id, bucket), then apply the exact |Δt| filter.
+    Each true pair matches exactly once (the purchase's bucket is always
+    within 1 of the error's), the fan-out is a fixed 3x on one side
+    only, and the join is a hash equi-join Catalyst can shuffle/AQE
+    like any other — no nested-loop, no per-user quadratic blowup from
+    hot users.  `price_band_join` covers the small-side theta join;
+    this covers the case where BOTH sides are corpus-scale.
+
+    delta_us is exact integer µs (timestamp_diff), hash-oracle-safe."""
+    e = load_table(spark, sf_dir, "events")
+    epoch = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        epoch.alias("te"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        epoch.alias("tp"),
+    )
+    bucket_e = F.floor(F.col("te") / INTERVAL_US)
+    eb = errors.withColumn(
+        "bucket", F.explode(F.array(bucket_e - 1, bucket_e, bucket_e + 1))
+    )
+    pb = purchases.withColumn("bucket", F.floor(F.col("tp") / INTERVAL_US))
+    return (
+        eb.join(pb, (eb.user_id == pb.p_user) & (eb.bucket == pb.bucket))
+        .filter(F.abs(F.col("tp") - F.col("te")) <= INTERVAL_US)
+        .select(
+            "error_id",
+            "purchase_id",
+            (F.col("tp") - F.col("te")).alias("delta_us"),
+        )
+    )
