@@ -173,29 +173,3 @@ def test_streaming_dedup_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.set(key, prev)
     assert got == {("2024-01-01", 1), ("2024-01-01", 2)}
 
-
-def test_salted_join_equals_plain_join(spark, sf_dir):
-    """functions.skew.salted_join: identical result set to the plain
-    inner join (salt never leaks into the schema), and the physical plan
-    shows the n-fold replication reaching the join as (key, salt) —
-    each hot key's rows spread over n_salt reducers."""
-    from pyspark.sql import functions as F
-
-    from gmallrealtime02_spark.functions.skew import salted_join
-    from gmallrealtime02_spark.sources import load_table
-
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    customer = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("o_custkey"), "c_name"
-    )
-    salted = salted_join(
-        orders, customer, on="o_custkey", n_salt=4, salt_by="o_orderkey"
-    )
-    plain = orders.join(customer, "o_custkey")
-    assert salted.columns == plain.columns
-    assert salted.exceptAll(plain).count() == 0
-    assert plain.exceptAll(salted).count() == 0
-    plan = salted._jdf.queryExecution().executedPlan().toString()
-    assert "__salt" in plan, plan
