@@ -2485,3 +2485,168 @@ def ann_pq_topk(spark, sf_dir):
         .filter(F.col("rnk") <= 5)
         .select("qid", "cid", F.round("adc_d2", 6).alias("adc_d2"), "rnk")
     )
+
+
+_PQ_ADC_JOIN_ON_CAND = " ".join(
+    f"JOIN dq{s} q{s} ON q{s}.qid = c.qid AND q{s}.cid = k.c{s}"
+    for s in range(1, PQ_NSUB)
+)
+
+_IVFPQ_ORACLE = f"""
+WITH {_PQ_SUB_CTES},
+codes AS (
+    SELECT a0.vec_id, {", ".join(f"a{s}.cid AS c{s}" for s in range(PQ_NSUB))}
+    FROM s0_a{PQ_ITERS} a0 {_PQ_CODES_JOIN}
+),
+{_PQ_DQ_CTES},
+cent AS (
+    SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+    WHERE vec_id < 16
+),
+ranked AS (
+    SELECT vec_id, cell, crnk FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_DOT_FOLD.format(a='e.embedding', b='c.cvec')}
+                       / (sqrt({_DOT_FOLD.format(a='e.embedding', b='e.embedding')})
+                          * sqrt({_DOT_FOLD.format(a='c.cvec', b='c.cvec')}))
+                       DESC,
+                       c.cell ASC
+               ) AS crnk
+        FROM embeddings e CROSS JOIN cent c
+    )
+),
+assign AS (SELECT vec_id, cell FROM ranked WHERE crnk = 1),
+probes AS (
+    SELECT vec_id AS qid, cell FROM ranked
+    WHERE vec_id < 10 AND crnk <= 4
+),
+cand AS (
+    SELECT p.qid, a.vec_id AS cid
+    FROM probes p JOIN assign a ON a.cell = p.cell
+    WHERE a.vec_id != p.qid
+),
+adc AS (
+    SELECT c.qid, c.cid, {_PQ_ADC_SUM} AS adc_d2
+    FROM cand c
+    JOIN codes k ON k.vec_id = c.cid
+    JOIN dq0 q0 ON q0.qid = c.qid AND q0.cid = k.c0 {_PQ_ADC_JOIN_ON_CAND}
+)
+SELECT qid, cid, round(adc_d2, 6) AS adc_d2, rnk FROM (
+    SELECT qid, cid, adc_d2,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY adc_d2 ASC, cid ASC) AS rnk
+    FROM adc
+) WHERE rnk <= 5
+"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    # The composition of two already-oracled deterministic structures:
+    # IVF's first-16-centroid cosine cells prune candidates, PQ's ADC
+    # lookup tables score them — both engine-reproducible, so the
+    # composed result hash-matches the combined SQL unroll.
+    oracle=_IVFPQ_ORACLE,
+    tags=("similarity", "ann", "ivf", "quantization"),
+)
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVFPQ (the production billion-vector ANN layout, Jégou et al.
+    2011 §IV): the IVF coarse quantizer prunes the candidate set to the
+    query's 4 nearest cells (~n_probe/n_cells of the corpus, partition-
+    prunable on disk), then PQ ADC scores ONLY those candidates from
+    2-byte codes — neither the full corpus scan of ann_pq_topk nor the
+    full-vector reads of ann_ivf_topk.  At 10⁹ vectors this is the
+    memory-AND-io shape: cells bound what is read, codes bound what is
+    resident.
+
+    Candidate generation carries ids+cells only (vectors never ride the
+    probe fan-out); ADC scoring joins the code table against a 10-row
+    broadcast of per-query lookup tables.  Everything is deterministic
+    (first-16 cells, fold-ordered cosines, decimal-exact codebooks), so
+    the composed approximation is hash-oracled end to end."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, books = pq_fit(emb)
+
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    from ..functions.similarity import _dot
+
+    base = ensure_parallelism(emb).select("vec_id", "embedding")
+    ccos = _dot(F.col("embedding"), F.col("cvec")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cell").asc()
+    )
+    ranked = (
+        base.join(F.broadcast(cent))
+        .select("vec_id", "cell", ccos.alias("ccos"))
+        .withColumn("crnk", F.row_number().over(wc))
+        .persist()
+    )
+    assign = ranked.filter(F.col("crnk") == 1).select("vec_id", "cell")
+    probes = ranked.filter(
+        (F.col("vec_id") < 10) & (F.col("crnk") <= 4)
+    ).select(F.col("vec_id").alias("qid"), "cell")
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", F.col("vec_id").alias("cid"))
+    )
+
+    qrows = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double"), 6)
+            ).alias("e"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+
+    def _sub_d2(qvec, cvec):
+        acc = 0.0
+        for a, b in zip(qvec, cvec):
+            acc += (a - b) * (a - b)
+        return acc
+
+    qt_rows = []
+    for r in qrows:
+        tables = []
+        for s in range(PQ_NSUB):
+            qs = list(r.e[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM])
+            tables.append([_sub_d2(qs, vec) for _cid, vec in books[s]])
+        qt_rows.append((int(r.vec_id), *tables))
+    qt = spark.createDataFrame(
+        qt_rows,
+        "qid long, "
+        + ", ".join(f"d{s} array<double>" for s in range(PQ_NSUB)),
+    )
+
+    scored = (
+        cand.join(codes.withColumnRenamed("vec_id", "cid"), "cid")
+        .join(F.broadcast(qt), "qid")
+    )
+    adc = None
+    for s in range(PQ_NSUB):
+        term = F.element_at(F.col(f"d{s}"), F.col(f"c{s}") + 1)
+        adc = term if adc is None else adc + term
+    scored = scored.select("qid", "cid", adc.alias("adc_d2"))
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("adc_d2").asc(), F.col("cid").asc()
+    )
+    result = (
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "cid", F.round("adc_d2", 6).alias("adc_d2"), "rnk")
+    )
+    return materialized(result, ranked)

