@@ -204,6 +204,7 @@ _PRIORITY = [
     "ann_pq_topk",
     "interval_error_purchase_join",
     "ann_ivfpq_topk",
+    "histogram_quantiles",
 ]
 
 

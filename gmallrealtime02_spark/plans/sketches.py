@@ -767,3 +767,134 @@ def interval_error_purchase_join(spark, sf_dir):
             (F.col("tp") - F.col("te")).alias("delta_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 256
+
+_HQ_PCTS = (("p50", 0.5), ("p90", 0.9))
+
+# explicit floor-based half-up rounding: round()'s tie rule differs
+# between engines on negative values; floor(x*1e6 + 0.5)/1e6 is the
+# same deterministic function of the (bit-identical) interpolation x
+# CAST the percentile literals to DOUBLE: DuckDB parses a bare
+# fractional literal as DECIMAL and would compute exact decimal
+# intermediates where Spark uses doubles (the round-3 bm25 lesson).
+# arg_min/min_by picks the FIRST crossing bin's estimate (the estimate
+# expression is not monotone in bin, so a plain min() over values is
+# wrong past the crossing).
+_HQ_EST_SQL = ", ".join(
+    f"""floor(arg_min(CASE WHEN cum >= CAST({p} AS DOUBLE) * n THEN
+        lo + (hi - lo) * (bin + (CAST({p} AS DOUBLE) * n - (cum - ct)) / ct)
+            / {HIST_BINS} END,
+        CASE WHEN cum >= CAST({p} AS DOUBLE) * n THEN bin
+             ELSE {HIST_BINS} END) * 1e6 + 0.5) / 1e6 AS {name}"""
+    for name, p in _HQ_PCTS
+)
+
+_HQ_ORACLE = f"""
+WITH bounds AS (
+    SELECT event_type, min(value) AS lo, max(value) AS hi,
+           count(value) AS n
+    FROM events GROUP BY event_type
+),
+bins AS (
+    SELECT e.event_type,
+           least(CAST(floor((e.value - b.lo) / (b.hi - b.lo) * {HIST_BINS})
+                      AS BIGINT), {HIST_BINS - 1}) AS bin,
+           count(*) AS ct
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY 1, 2
+),
+cums AS (
+    SELECT event_type, bin, ct,
+           sum(ct) OVER (PARTITION BY event_type ORDER BY bin
+                         ROWS UNBOUNDED PRECEDING) AS cum
+    FROM bins
+)
+SELECT c.event_type, b.n, {_HQ_EST_SQL}
+FROM cums c JOIN bounds b ON c.event_type = b.event_type
+GROUP BY c.event_type, b.n
+"""
+
+
+@register(
+    "histogram_quantiles",
+    oracle=_HQ_ORACLE,
+    tags=("sketch", "quantile", "approx"),
+)
+def histogram_quantiles(spark, sf_dir):
+    """Approximate p50/p90 per event type from a fixed 256-bin equi-width
+    histogram — the deterministic, MERGEABLE quantile sketch (t-digest /
+    GK summaries are order-dependent: the same data in a different
+    partition layout yields different centroids, which breaks both
+    reproducibility and cross-engine oracling; a histogram's integer bin
+    counts merge by addition in any order).
+
+    Two passes, both partial-agg-shaped: (1) per-type min/max/count —
+    O(types) rows cross the exchange; (2) per-(type, bin) counts —
+    ≤ types×256 rows.  The percentile is linear interpolation inside the
+    first bin whose cumulative count crosses p·n; worst-case error is
+    one bin width, (hi−lo)/256 (gated vs the exact percentiles in
+    tests/test_approx.py).  At 100 TB the histogram is the artifact that
+    ships, and day-over-day histograms add cell-wise for windowed
+    quantiles — what no exact-percentile plan can do."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("value").alias("n"),
+    )
+    binned = (
+        e.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * HIST_BINS
+                ).cast("bigint"),
+                F.lit(HIST_BINS - 1).cast("bigint"),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("ct"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = binned.withColumn("cum", F.sum("ct").over(w))
+    j = cums.join(F.broadcast(bounds), "event_type")
+    aggs = [
+        (
+            F.floor(
+                F.min_by(
+                    F.when(
+                        F.col("cum") >= p * F.col("n"),
+                        F.col("lo")
+                        + (F.col("hi") - F.col("lo"))
+                        * (
+                            F.col("bin")
+                            + (p * F.col("n") - (F.col("cum") - F.col("ct")))
+                            / F.col("ct")
+                        )
+                        / HIST_BINS,
+                    ),
+                    F.when(
+                        F.col("cum") >= p * F.col("n"), F.col("bin")
+                    ).otherwise(F.lit(HIST_BINS)),
+                )
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias(name)
+        for name, p in _HQ_PCTS
+    ]
+    return j.groupBy("event_type", "n").agg(*aggs)

@@ -164,3 +164,27 @@ def test_ivfpq_prunes_and_recalls(spark, sf_dir):
     # double approximation (cell pruning x PQ codes) on worst-case
     # uniform data: floor against degenerate behavior only
     assert sum(recalls) / len(recalls) >= 0.10, recalls
+
+
+def test_histogram_quantiles_within_bin_width(spark, sf_dir):
+    """histogram_quantiles: interpolation error is bounded by one bin
+    width (hi-lo)/256 per event type, for both percentiles."""
+    approx = {
+        r.event_type: (r.p50, r.p90)
+        for r in QUERIES["histogram_quantiles"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: (r.p50, r.p90)
+        for r in QUERIES["value_percentiles"].fn(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    width = {
+        r.event_type: (r.hi - r.lo) / 256
+        for r in e.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for et in exact:
+        for a, x in zip(approx[et], exact[et]):
+            assert abs(a - x) <= width[et] + 1e-9, (et, a, x, width[et])
