@@ -66,7 +66,10 @@ def register(
 #                 + stratified_sample, quantity_price_corr,
 #                 small_quantity_revenue, purchasers_also_viewers,
 #                 idle_customer_balance, banded_revenue,
-#                 top_events_per_user) plus any round-4 additions.
+#                 top_events_per_user) plus the round-4 additions
+#                 (sketches/PageRank/mixing/interval-join/PQ/IVFPQ/
+#                 histogram-quantiles — all oracled, listed at the end
+#                 of _PRIORITY).
 _PRIORITY = [
     # ---- round-4 window: driver-unverified queries, highest salience ----
     # TPC-H analytics family
