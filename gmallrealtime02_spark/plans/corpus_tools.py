@@ -1,0 +1,464 @@
+"""Corpus-preparation operators beyond the round-3 LLM-pipeline family:
+tokenizer training (distributed BPE pair statistics + merge learning),
+per-source boilerplate detection, random-projection dimensionality
+reduction, and embedding label propagation.
+
+Like the rest of the north-star family these have no reference citation
+(the reference — gmallrealtime/src/main/scala — is an e-commerce
+streaming warehouse); they are the operations a 100 TB training-data
+pipeline needs, expressed Spark-first.  Every oracle is generated from
+the same frozen integer constants the Spark operators use, so DuckDB
+reproduces each value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.similarity import _dot
+from ..sources import load_table
+from ..sources.tables import ensure_parallelism
+from .registry import register
+
+P = TX.HASH_MOD
+CHUNK_WORDS = 10  # pseudo-paragraph width, matches llm_pipeline chunking
+
+
+# ---------------------------------------------------------------------------
+# Per-source boilerplate detection
+# ---------------------------------------------------------------------------
+
+_SRC_CHUNKS_CTE = f"""
+w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+ch AS (
+    SELECT doc_id, source,
+           array_to_string(ws[i*{CHUNK_WORDS}+1 : i*{CHUNK_WORDS}+{CHUNK_WORDS}],
+                           ' ') AS chunk
+    FROM w, unnest(generate_series(0,
+        CAST(ceil(len(ws) / {CHUNK_WORDS}.0) AS BIGINT) - 1)) AS t(i)
+)
+"""
+
+
+@register(
+    "boilerplate_lines",
+    oracle=f"""
+    WITH {_SRC_CHUNKS_CTE.strip()},
+    d AS (SELECT DISTINCT source, chunk, doc_id FROM ch),
+    g AS (SELECT source, chunk, count(*) AS n_docs, min(doc_id) AS first_doc
+          FROM d GROUP BY source, chunk),
+    tot AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source)
+    SELECT g.source AS source, g.chunk AS chunk, g.n_docs AS n_docs,
+           round(CAST(g.n_docs AS DOUBLE) / tot.n_src, 6) AS doc_frac,
+           g.first_doc AS first_doc
+    FROM g JOIN tot ON g.source = tot.source
+    WHERE g.n_docs >= 2
+    """,
+    tags=("text", "boilerplate", "training-data"),
+)
+def boilerplate_lines(spark, sf_dir):
+    """Per-source boilerplate detection (the CCNet/WET cleaning step that
+    precedes global paragraph dedup): a pseudo-paragraph repeated across
+    >=2 distinct documents of the SAME source (nav bars, cookie banners,
+    footers) is flagged with its within-source document frequency.
+
+    Scale shape: chunking is scan-side (one posexplode, bodies never
+    shuffle); the only corpus-scale exchange is on (source, chunk) with
+    map-side distinct partials.  The per-source totals table has one row
+    per source — a bounded dim even on web corpora (domains), joined
+    without a hint so AQE broadcasts it while it fits and degrades to a
+    shuffle join when it does not.
+    """
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    ws_d = d.select("doc_id", "source", F.split("text", " ").alias("ws"))
+    n_chunks = F.ceil(F.size("ws") / CHUNK_WORDS).cast("int")
+    chunks = ws_d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice("ws", i * CHUNK_WORDS + 1, CHUNK_WORDS), " "
+                ),
+            )
+        ).alias("chunk"),
+    )
+    per_chunk = (
+        chunks.distinct()
+        .groupBy("source", "chunk")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    totals = d.groupBy("source").agg(F.count("*").alias("n_src"))
+    return per_chunk.join(totals, "source").select(
+        "source",
+        "chunk",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("n_src"), 6).alias("doc_frac"),
+        "first_doc",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_pair_counts",
+    oracle="""
+    WITH ws AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (SELECT w, count(*) AS cnt FROM ws WHERE w != '' GROUP BY w),
+    p AS (
+        SELECT substr(w, CAST(i AS INT), 1) || substr(w, CAST(i AS INT) + 1, 1)
+               AS pair, cnt
+        FROM wc, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count
+    FROM p GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT 50
+    """,
+    tags=("tokenizer", "bpe", "training-data"),
+)
+def bpe_pair_counts(spark, sf_dir):
+    """BPE iteration 0: corpus-weighted adjacent-character-pair counts,
+    top 50 by frequency (total order: count desc, pair asc).
+
+    The scale trick is the same one real BPE trainers use: aggregate the
+    corpus to WORD COUNTS first (one corpus-scale exchange on the word,
+    map-side partials), then explode character pairs over the DISTINCT
+    vocabulary only — pair statistics cost O(|vocab| * word_len), not
+    O(corpus).  The final top-50 is orderBy+limit, which plans as a
+    distributed TakeOrderedAndProject (per-partition partial top-k), not
+    a single-reducer sort.
+    """
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = F.col("w")
+    pair_idx = F.when(
+        F.length(w) >= 2, F.sequence(F.lit(1), F.length(w) - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    pairs = wc.select(
+        F.explode(pair_idx).alias("i"), "w", "cnt"
+    ).select(
+        F.concat(w.substr(F.col("i"), F.lit(1)), w.substr(F.col("i") + 1, F.lit(1)))
+        .alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair"))
+        .limit(50)
+    )
+
+
+N_MERGES = 3  # unrolled merge iterations (each is a vocab-scale pass)
+
+
+def _merge_fold(tokens: Column, a: Column, b: Column) -> Column:
+    """Greedy left-to-right BPE merge of adjacent token pair (a, b) via a
+    sequential fold: append ``x`` without a separator when the
+    accumulator's LAST token is exactly ``a`` and ``x == b``; else append
+    ``' ' || x``.  Tokens are single-space-joined, so the ``' ' || a``
+    suffix test is an exact token-boundary match, and a token produced by
+    a merge in this same pass is never re-merged (matching the reference
+    greedy semantics: 'l l l' -> 'll l').  Identical fold order in the
+    DuckDB oracle makes the result string bit-identical.
+    """
+    sep_a = F.concat(F.lit(" "), a)
+    return F.ltrim(
+        F.aggregate(
+            tokens,
+            F.lit(""),
+            lambda acc, x: F.concat(
+                acc,
+                F.when(acc.endswith(sep_a) & (x == b), x).otherwise(
+                    F.concat(F.lit(" "), x)
+                ),
+            ),
+        )
+    )
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled DuckDB mirror of ``bpe_learn_merges``: v0 is the
+    char-spaced vocabulary; each stage counts token pairs, picks the
+    arg-max pair (count desc, pair asc), and folds the merge with
+    list_reduce in the same order as the Spark ``F.aggregate``."""
+    ctes = [
+        """
+v0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq, cnt
+       FROM (SELECT w, count(*) AS cnt
+             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             WHERE w != '' GROUP BY w))
+"""
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""
+t{k} AS (SELECT string_split(seq, ' ') AS ts, cnt FROM v{k - 1}),
+p{k} AS (
+    SELECT ts[CAST(i AS INT)] AS pa, ts[CAST(i AS INT) + 1] AS pb,
+           CAST(sum(cnt) AS BIGINT) AS pair_count
+    FROM t{k}, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+    WHERE len(ts) >= 2 GROUP BY pa, pb
+),
+b{k} AS (SELECT pa, pb, pair_count FROM p{k}
+         ORDER BY pair_count DESC, pa, pb LIMIT 1),
+v{k} AS (
+    SELECT ltrim(list_reduce(
+               list_prepend('', ts),
+               (acc, x) -> acc ||
+                   CASE WHEN ends_with(acc, ' ' || b{k}.pa) AND x = b{k}.pb
+                        THEN x ELSE ' ' || x END
+           )) AS seq, cnt
+    FROM t{k} CROSS JOIN b{k}
+)
+""")
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, pa AS pair_a, pb AS pair_b, pair_count FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(c.strip() for c in ctes) + f" {selects}"
+
+
+@register(
+    "bpe_learn_merges",
+    oracle=_bpe_oracle_sql(N_MERGES),
+    tags=("tokenizer", "bpe", "training-data", "iterative"),
+)
+def bpe_learn_merges(spark, sf_dir):
+    """Distributed BPE merge learning, {n} iterations: the actual
+    tokenizer-training loop (count pairs -> pick arg-max -> merge ->
+    repeat), returning (merge_rank, pair_a, pair_b, pair_count).
+
+    Scale shape: exactly ONE corpus-scale pass (the word-count exchange);
+    every Lloyd-style iteration after that runs on the distinct-word
+    vocabulary (|V| << corpus) with map-side pair partials, the arg-max
+    is a 1-row driver pull (same bounded pattern as the k-means centroid
+    pull), and the merge itself is a scan-side fold — zero additional
+    corpus exchanges.  localCheckpoint bounds lineage growth across
+    iterations exactly as in dedup_canonical's label propagation.
+    """.format(n=N_MERGES)
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq"), "cnt"
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rank in range(1, N_MERGES + 1):
+        ts = vocab.select(F.split("seq", " ").alias("ts"), "cnt")
+        idx = F.when(
+            F.size("ts") >= 2, F.sequence(F.lit(1), F.size("ts") - 1)
+        ).otherwise(F.expr("array()").cast("array<int>"))
+        best = (
+            ts.select(F.explode(idx).alias("i"), "ts", "cnt")
+            .select(
+                F.element_at("ts", F.col("i")).alias("pa"),
+                F.element_at("ts", F.col("i") + 1).alias("pb"),
+                "cnt",
+            )
+            .groupBy("pa", "pb")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "pa", "pb")
+            .limit(1)
+            .collect()[0]  # bounded driver pull: one (pa, pb, count) row
+        )
+        merges.append((rank, best.pa, best.pb, int(best.pair_count)))
+        nxt = vocab.select(
+            _merge_fold(
+                F.split("seq", " "), F.lit(best.pa), F.lit(best.pb)
+            ).alias("seq"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair_a string, pair_b string, pair_count bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+D_IN = 64
+D_OUT = 16
+_JL_A, _JL_B, _JL_C = 2654435761, 40503, 2246822519
+
+
+# sign(i, j) = parity of a two-step LCG: h1 = (A*i + B) mod P, then
+# (h1 * (2j+1) + C) mod P.  The single-step form (A*i + B*j + C) is
+# DEGENERATE: B*j is small vs P, so stepping j almost never wraps the
+# modulus and the parity just alternates — every output dim collapses to
+# +/-p0.  The per-dim odd multiplier (2j+1) on the mixed h1 decorrelates
+# dims; all intermediates stay < 2^37, far from int64 overflow in both
+# engines.
+
+
+def _jl_proj_sql(j: int) -> str:
+    sign = (
+        f"CASE WHEN (((({_JL_A} * i + {_JL_B}) % {P}) * {2 * j + 1} + {_JL_C}) "
+        f"% {P}) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    return (
+        f"round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {D_IN}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ({sign}))), "
+        f"(x, y) -> x + y) / {float(D_OUT) ** 0.5!r}, 6)"
+    )
+
+
+@register(
+    "jl_projection",
+    oracle="SELECT vec_id, "
+    + ", ".join(f"{_jl_proj_sql(j)} AS p{j}" for j in range(D_OUT))
+    + " FROM embeddings",
+    tags=("similarity", "projection", "training-data"),
+)
+def jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss sign random projection 64-d -> 16-d, the
+    standard pre-shrink before LSH/clustering on billion-vector corpora
+    (distance-preserving to ~1/sqrt(16) distortion).
+
+    The +/-1 projection matrix is a deterministic integer-arithmetic
+    formula, never materialized: each output dim is a scan-side
+    sequential fold over the input vector in index order (bit-exact vs
+    the oracle's list_reduce), so the whole operator is ZERO-EXCHANGE —
+    gated in test_plan_shapes — and shuffles nothing at any scale.
+    """
+    e = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    emb = F.col("embedding")
+
+    def proj(j: int) -> Column:
+        fold = F.aggregate(
+            F.sequence(F.lit(1), F.lit(D_IN)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(emb, i).cast("double")
+            * F.when(
+                (
+                    (((F.lit(_JL_A) * i + _JL_B) % P) * (2 * j + 1) + _JL_C) % P
+                )
+                % 2
+                == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        return F.round(fold / F.lit(float(D_OUT) ** 0.5), 6).alias(f"p{j}")
+
+    return e.select("vec_id", *[proj(j) for j in range(D_OUT)])
+
+
+# ---------------------------------------------------------------------------
+# k-NN label propagation
+# ---------------------------------------------------------------------------
+
+_DOT_FOLD = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT_FOLD.format(a=a, b=b)
+    na = _DOT_FOLD.format(a=a, b=a)
+    nb = _DOT_FOLD.format(a=b, b=b)
+    return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+KNN_K = 5
+
+
+@register(
+    "knn_label_propagation",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id % 10 = 0),
+    c AS (SELECT vec_id AS cid, embedding AS ce, label FROM embeddings
+          WHERE vec_id % 10 != 0),
+    s AS (SELECT qid, cid, label, {_cos_sql('qe', 'ce')} AS cosine
+          FROM q CROSS JOIN c),
+    top AS (SELECT qid, label FROM (
+        SELECT qid, label,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, cid) AS rnk
+        FROM s) WHERE rnk <= {KNN_K}),
+    v AS (SELECT qid, label, count(*) AS votes FROM top GROUP BY qid, label)
+    SELECT qid AS vec_id, label AS pred_label, CAST(votes AS BIGINT) AS votes
+    FROM (SELECT qid, label, votes,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY votes DESC, label) AS rn
+          FROM v) WHERE rn = 1
+    """,
+    tags=("similarity", "labeling", "training-data"),
+)
+def knn_label_propagation(spark, sf_dir):
+    """Weak-supervision label propagation: every 10th vector plays
+    "unlabeled" and receives the majority label of its {k} nearest
+    labeled neighbors by cosine (neighbor ties -> lower cid; vote ties ->
+    lower label — a total order, so the answer is engine-independent).
+
+    Scale shape: the unlabeled batch broadcasts against the scan-side
+    labeled corpus (norms folded once per row below the join), per-query
+    top-k via a qid-partitioned window, then an O(batch * k) vote
+    aggregate.  For corpus-scale batches the identical vote/argmax tail
+    composes with ann_lsh_topk / ann_ivf_topk candidate pruning instead
+    of the exact scorer — the same exact-verify split every ANN operator
+    in this family uses.
+    """
+    e = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    q = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        nrm.alias("qn"),
+    )
+    c = e.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        nrm.alias("cn"),
+        "label",
+    )
+    cos = F.round(
+        _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("cid"))
+        .select("qid", "cid", "label", cos.alias("cosine"))
+    )
+    w_nn = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    votes = (
+        scored.withColumn("rnk", F.row_number().over(w_nn))
+        .filter(F.col("rnk") <= KNN_K)
+        .groupBy("qid", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w_vote = Window.partitionBy("qid").orderBy(F.col("votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w_vote))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("label").alias("pred_label"),
+            "votes",
+        )
+    )

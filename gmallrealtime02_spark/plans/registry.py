@@ -208,13 +208,19 @@ _PRIORITY = [
     "interval_error_purchase_join",
     "ann_ivfpq_topk",
     "histogram_quantiles",
+    # -- round-4 additions (corpus-tools family) — round-5 window --
+    "boilerplate_lines",
+    "bpe_pair_counts",
+    "bpe_learn_merges",
+    "jl_projection",
+    "knn_label_propagation",
 ]
 
 
 def load_all() -> dict[str, Query]:
     """Import every plan module so registrations run, then return QUERIES
     in priority order (see ``_PRIORITY``)."""
-    from . import analytics, sketches, tpch_extra, training_data, warehouse  # noqa: F401
+    from . import analytics, corpus_tools, sketches, tpch_extra, training_data, warehouse  # noqa: F401
 
     try:
         from . import llm_pipeline  # noqa: F401

@@ -1,0 +1,47 @@
+"""Semantic gates for the corpus-tools family (plan shapes live in
+test_plan_shapes, oracle parity in test_registry_oracles): the BPE merge
+fold must implement greedy left-to-right pair merging exactly, and the
+JL projection must actually decorrelate output dimensions (the bug class
+this guards: a degenerate sign matrix where every dim is +/-p0)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmallrealtime02_spark.plans.corpus_tools import _merge_fold
+
+
+@pytest.mark.parametrize(
+    "seq,a,b,want",
+    [
+        ("l l l", "l", "l", "ll l"),      # greedy: leftmost wins, no re-merge
+        ("a b a b a", "a", "b", "ab ab a"),
+        ("a l l", "l", "l", "a ll"),
+        ("al l", "l", "l", "al l"),        # token-boundary: 'al' suffix 'l' no match
+        ("a b b", "a", "b", "ab b"),       # merged token not re-used as left side
+        ("x", "a", "b", "x"),
+        ("ab c ab c", "ab", "c", "abc abc"),  # multi-char tokens merge too
+    ],
+)
+def test_merge_fold_greedy_semantics(spark, seq, a, b, want):
+    row = (
+        spark.range(1)
+        .select(
+            _merge_fold(F.split(F.lit(seq), " "), F.lit(a), F.lit(b)).alias("m")
+        )
+        .collect()[0]
+    )
+    assert row.m == want, (seq, a, b, row.m)
+
+
+def test_jl_projection_dims_decorrelated(spark, sf_dir):
+    """No output dim may be a constant multiple of another across the
+    corpus — the failure mode of a parity-degenerate sign matrix."""
+    from gmallrealtime02_spark.plans.registry import load_all
+
+    rows = load_all()["jl_projection"].fn(spark, sf_dir).limit(50).collect()
+    cols = [[getattr(r, f"p{j}") for r in rows] for j in range(16)]
+    for j in range(1, 16):
+        same = sum(1 for x, y in zip(cols[0], cols[j]) if abs(x) == abs(y))
+        assert same < len(rows), f"dim {j} is +/- dim 0 on every row"

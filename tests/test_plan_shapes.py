@@ -621,3 +621,44 @@ def test_pq_scoring_never_touches_vectors(spark, sf_dir):
     plan = _executed_plan(QUERIES["ann_pq_topk"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_jl_projection_zero_exchange(spark, sf_dir):
+    """jl_projection: the sign matrix is a scan-side arithmetic formula,
+    so the whole 64-d -> 16-d projection must shuffle NOTHING (the only
+    allowed Exchange is ensure_parallelism's input respray)."""
+    plan = _executed_plan(QUERIES["jl_projection"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bpe_pair_counts_vocab_scale(spark, sf_dir):
+    """bpe_pair_counts: one corpus-scale exchange (word counts, map-side
+    partials), one vocab-scale exchange (pair aggregate), and the top-50
+    plans as distributed TakeOrderedAndProject — never a single-reducer
+    global sort."""
+    plan = _executed_plan(QUERIES["bpe_pair_counts"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 3, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_boilerplate_lines_no_body_shuffle(spark, sf_dir):
+    """boilerplate_lines: chunking is scan-side (posexplode below the
+    first exchange); shuffles stay on (source, chunk)-shaped keys and the
+    per-source totals join is broadcast, not sort-merge."""
+    plan = _executed_plan(QUERIES["boilerplate_lines"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_knn_label_propagation_single_corpus_exchange(spark, sf_dir):
+    """knn_label_propagation: the query batch broadcasts; the labeled
+    corpus is scored scan-side and shuffles ONCE on qid — the vote
+    aggregate reuses the window's qid partitioning (groupBy(qid, label)
+    is a sub-key), so no second corpus-scale exchange exists."""
+    plan = _executed_plan(QUERIES["knn_label_propagation"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
