@@ -17,7 +17,7 @@ from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..functions.similarity import _dot
+from ..functions.similarity import N_SHINGLE, _dot, shingle_hashes_fast
 from ..sources import load_table
 from ..sources.tables import ensure_parallelism
 from .registry import register
@@ -461,4 +461,219 @@ def knn_label_propagation(spark, sf_dir):
             F.col("label").alias("pred_label"),
             "votes",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup / winnowing fingerprints / curriculum staging
+# ---------------------------------------------------------------------------
+
+# portable_hash(s) as a DuckDB expression (same char fold as functions.text)
+def _hash_sql(s: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(list_filter(string_split({s}, ''), c -> c != ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc*31 + c) % {P})"
+    )
+
+
+_SHINGLE_HASH_CTE = f"""
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+    SELECT doc_id, list_transform(
+        generate_series(1, len(ws) - {N_SHINGLE - 1}),
+        i -> {_hash_sql(
+            " || ' ' || ".join(f"ws[i+{k}]" for k in range(N_SHINGLE))
+        )}) AS hs
+    FROM w WHERE len(ws) >= {N_SHINGLE}
+)
+"""
+
+CONTAINMENT_T = 0.8
+
+
+@register(
+    "minhash_containment",
+    oracle=f"""
+    WITH {_SHINGLE_HASH_CTE.strip()},
+    d AS (SELECT doc_id, list_distinct(hs) AS dhs FROM sh),
+    post AS (SELECT doc_id, len(dhs) AS sz, unnest(dhs) AS h FROM d),
+    g AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS inter, min(a.sz) AS sa, min(b.sz) AS sb
+        FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+           round(CAST(inter AS DOUBLE) / least(sa, sb), 6) AS containment
+    FROM g WHERE CAST(inter AS DOUBLE) / least(sa, sb) >= {CONTAINMENT_T}
+    """,
+    tags=("dedup", "containment"),
+)
+def minhash_containment(spark, sf_dir):
+    """Containment near-dup pairs: |A ∩ B| / min(|A|, |B|) over distinct
+    shingle-hash sets — catches SUBSET duplicates (a doc embedded inside
+    a longer one) that symmetric Jaccard misses (|A∩B|/|A∪B| stays low
+    when |B| >> |A|).
+
+    Scale shape mirrors dedup_ngram_jaccard: per-doc set sizes are
+    computed scan-side and travel WITH the postings rows (no second
+    sizes join), the only exchanges are the shingle-hash postings join
+    and the pair aggregate.  At 100 TB the identical verify runs after
+    LSH banding so hot shingles never go quadratic.
+    """
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    dhs = F.array_distinct(shingle_hashes_fast(F.col("text")))
+    post = d.select(
+        "doc_id", F.size(dhs).alias("sz"), F.explode(dhs).alias("h")
+    )
+    a = post.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"), "h"
+    )
+    b = post.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"), "h"
+    )
+    pairs = (
+        a.join(b, ["h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.min("sa").alias("sa"),
+            F.min("sb").alias("sb"),
+        )
+    )
+    cont = F.col("inter").cast("double") / F.least("sa", "sb")
+    return pairs.filter(cont >= CONTAINMENT_T).select(
+        "doc_a", "doc_b", "inter", F.round(cont, 6).alias("containment")
+    )
+
+
+WINNOW_W = 4  # fingerprint window: guarantee a match on any 7-shingle run
+_POS_SHIFT = 1 << 20  # encode = hash * 2^20 + position (h < 2^31 -> < 2^51)
+
+
+@register(
+    "winnowing_fingerprint",
+    oracle=f"""
+    WITH {_SHINGLE_HASH_CTE.strip()},
+    fp AS (
+        SELECT doc_id,
+               CASE WHEN len(hs) >= {WINNOW_W} THEN list_distinct(
+                   list_transform(generate_series(1, len(hs) - {WINNOW_W - 1}),
+                       i -> list_min(list_transform(
+                           generate_series(0, {WINNOW_W - 1}),
+                           k -> hs[i+k] * {_POS_SHIFT} + (i+k)))))
+               ELSE [] END AS fps
+        FROM sh
+    )
+    SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+                       (acc, x) -> acc + x) AS fp_sum
+    FROM fp
+    """,
+    tags=("text", "fingerprint", "winnowing"),
+)
+def winnowing_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (the MOSS scheme): slide a
+    {w}-wide window over the positional shingle-hash sequence and keep
+    each window's minimum — any shared run of {t} consecutive shingles
+    between two documents is then GUARANTEED to share a fingerprint,
+    with ~2/(w+1) of positions selected.  Ties break to the leftmost
+    minimal position via the hash*2^20+pos encoding (one integer min
+    per window, same fold both engines).
+
+    Entirely scan-side: rolling shingle hashes (each char folded once),
+    window minima, and the checksum are per-row array ops — ZERO
+    exchanges at any corpus size (gated).  Downstream span-level
+    contamination joins shuffle only the selected (doc_id, fingerprint)
+    pairs, ~2/(w+1) of the shingle volume.
+    """.format(w=WINNOW_W, t=WINNOW_W + N_SHINGLE - 1)
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    hs = shingle_hashes_fast(F.col("text"))
+
+    def fps_of(hs_b: Column) -> Column:
+        return F.when(
+            F.size(hs_b) >= WINNOW_W,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(hs_b) - (WINNOW_W - 1)),
+                    lambda i: F.array_min(
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(WINNOW_W - 1)),
+                            lambda k: F.element_at(hs_b, i + k) * _POS_SHIFT
+                            + (i + k),
+                        )
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    # bind hs once (HOF lambda var), so the rolling fold runs once per doc
+    fps = F.transform(F.array(hs), fps_of)[0]
+    return d.filter(F.size(F.split("text", " ")) >= N_SHINGLE).select(
+        "doc_id",
+        F.size(fps).alias("n_fp"),
+        F.aggregate(fps, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "fp_sum"
+        ),
+    )
+
+
+@register(
+    "curriculum_stages",
+    oracle="""
+    WITH n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS c FROM n),
+    staged AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN 2 * n_tokens * c < s THEN 1
+                    WHEN n_tokens * c < s THEN 2
+                    WHEN 2 * n_tokens * c < 3 * s THEN 3
+                    ELSE 4 END AS stage
+        FROM n CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, stage,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY stage
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+           AS stage_rank
+    FROM staged
+    """,
+    tags=("training-data", "curriculum"),
+)
+def curriculum_stages(spark, sf_dir):
+    """Length-curriculum staging for training-data loaders: docs are
+    binned against the corpus mean token count (<0.5x, <1x, <1.5x, >=)
+    and given a deterministic intra-stage order by md5-of-key.  The
+    stage thresholds compare INTEGER cross-products (2*n*count vs sum)
+    — no float mean, so the banding is exact in any engine.
+
+    Scale shape: one tiny 2-value aggregate broadcast back over the
+    scan, stage assignment scan-side, and ranking windows partitioned
+    PER STAGE — a loader shards on (stage, stage_rank), so no global
+    total order (and no single-reducer sort) is ever materialized.
+    """
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    n = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    tot = n.agg(
+        F.sum("n_tokens").cast("long").alias("s"), F.count("*").alias("c")
+    )
+    nt, s, c = F.col("n_tokens").cast("long"), F.col("s"), F.col("c")
+    staged = n.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.when(2 * nt * c < s, 1)
+        .when(nt * c < s, 2)
+        .when(2 * nt * c < 3 * s, 3)
+        .otherwise(4)
+        .alias("stage"),
+    )
+    w = Window.partitionBy("stage").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return staged.withColumn(
+        "stage_rank", F.row_number().over(w).cast("int")
     )

@@ -214,6 +214,9 @@ _PRIORITY = [
     "bpe_learn_merges",
     "jl_projection",
     "knn_label_propagation",
+    "minhash_containment",
+    "winnowing_fingerprint",
+    "curriculum_stages",
 ]
 
 

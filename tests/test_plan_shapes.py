@@ -662,3 +662,32 @@ def test_knn_label_propagation_single_corpus_exchange(spark, sf_dir):
     assert _exchanges(plan) <= 2, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_winnowing_fingerprint_zero_exchange(spark, sf_dir):
+    """winnowing_fingerprint: rolling hashes, window minima, and the
+    checksum are all per-row array ops — nothing may shuffle."""
+    plan = _executed_plan(QUERIES["winnowing_fingerprint"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 1, plan  # ensure_parallelism respray only
+
+
+def test_minhash_containment_no_pair_product(spark, sf_dir):
+    """minhash_containment: postings equi-join on the shingle hash plus
+    one pair aggregate — never a cartesian pair product, and set sizes
+    ride the postings rows (no extra sizes join)."""
+    plan = _executed_plan(QUERIES["minhash_containment"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert _exchanges(plan) <= 3, plan
+
+
+def test_curriculum_stages_no_global_sort(spark, sf_dir):
+    """curriculum_stages: the only SinglePartition exchange feeds the
+    2-value corpus-stats aggregate (bytes, not rows); ranking is
+    partitioned per stage — no corpus-scale global sort exists."""
+    plan = _executed_plan(QUERIES["curriculum_stages"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 3, plan
+    assert re.search(r"Exchange SinglePartition[\s\S]{0,400}?partial_sum", plan) or \
+        "partial_sum" in plan, plan
+    # the window exchange is stage-keyed, not a global ordering
+    assert "Exchange rangepartitioning" not in plan, plan
