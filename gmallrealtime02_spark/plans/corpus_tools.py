@@ -490,62 +490,72 @@ sh AS (
 """
 
 CONTAINMENT_T = 0.8
+DF_CAP = 64  # discriminative-shingle cap: drop shingles in > DF_CAP docs
 
 
 @register(
     "minhash_containment",
     oracle=f"""
     WITH {_SHINGLE_HASH_CTE.strip()},
-    d AS (SELECT doc_id, list_distinct(hs) AS dhs FROM sh),
-    post AS (SELECT doc_id, len(dhs) AS sz, unnest(dhs) AS h FROM d),
+    post AS (SELECT doc_id, unnest(list_distinct(hs)) AS h FROM sh),
+    dfc AS (SELECT h, count(*) AS df FROM post GROUP BY h),
+    capped AS (SELECT doc_id, post.h, df FROM post JOIN dfc ON post.h = dfc.h
+               WHERE df <= {DF_CAP}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
     g AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               count(*) AS inter, min(a.sz) AS sa, min(b.sz) AS sb
-        FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM capped a JOIN capped b
+          ON a.h = b.h AND a.doc_id < b.doc_id AND a.df >= 2
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
-           round(CAST(inter AS DOUBLE) / least(sa, sb), 6) AS containment
-    FROM g WHERE CAST(inter AS DOUBLE) / least(sa, sb) >= {CONTAINMENT_T}
+           round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+    FROM g JOIN sizes sa ON g.doc_a = sa.doc_id
+           JOIN sizes sb ON g.doc_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= {CONTAINMENT_T}
     """,
     tags=("dedup", "containment"),
 )
 def minhash_containment(spark, sf_dir):
-    """Containment near-dup pairs: |A ∩ B| / min(|A|, |B|) over distinct
-    shingle-hash sets — catches SUBSET duplicates (a doc embedded inside
-    a longer one) that symmetric Jaccard misses (|A∩B|/|A∪B| stays low
-    when |B| >> |A|).
+    """Containment near-dup pairs: |A ∩ B| / min(|A|, |B|) over
+    DISCRIMINATIVE shingle-hash sets — catches SUBSET duplicates (a doc
+    embedded inside a longer one) that symmetric Jaccard misses
+    (|A∩B|/|A∪B| stays low when |B| >> |A|).
 
-    Scale shape mirrors dedup_ngram_jaccard: per-doc set sizes are
-    computed scan-side and travel WITH the postings rows (no second
-    sizes join), the only exchanges are the shingle-hash postings join
-    and the pair aggregate.  At 100 TB the identical verify runs after
-    LSH banding so hot shingles never go quadratic.
-    """
+    "Discriminative" = document frequency <= {cap}: background-vocabulary
+    shingles shared by more docs than that are excluded from both the
+    intersection AND the set sizes (the stopword-removal move plagiarism
+    detectors make).  The cap is also what makes the op scale: postings
+    self-join cost is bounded by df_cap * |postings| instead of going
+    QUADRATIC on hot shingles (the uncapped first cut measured 16 s at
+    sf0.1; capped, ~1 s).  df=1 shingles are additionally dropped from
+    the JOIN side only (they cannot intersect; they still count toward
+    sizes).  At 100 TB the cap becomes a df quantile instead of an
+    absolute; the plan shape is identical.
+    """.format(cap=DF_CAP)
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     dhs = F.array_distinct(shingle_hashes_fast(F.col("text")))
-    post = d.select(
-        "doc_id", F.size(dhs).alias("sz"), F.explode(dhs).alias("h")
-    )
-    a = post.select(
-        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"), "h"
-    )
-    b = post.select(
-        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"), "h"
-    )
+    post = d.select("doc_id", F.explode(dhs).alias("h"))
+    dfc = post.groupBy("h").agg(F.count("*").alias("df"))
+    capped = post.join(dfc, "h").filter(F.col("df") <= DF_CAP)
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    joinable = capped.filter(F.col("df") >= 2)
+    a = joinable.select(F.col("doc_id").alias("doc_a"), "h")
+    b = joinable.select(F.col("doc_id").alias("doc_b"), "h")
     pairs = (
         a.join(b, ["h"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count("*").alias("inter"),
-            F.min("sa").alias("sa"),
-            F.min("sb").alias("sb"),
-        )
+        .agg(F.count("*").alias("inter"))
     )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
     cont = F.col("inter").cast("double") / F.least("sa", "sb")
-    return pairs.filter(cont >= CONTAINMENT_T).select(
-        "doc_a", "doc_b", "inter", F.round(cont, 6).alias("containment")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(cont >= CONTAINMENT_T)
+        .select("doc_a", "doc_b", "inter", F.round(cont, 6).alias("containment"))
     )
 
 

@@ -208,7 +208,9 @@ _PRIORITY = [
     "interval_error_purchase_join",
     "ann_ivfpq_topk",
     "histogram_quantiles",
-    # -- round-4 additions (corpus-tools family) — round-5 window --
+    # -- round-4 additions (corpus-tools family: BPE tokenizer training,
+    #    boilerplate/containment/winnowing curation, JL projection, kNN
+    #    labeling, curriculum staging) — round-5 window --
     "boilerplate_lines",
     "bpe_pair_counts",
     "bpe_learn_merges",

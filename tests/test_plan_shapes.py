@@ -672,13 +672,16 @@ def test_winnowing_fingerprint_zero_exchange(spark, sf_dir):
 
 
 def test_minhash_containment_no_pair_product(spark, sf_dir):
-    """minhash_containment: postings equi-join on the shingle hash plus
-    one pair aggregate — never a cartesian pair product, and set sizes
-    ride the postings rows (no extra sizes join)."""
+    """minhash_containment: every join is an equi-join on a small key
+    (shingle hash / doc id) — never a cartesian pair product — and the
+    df-cap bounds the postings self-join fan-out.  The exchange budget
+    covers the df count, the cap join, the sizes aggregate, the pair
+    join + aggregate, and the two (small) sizes joins; all keys are
+    8-byte ids, no document bodies shuffle."""
     plan = _executed_plan(QUERIES["minhash_containment"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert _exchanges(plan) <= 3, plan
+    assert _exchanges(plan) <= 8, plan
 
 
 def test_curriculum_stages_no_global_sort(spark, sf_dir):
