@@ -687,3 +687,142 @@ def curriculum_stages(spark, sf_dir):
     return staged.withColumn(
         "stage_rank", F.row_number().over(w).cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key / cluster-stratified diversity sampling
+# ---------------------------------------------------------------------------
+
+Z_BITS = 16
+Z_BUCKET_SHIFT = 8  # bucket = z-prefix: fixes the top bits of BOTH dims
+# (granularity knob: production picks the shift so a bucket ~= one file;
+# 8 keeps >= 4 high bits per dimension even on the fixture's small
+# user-id range, so both-dimension pruning is observable at every SF)
+
+_Z_EPOCH = "1970-01-01 00:00:00"
+_ZKEY_SQL = " + ".join(
+    f"(((a >> {k}) & 1) << {2 * k}) + (((b >> {k}) & 1) << {2 * k + 1})"
+    for k in range(Z_BITS)
+)
+
+
+@register(
+    "zorder_layout",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_id,
+               user_id % {1 << Z_BITS} AS a,
+               date_diff('hour', TIMESTAMP '{_Z_EPOCH}', ts) % {1 << Z_BITS} AS b
+        FROM events
+    )
+    SELECT event_id, CAST({_ZKEY_SQL} AS BIGINT) AS zkey,
+           CAST(({_ZKEY_SQL}) >> {Z_BUCKET_SHIFT} AS BIGINT) AS zbucket
+    FROM d
+    """,
+    tags=("layout", "zorder"),
+)
+def zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, event hour) — the
+    write-time layout that makes BOTH `WHERE user_id = ?` and
+    `WHERE ts BETWEEN ?` prune files at 100 TB: sorting by zkey before
+    the partitioned write puts each file inside a small rectangle of the
+    (user, time) plane, so min/max footer stats skip it for either
+    predicate (a single-column sort prunes only its own column).
+
+    The key is pure bit arithmetic — interleave the low {bits} bits of
+    each dimension — computed scan-side with ZERO exchanges (gated; the
+    downstream `repartitionByRange(zkey)` write is the only shuffle the
+    layout job would add).  The hour index is exact integer arithmetic
+    from a midnight epoch (hour-boundary counting == floor(duration)
+    when the origin sits on the boundary), so the key is
+    engine-reproducible.
+    """.format(bits=Z_BITS)
+    e = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    hour_idx = F.timestamp_diff(
+        "HOUR", F.lit(_Z_EPOCH).cast("timestamp_ntz"), F.col("ts")
+    )
+    a = (F.col("user_id") % (1 << Z_BITS)).alias("a")
+    b = (hour_idx % (1 << Z_BITS)).alias("b")
+    d = e.select("event_id", a, b)
+    zkey = None
+    for k in range(Z_BITS):
+        term = F.shiftleft(F.shiftright("a", k).bitwiseAND(F.lit(1)), 2 * k) + (
+            F.shiftleft(F.shiftright("b", k).bitwiseAND(F.lit(1)), 2 * k + 1)
+        )
+        zkey = term if zkey is None else zkey + term
+    return d.select(
+        "event_id",
+        zkey.cast("long").alias("zkey"),
+        F.shiftright(zkey, Z_BUCKET_SHIFT).cast("long").alias("zbucket"),
+    )
+
+
+try:  # kmeans CTE helper lives in the (import-guarded) llm_pipeline module
+    from ..functions.clustering import kmeans_assign
+    from .llm_pipeline import _kmeans_ctes
+
+    DIVERSITY_K = 10
+    DIVERSITY_ITERS = 3
+    DIVERSITY_PER_ROLE = 3
+
+    @register(
+        "diversity_sample",
+        oracle="WITH "
+        + _kmeans_ctes(DIVERSITY_K, DIVERSITY_ITERS)
+        + f""",
+        ranked AS (
+            SELECT vec_id, cid, d2,
+                   row_number() OVER (PARTITION BY cid
+                                      ORDER BY d2 ASC, vec_id ASC) AS r_core,
+                   row_number() OVER (PARTITION BY cid
+                                      ORDER BY d2 DESC, vec_id ASC) AS r_frontier
+            FROM a{DIVERSITY_ITERS}
+        )
+        SELECT vec_id, cid, round(d2, 6) AS d2, 'core' AS role
+        FROM ranked WHERE r_core <= {DIVERSITY_PER_ROLE}
+        UNION ALL
+        SELECT vec_id, cid, round(d2, 6) AS d2, 'frontier' AS role
+        FROM ranked WHERE r_frontier <= {DIVERSITY_PER_ROLE}
+        """,
+        tags=("training-data", "sampling", "clustering"),
+    )
+    def diversity_sample(spark, sf_dir):
+        """Cluster-stratified diversity sample (the SemDeDup/DsDm-style
+        curation primitive): k-means the corpus, then per cluster keep
+        the {m} most-central vectors ('core' — prototypes) and the {m}
+        farthest ('frontier' — the diversity/boundary picks).  A vector
+        can be both in a small cluster; the roles are separate rows.
+
+        Scale shape: assignment inherits kmeans_assign's zero-exchange
+        scan-side argmin; the only additions are cid-partitioned ranking
+        windows (k partitions, embarrassingly parallel) — the whole
+        sampler adds ONE exchange after the fit.  Deterministic by the
+        same contract that lets k-means itself carry a hash-exact
+        oracle (quantized inputs, decimal centroid sums, fold-ordered
+        distances, total-order ranks).
+        """.format(m=DIVERSITY_PER_ROLE)
+        emb = load_table(spark, sf_dir, "embeddings")
+        assign = kmeans_assign(emb, k=DIVERSITY_K, iters=DIVERSITY_ITERS)
+        w_core = Window.partitionBy("cid").orderBy(F.col("d2").asc(), F.col("vec_id"))
+        w_frontier = Window.partitionBy("cid").orderBy(
+            F.col("d2").desc(), F.col("vec_id")
+        )
+        ranked = assign.select(
+            "vec_id",
+            "cid",
+            "d2",
+            F.row_number().over(w_core).alias("r_core"),
+            F.row_number().over(w_frontier).alias("r_frontier"),
+        )
+        core = ranked.filter(F.col("r_core") <= DIVERSITY_PER_ROLE).select(
+            "vec_id", "cid", F.round("d2", 6).alias("d2"), F.lit("core").alias("role")
+        )
+        frontier = ranked.filter(F.col("r_frontier") <= DIVERSITY_PER_ROLE).select(
+            "vec_id",
+            "cid",
+            F.round("d2", 6).alias("d2"),
+            F.lit("frontier").alias("role"),
+        )
+        return core.unionAll(frontier)
+except ImportError:  # pragma: no cover - numpy-less environments
+    pass

@@ -219,6 +219,8 @@ _PRIORITY = [
     "minhash_containment",
     "winnowing_fingerprint",
     "curriculum_stages",
+    "zorder_layout",
+    "diversity_sample",
 ]
 
 

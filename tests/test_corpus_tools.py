@@ -45,3 +45,22 @@ def test_jl_projection_dims_decorrelated(spark, sf_dir):
     for j in range(1, 16):
         same = sum(1 for x, y in zip(cols[0], cols[j]) if abs(x) == abs(y))
         assert same < len(rows), f"dim {j} is +/- dim 0 on every row"
+
+
+def test_zorder_bucket_prunes_both_dimensions(spark, sf_dir):
+    """The point of the z-key: a single-dimension predicate touches only
+    a small fraction of z-buckets (file-skipping for EITHER column),
+    which a one-column sort cannot give for the other column."""
+    from pyspark.sql import functions as F
+
+    from gmallrealtime02_spark.plans.registry import load_all
+    from gmallrealtime02_spark.sources.tables import load_table
+
+    z = load_all()["zorder_layout"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    joined = z.join(ev, "event_id")
+    total = z.select("zbucket").distinct().count()
+    one_user = (
+        joined.filter(F.col("user_id") == 7).select("zbucket").distinct().count()
+    )
+    assert one_user <= max(4, total * 0.25), (one_user, total)

@@ -694,3 +694,20 @@ def test_curriculum_stages_no_global_sort(spark, sf_dir):
         "partial_sum" in plan, plan
     # the window exchange is stage-keyed, not a global ordering
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_zorder_layout_zero_exchange(spark, sf_dir):
+    """zorder_layout: the Morton key is pure scan-side bit arithmetic —
+    nothing may shuffle (the layout job's repartitionByRange write is
+    the only shuffle the pattern adds, and it is not part of the op)."""
+    plan = _executed_plan(QUERIES["zorder_layout"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 1, plan  # ensure_parallelism respray only
+
+
+def test_diversity_sample_one_exchange_after_fit(spark, sf_dir):
+    """diversity_sample: both ranking windows share the single
+    cid-keyed exchange; assignment stays the zero-exchange scan-side
+    argmin (no crossJoin re-shuffle regression)."""
+    plan = _executed_plan(QUERIES["diversity_sample"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(cid", plan)) <= 2, plan
