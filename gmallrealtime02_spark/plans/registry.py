@@ -221,13 +221,25 @@ _PRIORITY = [
     "curriculum_stages",
     "zorder_layout",
     "diversity_sample",
+    # -- behavior/time-series/graph wave — round-5 window --
+    "rolling_active_users",
+    "gap_fill",
+    "triangle_count",
 ]
 
 
 def load_all() -> dict[str, Query]:
     """Import every plan module so registrations run, then return QUERIES
     in priority order (see ``_PRIORITY``)."""
-    from . import analytics, corpus_tools, sketches, tpch_extra, training_data, warehouse  # noqa: F401
+    from . import (  # noqa: F401
+        analytics,
+        behavior,
+        corpus_tools,
+        sketches,
+        tpch_extra,
+        training_data,
+        warehouse,
+    )
 
     try:
         from . import llm_pipeline  # noqa: F401

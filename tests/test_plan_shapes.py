@@ -711,3 +711,39 @@ def test_diversity_sample_one_exchange_after_fit(spark, sf_dir):
     plan = _executed_plan(QUERIES["diversity_sample"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert len(re.findall(r"Exchange hashpartitioning\(cid", plan)) <= 2, plan
+
+
+def test_rolling_active_users_bounded_fanout(spark, sf_dir):
+    """rolling_active_users: the distinct-over-trailing-window runs as a
+    bounded x7 contribution explode over DISTINCT (user, day) pairs —
+    never a days-by-events join blow-up, never a global sort.  All
+    exchange keys are user/day-sized."""
+    plan = _executed_plan(QUERIES["rolling_active_users"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert _exchanges(plan) <= 4, plan
+
+
+def test_gap_fill_two_exchanges(spark, sf_dir):
+    """gap_fill: the (user, day) day-sum aggregate plus ONE user_id
+    exchange shared by the span agg, the densify join, and the
+    carry-forward window — the calendar explode and the window itself
+    add no shuffle."""
+    plan = _executed_plan(QUERIES["gap_fill"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 2, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_triangle_count_no_pair_product(spark, sf_dir):
+    """triangle_count: wedges come from equi-joins on oriented edges —
+    no cartesian/nested-loop pair product anywhere; the final top-k is
+    a distributed TakeOrdered, not a single-reducer sort."""
+    from gmallrealtime02_spark.plans.behavior import _triangle_count_plan
+
+    result, caches = _triangle_count_plan(spark, sf_dir)
+    plan = _executed_plan(result)
+    for c in caches:
+        c.unpersist()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
