@@ -1,0 +1,373 @@
+"""Feature-engineering / profiling wave beyond the round-4 corpus tools:
+RAG-style overlapping chunking, one-pass table profiling, time-decayed
+engagement (EWMA), linear text-classifier inference over hashed n-gram
+features, and behavioral path mining.
+
+No reference citation exists for these (the reference —
+gmallrealtime/src/main/scala — is an e-commerce streaming warehouse);
+they are the operations a training-data/RAG pipeline and a product
+warehouse need at 100 TB, expressed Spark-first.  Every oracle uses the
+same frozen integer constants as the Spark operator, so DuckDB
+reproduces each value bit-for-bit (the repo-wide determinism-as-a-
+scale-feature rule: results must not depend on row→partition layout).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..sources import load_table
+from ..sources.tables import ensure_parallelism
+from .registry import register
+
+P = TX.HASH_MOD
+
+# ---------------------------------------------------------------------------
+# Overlapping sliding-window chunking (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 12  # chunk width (words)
+CHUNK_S = 6  # stride (words) — 50% overlap
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id, i AS chunk_id,
+           array_to_string(ws[i*{CHUNK_S}+1 : i*{CHUNK_S}+{CHUNK_W}], ' ') AS chunk,
+           least(len(ws) - i*{CHUNK_S}, {CHUNK_W}) AS n_words
+    FROM w, unnest(generate_series(0,
+        CAST(floor((len(ws) - 1) / {CHUNK_S}.0) AS BIGINT))) AS t(i)
+    """,
+    tags=("text", "chunking", "rag", "training-data"),
+)
+def doc_chunks(spark, sf_dir):
+    """Overlapping sliding-window chunks ({w} words, stride {s}) — the
+    retrieval/context-window prep step: every token lands in ≥1 chunk and
+    interior tokens in 2, so no answer span is ever split across a hard
+    boundary (the reason RAG chunkers overlap).
+
+    Scale shape: ZERO exchange — the explode is scan-side, the blow-up
+    factor is a bounded ≤2× (width/stride), and each output row carries
+    only its own slice.  Chunk ids are per-document offsets, so the
+    operator is embarrassingly parallel and layout-independent at
+    100 TB (contrast boilerplate_lines' disjoint chunking in
+    corpus_tools.py, which feeds cross-doc grouping instead).
+    """.format(w=CHUNK_W, s=CHUNK_S)
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    return (
+        d.select(
+            "doc_id",
+            ws.alias("ws"),
+            n.alias("n"),
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.floor((n - 1) / F.lit(CHUNK_S)),
+                )
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.array_join(
+                F.slice(
+                    "ws",
+                    (F.col("chunk_id") * CHUNK_S + 1).cast("int"),
+                    F.lit(CHUNK_W),
+                ),
+                " ",
+            ).alias("chunk"),
+            F.least(
+                F.col("n") - F.col("chunk_id") * CHUNK_S, F.lit(CHUNK_W).cast("long")
+            ).alias("n_words"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass table profiling (the stats a CBO / data-quality monitor needs)
+# ---------------------------------------------------------------------------
+
+_STAT_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "table_stats",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+        CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        count(DISTINCT {c}) AS ndv FROM orders"""
+        for c in _STAT_COLS
+    ),
+    tags=("profiling", "stats", "maintenance"),
+)
+def table_stats(spark, sf_dir):
+    """Per-column profile of ``orders`` (row count, null count, exact NDV)
+    — the statistics a cost-based optimizer and a data-quality monitor
+    collect after every ingest.
+
+    Scale shape: ONE scan.  Multiple exact COUNT(DISTINCT)s compile to
+    Catalyst's Expand (k× row multiply) + a single partial-agg shuffle —
+    the standard exact shape.  At 100 TB the same operator swaps exact
+    NDV for the mergeable HLL sketch (see sketches.hll_distinct_daily);
+    exact is kept here because profiling jobs run per-partition (a day's
+    delta), not per-corpus, and the oracle must agree bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _STAT_COLS:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"ndv_{c}"))
+    row = o.agg(*aggs)
+    stats = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"ndv_{c}").alias("ndv"),
+            )
+            for c in _STAT_COLS
+        ]
+    )
+    return row.select(F.explode(stats).alias("s")).select("s.*")
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed engagement: trailing EWMA of daily purchase value
+# ---------------------------------------------------------------------------
+
+EWMA_K = 8  # trailing horizon (days)
+# Halving decay (α = 1/2): weights 2^-d are EXACT in both binary doubles
+# and decimal(11,10), so the weighted sums stay bit-identical across
+# engines and partition layouts (the same determinism trick as gap_fill's
+# decimal day sums).
+_EWMA_WEIGHTS = [Decimal(1) / (Decimal(2) ** k) for k in range(EWMA_K)]
+_EWMA_W_SQL = (
+    "[" + ", ".join(f"CAST('{w}' AS DECIMAL(11,10))" for w in _EWMA_WEIGHTS) + "]"
+)
+
+
+@register(
+    "ewma_daily_value",
+    oracle=f"""
+    WITH ud AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(19,6)) AS day_value
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT user_id, day + CAST(i AS INTEGER) AS day2,
+               day_value * ({_EWMA_W_SQL})[i + 1] AS wv,
+               ({_EWMA_W_SQL})[i + 1] AS w
+        FROM ud, unnest(generate_series(0, {EWMA_K - 1})) AS t(i)
+    )
+    SELECT user_id, strftime(day2, '%Y-%m-%d') AS dt,
+           round(CAST(sum(wv) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6)
+               AS ewma_value
+    FROM c GROUP BY 1, 2
+    """,
+    tags=("timeseries", "window", "decay"),
+)
+def ewma_daily_value(spark, sf_dir):
+    """Exponentially-weighted trailing mean (α=1/2, horizon {k} days) of
+    each user's daily purchase value, evaluated at every day reached by
+    at least one observation — the recency-weighted engagement score
+    behind churn/LTV features.
+
+    Spark has no COUNT/AVG OVER (RANGE …) with per-row decay weights;
+    the scalable form is the same bounded contribution explode as
+    rolling_active_users: each (user, day) day-sum fans out to the ≤{k}
+    later days it still influences (bounded {k}× blow-up, independent of
+    corpus size), then ONE (user, day) aggregate.  Two exchanges total,
+    both on user-day keys, never event-sized.  All sums are decimal-
+    exact with power-of-two weights, so results are bit-identical across
+    engines and partitionings.""".format(k=EWMA_K)
+    e = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    ud = (
+        e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(19,6)")
+            .alias("day_value")
+        )
+    )
+    weights = F.array(
+        *[F.lit(w).cast("decimal(11,10)") for w in _EWMA_WEIGHTS]
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(EWMA_K - 1))).alias("d"),
+        "day",
+        "day_value",
+    ).select(
+        "user_id",
+        F.date_add("day", F.col("d")).alias("day2"),
+        (F.col("day_value") * F.element_at(weights, F.col("d") + 1)).alias("wv"),
+        F.element_at(weights, F.col("d") + 1).alias("w"),
+    )
+    return (
+        contrib.groupBy("user_id", "day2")
+        .agg(F.sum("wv").alias("swv"), F.sum("w").alias("sw"))
+        .select(
+            "user_id",
+            F.date_format("day2", "yyyy-MM-dd").alias("dt"),
+            F.round(
+                F.col("swv").cast("double") / F.col("sw").cast("double"), 6
+            ).alias("ewma_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear text-classifier inference over hashed n-gram features
+# ---------------------------------------------------------------------------
+
+NGRAM_BUCKETS = 4096
+_PAIR_MUL = 1009
+_W_MUL = 2654435761  # Knuth multiplicative constant
+_W_MOD = 2001  # weights land in [-1000, 1000]
+
+
+@register(
+    "hashed_ngram_score",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    h AS (
+        SELECT doc_id, len(ws) AS nw,
+               list_transform(ws, w -> list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, length(w)),
+                                      i -> CAST(ascii(w[i]) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % {P})) AS wh
+        FROM w
+    ),
+    p AS (
+        SELECT doc_id, nw - 1 AS n_bigrams,
+               list_transform(generate_series(1, nw - 1),
+                   i -> ((((wh[i] * {_PAIR_MUL} + wh[i+1]) % {NGRAM_BUCKETS})
+                          * {_W_MUL}) % {_W_MOD}) - 1000) AS wt
+        FROM h
+    ),
+    s AS (
+        SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), wt),
+                           (a, b) -> a + b) AS sum_w
+        FROM p
+    )
+    SELECT doc_id, n_bigrams,
+           CASE WHEN n_bigrams > 0
+                THEN round(CAST(sum_w AS DOUBLE) / (1000.0 * n_bigrams), 6)
+                ELSE 0.0 END AS score,
+           CASE WHEN n_bigrams > 0 THEN sum_w > 0 ELSE FALSE END AS keep
+    FROM s
+    """,
+    tags=("text", "classifier", "quality", "training-data"),
+)
+def hashed_ngram_score(spark, sf_dir):
+    """fastText-style linear classifier INFERENCE: hash each word bigram
+    into {b} feature buckets, dot with a weight vector, threshold — the
+    shape of every learned quality/toxicity filter applied at corpus
+    scale (the model is frozen at inference; weights here come from a
+    deterministic integer formula so the oracle reproduces them, but the
+    plan is identical with trained weights broadcast as a {b}-entry
+    array — bounded by design, unlike a vocab-sized table).
+
+    Scale shape: ZERO exchange — hashing, lookup, and the dot product
+    all run scan-side inside codegen via array folds; integer arithmetic
+    end-to-end until the final division, so the score is bit-identical
+    across engines and layouts.""".format(b=NGRAM_BUCKETS)
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    wh = F.transform(ws, lambda w: TX.portable_hash(w))
+    n = F.size(ws)
+    pairs = F.zip_with(
+        F.slice(wh, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(wh, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: (a * _PAIR_MUL + b) % NGRAM_BUCKETS,
+    )
+    wts = F.transform(pairs, lambda b: (b * _W_MUL) % _W_MOD - 1000)
+    sum_w = F.aggregate(wts, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n_bigrams = (n - 1).cast("long")
+    return d.select(
+        "doc_id",
+        n_bigrams.alias("n_bigrams"),
+        F.when(
+            n_bigrams > 0,
+            F.round(sum_w / (1000.0 * n_bigrams.cast("double")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+        F.when(n_bigrams > 0, sum_w > 0).otherwise(F.lit(False)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral path mining: most common 3-event sequences
+# ---------------------------------------------------------------------------
+
+TRIGRAM_TOP = 20
+
+
+@register(
+    "event_trigrams",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+    FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT {TRIGRAM_TOP}
+    """,
+    tags=("window", "path-mining", "behavior"),
+)
+def event_trigrams(spark, sf_dir):
+    """Top-{k} most common 3-event user paths (Markov path mining — the
+    open-ended complement of event_funnel's fixed stage list): sliding
+    window of 3 consecutive events per user, global frequency ranking.
+
+    Scale shape: ONE user_id exchange feeds the lead() window; the path
+    aggregate shuffles ≤|event_type|³ distinct keys with map-side
+    partials; the final ranking is a distributed TakeOrderedAndProject
+    (never a single-reducer global sort).  Ties broken by path string so
+    the top-{k} is deterministic.""".format(k=TRIGRAM_TOP)
+    e = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        s.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(TRIGRAM_TOP)
+    )

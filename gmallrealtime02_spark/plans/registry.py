@@ -225,6 +225,13 @@ _PRIORITY = [
     "rolling_active_users",
     "gap_fill",
     "triangle_count",
+    # -- feature-ops wave (chunking/profiling/decay/classifier/paths) —
+    #    round-5 window --
+    "doc_chunks",
+    "table_stats",
+    "ewma_daily_value",
+    "hashed_ngram_score",
+    "event_trigrams",
 ]
 
 
@@ -235,6 +242,7 @@ def load_all() -> dict[str, Query]:
         analytics,
         behavior,
         corpus_tools,
+        feature_ops,
         sketches,
         tpch_extra,
         training_data,

@@ -747,3 +747,51 @@ def test_triangle_count_no_pair_product(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_doc_chunks_zero_exchange(spark, sf_dir):
+    """doc_chunks: the overlapping-window explode is scan-side — no
+    shuffle of any kind (the bounded ~2x blow-up happens inside the
+    scan stage, embarrassingly parallel at 100 TB)."""
+    plan = _executed_plan(QUERIES["doc_chunks"].fn(spark, sf_dir))
+    assert _exchanges(plan) == 0, plan
+
+
+def test_table_stats_single_scan_expand(spark, sf_dir):
+    """table_stats: k exact NDVs compile to ONE scan + Catalyst Expand +
+    partial aggregation — never k separate scans of the table, never a
+    global sort."""
+    plan = _executed_plan(QUERIES["table_stats"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_ewma_bounded_fanout_two_exchanges(spark, sf_dir):
+    """ewma_daily_value: bounded x8 contribution explode over the
+    (user, day) day-sums — exactly the day-sum aggregate exchange plus
+    the (user, day2) decay aggregate; no event-sized shuffle, no join,
+    no global sort."""
+    plan = _executed_plan(QUERIES["ewma_daily_value"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 2, plan
+    assert "Join" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_hashed_ngram_score_zero_exchange(spark, sf_dir):
+    """hashed_ngram_score: classifier inference is a pure scan-side
+    array fold — zero exchange, no Python runner in the plan (all
+    arithmetic stays JVM-side)."""
+    plan = _executed_plan(QUERIES["hashed_ngram_score"].fn(spark, sf_dir))
+    assert _exchanges(plan) == 0, plan
+    assert "Python" not in plan, plan
+
+
+def test_event_trigrams_takeordered(spark, sf_dir):
+    """event_trigrams: one user_id exchange for the lead() window, a
+    small path-keyed partial aggregate, and a distributed TakeOrdered —
+    never a single-reducer global sort."""
+    plan = _executed_plan(QUERIES["event_trigrams"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert _exchanges(plan) <= 3, plan
