@@ -190,11 +190,12 @@ def _merge_fold(tokens: Column, a: Column, b: Column) -> Column:
     )
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
-    """Unrolled DuckDB mirror of ``bpe_learn_merges``: v0 is the
-    char-spaced vocabulary; each stage counts token pairs, picks the
+def _bpe_ctes(n_merges: int) -> str:
+    """Shared unrolled DuckDB CTE chain for the BPE training loop: v0 is
+    the char-spaced vocabulary; each stage counts token pairs, picks the
     arg-max pair (count desc, pair asc), and folds the merge with
-    list_reduce in the same order as the Spark ``F.aggregate``."""
+    list_reduce in the same order as the Spark ``F.aggregate``.  Exposes
+    b1..b{n} (the learned merges) for downstream consumers."""
     ctes = [
         """
 v0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq, cnt
@@ -224,31 +225,55 @@ v{k} AS (
     FROM t{k} CROSS JOIN b{k}
 )
 """)
+    return "WITH " + ",".join(c.strip() for c in ctes)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
     selects = " UNION ALL ".join(
         f"SELECT {k} AS merge_rank, pa AS pair_a, pb AS pair_b, pair_count FROM b{k}"
         for k in range(1, n_merges + 1)
     )
-    return "WITH " + ",".join(c.strip() for c in ctes) + f" {selects}"
+    return f"{_bpe_ctes(n_merges)} {selects}"
 
 
-@register(
-    "bpe_learn_merges",
-    oracle=_bpe_oracle_sql(N_MERGES),
-    tags=("tokenizer", "bpe", "training-data", "iterative"),
-)
-def bpe_learn_merges(spark, sf_dir):
-    """Distributed BPE merge learning, {n} iterations: the actual
-    tokenizer-training loop (count pairs -> pick arg-max -> merge ->
-    repeat), returning (merge_rank, pair_a, pair_b, pair_count).
+def _bpe_encode_oracle_sql(n_merges: int) -> str:
+    """DuckDB mirror of ``bpe_encode``: learn the merges via the shared
+    CTE chain, then re-encode every document with the same char-split +
+    greedy-fold sequence the Spark scan applies."""
+    enc = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for k in range(1, n_merges + 1):
+        enc = (
+            f"ltrim(list_reduce(list_prepend('', string_split({enc}, ' ')), "
+            f"(acc, x) -> acc || CASE WHEN ends_with(acc, ' ' || b{k}.pa) "
+            f"AND x = b{k}.pb THEN x ELSE ' ' || x END))"
+        )
+    crosses = " ".join(f"CROSS JOIN b{k}" for k in range(1, n_merges + 1))
+    return f"""{_bpe_ctes(n_merges)},
+    enc AS (
+        SELECT doc_id, n_chars,
+               list_transform(
+                   list_filter(string_split(text, ' '), w0 -> w0 != ''),
+                   w -> {enc}) AS encw
+        FROM documents {crosses}
+    ),
+    tok AS (
+        SELECT doc_id, n_chars,
+               CAST(coalesce(list_sum(list_transform(
+                   encw, s -> len(string_split(s, ' ')))), 0) AS INT)
+                   AS n_tokens,
+               substr(array_to_string(encw, ' '), 1, 120) AS enc_preview
+        FROM enc
+    )
+    SELECT doc_id, n_tokens, enc_preview,
+           round(CAST(n_chars AS DOUBLE) / nullif(n_tokens, 0), 6)
+               AS chars_per_token
+    FROM tok"""
 
-    Scale shape: exactly ONE corpus-scale pass (the word-count exchange);
-    every Lloyd-style iteration after that runs on the distinct-word
-    vocabulary (|V| << corpus) with map-side pair partials, the arg-max
-    is a 1-row driver pull (same bounded pattern as the k-means centroid
-    pull), and the merge itself is a scan-side fold — zero additional
-    corpus exchanges.  localCheckpoint bounds lineage growth across
-    iterations exactly as in dedup_canonical's label propagation.
-    """.format(n=N_MERGES)
+
+def _learn_merges(spark, sf_dir) -> list[tuple[int, str, str, int]]:
+    """The BPE training loop shared by ``bpe_learn_merges`` (returns the
+    merge table itself) and ``bpe_encode`` (bakes the merges into a
+    scan-side encoder).  Returns [(rank, pair_a, pair_b, count), ...]."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     vocab = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -289,8 +314,90 @@ def bpe_learn_merges(spark, sf_dir):
         vocab.unpersist()
         vocab = nxt
     vocab.unpersist()
+    return merges
+
+
+@register(
+    "bpe_learn_merges",
+    oracle=_bpe_oracle_sql(N_MERGES),
+    tags=("tokenizer", "bpe", "training-data", "iterative"),
+)
+def bpe_learn_merges(spark, sf_dir):
+    """Distributed BPE merge learning, {n} iterations: the actual
+    tokenizer-training loop (count pairs -> pick arg-max -> merge ->
+    repeat), returning (merge_rank, pair_a, pair_b, pair_count).
+
+    Scale shape: exactly ONE corpus-scale pass (the word-count exchange);
+    every Lloyd-style iteration after that runs on the distinct-word
+    vocabulary (|V| << corpus) with map-side pair partials, the arg-max
+    is a 1-row driver pull (same bounded pattern as the k-means centroid
+    pull), and the merge itself is a scan-side fold — zero additional
+    corpus exchanges.  localCheckpoint bounds lineage growth across
+    iterations exactly as in dedup_canonical's label propagation.
+    """.format(n=N_MERGES)
+    merges = _learn_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges, "merge_rank int, pair_a string, pair_b string, pair_count bigint"
+    )
+
+
+@register(
+    "bpe_encode",
+    oracle=_bpe_encode_oracle_sql(N_MERGES),
+    tags=("tokenizer", "bpe", "training-data"),
+)
+def bpe_encode(spark, sf_dir):
+    """Apply the learned BPE merges to encode every document — the
+    train->apply other half of ``bpe_learn_merges`` (what a tokenizer
+    actually does to a corpus before packing): per doc, the token count
+    under the learned vocabulary, an encoded-text preview, and the
+    chars-per-token compression ratio.
+
+    Scale shape: training costs what ``bpe_learn_merges`` costs (one
+    corpus exchange + vocab-scale iterations); the merges come back to
+    the driver as N_MERGES tiny literals, so ENCODING is a pure
+    zero-exchange corpus scan — each word is char-split and greedily
+    folded per merge rank entirely inside whole-stage codegen, exactly
+    how a production tokenizer ships its merge table to every worker.
+    Plan-gated: the encode stage contains no Exchange.
+    """
+    merges = _learn_merges(spark, sf_dir)
+    return bpe_encode_plan(
+        ensure_parallelism(load_table(spark, sf_dir, "documents")), merges
+    )
+
+
+def bpe_encode_plan(d, merges):
+    """Lazy encode stage over a documents frame with driver-side merges —
+    split out so the plan gate can assert it is exchange-free."""
+
+    def enc_word(w: Column) -> Column:
+        seq = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        for _, pa, pb, _ in merges:
+            seq = _merge_fold(F.split(seq, " "), F.lit(pa), F.lit(pb))
+        return seq
+
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    enc = d.select(
+        "doc_id", "n_chars", F.transform(toks, enc_word).alias("encw")
+    )
+    tok = enc.select(
+        "doc_id",
+        "n_chars",
+        F.aggregate(
+            "encw", F.lit(0), lambda acc, s: acc + F.size(F.split(s, " "))
+        ).alias("n_tokens"),
+        F.substring(F.array_join("encw", " "), 1, 120).alias("enc_preview"),
+    )
+    return tok.select(
+        "doc_id",
+        "n_tokens",
+        "enc_preview",
+        F.round(
+            F.col("n_chars").cast("double")
+            / F.when(F.col("n_tokens") > 0, F.col("n_tokens")),
+            6,
+        ).alias("chars_per_token"),
     )
 
 

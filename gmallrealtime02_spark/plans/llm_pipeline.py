@@ -10,6 +10,7 @@ DuckDB SQL reproduces every signature bit-for-bit.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions import similarity as S
@@ -1054,6 +1055,102 @@ def doc_hash_sample(spark, sf_dir):
     return d.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4"
     ).select("doc_id", "lang")
+
+
+_CURATION_GOPHER_OK = f"""
+    (n_words BETWEEN {TX.GOPHER_MIN_WORDS} AND {TX.GOPHER_MAX_WORDS}
+     AND CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words
+         BETWEEN {TX.GOPHER_MIN_AVG_WORD_LEN} AND {TX.GOPHER_MAX_AVG_WORD_LEN}
+     AND CAST(n_punct AS DOUBLE) / n_words <= {TX.GOPHER_MAX_SYMBOL_RATIO}
+     AND CAST(n_alpha AS DOUBLE) / n_words >= {TX.GOPHER_MIN_ALPHA_WORD_RATIO}
+     AND n_stop >= {TX.GOPHER_MIN_STOPWORD_HITS})
+"""
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, md5(text) AS th,
+               length(text) AS n_chars,
+               len(string_split(text, ' ')) AS n_words,
+               len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+               len(list_filter(string_split(text, ' '),
+                   w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+               len(list_filter(string_split(text, ' '),
+                   w -> list_contains(['the', 'a', 'of', 'and', 'is'], w)))
+                   AS n_stop,
+               {', '.join(f'{_marker_sql(lang)} AS s_{lang}' for lang in sorted(TX.LANG_MARKERS))},
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS in_sample
+        FROM documents
+    ),
+    flags AS (
+        SELECT doc_id, th, n_words, in_sample,
+               {_CURATION_GOPHER_OK.strip()} AS ok_quality,
+               {_LANG_CASE} AS pred_lang
+        FROM feats
+    ),
+    g AS (SELECT *, ok_quality AND pred_lang = 'en' AS elig FROM flags),
+    canon AS (SELECT th, min(doc_id) AS cid FROM g WHERE elig GROUP BY th)
+    SELECT g.doc_id AS doc_id, g.ok_quality AS ok_quality,
+           g.pred_lang AS pred_lang,
+           g.pred_lang = 'en' AS ok_lang,
+           g.elig AND g.doc_id = canon.cid AS is_canonical,
+           g.in_sample AS in_sample,
+           g.elig AND g.doc_id = canon.cid AND g.in_sample AS keep,
+           CAST(g.n_words AS INT) AS n_tokens
+    FROM g LEFT JOIN canon ON g.th = canon.th AND g.elig
+    """,
+    tags=("training-data", "pipeline", "dedup", "quality", "sampling"),
+)
+def curation_pipeline(spark, sf_dir):
+    """The composed corpus-curation pipeline a pretraining build actually
+    runs — quality filter (Gopher rules) -> language ID gate (keep 'en')
+    -> exact dedup among survivors (min-doc_id canonical) -> deterministic
+    50% hash sample — emitted as one provenance row per document with
+    each stage's verdict plus the final ``keep``, so every drop is
+    auditable (the "why did my document disappear" table).
+
+    Scale shape: every stage flag is scan-side codegen'd column math over
+    ONE corpus read; the only corpus-scale exchange is the canonical-
+    member window, and its key is the 16-byte text digest for eligible
+    docs (a per-doc unique synthetic key otherwise, so ineligible rows
+    never collide into hot partitions).  Composing the stages in one plan
+    is itself the scale win: four separate jobs would pay four corpus
+    scans, this pays one.  Plan-gated: <=2 exchanges, no pair product.
+    """
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    text = F.col("text")
+    rules = TX.gopher_rules(text)
+    ok_quality = F.lit(True)
+    for c in rules.values():
+        ok_quality = ok_quality & c
+    flagged = d.select(
+        "doc_id",
+        F.md5(text.cast("binary")).alias("th"),
+        F.size(F.split(text, " ")).alias("n_tokens"),
+        ok_quality.alias("ok_quality"),
+        TX.lang_id(text).alias("pred_lang"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8").alias(
+            "in_sample"
+        ),
+    )
+    elig = F.col("ok_quality") & (F.col("pred_lang") == "en")
+    key = F.when(elig, F.col("th")).otherwise(
+        F.concat(F.lit("u:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy(key)
+    is_canonical = elig & (F.col("doc_id") == F.min("doc_id").over(w))
+    return flagged.select(
+        "doc_id",
+        "ok_quality",
+        "pred_lang",
+        (F.col("pred_lang") == "en").alias("ok_lang"),
+        is_canonical.alias("is_canonical"),
+        "in_sample",
+        (is_canonical & F.col("in_sample")).alias("keep"),
+        "n_tokens",
+    )
 
 
 @register(

@@ -214,6 +214,7 @@ _PRIORITY = [
     "boilerplate_lines",
     "bpe_pair_counts",
     "bpe_learn_merges",
+    "bpe_encode",
     "jl_projection",
     "knn_label_propagation",
     "minhash_containment",
@@ -229,6 +230,7 @@ _PRIORITY = [
     #    round-5 window --
     "doc_chunks",
     "table_stats",
+    "curation_pipeline",
     "ewma_daily_value",
     "hashed_ngram_score",
     "event_trigrams",

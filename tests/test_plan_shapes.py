@@ -643,6 +643,39 @@ def test_bpe_pair_counts_vocab_scale(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan, plan
 
 
+def test_curation_pipeline_one_corpus_exchange(spark, sf_dir):
+    """curation_pipeline: all four stage flags are scan-side column math
+    over ONE corpus read; the only corpus-scale exchange is the
+    canonical-member window on the synthetic digest key (plus
+    ensure_parallelism's input respray).  Never a pair product, never a
+    global sort."""
+    plan = _executed_plan(QUERIES["curation_pipeline"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_bpe_encode_stage_zero_exchange(spark, sf_dir):
+    """bpe_encode: once the merges are driver-side literals, encoding is
+    a pure corpus scan — char-split + greedy fold inside codegen.  The
+    only allowed Exchange in the encode stage is ensure_parallelism's
+    input respray; no join, no aggregation, no sort."""
+    from gmallrealtime02_spark.plans.corpus_tools import bpe_encode_plan
+    from gmallrealtime02_spark.sources import load_table
+    from gmallrealtime02_spark.sources.tables import ensure_parallelism
+
+    merges = [(1, "e", "n", 0), (2, "t", "h", 0), (3, "en", "t", 0)]
+    plan = _executed_plan(
+        bpe_encode_plan(
+            ensure_parallelism(load_table(spark, sf_dir, "documents")), merges
+        )
+    )
+    assert _exchanges(plan) <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_boilerplate_lines_no_body_shuffle(spark, sf_dir):
     """boilerplate_lines: chunking is scan-side (posexplode below the
     first exchange); shuffles stay on (source, chunk)-shaped keys and the
