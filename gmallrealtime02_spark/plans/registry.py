@@ -231,6 +231,7 @@ _PRIORITY = [
     "doc_chunks",
     "table_stats",
     "curation_pipeline",
+    "record_linkage",
     "ewma_daily_value",
     "hashed_ngram_score",
     "event_trigrams",

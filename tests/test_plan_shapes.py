@@ -643,6 +643,17 @@ def test_bpe_pair_counts_vocab_scale(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan, plan
 
 
+def test_record_linkage_blocked_no_pair_product(spark, sf_dir):
+    """record_linkage: candidate pairs come from an equi-join on the
+    blocking key — never an all-pairs product (the thing blocking
+    exists to avoid); the custkey ordering rides along as a residual
+    join condition."""
+    plan = _executed_plan(QUERIES["record_linkage"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
 def test_curation_pipeline_one_corpus_exchange(spark, sf_dir):
     """curation_pipeline: all four stage flags are scan-side column math
     over ONE corpus read; the only corpus-scale exchange is the
