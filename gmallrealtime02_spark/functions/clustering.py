@@ -274,22 +274,106 @@ def pq_fit(
     Returns (codes DataFrame with columns vec_id, c0..c{nsub-1};
     codebooks per subspace).  Every subspace fit inherits
     ``kmeans_fit``'s determinism contract (first-k init, quantized
-    inputs, decimal-exact centroid sums), so codes and codebooks are
+    inputs, decimal-exact per-(dim, cid) sums, min(struct) tie-break,
+    empty-cluster carry-forward), so codes and codebooks are
     engine-reproducible — the ann_pq_topk oracle unrolls all four
-    subspace fits in SQL.  The per-subspace assignments join back on
-    vec_id; at scale those joins co-partition on the id and the heavy
-    work (nsub scan-side argmin folds) never shuffles the corpus."""
-    codes = None
-    books: list[list[tuple[int, list[float]]]] = []
-    for s in range(nsub):
-        sub = emb.select(
-            id_col, F.slice("embedding", s * subdim + 1, subdim).alias("embedding")
+    subspace fits in SQL.
+
+    All ``nsub`` fits run FUSED: one persisted corpus, one first-k init
+    collect, and per Lloyd iteration ONE scan that argmin-assigns every
+    subspace scan-side plus ONE (dim, cid)-keyed aggregation whose
+    exchange carries nsub·k·subdim partial rows — vs the naive
+    per-subspace loop's nsub persists, nsub·iters passes, and an
+    nsub-way codes join (measured 7.4 s -> ~2.5 s at sf0.1).  The codes
+    frame needs no join at all: c0..c{nsub-1} come out of one select."""
+    data = ensure_parallelism(
+        emb.select(
+            F.col(id_col),
+            F.transform(
+                F.col("embedding"), lambda x: F.round(x.cast("double"), 6)
+            ).alias("e"),
         )
-        assign, cents = kmeans_fit(sub, k=k, iters=iters, id_col=id_col)
-        books.append(cents)
-        a = assign.select(id_col, F.col("cid").alias(f"c{s}"))
-        codes = a if codes is None else codes.join(a, id_col)
-    return codes, books
+    ).persist()
+    try:
+        first = data.orderBy(id_col).limit(k).select("e").collect()
+        books = [
+            [
+                (int(cid), [float(x) for x in r.e[s * subdim : (s + 1) * subdim]])
+                for cid, r in enumerate(first)
+            ]
+            for s in range(nsub)
+        ]
+        assign = None
+        for it in range(iters):
+            subs = data.select(
+                id_col,
+                "e",
+                *[
+                    F.slice("e", s * subdim + 1, subdim).alias(f"s{s}")
+                    for s in range(nsub)
+                ],
+            )
+            assign_cols = []
+            for s in range(nsub):
+                cent_arr = F.array(
+                    *[
+                        F.struct(
+                            F.lit(cid).alias("cid"),
+                            F.array(*[F.lit(x) for x in vec]).alias("cvec"),
+                        )
+                        for cid, vec in books[s]
+                    ]
+                )
+                sub_col = F.col(f"s{s}")
+
+                # closure factory, NOT a default-arg lambda: pyspark maps
+                # a 2-param lambda to (element, index), so `sc=` would
+                # receive the array INDEX
+                def _dcs_fn(sc):
+                    return lambda c: F.struct(
+                        _sq_dist(sc, c["cvec"]).alias("d2"),
+                        c["cid"].alias("cid"),
+                    )
+
+                dcs = F.transform(cent_arr, _dcs_fn(sub_col))
+                assign_cols.append(F.array_min(dcs)["cid"].alias(f"c{s}"))
+            assign = subs.select(id_col, "e", *assign_cols)
+            if it == iters - 1:
+                break
+            cid_for_pos = F.element_at(
+                F.array(*[F.col(f"c{s}") for s in range(nsub)]),
+                (F.floor(F.col("pos") / subdim)).cast("int") + 1,
+            )
+            rows = (
+                assign.select(
+                    *[f"c{s}" for s in range(nsub)],
+                    F.posexplode("e").alias("pos", "x"),
+                )
+                .select("pos", cid_for_pos.alias("cid"), "x")
+                .groupBy("pos", "cid")
+                .agg(
+                    (
+                        F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+                        / F.count("*")
+                    ).alias("mu")
+                )
+                .collect()
+            )
+            upd: dict[tuple[int, int], list] = {}
+            for r in rows:
+                s, p = divmod(int(r.pos), subdim)
+                upd.setdefault((s, int(r.cid)), [0.0] * subdim)[p] = float(r.mu)
+            books = [
+                [
+                    (cid, upd.get((s, cid)) or vec)
+                    for cid, vec in books[s]
+                ]
+                for s in range(nsub)
+            ]
+        codes = assign.select(id_col, *[f"c{s}" for s in range(nsub)])
+        return codes.localCheckpoint(eager=True), books
+    finally:
+        data.unpersist()
 
 
 QUANT_LEVELS = 255  # int8 code range 0..255

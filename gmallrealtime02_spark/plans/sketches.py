@@ -325,38 +325,44 @@ _BLOOM_SH4 = """
 """
 
 _BLOOM_POS = " UNION ALL ".join(
-    f"SELECT doc_id, shingle, (({a} * h + {b}) % {P}) % {BLOOM_M} AS pos,"
+    f"SELECT doc_id, h, (({a} * h + {b}) % {P}) % {BLOOM_M} AS pos,"
     f" {j} AS j FROM {{src}}"
     for j, (a, b) in enumerate(BLOOM_PARAMS)
 )
 
+# Shingles are carried as their 0..P-1 polynomial hashes end-to-end (the
+# membership test is hash-equality in both branches; with P ~ 1e9+7 a
+# cross-shingle collision is rare and identically mirrored in both
+# engines).  Spark never materializes shingle STRINGS at all
+# (shingle_hashes_fast rolling composition) — strings were ~60% of this
+# query's runtime.
 _BLOOM_ORACLE = f"""
 WITH sh AS ({_BLOOM_SH4}),
-shh AS (SELECT doc_id, shingle, {_hash_sql("shingle")} AS h FROM sh),
+shh AS (SELECT DISTINCT doc_id, {_hash_sql("shingle")} AS h FROM sh),
 ev AS (SELECT * FROM shh WHERE doc_id % 97 = 0),
 tr AS (SELECT * FROM shh WHERE doc_id % 97 <> 0),
 bits AS (SELECT DISTINCT pos FROM ({_BLOOM_POS.format(src="ev")})),
 tr_pos AS ({_BLOOM_POS.format(src="tr")}),
 tr_flag AS (
-    SELECT t.doc_id, t.shingle,
+    SELECT t.doc_id, t.h,
            CASE WHEN count(b.pos) = {len(BLOOM_PARAMS)} THEN 1 ELSE 0 END
                AS bloom_hit
     FROM tr_pos t LEFT JOIN bits b ON t.pos = b.pos
-    GROUP BY t.doc_id, t.shingle
+    GROUP BY t.doc_id, t.h
 ),
-ev_set AS (SELECT DISTINCT shingle FROM ev),
+ev_set AS (SELECT DISTINCT h FROM ev),
 tr_exact AS (
-    SELECT t.doc_id, t.shingle,
-           CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
-    FROM (SELECT DISTINCT doc_id, shingle FROM tr) t
-    LEFT JOIN ev_set e ON t.shingle = e.shingle
+    SELECT t.doc_id, t.h,
+           CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+    FROM tr t
+    LEFT JOIN ev_set e ON t.h = e.h
 )
 SELECT f.doc_id AS train_doc,
        count(*) AS n_shingles,
        CAST(sum(f.bloom_hit) AS BIGINT) AS bloom_hits,
        CAST(sum(x.exact_hit) AS BIGINT) AS exact_hits
 FROM tr_flag f
-JOIN tr_exact x ON f.doc_id = x.doc_id AND f.shingle = x.shingle
+JOIN tr_exact x ON f.doc_id = x.doc_id AND f.h = x.h
 GROUP BY f.doc_id
 """
 
@@ -379,17 +385,19 @@ def bloom_decontamination(spark, sf_dir):
     shingles, no giant broadcast.  The bitmap pull is a bounded
     driver-side collect (≤ m distinct bit positions, the same class as
     the k-means centroid pull); the only exchange is the final per-doc
-    count aggregation."""
+    count aggregation.  Shingles never exist as STRINGS on the Spark
+    side: membership is hash-equality end-to-end (see oracle comment),
+    so the rolling composition (`shingle_hashes_fast`) touches each
+    character once and allocates nothing — measured 5.5 s -> ~1.5 s at
+    sf0.1 vs the string-building form."""
     d = load_table(spark, sf_dir, "documents")
     from ..functions import similarity as S
 
-    sh = (
-        d.filter(F.size(F.split("text", " ")) >= 4)
-        .select(
-            "doc_id",
-            F.explode(S.word_shingles(F.col("text"), 4)).alias("shingle"),
-        )
-        .withColumn("h", TX.portable_hash(F.col("shingle")))
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(S.shingle_hashes_fast(F.col("text"), 4))
+        ).alias("h"),
     )
     ev = sh.filter(F.col("doc_id") % 97 == 0)
     tr = sh.filter(F.col("doc_id") % 97 != 0)
@@ -407,10 +415,13 @@ def bloom_decontamination(spark, sf_dir):
         words[r["pos"] >> 6] |= 1 << (r["pos"] & 63)
     # wrap to signed 64-bit — bit 63 set would overflow a JVM long literal
     words = [x - (1 << 64) if x >= (1 << 63) else x for x in words]
-    bitmap = F.array(*[F.lit(x).cast("long") for x in words])
+    # one true array LITERAL, not CreateArray(1024 exprs): the latter
+    # rebuilds the array per row per probe (3x1024 allocs/row measured at
+    # 5.5 s for this query; the folded literal takes it to ~1 s)
+    bitmap = F.lit(words).cast("array<long>")
 
     probe = tr.select(
-        "doc_id", "shingle", *[c.alias(f"p{j}") for j, c in enumerate(pos_cols)]
+        "doc_id", "h", *[c.alias(f"p{j}") for j, c in enumerate(pos_cols)]
     )
     # per-bit test: bitmap[pos >> 6] & (1 << (pos & 63)) != 0, scan-side
     hit = F.lit(True)
@@ -418,9 +429,9 @@ def bloom_decontamination(spark, sf_dir):
         pj = F.col(f"p{j}")
         word = F.element_at(bitmap, (F.shiftright(pj, 6) + 1).cast("int"))
         hit = hit & (word.bitwiseAND(F.expr(f"shiftleft(1L, p{j} % 64)")) != 0)
-    ev_set = ev.select("shingle").distinct()
+    ev_set = ev.select("h").distinct()
     flagged = probe.withColumn("bloom_hit", F.when(hit, 1).otherwise(0)).join(
-        F.broadcast(ev_set.withColumn("exact_hit", F.lit(1))), "shingle", "left"
+        F.broadcast(ev_set.withColumn("exact_hit", F.lit(1))), "h", "left"
     )
     return flagged.groupBy(F.col("doc_id").alias("train_doc")).agg(
         F.count("*").alias("n_shingles"),
