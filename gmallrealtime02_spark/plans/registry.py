@@ -230,6 +230,8 @@ _PRIORITY = [
     #    round-5 window --
     "doc_chunks",
     "table_stats",
+    # -- fourth round-4 wave (pipeline composition + entity resolution +
+    #    tokenizer apply) — round-5 window --
     "curation_pipeline",
     "record_linkage",
     "ewma_daily_value",
