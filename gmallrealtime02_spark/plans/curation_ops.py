@@ -1,0 +1,562 @@
+"""Corpus-curation operators, wave 5: exact-substring scrubbing (the
+span-surgery step of Lee et al. 2022 "Deduplicating Training Data Makes
+Language Models Better"), dedup-quality evaluation (LSH vs exact-Jaccard
+precision/recall), corpus snapshot diffing, deterministic training-shard
+assignment, and trailing-window anomaly detection over event metrics.
+
+Like the rest of the north-star family these have no reference citation
+(the reference — gmallrealtime/src/main/scala — is an e-commerce
+streaming warehouse); they are operations a 100 TB training-data
+pipeline needs, expressed Spark-first.  Every oracle reproduces the
+Spark result bit-for-bit in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..caching import materialized
+from ..functions import similarity as S
+from ..sources import load_table
+from ..sources.tables import ensure_parallelism
+from .registry import register
+
+SPAN_K = 5  # exact-substring span width, in words
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring scrub (span surgery)
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_substring_scrub",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sp AS (
+        SELECT doc_id, i AS pos,
+               ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+               ws[i+4] || ' ' || ws[i+5] AS span
+        FROM w, unnest(generate_series(0, len(ws) - {SPAN_K})) AS t(i)
+        WHERE len(ws) >= {SPAN_K}
+    ),
+    st AS (SELECT span, count(DISTINCT doc_id) AS df, min(doc_id) AS canon
+           FROM sp GROUP BY span),
+    fl AS (SELECT sp.doc_id, sp.pos FROM sp JOIN st ON sp.span = st.span
+           WHERE st.df >= 2 AND sp.doc_id != st.canon),
+    cov AS (SELECT DISTINCT doc_id, pos + j AS p
+            FROM fl, unnest(generate_series(0, {SPAN_K - 1})) AS u(j)),
+    wp AS (SELECT doc_id, i - 1 AS p, ws[i] AS wd
+           FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+    keep AS (
+        SELECT wp.doc_id, wp.p, wp.wd FROM wp
+        ANTI JOIN cov ON wp.doc_id = cov.doc_id AND wp.p = cov.p
+    ),
+    agg AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+    SELECT agg.doc_id AS doc_id, agg.n_removed AS n_removed,
+           coalesce(string_agg(keep.wd, ' ' ORDER BY keep.p), '') AS clean_text
+    FROM agg LEFT JOIN keep ON agg.doc_id = keep.doc_id
+    GROUP BY agg.doc_id, agg.n_removed
+    """,
+    tags=("dedup", "substring", "training-data"),
+)
+def exact_substring_scrub(spark, sf_dir):
+    """Exact-substring span surgery (Lee et al. 2022): every 5-word span
+    that also appears in another document is REMOVED from all but its
+    canonical (minimum-doc_id) occurrence, and the affected documents'
+    text is rebuilt from the surviving words.  This is the step beyond
+    ``cross_doc_span_overlap``'s per-doc counting — the output is the
+    scrubbed corpus delta (only docs that lost words), ready to be
+    anti-joined back over the corpus.
+
+    Scale shape: spans explode scan-side and shuffle ONCE on the span
+    key (the same exchange serves the frequency aggregate and the
+    flagged join-back — a span shared by k docs costs k rows, never
+    k²); flagged positions collapse to a per-doc covered-set (doc_id
+    exchange of ints only — document BODIES never shuffle); the rebuild
+    joins the covered-set back to the documents scan and filters the
+    words array in place with an index lambda.  At 100 TB add a df-cap
+    on the span stats (df<=1000) to bound hot-span fan-out, as
+    ``minhash_containment`` does for shingles."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    ws_d = d.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= SPAN_K
+    )
+    idx = F.sequence(F.lit(0), F.size("ws") - SPAN_K)
+    spans = ws_d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice("ws", i + 1, SPAN_K)).alias("span"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.span").persist()
+
+    st = spans.groupBy("span").agg(
+        F.count_distinct("doc_id").alias("df"), F.min("doc_id").alias("canon")
+    )
+    flagged = (
+        spans.join(st, "span")
+        .filter((F.col("df") >= 2) & (F.col("doc_id") != F.col("canon")))
+        .select("doc_id", "pos")
+    )
+    cov = (
+        flagged.select(
+            "doc_id", F.explode(F.sequence("pos", F.col("pos") + SPAN_K - 1)).alias("p")
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("ps"))
+        .select("doc_id", "ps", F.size("ps").alias("n_removed"))
+    )
+    result = ws_d.join(cov, "doc_id").select(
+        "doc_id",
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.filter("ws", lambda w, i: ~F.array_contains("ps", i)), " "
+        ).alias("clean_text"),
+    )
+    return materialized(result, spans)
+
+
+# ---------------------------------------------------------------------------
+# Dedup-quality evaluation: LSH candidates vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+# exact-Jaccard truth set over the same 3-shingles the LSH pipeline uses;
+# appended to the minhash pairs CTEs (which already define `shingles` and
+# `pairs`)
+_EVAL_ORACLE_TAIL = """
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(ni AS DOUBLE) / (sa.n_sh + sb.n_sh - ni) >= 0.5
+),
+m AS (SELECT
+    (SELECT count(*) FROM pairs) AS n_pred,
+    (SELECT count(*) FROM truth) AS n_truth,
+    (SELECT count(*) FROM pairs JOIN truth USING (doc_a, doc_b)) AS n_hit)
+SELECT n_pred, n_truth, n_hit,
+       round(CASE WHEN n_pred > 0
+                  THEN CAST(n_hit AS DOUBLE) / n_pred ELSE 0.0 END, 6)
+           AS precision,
+       round(CASE WHEN n_truth > 0
+                  THEN CAST(n_hit AS DOUBLE) / n_truth ELSE 0.0 END, 6)
+           AS recall
+FROM m
+"""
+
+
+@register(
+    "dedup_eval",
+    # oracle text is composed at import time in _register_dedup_eval_oracle
+    # (needs llm_pipeline's generated minhash CTEs); placeholder replaced
+    # below.
+    oracle=None,
+    tags=("dedup", "eval", "minhash"),
+)
+def dedup_eval(spark, sf_dir):
+    """Dedup-quality evaluation harness — 'measure, don't guess' for the
+    approximate dedup path: the MinHash+LSH candidate set (est_jaccard
+    >= 0.5) is scored against the EXACT 3-gram-Jaccard >= 0.5 truth set,
+    yielding corpus-level precision and recall in one row.  Run on a
+    hash-sampled slice at 100 TB (the truth side's postings join is the
+    expensive half); the LSH threshold/band geometry is then tuned
+    against measured recall instead of the S-curve approximation.
+
+    Scale shape: both pair sets reuse their existing production plans
+    (banded LSH — no pair product; df-bounded shingle postings join);
+    the scoring join is over pair keys only (two ints), and the final
+    aggregate is a 3-scalar reduction."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = S.minhash_lsh_pairs(docs, 0.5).select("doc_a", "doc_b")
+    truth = S.exact_jaccard_pairs(docs, 0.5).select("doc_a", "doc_b")
+    hit = pred.join(truth, ["doc_a", "doc_b"], "left_semi")
+    m = (
+        pred.agg(F.count("*").alias("n_pred"))
+        .crossJoin(truth.agg(F.count("*").alias("n_truth")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+    )
+    zero = F.lit(0.0)
+    return m.select(
+        "n_pred",
+        "n_truth",
+        "n_hit",
+        F.round(
+            F.when(
+                F.col("n_pred") > 0,
+                F.col("n_hit").cast("double") / F.col("n_pred"),
+            ).otherwise(zero),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_hit").cast("double") / F.col("n_truth"),
+            ).otherwise(zero),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _register_dedup_eval_oracle() -> None:
+    """Compose dedup_eval's oracle from llm_pipeline's generated minhash
+    CTEs (kept there because they are built from the frozen permutation
+    constants)."""
+    from . import llm_pipeline as LP
+    from .registry import QUERIES
+
+    QUERIES["dedup_eval"].oracle = (
+        f"WITH {LP._MINHASH_PAIRS_CTES}, {_EVAL_ORACLE_TAIL.strip()}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 13 != 5
+    ),
+    v2 AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' (rev2)'
+                        ELSE text END) AS h
+        FROM documents WHERE doc_id % 11 != 3
+    )
+    SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.h != v2.h
+    """,
+    tags=("versioning", "diff", "training-data"),
+)
+def corpus_diff(spark, sf_dir):
+    """Corpus snapshot diff — the data-versioning primitive behind
+    incremental re-training: given two corpus versions, classify every
+    doc as added / removed / changed (unchanged docs are elided).  The
+    two versions are derived deterministically from the one test corpus
+    (v1 drops ``doc_id % 13 == 5``; v2 drops ``% 11 == 3`` and revises
+    ``% 7 == 0`` texts).
+
+    Scale shape: each side is reduced to (doc_id, content_hash) AT THE
+    SCAN — document bodies never enter the join, so the full-outer join
+    exchanges 16-byte digests keyed by doc_id.  With both snapshots
+    bucketed by doc_id on disk the exchange disappears entirely; the
+    diff streams at metadata cost, which is what makes daily 100 TB
+    snapshot diffs feasible."""
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 13 != 5).select(
+        F.col("doc_id").alias("id1"), F.md5("text").alias("h1")
+    )
+    v2 = (
+        d.filter(F.col("doc_id") % 11 != 3)
+        .select(
+            F.col("doc_id").alias("id2"),
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" (rev2)"))
+                ).otherwise(F.col("text"))
+            ).alias("h2"),
+        )
+    )
+    j = v1.join(v2, v1.id1 == v2.id2, "full_outer")
+    return j.filter(
+        F.col("id1").isNull() | F.col("id2").isNull() | (F.col("h1") != F.col("h2"))
+    ).select(
+        F.coalesce("id1", "id2").alias("doc_id"),
+        F.when(F.col("id1").isNull(), F.lit("added"))
+        .when(F.col("id2").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-shard assignment (global shuffle)
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+
+@register(
+    "shard_assignment",
+    oracle=f"""
+    WITH k AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    s AS (
+        SELECT doc_id, h,
+               (ascii(substr(h, 1, 1)) * 256 + ascii(substr(h, 2, 1)))
+                   % {N_SHARDS} AS shard
+        FROM k
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+    tags=("training-data", "sharding", "shuffle"),
+)
+def shard_assignment(spark, sf_dir):
+    """Deterministic global training shuffle: every document is assigned
+    to one of 8 output shards by a hash of its id, with a
+    pseudo-random but REPRODUCIBLE within-shard order (md5 rank) — the
+    final 'shuffle the corpus into training shards' step, stable across
+    engines, cluster layouts, and reruns (unlike rand(seed), whose
+    draws depend on row→partition assignment).
+
+    Scale shape: shard and sort key derive scan-side; one exchange on
+    shard (matching the shard-count write fan-out a writer needs
+    anyway), and the within-shard rank is the per-output-file ordering
+    pass the writer performs regardless.  Shards are uniform by
+    construction (hash-balanced), so no skew handling is needed."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    k = d.select("doc_id", h.alias("h")).withColumn(
+        "shard",
+        (
+            F.ascii(F.substring("h", 1, 1)) * 256
+            + F.ascii(F.substring("h", 2, 1))
+        )
+        % N_SHARDS,
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return k.select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-engine quality-classifier training (batch logistic regression)
+# ---------------------------------------------------------------------------
+
+_GD_ITERS = 3
+_EN_STOP_SQL = "['the', 'a', 'of', 'and', 'is']"
+
+
+def _classifier_oracle() -> str:
+    """Unrolled batch-GD logistic regression in pure SQL, iteration-exact
+    with the Spark implementation: per-doc gradient terms are rounded to
+    6 dp and summed as DECIMAL(18,6) (order-invariant), weights update
+    in double."""
+    z = "w.w0 * 1.0 + w.w1 * f.f1 + w.w2 * f.f2 + w.w3 * f.f3"
+    p = f"1.0 / (1.0 + exp(-({z})))"
+    ctes = [
+        """f AS (
+        SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               len(string_split(text, ' ')) / 100.0 AS f1,
+               CAST(len(list_filter(string_split(text, ' '),
+                        w -> list_contains(""" + _EN_STOP_SQL + """, w)))
+                    AS DOUBLE) / len(string_split(text, ' ')) AS f2,
+               CAST(length(text) AS DOUBLE)
+                    / len(string_split(text, ' ')) AS f3
+        FROM documents WHERE len(string_split(text, ' ')) > 0
+    )""",
+        "w0cte AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)",
+    ]
+    prev = "w0cte"
+    feats = ["1.0", "f.f1", "f.f2", "f.f3"]
+    for i in range(1, _GD_ITERS + 1):
+        sums = ", ".join(
+            f"sum(CAST(round(({p} - f.y) * {fx}, 6) AS DECIMAL(18,6))) AS s{j}"
+            for j, fx in enumerate(feats)
+        )
+        ctes.append(f"g{i} AS (SELECT count(*) AS n, {sums} FROM f, {prev} w)")
+        upd = ", ".join(
+            f"w.w{j} - CAST(g.s{j} AS DOUBLE) / g.n AS w{j}" for j in range(4)
+        )
+        ctes.append(f"wc{i} AS (SELECT {upd} FROM g{i} g, {prev} w)")
+        prev = f"wc{i}"
+    zf = z.replace("f.f", "f")  # final-pass z over bare f columns
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT count(*) AS n,
+           round(any_value(w.w0), 6) AS w0, round(any_value(w.w1), 6) AS w1,
+           round(any_value(w.w2), 6) AS w2, round(any_value(w.w3), 6) AS w3,
+           round(CAST(sum(CASE WHEN (({zf}) >= 0) = (y = 1.0)
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS accuracy
+    FROM f, {prev} w"""
+    )
+
+
+@register(
+    "quality_classifier_train",
+    oracle=_classifier_oracle(),
+    tags=("ml", "classifier", "training-data"),
+)
+def quality_classifier_train(spark, sf_dir):
+    """In-engine quality-classifier TRAINING (the CCNet/fastText-style
+    step that usually leaves the warehouse): batch-gradient-descent
+    logistic regression predicting lang=='en' from three scan-side text
+    features (length/100, stopword ratio, mean word length), 3 unrolled
+    iterations, lr=1.  Output: one row — corpus size, learned weights,
+    training accuracy.
+
+    Engine-exactness: per-doc gradient terms are round(·,6) →
+    DECIMAL(18,6) before summing, so each gradient is order- and
+    partitioning-invariant (the ``value_moments`` discipline) and the
+    weight trajectory is bit-identical across engines; the per-row
+    sigmoid's possible last-ulp exp() divergence is absorbed by the 6 dp
+    rounding.
+
+    Scale shape: features project once at the scan into a persisted
+    4-double table (a ~1000x reduction — the corpus text is read
+    exactly once); each GD step is then a map-side-partial aggregate to
+    4 scalars (no shuffle of rows, just the partial-combine tree), and
+    the 4 weights ride to the next step as literals — the classic
+    'broadcast the model, reduce the gradient' layout that holds at any
+    corpus size and any cluster width."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    sw = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "is"]])
+    feats = (
+        ensure_parallelism(d)
+        .filter(F.size(ws) > 0)
+        .select(
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+            (F.size(ws) / F.lit(100.0)).alias("f1"),
+            (
+                F.size(F.filter(ws, lambda w: F.array_contains(sw, w))).cast(
+                    "double"
+                )
+                / F.size(ws)
+            ).alias("f2"),
+            (F.length("text").cast("double") / F.size(ws)).alias("f3"),
+        )
+        .persist()
+    )
+    fcols = [F.lit(1.0), F.col("f1"), F.col("f2"), F.col("f3")]
+    w = [0.0, 0.0, 0.0, 0.0]
+    n = None
+    for _ in range(_GD_ITERS):
+        z = (
+            F.lit(w[0]) * fcols[0]
+            + F.lit(w[1]) * fcols[1]
+            + F.lit(w[2]) * fcols[2]
+            + F.lit(w[3]) * fcols[3]
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        row = feats.agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(
+                    F.round((p - F.col("y")) * fx, 6).cast("decimal(18,6)")
+                ).alias(f"s{j}")
+                for j, fx in enumerate(fcols)
+            ],
+        ).first()
+        n = row["n"]
+        w = [w[j] - float(row[f"s{j}"]) / n for j in range(4)]
+    zf = (
+        F.lit(w[0]) * fcols[0]
+        + F.lit(w[1]) * fcols[1]
+        + F.lit(w[2]) * fcols[2]
+        + F.lit(w[3]) * fcols[3]
+    )
+    correct = F.when((zf >= 0) == (F.col("y") == 1.0), 1).otherwise(0)
+    result = feats.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(correct).cast("double") / F.count("*"), 6).alias(
+            "accuracy"
+        ),
+    ).select(
+        "n",
+        *[F.round(F.lit(w[j]), 6).alias(f"w{j}") for j in range(4)],
+        "accuracy",
+    )
+    return materialized(result, feats)
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window anomaly detection on event metrics
+# ---------------------------------------------------------------------------
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt,
+               sum(CAST(value AS DECIMAL(18,6))) AS s
+        FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+    ),
+    t AS (
+        SELECT event_type, dt, CAST(s AS DOUBLE) AS v,
+               count(*) OVER w AS n,
+               CAST(sum(s) OVER w AS DOUBLE) AS ws,
+               CAST(sum(s * s) OVER w AS DOUBLE) AS wss
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY dt
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, dt, round(v, 6) AS day_value,
+           round((v - ws / n) /
+                 sqrt((wss - ws * ws / n) / (n - 1)), 6) AS zscore,
+           abs((v - ws / n) /
+               sqrt((wss - ws * ws / n) / (n - 1))) >= 2.0 AS is_anomaly
+    FROM t
+    WHERE n >= 4 AND (wss - ws * ws / n) / (n - 1) > 0
+    """,
+    tags=("timeseries", "anomaly", "A6"),
+)
+def anomaly_zscore(spark, sf_dir):
+    """Trailing-window anomaly detection: each (event_type, day) total is
+    z-scored against the sample mean/std of its own PRECEDING <=7 days
+    (the current day is excluded, so a spike can't mask itself), flagged
+    at |z| >= 2 — the metric-monitoring op behind pipeline-health
+    alerting (ingest-volume collapse, bot spikes).
+
+    Scale shape: the daily rollup is the only corpus-scale exchange
+    (map-side decimal partials); the window runs over the tiny
+    (event_type, day) table partitioned by event_type.  Moments come
+    from EXACT decimal power sums per frame, converted to double once —
+    partitioning-invariant, same discipline as ``value_moments``."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("dt")
+    ).agg(F.sum(v).alias("s"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dt")
+        .rowsBetween(-7, -1)
+    )
+    t = daily.select(
+        "event_type",
+        "dt",
+        F.col("s").cast("double").alias("v"),
+        F.count("*").over(w).alias("n"),
+        F.sum("s").over(w).cast("double").alias("ws"),
+        F.sum(F.col("s") * F.col("s")).over(w).cast("double").alias("wss"),
+    )
+    n, ws, wss = F.col("n"), F.col("ws"), F.col("wss")
+    var = (wss - ws * ws / n) / (n - 1)
+    z = (F.col("v") - ws / n) / F.sqrt(var)
+    return t.filter((n >= 4) & (var > 0)).select(
+        "event_type",
+        "dt",
+        F.round("v", 6).alias("day_value"),
+        F.round(z, 6).alias("zscore"),
+        (F.abs(z) >= 2.0).alias("is_anomaly"),
+    )

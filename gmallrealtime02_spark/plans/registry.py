@@ -237,6 +237,14 @@ _PRIORITY = [
     "ewma_daily_value",
     "hashed_ngram_score",
     "event_trigrams",
+    # -- curation wave 5 (span surgery, dedup eval, snapshot diff,
+    #    shard assignment, anomaly detection) — round-5 window --
+    "exact_substring_scrub",
+    "dedup_eval",
+    "corpus_diff",
+    "shard_assignment",
+    "anomaly_zscore",
+    "quality_classifier_train",
 ]
 
 
@@ -247,6 +255,7 @@ def load_all() -> dict[str, Query]:
         analytics,
         behavior,
         corpus_tools,
+        curation_ops,
         feature_ops,
         sketches,
         tpch_extra,
@@ -256,6 +265,8 @@ def load_all() -> dict[str, Query]:
 
     try:
         from . import llm_pipeline  # noqa: F401
+
+        curation_ops._register_dedup_eval_oracle()
     except ImportError:
         pass
     ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}

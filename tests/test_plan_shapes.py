@@ -839,3 +839,66 @@ def test_event_trigrams_takeordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert _exchanges(plan) <= 3, plan
+
+
+def test_exact_substring_scrub_no_body_in_span_exchange(spark, sf_dir):
+    """exact_substring_scrub: spans explode scan-side and shuffle on the
+    span key (one exchange reused by the stats aggregate and the flagged
+    join-back); covered positions collapse to ints keyed by doc_id; the
+    rebuild filters the words array in place — document bodies are never
+    the payload of a pair product (no cross/nested-loop join anywhere)."""
+    plan = _executed_plan(QUERIES["exact_substring_scrub"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert _exchanges(plan) <= 5, plan
+
+
+def test_corpus_diff_hashes_below_join(spark, sf_dir):
+    """corpus_diff: both snapshot sides reduce to (doc_id, md5) AT THE
+    SCAN — the md5 projections sit below the full-outer join, so text
+    never enters the exchange. The join itself is the only shuffle pair."""
+    plan = _executed_plan(QUERIES["corpus_diff"].fn(spark, sf_dir))
+    assert "FullOuter" in plan or "full_outer" in plan, plan
+    # text column must not appear in any Exchange's output schema
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+    assert _exchanges(plan) <= 2, plan
+
+
+def test_shard_assignment_single_shard_exchange(spark, sf_dir):
+    """shard_assignment: shard + sort key derive scan-side; exactly one
+    exchange (on shard — the writer's fan-out), and the within-shard
+    rank never plans as a single-partition global sort."""
+    plan = _executed_plan(QUERIES["shard_assignment"].fn(spark, sf_dir))
+    assert _exchanges(plan) == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_anomaly_zscore_two_exchanges(spark, sf_dir):
+    """anomaly_zscore: the daily rollup (map-side decimal partials) plus
+    the event_type window re-key — two exchanges, no join, no global
+    sort; the window runs over the tiny (type, day) table."""
+    plan = _executed_plan(QUERIES["anomaly_zscore"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 2, plan
+    assert "Join" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_dedup_eval_reuses_production_pair_plans(spark, sf_dir):
+    """dedup_eval: the scoring side joins pair KEYS only (two ints) and
+    reduces to one row — no pair product beyond the production LSH/
+    postings shapes (cross joins of the three 1-row aggregates are the
+    intended scalar combine)."""
+    plan = _executed_plan(QUERIES["dedup_eval"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_quality_classifier_final_pass_is_scalar_reduce(spark, sf_dir):
+    """quality_classifier_train: the returned pass aggregates the
+    persisted 4-double feature table to one row — a partial-combine
+    tree whose only exchange moves per-partition partials (no join, no
+    sort, no Python runner; the sigmoid/GD math is all JVM-side)."""
+    plan = _executed_plan(QUERIES["quality_classifier_train"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
