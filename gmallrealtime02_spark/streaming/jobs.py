@@ -643,3 +643,99 @@ def streaming_scd2(
         .foreachBatch(apply)
         .start()
     )
+
+
+def streaming_anomaly(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``anomaly_zscore`` operator: per
+    (event_type, day) totals z-scored against the trailing <=7 PRIOR
+    days, updating every micro-batch — the metric-monitoring job that
+    alerts on ingest-volume collapse or bot spikes while the day is
+    still in flight.
+
+    Exactness discipline: values convert to integer MICRO-UNITS inside
+    JVM codegen (decimal(18,6) * 1e6 -> long) before the Python state
+    op, so per-day totals accumulate as exact int64s — order- and
+    batching-invariant, and convertible to the batch op's doubles by a
+    single correct rounding (``Fraction``-based float conversion +
+    HALF_UP decimal quantize, matching Spark's decimal->double cast and
+    ``round(z, 6)`` bit-for-bit).  Full replay therefore reproduces the
+    batch result exactly (pinned in tests/test_streaming.py).
+
+    State per event_type is O(days) pairs of (day, int64) — bounded and
+    tiny; each batch re-emits the full per-type day table (update-mode
+    sinks keep the last row per key; a production variant would emit
+    only days whose trailing window was touched)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    micros = (
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("micros")
+    )
+    e = events.select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("dt"), micros
+    )
+
+    def score(key, pdfs, state):
+        from decimal import ROUND_HALF_UP, Decimal
+        from fractions import Fraction
+
+        totals: dict[str, int] = (
+            dict(zip(state.get[0], state.get[1])) if state.exists else {}
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for dt, m in pdf.groupby("dt")["micros"].sum().items():
+                totals[dt] = totals.get(dt, 0) + int(m)
+        days = sorted(totals)
+        state.update((days, [totals[d] for d in days]))
+
+        def r6(x: float) -> float:
+            # repr() = shortest round-trip decimal, the same value Java's
+            # Double.toString feeds Spark's round(); Decimal(x) would use
+            # the exact binary expansion and round 2.675-style edge cases
+            # the other way
+            return float(
+                Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+            )
+
+        out = []
+        for i, d in enumerate(days):
+            frame = days[max(0, i - 7) : i]
+            n = len(frame)
+            if n < 4:
+                continue
+            s = [totals[x] for x in frame]
+            v = float(Fraction(totals[d], 10**6))
+            ws = float(Fraction(sum(s), 10**6))
+            wss = float(Fraction(sum(x * x for x in s), 10**12))
+            var = (wss - ws * ws / n) / (n - 1)
+            if not var > 0:
+                continue
+            z = (v - ws / n) / var**0.5
+            out.append(
+                {
+                    "event_type": key[0],
+                    "dt": d,
+                    "day_value": r6(v),
+                    "zscore": r6(z),
+                    "is_anomaly": abs(z) >= 2.0,
+                }
+            )
+        yield pd.DataFrame(
+            out,
+            columns=["event_type", "dt", "day_value", "zscore", "is_anomaly"],
+        )
+
+    return e.groupBy("event_type").applyInPandasWithState(
+        score,
+        outputStructType=(
+            "event_type string, dt string, day_value double, "
+            "zscore double, is_anomaly boolean"
+        ),
+        stateStructType="days array<string>, totals array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -892,3 +892,59 @@ def test_streaming_hll_replay_matches_batch(spark, sf_dir):
         finally:
             q.stop()
     assert final == batch, (final, batch)
+
+
+def test_streaming_anomaly_replay_matches_batch(spark, sf_dir):
+    """Replaying the events table through the streaming anomaly twin in
+    two micro-batches reproduces the batch ``anomaly_zscore`` rows
+    bit-for-bit: per-day totals accumulate as exact int64 micro-units
+    (order- and batching-invariant), and the emit path converts them to
+    the batch op's doubles by single correct roundings."""
+    import tempfile
+
+    from gmallrealtime02_spark.plans.registry import load_all
+
+    batch = {
+        (r.event_type, r.dt): (r.day_value, r.zscore, r.is_anomaly)
+        for r in load_all()["anomaly_zscore"].fn(spark, sf_dir).collect()
+    }
+
+    from gmallrealtime02_spark.sources import load_table
+
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    final = {}
+
+    def sink(df, _bid):
+        for r in df.collect():
+            final[(r.event_type, r.dt)] = (r.day_value, r.zscore, r.is_anomaly)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "events_anom")
+        src.filter(F.col("event_id") % 2 == 0).write.parquet(path)
+        src.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(path)
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        q = (
+            SJ.streaming_anomaly(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    assert final == batch, {
+        k: (final.get(k), batch.get(k))
+        for k in set(final) ^ set(batch)
+        | {k for k in set(final) & set(batch) if final[k] != batch[k]}
+    }
