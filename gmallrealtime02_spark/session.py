@@ -50,6 +50,15 @@ def get_spark(
         # (sources.tables.load_table) to microsecond timestamps, matching
         # DuckDB's truncation of the same files.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The compiled-class cache defaults to 100 entries; the minhash/
+        # simhash/PQ operators each generate dozens of large codegen
+        # stages, so a multi-query session (the driver's 50-query
+        # correctness pass, pytest, bench sweeps) thrashes it and pays
+        # full janino recompiles per query — measured 2-4x wall-clock on
+        # repeat runs of signature-heavy queries.  Static conf: must be
+        # set before the first session.  Classes are tens of KB; 2000
+        # entries is ~100 MB worst-case against a 16g driver.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
