@@ -245,6 +245,7 @@ _PRIORITY = [
     "shard_assignment",
     "anomaly_zscore",
     "quality_classifier_train",
+    "hll_rollup",
 ]
 
 

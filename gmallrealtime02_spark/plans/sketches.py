@@ -178,6 +178,86 @@ def hll_distinct_daily(spark, sf_dir):
     )
 
 
+_HLL_ROLLUP_ORACLE = f"""
+WITH h AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS dt,
+           ({HLL_MIX_A} * {_hash_sql("CAST(user_id AS VARCHAR)")}
+            + {HLL_MIX_B}) % {P} AS h
+    FROM events
+),
+daily AS (
+    SELECT dt, h & {HLL_M - 1} AS reg,
+           max({_rho_sql(f"(h >> {6})")}) AS m
+    FROM h GROUP BY 1, 2
+),
+merged AS (
+    SELECT substr(dt, 1, 7) || '-D'
+               || CAST((CAST(substr(dt, 9, 2) AS INT) - 1) // 10 AS VARCHAR)
+               AS dt,
+           reg, max(m) AS m
+    FROM daily GROUP BY 1, 2
+),
+regs_per_dt AS (
+    SELECT dt, count(*) AS hit, sum(power(2.0, -m)) AS z_hit
+    FROM merged GROUP BY dt
+)
+{_HLL_EST_SQL}
+"""
+
+
+@register(
+    "hll_rollup",
+    oracle=_HLL_ROLLUP_ORACLE,
+    tags=("sketch", "hll", "approx", "rollup", "A4"),
+)
+def hll_rollup(spark, sf_dir):
+    """Sketch RE-AGGREGATION: the persisted daily HLL register tables
+    merge into 10-day-bucket distinct estimates WITHOUT touching raw
+    events again — max over registers is the merge operator, so any
+    rollup level (day→dekad→month→all-time) reads only the 64-row/day
+    sketch table.  This is the property that makes sketches the scale
+    path: exact COUNT(DISTINCT) cannot re-aggregate (distinct users/day
+    don't sum to distinct users/month), so every exact rollup level
+    re-shuffles 100 TB of raw keys; the sketch rollup reads days×64
+    rows.  Estimator and rounding identical to ``hll_distinct_daily``;
+    merge-invariance (same registers whether built from raw events or
+    merged from daily tables) is the max-commutativity the streaming
+    twin already pins."""
+    e = load_table(spark, sf_dir, "events")
+    reg, rho = hll_reg_rho_cols(F.col("user_id").cast("string"))
+    daily = (
+        e.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+            reg.alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("dt", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+    bucket = F.concat(
+        F.substring("dt", 1, 7),
+        F.lit("-D"),
+        F.floor((F.substring("dt", 9, 2).cast("int") - 1) / 10).cast("string"),
+    )
+    merged = daily.groupBy(bucket.alias("dt"), F.col("reg")).agg(
+        F.max("m").alias("m")
+    )
+    per_dt = merged.groupBy("dt").agg(
+        F.count("*").alias("hit"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("z_hit"),
+    )
+    raw = (HLL_ALPHA * HLL_M * HLL_M) / (
+        F.col("z_hit") + (HLL_M - F.col("hit"))
+    )
+    linear = HLL_M * F.log(F.lit(float(HLL_M)) / (HLL_M - F.col("hit")))
+    est = F.when((raw <= 2.5 * HLL_M) & (F.col("hit") < HLL_M), linear).otherwise(raw)
+    return per_dt.select(
+        "dt",
+        F.col("hit").cast("int").alias("hit_registers"),
+        F.round(est, 6).alias("hll_distinct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch heavy hitters
 # ---------------------------------------------------------------------------

@@ -188,3 +188,53 @@ def test_histogram_quantiles_within_bin_width(spark, sf_dir):
     for et in exact:
         for a, x in zip(approx[et], exact[et]):
             assert abs(a - x) <= width[et] + 1e-9, (et, a, x, width[et])
+
+
+def test_hll_rollup_merge_invariance(spark, sf_dir):
+    """Building 10-day-bucket registers by merging daily tables must give
+    the SAME estimates as sketching the raw events directly at bucket
+    grain — the mergeability contract that lets persisted daily sketches
+    serve any rollup level."""
+    from pyspark.sql import functions as F
+
+    from gmallrealtime02_spark.plans.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        hll_reg_rho_cols,
+    )
+    from gmallrealtime02_spark.sources import load_table
+
+    rolled = {
+        r.dt: (r.hit_registers, r.hll_distinct)
+        for r in QUERIES["hll_rollup"].fn(spark, sf_dir).collect()
+    }
+
+    e = load_table(spark, sf_dir, "events")
+    reg, rho = hll_reg_rho_cols(F.col("user_id").cast("string"))
+    dt = F.date_format("ts", "yyyy-MM-dd")
+    bucket = F.concat(
+        F.substring(dt, 1, 7),
+        F.lit("-D"),
+        F.floor((F.substring(dt, 9, 2).cast("int") - 1) / 10).cast("string"),
+    )
+    direct_regs = (
+        e.select(bucket.alias("dt"), reg.alias("reg"), rho.alias("rho"))
+        .groupBy("dt", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+    per = direct_regs.groupBy("dt").agg(
+        F.count("*").alias("hit"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("z_hit"),
+    )
+    raw = (HLL_ALPHA * HLL_M * HLL_M) / (F.col("z_hit") + (HLL_M - F.col("hit")))
+    linear = HLL_M * F.log(F.lit(float(HLL_M)) / (HLL_M - F.col("hit")))
+    est = F.when((raw <= 2.5 * HLL_M) & (F.col("hit") < HLL_M), linear).otherwise(raw)
+    direct = {
+        r.dt: (r.hit, r.est)
+        for r in per.select(
+            "dt",
+            F.col("hit").cast("int").alias("hit"),
+            F.round(est, 6).alias("est"),
+        ).collect()
+    }
+    assert rolled == direct, (rolled, direct)

@@ -902,3 +902,13 @@ def test_quality_classifier_final_pass_is_scalar_reduce(spark, sf_dir):
     assert _exchanges(plan) <= 1, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_hll_rollup_sketch_sized_exchanges(spark, sf_dir):
+    """hll_rollup: after the first (dt, reg) partial aggregate every
+    exchange moves sketch-sized rows (<= days x 64), never raw events —
+    three keyed aggregates, no join, no sort."""
+    plan = _executed_plan(QUERIES["hll_rollup"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 3, plan
+    assert "Join" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
