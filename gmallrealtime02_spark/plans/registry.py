@@ -246,6 +246,7 @@ _PRIORITY = [
     "anomaly_zscore",
     "quality_classifier_train",
     "hll_rollup",
+    "hll_overlap",
 ]
 
 

@@ -258,6 +258,112 @@ def hll_rollup(spark, sf_dir):
     )
 
 
+def _est_sql(hit: str, z: str) -> str:
+    """The HLL estimator as a SQL expression over a hit-count and a
+    2^-m register sum (same branches/rounding as ``hll_estimate_py``)."""
+    return f"""round(CASE WHEN ({HLL_ALPHA} * {HLL_M} * {HLL_M})
+                       / ({z} + ({HLL_M} - {hit})) <= 2.5 * {HLL_M}
+                   AND {hit} < {HLL_M}
+             THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - {hit}))
+             ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M}) / ({z} + ({HLL_M} - {hit}))
+             END, 6)"""
+
+
+_HLL_OVERLAP_ORACLE = f"""
+WITH h AS (
+    SELECT event_type,
+           ({HLL_MIX_A} * {_hash_sql("CAST(user_id AS VARCHAR)")}
+            + {HLL_MIX_B}) % {P} AS h
+    FROM events WHERE event_type IN ('view', 'purchase')
+),
+seg AS (
+    SELECT event_type, h & {HLL_M - 1} AS reg,
+           max({_rho_sql(f"(h >> {6})")}) AS m
+    FROM h GROUP BY 1, 2
+),
+uni AS (SELECT reg, max(m) AS m FROM seg GROUP BY reg),
+stats AS (
+    SELECT
+        (SELECT count(*) FROM seg WHERE event_type = 'view') AS hit_a,
+        (SELECT sum(power(2.0, -m)) FROM seg WHERE event_type = 'view') AS z_a,
+        (SELECT count(*) FROM seg WHERE event_type = 'purchase') AS hit_b,
+        (SELECT sum(power(2.0, -m)) FROM seg
+         WHERE event_type = 'purchase') AS z_b,
+        (SELECT count(*) FROM uni) AS hit_u,
+        (SELECT sum(power(2.0, -m)) FROM uni) AS z_u
+)
+SELECT {_est_sql("hit_a", "z_a")} AS est_viewers,
+       {_est_sql("hit_b", "z_b")} AS est_purchasers,
+       {_est_sql("hit_u", "z_u")} AS est_union,
+       round({_est_sql("hit_a", "z_a")} + {_est_sql("hit_b", "z_b")}
+             - {_est_sql("hit_u", "z_u")}, 6) AS est_overlap
+FROM stats
+"""
+
+
+@register(
+    "hll_overlap",
+    oracle=_HLL_OVERLAP_ORACLE,
+    tags=("sketch", "hll", "approx", "set-ops"),
+)
+def hll_overlap(spark, sf_dir):
+    """Sketch SET ALGEBRA: approximate |viewers ∩ purchasers| by
+    inclusion-exclusion over HLL sketches — union merges by register
+    max, intersection = est(A) + est(B) − est(A∪B).  The audience-
+    overlap question (§2.7's semi-join family, answered without an
+    exact pairwise join): exact overlap of two 100 TB segments shuffles
+    every distinct key of both; this reads two 64-register tables.
+    Inclusion-exclusion error grows when the overlap is small relative
+    to either set (the known HLL-intersection caveat — theta sketches
+    fix it; documented, and the estimate is still hash-exact here
+    because every term uses the deterministic estimator).
+
+    Scale shape: one event scan → (segment, reg) partial max (≤ 2×64
+    rows past the exchange); union registers re-merge from the segment
+    tables (sketch-sized), and the final row is scalar algebra."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    reg, rho = hll_reg_rho_cols(F.col("user_id").cast("string"))
+    seg = (
+        e.select("event_type", reg.alias("reg"), rho.alias("rho"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("m"))
+        .persist()
+    )
+    uni = seg.groupBy("reg").agg(F.max("m").alias("m"))
+
+    def est(hit, z):
+        raw = (HLL_ALPHA * HLL_M * HLL_M) / (z + (HLL_M - hit))
+        linear = HLL_M * F.log(F.lit(float(HLL_M)) / (HLL_M - hit))
+        return F.round(
+            F.when((raw <= 2.5 * HLL_M) & (hit < HLL_M), linear).otherwise(raw), 6
+        )
+
+    def stats(df, name):
+        return df.agg(
+            F.count("*").alias(f"hit_{name}"),
+            F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias(f"z_{name}"),
+        )
+
+    a = stats(seg.filter(F.col("event_type") == "view"), "a")
+    b = stats(seg.filter(F.col("event_type") == "purchase"), "b")
+    u = stats(uni, "u")
+    row = a.crossJoin(b).crossJoin(u)
+    ea = est(F.col("hit_a"), F.col("z_a"))
+    eb = est(F.col("hit_b"), F.col("z_b"))
+    eu = est(F.col("hit_u"), F.col("z_u"))
+    result = row.select(
+        ea.alias("est_viewers"),
+        eb.alias("est_purchasers"),
+        eu.alias("est_union"),
+        F.round(ea + eb - eu, 6).alias("est_overlap"),
+    )
+    from ..caching import materialized
+
+    return materialized(result, seg)
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch heavy hitters
 # ---------------------------------------------------------------------------

@@ -238,3 +238,17 @@ def test_hll_rollup_merge_invariance(spark, sf_dir):
         ).collect()
     }
     assert rolled == direct, (rolled, direct)
+
+
+def test_hll_overlap_tracks_exact_intersection(spark, sf_dir):
+    """Inclusion-exclusion over 64-register sketches must land near the
+    exact |viewers ∩ purchasers| (loose bound: each of the three terms
+    carries ~13% standard error and the subtraction compounds it)."""
+    row = QUERIES["hll_overlap"].fn(spark, sf_dir).collect()[0]
+    e = load_table(spark, sf_dir, "events")
+    viewers = e.filter(F.col("event_type") == "view").select("user_id").distinct()
+    purch = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = viewers.join(purch, "user_id", "left_semi").count()
+    assert exact > 0
+    rel = abs(row.est_overlap - exact) / exact
+    assert rel < 0.5, (row.est_overlap, exact, rel)

@@ -912,3 +912,13 @@ def test_hll_rollup_sketch_sized_exchanges(spark, sf_dir):
     assert _exchanges(plan) <= 3, plan
     assert "Join" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_hll_overlap_sketch_sized_after_first_agg(spark, sf_dir):
+    """hll_overlap: one raw-event exchange (the (segment, reg) partial
+    max); everything downstream — union re-merge, three scalar reduces,
+    the final algebra row — moves sketch-sized or scalar data. No
+    sort-merge join anywhere (the combines are broadcast-scalar)."""
+    plan = _executed_plan(QUERIES["hll_overlap"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 6, plan
+    assert "SortMergeJoin" not in plan, plan
