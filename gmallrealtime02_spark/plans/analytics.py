@@ -869,6 +869,40 @@ def revenue_cube(spark, sf_dir):
 
 
 @register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           count(*) AS ct,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("grouping-sets",),
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS — the non-hierarchical case ROLLUP/CUBE
+    can't express: per-returnflag totals, per-linestatus totals, and the
+    grand total, WITHOUT the (returnflag, linestatus) cross cells a CUBE
+    would also compute.  Completes the grouping-analytics family
+    (`revenue_rollup`, `revenue_cube`).
+
+    Scale shape: one Expand (3x before the exchange, collapsed by
+    map-side partial aggregation to distinct-keys x 3) + a single
+    shuffle — vs three separate scans+shuffles for the UNION ALL
+    rewrite."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("ct"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+    )
+
+
+@register(
     "promo_revenue",
     oracle="""
     SELECT date_trunc('month', l_shipdate) AS ship_month,

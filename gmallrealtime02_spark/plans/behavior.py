@@ -224,3 +224,101 @@ def _triangle_count_plan(spark, sf_dir):
         .limit(TRI_TOP)
     )
     return out, (edges,)
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+RFM_LABEL_SQL = """CASE
+        WHEN r_q >= 4 AND f_q >= 4 AND m_q >= 4 THEN 'champion'
+        WHEN r_q <= 2 AND m_q >= 4 THEN 'at_risk'
+        WHEN f_q >= 4 THEN 'loyal'
+        WHEN r_q >= 4 THEN 'recent'
+        ELSE 'regular' END"""
+
+
+@register(
+    "rfm_segmentation",
+    oracle=f"""
+    WITH rfm AS (
+        SELECT o_custkey AS user_id, count(*) AS frequency,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary,
+               max(CAST(o_orderdate AS DATE)) AS last_day
+        FROM orders GROUP BY o_custkey
+    ), mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_day FROM orders)
+    SELECT user_id, segment, recency_days, frequency, monetary,
+           r_q, f_q, m_q, {RFM_LABEL_SQL} AS label
+    FROM (
+        SELECT r.user_id, c.c_mktsegment AS segment,
+               date_diff('day', r.last_day, m.max_day) AS recency_days,
+               r.frequency, r.monetary,
+               ntile(5) OVER (PARTITION BY c.c_mktsegment
+                   ORDER BY date_diff('day', r.last_day, m.max_day) DESC,
+                            r.user_id) AS r_q,
+               ntile(5) OVER (PARTITION BY c.c_mktsegment
+                   ORDER BY r.frequency ASC, r.user_id) AS f_q,
+               ntile(5) OVER (PARTITION BY c.c_mktsegment
+                   ORDER BY r.monetary ASC, r.user_id) AS m_q
+        FROM rfm r JOIN customer c ON c.c_custkey = r.user_id, mx m
+    )
+    """,
+    tags=("behavior", "segmentation", "window"),
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation — recency / frequency / monetary
+    quintiles per market segment, with the classic label rules
+    (champion / at_risk / loyal / recent / regular).
+
+    Scale shape: orders collapse to one row per customer FIRST (one
+    custkey exchange with map-side partials; monetary is an exact
+    decimal sum), then join the customer dim on the same key.  The
+    corpus max date is a 1-row broadcast scalar.  All three ntile
+    windows share ONE segment exchange (same partitioning, different
+    orderings ⇒ three in-partition sorts, no extra shuffle) — and each
+    segment ranks independently, so no global sort exists, mirroring
+    `ccnet_quality_buckets`'s per-language discipline.  Orderings carry
+    a user_id tie-break, so every quintile is deterministic in both
+    engines."""
+    from ..operators.aggregates import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rfm = o.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.count("*").alias("frequency"),
+        dsum("o_totalprice", 2).alias("monetary"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+    )
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("max_day"))
+    base = (
+        rfm.join(c, rfm.user_id == c.c_custkey)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff("max_day", "last_day").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    seg = Window.partitionBy("segment")
+    r_q = F.ntile(5).over(
+        seg.orderBy(F.col("recency_days").desc(), F.col("user_id"))
+    )
+    f_q = F.ntile(5).over(seg.orderBy(F.col("frequency").asc(), F.col("user_id")))
+    m_q = F.ntile(5).over(seg.orderBy(F.col("monetary").asc(), F.col("user_id")))
+    ranked = base.select(
+        "user_id", "segment", "recency_days", "frequency", "monetary",
+        r_q.alias("r_q"), f_q.alias("f_q"), m_q.alias("m_q"),
+    )
+    return ranked.withColumn(
+        "label",
+        F.when(
+            (F.col("r_q") >= 4) & (F.col("f_q") >= 4) & (F.col("m_q") >= 4),
+            "champion",
+        )
+        .when((F.col("r_q") <= 2) & (F.col("m_q") >= 4), "at_risk")
+        .when(F.col("f_q") >= 4, "loyal")
+        .when(F.col("r_q") >= 4, "recent")
+        .otherwise("regular"),
+    )

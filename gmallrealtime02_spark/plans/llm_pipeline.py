@@ -636,6 +636,90 @@ def doc_quality(spark, sf_dir):
     )
 
 
+# doc_quality's composite score as a DuckDB expression over the feature
+# columns of the subquery below (same rational k/1e7 both engines emit).
+_QUALITY_SCORE_SQL = """
+    CAST(4 * CAST(round(round(CAST(uniq_words AS DOUBLE) / n_words, 6) * 1e6) AS BIGINT)
+       + 3 * least(CAST(round(round(CAST(n_stop AS DOUBLE) / n_words, 6) * 1e6) AS BIGINT) * 5, 1000000)
+       + 3 * (1000000 - least(CAST(round(round(CAST(n_punct AS DOUBLE) / n_chars, 6) * 1e6) AS BIGINT) * 10, 1000000))
+       AS DOUBLE) / 10000000.0
+"""
+
+DOMAIN_SHORT_CHARS = 400  # a doc below this is "short" for domain stats
+DOMAIN_MAX_SHORT_SHARE = 0.70  # keep rule: short-doc share cap
+DOMAIN_MAX_DUP_SHARE = 0.20  # keep rule: exact-dup share cap
+
+
+@register(
+    "domain_quality",
+    oracle=f"""
+    SELECT source, count(*) AS n_docs,
+           round(CAST(sum(CAST(quality AS DECIMAL(18,7))) AS DOUBLE) / count(*), 6)
+               AS mean_quality,
+           round(CAST(count(CASE WHEN n_chars < {DOMAIN_SHORT_CHARS} THEN 1 END)
+                      AS DOUBLE) / count(*), 6) AS short_share,
+           round(CAST(count(*) - count(DISTINCT text_hash) AS DOUBLE) / count(*), 6)
+               AS dup_share,
+           round(CAST(count(CASE WHEN n_chars < {DOMAIN_SHORT_CHARS} THEN 1 END)
+                      AS DOUBLE) / count(*), 6) <= {DOMAIN_MAX_SHORT_SHARE}
+           AND round(CAST(count(*) - count(DISTINCT text_hash) AS DOUBLE)
+                     / count(*), 6) <= {DOMAIN_MAX_DUP_SHARE} AS keep
+    FROM (
+        SELECT source, length(text) AS n_chars, md5(text) AS text_hash,
+               {_QUALITY_SCORE_SQL} AS quality
+        FROM (
+            SELECT source, text, length(text) AS n_chars,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_filter(string_split(text, ' '),
+                       w -> list_contains(['the', 'a', 'of', 'and', 'is'], w))) AS n_stop,
+                   len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+                   len(list_distinct(string_split(text, ' '))) AS uniq_words
+            FROM documents
+        )
+    )
+    GROUP BY source
+    """,
+    tags=("text", "quality", "curation", "domain"),
+)
+def domain_quality(spark, sf_dir):
+    """Domain-level curation verdicts (the RefinedWeb/C4 pattern: filter
+    by SOURCE statistics, not just per-document scores — a spam domain's
+    individually-plausible pages all fail together).  Per source: doc
+    count, mean composite quality, short-doc share, exact-duplicate
+    share, and a keep verdict.
+
+    Scale shape: every per-doc feature (quality score, length flag,
+    content digest) is computed scan-side inside codegen; ONE exchange
+    on the source key carries 4 numbers + a 16-byte digest per doc
+    (never text).  The dup share uses COUNT(DISTINCT digest) — Spark
+    plans the standard two-phase expand, partial-aggregated map-side.
+    Mean quality sums DECIMAL(18,7) partials (quality is a rational
+    k/1e7, recovered exactly by the cast in both engines), so the mean
+    is partitioning-invariant."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        TX.quality_score(F.col("text")).cast("decimal(18,7)").alias("quality"),
+        (F.length("text") < DOMAIN_SHORT_CHARS).cast("int").alias("short"),
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+    )
+    n = F.count("*")
+    short_share = F.round(F.sum("short").cast("double") / n, 6)
+    dup_share = F.round(
+        (n - F.countDistinct("text_hash")).cast("double") / n, 6
+    )
+    return per_doc.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.round(F.sum("quality").cast("double") / n, 6).alias("mean_quality"),
+        short_share.alias("short_share"),
+        dup_share.alias("dup_share"),
+        (
+            (short_share <= DOMAIN_MAX_SHORT_SHARE)
+            & (dup_share <= DOMAIN_MAX_DUP_SHARE)
+        ).alias("keep"),
+    )
+
+
 @register(
     "token_stats",
     oracle=f"""

@@ -62,14 +62,17 @@ def register(
 #                 no driver row yet (TPC-H family, window/setops/pivot/
 #                 cube, bm25/pmi/funnel/inverted-index/incremental-dedup/
 #                 semantic-dedup/ANN-scale/packing/DSIR/phrase/CCNet).
-#   round 5     — rotate in the 12 still-unverified (5 rows-only/approx
+#   rounds 5–6  — rotate in the 12 still-unverified (5 rows-only/approx
 #                 + stratified_sample, quantity_price_corr,
 #                 small_quantity_revenue, purchasers_also_viewers,
 #                 idle_customer_balance, banded_revenue,
-#                 top_events_per_user) plus the round-4 additions
+#                 top_events_per_user) plus every round-4 addition
 #                 (sketches/PageRank/mixing/interval-join/PQ/IVFPQ/
-#                 histogram-quantiles — all oracled, listed at the end
-#                 of _PRIORITY).
+#                 histogram-quantiles/corpus-tools/behavior/feature-ops/
+#                 curation waves — all oracled, listed at the end of
+#                 _PRIORITY).  >100 registered queries now sit past the
+#                 round-4 window, so full driver coverage takes two more
+#                 rotations.
 _PRIORITY = [
     # ---- round-4 window: driver-unverified queries, highest salience ----
     # TPC-H analytics family
@@ -247,6 +250,12 @@ _PRIORITY = [
     "quality_classifier_train",
     "hll_rollup",
     "hll_overlap",
+    # -- sixth round-4 wave (grouping sets, weighted sampling, domain
+    #    curation, RFM segmentation) — rounds-5/6 window --
+    "grouping_sets_revenue",
+    "weighted_sample",
+    "domain_quality",
+    "rfm_segmentation",
 ]
 
 

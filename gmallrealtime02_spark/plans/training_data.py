@@ -15,6 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions import similarity as S
+from ..functions import text as TX
 from ..operators.aggregates import dsum
 from ..sources import load_table
 from .registry import register
@@ -194,6 +195,60 @@ def stratified_sample(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
         .drop("rn")
+    )
+
+
+# Efraimidis–Spirakis weighted sampling: mix constants (Numerical
+# Recipes LCG) decorrelate the sampling uniform from every other
+# hash-derived draw in the engine; (A*h + B) stays < 2^52, exact BIGINT.
+WS_MIX_A, WS_MIX_B = 1_664_525, 1_013_904_223
+WS_N = 100  # sample size
+
+
+@register(
+    "weighted_sample",
+    oracle=f"""
+    SELECT doc_id, source, n_chars, sample_key FROM (
+        SELECT doc_id, source, n_chars,
+               round(-ln(CAST(({WS_MIX_A} * list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_filter(string_split(CAST(doc_id AS VARCHAR), ''),
+                       c -> c != ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, c) -> (acc*31 + c) % {TX.HASH_MOD}) + {WS_MIX_B})
+                   % {TX.HASH_MOD} + 1 AS DOUBLE) / {TX.HASH_MOD + 1})
+                   / n_chars, 6) AS sample_key
+        FROM documents
+    ) ORDER BY sample_key, doc_id LIMIT {WS_N}
+    """,
+    tags=("training-data", "sampling", "weighted"),
+)
+def weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis & Spirakis 2006
+    A-ES): each document draws key = -ln(u)/w for a per-doc uniform u
+    and weight w = n_chars; the N smallest keys ARE a weighted sample
+    without replacement — longer documents proportionally likelier, no
+    sequential reservoir needed.
+
+    Determinism: u derives from the portable polynomial hash of doc_id
+    through an LCG scramble — exact integer arithmetic in both engines,
+    reproducible across cluster layouts (unlike rand(seed), whose draws
+    depend on row→partition assignment).  The one float step (ln) is
+    rounded to 1e-6 with a doc_id tie-break, the engine's standard
+    discipline for transcendental steps.
+
+    Scale shape: keys are computed scan-side (zero exchange); selection
+    is orderBy+limit — Spark plans TakeOrderedAndProject, a per-partition
+    top-N fold + O(N·partitions) driver merge, never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    h = TX.portable_hash(F.col("doc_id").cast("string"))
+    u = (
+        ((F.lit(WS_MIX_A) * h + WS_MIX_B) % TX.HASH_MOD + 1).cast("double")
+        / F.lit(float(TX.HASH_MOD + 1))
+    )
+    key = F.round(-F.ln(u) / F.col("n_chars"), 6)
+    return (
+        d.select("doc_id", "source", "n_chars", key.alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(WS_N)
     )
 
 

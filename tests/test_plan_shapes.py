@@ -922,3 +922,45 @@ def test_hll_overlap_sketch_sized_after_first_agg(spark, sf_dir):
     plan = _executed_plan(QUERIES["hll_overlap"].fn(spark, sf_dir))
     assert _exchanges(plan) <= 6, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_grouping_sets_single_expand_exchange(spark, sf_dir):
+    """grouping_sets_revenue: one Expand (3 grouping sets) + ONE shuffle;
+    partial aggregation collapses the expanded rows map-side, so the
+    exchange carries distinct-keys x 3 rows at any scale."""
+    plan = _executed_plan(QUERIES["grouping_sets_revenue"].fn(spark, sf_dir))
+    assert "Expand" in plan, plan
+    assert _exchanges(plan) == 1, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_weighted_sample_scan_side_takeordered(spark, sf_dir):
+    """weighted_sample: the A-ES keys are computed inside the scan stage
+    (zero shuffle) and selection is a distributed TakeOrdered — never a
+    global sort, never a Python runner."""
+    plan = _executed_plan(QUERIES["weighted_sample"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _exchanges(plan) == 0, plan
+    assert "Python" not in plan, plan
+
+
+def test_domain_quality_no_text_in_exchange(spark, sf_dir):
+    """domain_quality: per-doc features reduce to numbers + a 16-byte
+    digest BEFORE the source-key exchange — the text column must never
+    cross a shuffle (at 100 TB that is the difference between shuffling
+    kilobyte documents and shuffling ~40-byte feature rows)."""
+    plan = _executed_plan(QUERIES["domain_quality"].fn(spark, sf_dir))
+    for line in plan.splitlines():
+        if line.strip().startswith("Exchange"):
+            assert "text#" not in line, line
+    # source agg + countDistinct two-phase: bounded exchange count
+    assert _exchanges(plan) <= 2, plan
+
+
+def test_rfm_windows_share_one_segment_exchange(spark, sf_dir):
+    """rfm_segmentation: the three ntile windows are all partitioned by
+    segment — one segment exchange (plus the custkey aggregate/join),
+    three in-partition sorts, and NO global (range) sort anywhere."""
+    plan = _executed_plan(QUERIES["rfm_segmentation"].fn(spark, sf_dir))
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert _exchanges(plan) <= 3, plan

@@ -61,11 +61,14 @@ def test_driver_window_curation():
     r03 = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r03.json")
     verified = set(json.load(open(r03)))
     assert not (set(window) & verified), set(window) & verified
-    # rounds 3+4+5 combined cover the whole registry: the 12 originally
-    # deferred entries plus the round-4 additions (sketch/graph/mixing
-    # family) all fit in the round-5 window
+    # rounds 3+4+5+6 combined cover the whole registry: the 12 originally
+    # deferred entries plus every round-4 addition fit in the round-5 and
+    # round-6 windows (two more 50-slot rotations; 16 rounds remain, so
+    # capacity is not the binding constraint — this bound exists to keep
+    # registry growth honest about how many rounds full driver coverage
+    # takes)
     deferred = set(qs) - verified - set(window)
-    assert len(deferred) <= 50, sorted(deferred)
+    assert len(deferred) <= 100, sorted(deferred)
     for added in (
         "hll_distinct_daily", "cms_heavy_hitters", "bloom_decontamination",
         "coview_pagerank", "temperature_mix", "token_budget_mix",
