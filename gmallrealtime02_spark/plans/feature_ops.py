@@ -371,3 +371,137 @@ def event_trigrams(spark, sf_dir):
         .orderBy(F.col("n").desc(), "path")
         .limit(TRIGRAM_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass data-quality constraint suite (Deequ-style verification)
+# ---------------------------------------------------------------------------
+
+DQ_PRICE_LO, DQ_PRICE_HI = 0.0, 1_000_000.0
+DQ_STATUSES = ("O", "F", "P")
+
+
+@register(
+    "dq_checks",
+    oracle=f"""
+    WITH m AS (
+        SELECT count(*) AS n,
+               count(o_totalprice) AS n_price,
+               count(DISTINCT o_orderkey) AS n_keys,
+               sum(CASE WHEN o_totalprice <= {DQ_PRICE_LO}
+                          OR o_totalprice >= {DQ_PRICE_HI}
+                        THEN 1 ELSE 0 END) AS range_viol,
+               sum(CASE WHEN o_orderstatus NOT IN
+                        {DQ_STATUSES!r}
+                        THEN 1 ELSE 0 END) AS domain_viol
+        FROM orders
+    ),
+    orph AS (
+        SELECT count(*) AS orphans
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+    )
+    SELECT * FROM (
+        SELECT 'row_count_nonzero' AS check_name,
+               CAST(n AS DOUBLE) AS metric, n > 0 AS passed FROM m
+        UNION ALL
+        SELECT 'completeness_o_totalprice',
+               round(CAST(n_price AS DOUBLE) / n, 6), n_price = n FROM m
+        UNION ALL
+        SELECT 'uniqueness_o_orderkey',
+               round(CAST(n_keys AS DOUBLE) / n, 6), n_keys = n FROM m
+        UNION ALL
+        SELECT 'range_o_totalprice',
+               CAST(range_viol AS DOUBLE), range_viol = 0 FROM m
+        UNION ALL
+        SELECT 'domain_o_orderstatus',
+               CAST(domain_viol AS DOUBLE), domain_viol = 0 FROM m
+        UNION ALL
+        SELECT 'referential_o_custkey',
+               CAST(orphans AS DOUBLE), orphans = 0 FROM orph
+    )
+    """,
+    tags=("quality", "profiling", "constraints"),
+)
+def dq_checks(spark, sf_dir):
+    """Deequ-style data-quality verification suite over the orders fact:
+    six constraints — non-empty, completeness(o_totalprice),
+    uniqueness(o_orderkey), numeric range, categorical domain, and
+    referential integrity against customer — evaluated as ONE pass plus
+    the two aggregates that genuinely need their own exchange, emitted
+    as (check_name, metric, passed) rows a pipeline can gate deploys on.
+
+    Scale shape: the five scan metrics fold into a single aggregate over
+    one orders scan (count / conditional sums are map-side partials; the
+    COUNT DISTINCT adds the unavoidable o_orderkey exchange).  The
+    orphan check is a LEFT ANTI join that broadcasts only the customer
+    KEY column — never the fact — then reduces to one number;
+    at dim sizes past the broadcast threshold it degrades to a shuffle
+    join on the key columns alone (no hint pinned).  The per-check rows
+    come from exploding a 6-struct literal array over the single joined
+    metrics row — no extra scans, no driver-side loop."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    ck = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck")
+    )
+    m = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_totalprice").alias("n_price"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") <= DQ_PRICE_LO)
+                | (F.col("o_totalprice") >= DQ_PRICE_HI),
+                1,
+            ).otherwise(0)
+        ).alias("range_viol"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin(*DQ_STATUSES), 1).otherwise(0)
+        ).alias("domain_viol"),
+    )
+    orph = o.join(ck, o.o_custkey == ck.ck, "left_anti").agg(
+        F.count("*").alias("orphans")
+    )
+
+    def _chk(name, metric, passed):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            metric.cast("double").alias("metric"),
+            passed.alias("passed"),
+        )
+
+    row = m.crossJoin(orph)
+    return row.select(
+        F.explode(
+            F.array(
+                _chk("row_count_nonzero", F.col("n"), F.col("n") > 0),
+                _chk(
+                    "completeness_o_totalprice",
+                    F.round(F.col("n_price").cast("double") / F.col("n"), 6),
+                    F.col("n_price") == F.col("n"),
+                ),
+                _chk(
+                    "uniqueness_o_orderkey",
+                    F.round(F.col("n_keys").cast("double") / F.col("n"), 6),
+                    F.col("n_keys") == F.col("n"),
+                ),
+                _chk(
+                    "range_o_totalprice",
+                    F.col("range_viol"),
+                    F.col("range_viol") == 0,
+                ),
+                _chk(
+                    "domain_o_orderstatus",
+                    F.col("domain_viol"),
+                    F.col("domain_viol") == 0,
+                ),
+                _chk(
+                    "referential_o_custkey",
+                    F.col("orphans"),
+                    F.col("orphans") == 0,
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")

@@ -2831,3 +2831,169 @@ def ann_ivfpq_topk(spark, sf_dir):
         .select("qid", "cid", F.round("adc_d2", 6).alias("adc_d2"), "rnk")
     )
     return materialized(result, ranked)
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (cross-lingual parallel-pair candidates)
+# ---------------------------------------------------------------------------
+
+BITEXT_SRC_LANG, BITEXT_TGT_LANG = "en", "de"
+BITEXT_K = 4  # margin denominator: mean cosine of the retrieved top-k
+
+_BITEXT_KEYS = " UNION ALL ".join(
+    f"SELECT vec_id, lang, {t} AS tbl, {_lsh_bucket_sql(t)} AS bkt FROM lv"
+    for t in range(16)
+)
+
+
+@register(
+    "bitext_mine",
+    # Deterministic end to end: the candidate set comes from the same
+    # integer-arithmetic LSH hyperplanes as dedup_embedding_cosine, the
+    # cosine is the index-ordered fold, and the margin denominator sums
+    # round-6 DECIMALs (order-invariant) — so even this approximate
+    # mining op carries a full value-hash oracle.
+    oracle=f"""
+    WITH lv AS (
+        SELECT e.vec_id, e.embedding, d.lang
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        WHERE d.lang IN ('{BITEXT_SRC_LANG}', '{BITEXT_TGT_LANG}')
+    ),
+    keys AS (
+        {_BITEXT_KEYS}
+    ),
+    cand AS (
+        SELECT DISTINCT s.vec_id AS src_id, t.vec_id AS tgt_id
+        FROM keys s
+        JOIN keys t ON s.tbl = t.tbl AND s.bkt = t.bkt
+        WHERE s.lang = '{BITEXT_SRC_LANG}' AND t.lang = '{BITEXT_TGT_LANG}'
+    ),
+    scored AS (
+        SELECT c.src_id, c.tgt_id,
+               {_cos_sql('se.embedding', 'te.embedding')} AS cosine
+        FROM cand c
+        JOIN embeddings se ON se.vec_id = c.src_id
+        JOIN embeddings te ON te.vec_id = c.tgt_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY src_id ORDER BY cosine DESC, tgt_id ASC) AS rnk
+        FROM scored
+    ),
+    top AS (SELECT * FROM ranked WHERE rnk <= {BITEXT_K}),
+    agg AS (
+        SELECT src_id, sum(CAST(cosine AS DECIMAL(18,6))) AS s,
+               count(*) AS k
+        FROM top GROUP BY src_id
+    )
+    SELECT b.src_id, b.tgt_id, b.cosine,
+           CAST(a.k AS BIGINT) AS n_cand,
+           round(b.cosine * a.k / CAST(a.s AS DOUBLE), 6) AS margin
+    FROM top b JOIN agg a ON a.src_id = b.src_id
+    WHERE b.rnk = 1
+    """,
+    tags=("bitext", "similarity", "embedding", "lsh", "multilingual"),
+)
+def bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019's ratio margin,
+    forward direction): for every source-language document, the best
+    target-language match by embedding cosine, scored by
+    ``margin = cos(best) / mean(cos(top-k))`` — the standard criterion
+    for mining parallel training pairs from comparable corpora (a raw
+    cosine threshold over-fires on hub vectors; the margin normalizes by
+    the query's local neighborhood density).
+
+    Scale shape: candidates come from the SAME 16 deterministic
+    hyperplane LSH tables as ``dedup_embedding_cosine`` — src and tgt
+    sides meet on (table, bucket) keys, so the |src|×|tgt| product never
+    materializes and only (id, table, bucket) triples ride the fan-out;
+    vectors join back once per side after the candidate dedup.  The
+    top-k rank and the margin aggregate share one src_id exchange.  The
+    margin denominator is the mean over the RETRIEVED top-k (exactly
+    what FAISS-based mining does), summed as round-6 DECIMALs so the
+    result is partitioning-invariant.  Pairs with no shared bucket drop
+    out (no candidates ⇒ no match), mirroring production recall
+    behavior; recall itself is governed by the LSH table count, gated
+    for the dedup twin in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    v = (
+        ensure_parallelism(emb)
+        .join(docs, emb.vec_id == docs.doc_id)
+        .filter(F.col("lang").isin(BITEXT_SRC_LANG, BITEXT_TGT_LANG))
+        .select(
+            "vec_id",
+            "lang",
+            "embedding",
+            F.sqrt(S._dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+        .persist()
+    )
+    keys = v.select(
+        "vec_id",
+        "lang",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        S.lsh_bucket_col(F.col("embedding"), t).alias("bkt"),
+                    )
+                    for t in range(16)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "lang", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    src_k = keys.filter(F.col("lang") == BITEXT_SRC_LANG).select(
+        F.col("vec_id").alias("src_id"), "tbl", "bkt"
+    )
+    tgt_k = keys.filter(F.col("lang") == BITEXT_TGT_LANG).select(
+        F.col("vec_id").alias("tgt_id"), "tbl", "bkt"
+    )
+    cand = (
+        src_k.join(tgt_k, ["tbl", "bkt"])
+        .select("src_id", "tgt_id")
+        .distinct()
+    )
+    sv = v.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("se"),
+        F.col("nrm").alias("sn"),
+    )
+    tv = v.select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("embedding").alias("te"),
+        F.col("nrm").alias("tn"),
+    )
+    cos = F.round(
+        S._dot(F.col("se"), F.col("te")) / (F.col("sn") * F.col("tn")), 6
+    )
+    scored = (
+        cand.join(sv, "src_id").join(tv, "tgt_id").select(
+            "src_id", "tgt_id", cos.alias("cosine")
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("tgt_id").asc()
+    )
+    top = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= BITEXT_K
+    )
+    agg = top.groupBy("src_id").agg(
+        F.sum(F.col("cosine").cast("decimal(18,6)")).alias("s"),
+        F.count("*").alias("k"),
+    )
+    result = (
+        top.filter(F.col("rnk") == 1)
+        .join(agg, "src_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cosine",
+            F.col("k").alias("n_cand"),
+            F.round(
+                F.col("cosine") * F.col("k") / F.col("s").cast("double"), 6
+            ).alias("margin"),
+        )
+    )
+    return materialized(result, v)

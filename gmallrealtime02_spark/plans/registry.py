@@ -256,6 +256,12 @@ _PRIORITY = [
     "weighted_sample",
     "domain_quality",
     "rfm_segmentation",
+    # -- seventh round-4 wave (point-in-time SCD2 join, one-pass data-
+    #    quality constraint suite, margin-based bitext mining) —
+    #    rounds-5/6 window --
+    "scd2_pit_join",
+    "dq_checks",
+    "bitext_mine",
 ]
 
 

@@ -246,3 +246,99 @@ def scd2_history(spark, sf_dir):
         "user_id", "event_id", "ts", "event_type"
     )
     return scd2_of(e).drop("event_id")
+
+
+@register(
+    "scd2_pit_join",
+    oracle="""
+    WITH st AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    chg AS (
+        SELECT user_id, event_id, ts, event_type AS state,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS version
+        FROM st WHERE prev IS NULL OR event_type <> prev
+    ),
+    u AS (
+        SELECT user_id, event_id, ts, 0 AS kind_ord,
+               state, ts AS state_since, version
+        FROM chg
+        UNION ALL
+        SELECT user_id, event_id, ts, 1, NULL, NULL, NULL
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, event_id, ts, kind_ord,
+               last_value(state IGNORE NULLS) OVER w AS state,
+               last_value(state_since IGNORE NULLS) OVER w AS state_since,
+               last_value(version IGNORE NULLS) OVER w AS state_version
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind_ord, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, state, state_since,
+           CAST(state_version AS BIGINT) AS state_version
+    FROM c WHERE kind_ord = 1
+    """,
+    tags=("warehouse", "scd2", "asof", "join", "pit"),
+)
+def scd2_pit_join(spark, sf_dir):
+    """Point-in-time dimension join: each purchase event enriched with the
+    SCD2 state (from ``scd2_history``'s change-collapse over the user's
+    NON-purchase events) that was valid AT the purchase timestamp — the
+    batch-correct form of the reference's per-record "current state"
+    Phoenix lookup (DimUserInfoApp.scala:55-82 only ever serves latest;
+    a backfill joined against latest silently time-travels).
+
+    NOT a range join: the interval predicate
+    ``valid_from <= ts < valid_to`` is rewritten as union + ordered
+    carry-forward — state rows and purchases interleave per user on
+    (ts, kind_ord, event_id) with state-first tie order, and
+    ``last(struct, ignorenulls)`` carries (state, since, version) onto
+    every purchase row.  Cost at any scale: the SCD2 build's user_id
+    window plus ONE more user_id exchange+sort for the interleave — no
+    per-user cross product, no theta join, and versions stay consistent
+    with ``scd2_history`` by construction.  Purchases before a user's
+    first state change carry nulls (left semantics)."""
+    from ..operators.windows import scd2_of
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    dim = scd2_of(e.filter(F.col("event_type") != "purchase"))
+    s = dim.select(
+        "user_id",
+        "event_id",
+        F.col("valid_from").alias("ts"),
+        F.lit(0).alias("kind_ord"),
+        F.struct(
+            F.col("state"),
+            F.col("valid_from").alias("state_since"),
+            F.col("version").alias("state_version"),
+        ).alias("st"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", F.lit(1).alias("kind_ord")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind_ord", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = s.unionByName(p, allowMissingColumns=True).withColumn(
+        "cur", F.last("st", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("kind_ord") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("cur.state").alias("state"),
+        F.col("cur.state_since").alias("state_since"),
+        F.col("cur.state_version").alias("state_version"),
+    )

@@ -30,6 +30,7 @@ INVARIANCE_CRITICAL = [
     "bm25_search",             # rounded idf + fixed-order pivot sum
     "bigram_pmi",              # double factors, integer counts
     "doc_similar_topk",        # decimal-summed quantized weight products
+    "bitext_mine",             # deterministic LSH + decimal margin sums
 ]
 
 

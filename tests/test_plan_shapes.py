@@ -964,3 +964,37 @@ def test_rfm_windows_share_one_segment_exchange(spark, sf_dir):
     plan = _executed_plan(QUERIES["rfm_segmentation"].fn(spark, sf_dir))
     assert "Exchange rangepartitioning" not in plan, plan
     assert _exchanges(plan) <= 3, plan
+
+
+def test_scd2_pit_join_stays_on_user_key(spark, sf_dir):
+    """Point-in-time SCD2 join must be the union + carry-forward rewrite:
+    every shuffle keyed on user_id (the SCD2 build + one interleave
+    exchange), never a range/theta join (no nested-loop product) and
+    never a global sort."""
+    plan = _executed_plan(QUERIES["scd2_pit_join"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert _exchanges(plan) <= 3, plan
+    keys = set(re.findall(r"Exchange hashpartitioning\(([a-z_]+)#", plan))
+    assert keys == {"user_id"}, (keys, plan)
+
+
+def test_dq_checks_antijoin_broadcasts_key_only(spark, sf_dir):
+    """The referential check must broadcast the customer KEY column into
+    a LeftAnti hash join — the orders fact never shuffles for it.  The
+    only nested-loop join allowed is the 1-row × 1-row metrics cross
+    join; scalar aggregates own the SinglePartition exchanges."""
+    plan = _executed_plan(QUERIES["dq_checks"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert _exchanges(plan) <= 4, plan
+    # key-only broadcast: the anti-join build side reads just c_custkey
+    m = re.search(r"ReadSchema: struct<c_custkey", plan)
+    assert m, plan
+
+
+def test_bitext_mine_has_no_pair_product(spark, sf_dir):
+    """Bitext candidates must come from (table, bucket) equality joins of
+    id-only key rows — no |src|×|tgt| product anywhere in the plan."""
+    plan = _executed_plan(QUERIES["bitext_mine"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
