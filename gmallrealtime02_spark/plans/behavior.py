@@ -322,3 +322,196 @@ def rfm_segmentation(spark, sf_dir):
         .when(F.col("r_q") >= 4, "recent")
         .otherwise("regular"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (first-active-day cohorts × age)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS dt, user_id FROM events
+    ),
+    c AS (
+        SELECT dt, user_id,
+               min(dt) OVER (PARTITION BY user_id) AS cohort_dt
+        FROM ud
+    )
+    SELECT cohort_dt,
+           CAST(CAST(dt AS DATE) - CAST(cohort_dt AS DATE) AS BIGINT)
+               AS age_days,
+           count(*) AS active_users
+    FROM c GROUP BY cohort_dt, age_days
+    """,
+    tags=("retention", "cohort", "window", "behavior"),
+)
+def retention_cohorts(spark, sf_dir):
+    """Classic cohort-retention matrix: users bucketed by first-active
+    day, cell (cohort_dt, age_days) = distinct users from that cohort
+    active age_days later (age 0 row = cohort size; divide client-side
+    for rates) — the full-history generalization of ``dau_retention``'s
+    day-over-day count.
+
+    Scale shape: the event log collapses to distinct (day, user) pairs
+    first (one exchange, |users|×|days| upper bound), the cohort day is
+    a min() window on the SAME user_id partitioning (no self-join of
+    the log, no second corpus pass), and the final matrix aggregate
+    shuffles only (cohort, age) keys with map-side partials — the
+    matrix itself is |days|² cells at most."""
+    e = load_table(spark, sf_dir, "events")
+    ud = (
+        ensure_parallelism(e, by=("user_id",))
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("dt"), "user_id")
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    c = ud.withColumn("cohort_dt", F.min("dt").over(w))
+    return (
+        c.select(
+            "cohort_dt",
+            F.datediff(F.to_date("dt"), F.to_date("cohort_dt"))
+            .cast("bigint")
+            .alias("age_days"),
+        )
+        .groupBy("cohort_dt", "age_days")
+        .agg(F.count("*").alias("active_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch purchase attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               CASE WHEN event_type <> 'purchase' THEN event_type END AS src,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS kind_ord
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               last_value(src IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, kind_ord, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS touch
+        FROM m
+    )
+    SELECT coalesce(touch, 'direct') AS attributed_to,
+           count(*) AS purchases,
+           CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM c WHERE event_type = 'purchase'
+    GROUP BY attributed_to
+    """,
+    tags=("attribution", "asof", "behavior", "window"),
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch purchase attribution: every purchase credits the user's
+    most recent NON-purchase event type at-or-before it ('direct' when
+    none precedes) — purchases and revenue rolled up per attributed
+    channel.  The marketing-analytics twin of ``asof_prev_view``:
+    same carry-forward rewrite, different carried payload.
+
+    Scale shape: ONE user_id exchange — the tag/carry-forward window
+    runs per user in a single pass over the log (state-first tie order
+    so a touch at the purchase's exact timestamp attributes), and the
+    rollup shuffles only |event_type| keys with map-side partials.
+    Revenue sums round-2 DECIMALs, partitioning-invariant."""
+    e = ensure_parallelism(load_table(spark, sf_dir, "events"), by=("user_id",))
+    m = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias(
+            "src"
+        ),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "kind_ord"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind_ord", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = m.withColumn("touch", F.last("src", ignorenulls=True).over(w))
+    return (
+        c.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("attributed_to"))
+        .agg(
+            F.count("*").alias("purchases"),
+            F.sum(F.round("value", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profiler (operational: where does salting pay off?)
+# ---------------------------------------------------------------------------
+
+SKEW_TOP = 10
+
+
+@register(
+    "key_skew_profile",
+    oracle=f"""
+    WITH k AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    t AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM k)
+    SELECT user_id, cnt,
+           round(CAST(cnt AS DOUBLE) / t.total, 6) AS share,
+           round(CAST(cnt AS DOUBLE) * t.n_keys / t.total, 6) AS skew_factor
+    FROM k CROSS JOIN t
+    ORDER BY cnt DESC, user_id ASC LIMIT {SKEW_TOP}
+    """,
+    tags=("skew", "profiling", "operational"),
+)
+def key_skew_profile(spark, sf_dir):
+    """Join-key skew profiler for the events.user_id key: the top-{k}
+    heaviest keys with their share of all rows and skew factor
+    (cnt / mean-per-key) — the measurement that decides WHERE
+    ``operators.skew.salted_join`` pays for itself (a key with
+    skew_factor ≫ partition count stalls its reducer; salting splits
+    it).  Measure, don't guess, applied to the engine's own scale
+    strategy.
+
+    Scale shape: one user_id-keyed count aggregate with map-side
+    partials, a two-scalar total/count reduce over the per-key counts
+    (broadcast back as a 1-row cross join), and a distributed
+    TakeOrdered for the top-{k} — no global sort, nothing driver-side
+    beyond {k} rows.  The per-key count table persists so the scalar
+    reduce and the ranking share one corpus scan; released after
+    materialization.""".format(k=SKEW_TOP)
+    e = load_table(spark, sf_dir, "events")
+    k = e.groupBy("user_id").agg(F.count("*").alias("cnt")).persist()
+    t = k.agg(F.sum("cnt").alias("total"), F.count("*").alias("n_keys"))
+    result = (
+        k.crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.col("cnt").cast("double") * F.col("n_keys") / F.col("total"),
+                6,
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+        .limit(SKEW_TOP)
+    )
+    return materialized(result, k)

@@ -367,9 +367,11 @@ def bpe_encode(spark, sf_dir):
     )
 
 
-def bpe_encode_plan(d, merges):
+def bpe_encode_plan(d, merges, extra_cols=()):
     """Lazy encode stage over a documents frame with driver-side merges —
-    split out so the plan gate can assert it is exchange-free."""
+    split out so the plan gate can assert it is exchange-free.
+    ``extra_cols`` ride through the scan (e.g. lang for the per-language
+    compression rollup) so consumers never re-join documents."""
 
     def enc_word(w: Column) -> Column:
         seq = F.trim(F.regexp_replace(w, "(.)", "$1 "))
@@ -377,13 +379,17 @@ def bpe_encode_plan(d, merges):
             seq = _merge_fold(F.split(seq, " "), F.lit(pa), F.lit(pb))
         return seq
 
+    # n_chars already rides the scan; requesting it in extra_cols just
+    # keeps it in the output projection
+    extra = [c for c in extra_cols if c != "n_chars"]
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     enc = d.select(
-        "doc_id", "n_chars", F.transform(toks, enc_word).alias("encw")
+        "doc_id", "n_chars", *extra, F.transform(toks, enc_word).alias("encw")
     )
     tok = enc.select(
         "doc_id",
         "n_chars",
+        *extra,
         F.aggregate(
             "encw", F.lit(0), lambda acc, s: acc + F.size(F.split(s, " "))
         ).alias("n_tokens"),
@@ -393,6 +399,7 @@ def bpe_encode_plan(d, merges):
         "doc_id",
         "n_tokens",
         "enc_preview",
+        *extra_cols,
         F.round(
             F.col("n_chars").cast("double")
             / F.when(F.col("n_tokens") > 0, F.col("n_tokens")),
@@ -933,3 +940,82 @@ try:  # kmeans CTE helper lives in the (import-guarded) llm_pipeline module
         return core.unionAll(frontier)
 except ImportError:  # pragma: no cover - numpy-less environments
     pass
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fairness: per-language compression under the learned BPE
+# ---------------------------------------------------------------------------
+
+
+def _bpe_lang_oracle_sql(n_merges: int) -> str:
+    """Per-language rollup of the ``bpe_encode`` oracle: learn merges via
+    the shared CTE chain, re-encode, then aggregate chars/tokens per
+    lang with exact integer sums."""
+    enc = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for k in range(1, n_merges + 1):
+        enc = (
+            f"ltrim(list_reduce(list_prepend('', string_split({enc}, ' ')), "
+            f"(acc, x) -> acc || CASE WHEN ends_with(acc, ' ' || b{k}.pa) "
+            f"AND x = b{k}.pb THEN x ELSE ' ' || x END))"
+        )
+    crosses = " ".join(f"CROSS JOIN b{k}" for k in range(1, n_merges + 1))
+    return f"""{_bpe_ctes(n_merges)},
+    enc AS (
+        SELECT doc_id, lang, n_chars,
+               list_transform(
+                   list_filter(string_split(text, ' '), w0 -> w0 != ''),
+                   w -> {enc}) AS encw
+        FROM documents {crosses}
+    ),
+    tok AS (
+        SELECT lang, n_chars,
+               CAST(coalesce(list_sum(list_transform(
+                   encw, s -> len(string_split(s, ' ')))), 0) AS BIGINT)
+                   AS n_tokens
+        FROM enc
+    )
+    SELECT lang, count(*) AS docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_chars) AS DOUBLE) / nullif(sum(n_tokens), 0), 6)
+               AS chars_per_token
+    FROM tok GROUP BY lang"""
+
+
+@register(
+    "bpe_compression_by_lang",
+    oracle=_bpe_lang_oracle_sql(N_MERGES),
+    tags=("tokenizer", "bpe", "multilingual", "fairness"),
+)
+def bpe_compression_by_lang(spark, sf_dir):
+    """Tokenizer-fairness audit: per-language compression rate
+    (chars-per-token) under the SAME learned BPE vocabulary — the
+    standard check that a tokenizer trained on a mixed corpus does not
+    tax some languages with far more tokens per character than others
+    (which silently skews any token-budgeted training mix toward the
+    well-compressed languages; cf. ``token_budget_mix``).
+
+    Scale shape: identical to ``bpe_encode`` — training is one corpus
+    exchange + vocab-scale iterations, the merges ship to workers as
+    tiny literals, and encoding is a zero-exchange codegen scan; the
+    only addition is a |languages|-key rollup with map-side partials
+    over exact integer char/token sums."""
+    merges = _learn_merges(spark, sf_dir)
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    per_doc = bpe_encode_plan(d, merges, extra_cols=("lang", "n_chars"))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.col("n_chars")).cast("bigint").alias("total_chars"),
+            F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+            F.round(
+                F.sum(F.col("n_chars")).cast("double")
+                / F.when(
+                    F.sum(F.col("n_tokens").cast("bigint")) > 0,
+                    F.sum(F.col("n_tokens").cast("bigint")),
+                ),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )

@@ -262,6 +262,12 @@ _PRIORITY = [
     "scd2_pit_join",
     "dq_checks",
     "bitext_mine",
+    # -- eighth round-4 wave (cohort retention, last-touch attribution,
+    #    join-key skew profiler, tokenizer fairness) — rounds-5/6 window --
+    "retention_cohorts",
+    "attribution_last_touch",
+    "key_skew_profile",
+    "bpe_compression_by_lang",
 ]
 
 

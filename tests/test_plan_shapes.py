@@ -998,3 +998,34 @@ def test_bitext_mine_has_no_pair_product(spark, sf_dir):
     plan = _executed_plan(QUERIES["bitext_mine"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_retention_cohorts_two_small_key_exchanges(spark, sf_dir):
+    """Cohort matrix: distinct (day,user) + cohort-min window share the
+    user_id exchange; the matrix agg shuffles (cohort, age) keys — two
+    exchanges, no self-join of the log, no global sort."""
+    plan = _executed_plan(QUERIES["retention_cohorts"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 2, plan
+    assert "Join" not in plan, plan
+    keys = set(re.findall(r"Exchange hashpartitioning\(([a-z_]+)#", plan))
+    assert "user_id" in keys, (keys, plan)
+
+
+def test_attribution_last_touch_one_user_exchange(spark, sf_dir):
+    """Last-touch attribution: carry-forward window + channel rollup —
+    one user_id exchange plus the |event_type|-key aggregate, nothing
+    else; no join, no global window."""
+    plan = _executed_plan(QUERIES["attribution_last_touch"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 2, plan
+    assert "Join" not in plan, plan
+    keys = set(re.findall(r"Exchange hashpartitioning\(([a-z_]+)", plan))
+    assert any(k == "user_id" for k in keys), (keys, plan)
+
+
+def test_bpe_lang_rollup_adds_one_exchange(spark, sf_dir):
+    """Per-language compression must NOT re-join documents — lang rides
+    the encode scan (extra_cols passthrough), so the post-training plan
+    is the zero-exchange encode + exactly one |languages|-key rollup."""
+    plan = _executed_plan(QUERIES["bpe_compression_by_lang"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 1, plan
+    assert "Join" not in plan, plan
