@@ -2839,10 +2839,12 @@ def ann_ivfpq_topk(spark, sf_dir):
 
 BITEXT_SRC_LANG, BITEXT_TGT_LANG = "en", "de"
 BITEXT_K = 4  # margin denominator: mean cosine of the retrieved top-k
+BITEXT_TABLES = 8  # ann_lsh_topk's table count: mining tolerates the
+# lower recall, and halving the tables halves the 4-plane fold codegen
 
 _BITEXT_KEYS = " UNION ALL ".join(
     f"SELECT vec_id, lang, {t} AS tbl, {_lsh_bucket_sql(t)} AS bkt FROM lv"
-    for t in range(16)
+    for t in range(BITEXT_TABLES)
 )
 
 
@@ -2903,8 +2905,8 @@ def bitext_mine(spark, sf_dir):
     cosine threshold over-fires on hub vectors; the margin normalizes by
     the query's local neighborhood density).
 
-    Scale shape: candidates come from the SAME 16 deterministic
-    hyperplane LSH tables as ``dedup_embedding_cosine`` — src and tgt
+    Scale shape: candidates come from 8 of the same deterministic
+    hyperplane LSH tables as ``dedup_embedding_cosine``/``ann_lsh_topk`` — src and tgt
     sides meet on (table, bucket) keys, so the |src|×|tgt| product never
     materializes and only (id, table, bucket) triples ride the fan-out;
     vectors join back once per side after the candidate dedup.  The
@@ -2939,7 +2941,7 @@ def bitext_mine(spark, sf_dir):
                         F.lit(t).alias("tbl"),
                         S.lsh_bucket_col(F.col("embedding"), t).alias("bkt"),
                     )
-                    for t in range(16)
+                    for t in range(BITEXT_TABLES)
                 ]
             )
         ).alias("tb"),
@@ -2976,8 +2978,13 @@ def bitext_mine(spark, sf_dir):
     w = Window.partitionBy("src_id").orderBy(
         F.col("cosine").desc(), F.col("tgt_id").asc()
     )
-    top = scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= BITEXT_K
+    # top is consumed twice (best-pair filter + margin-denominator agg):
+    # persist the ≤K ids+cosine rows per src so the candidate/cosine
+    # pipeline runs once, released by materialized() below
+    top = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BITEXT_K)
+        .persist()
     )
     agg = top.groupBy("src_id").agg(
         F.sum(F.col("cosine").cast("decimal(18,6)")).alias("s"),
@@ -2996,4 +3003,4 @@ def bitext_mine(spark, sf_dir):
             ).alias("margin"),
         )
     )
-    return materialized(result, v)
+    return materialized(result, v, top)
