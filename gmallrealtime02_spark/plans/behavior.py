@@ -515,3 +515,165 @@ def key_skew_profile(spark, sf_dir):
         .limit(SKEW_TOP)
     )
     return materialized(result, k)
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (pairwise support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+BASKET_TOP = 20
+
+
+@register(
+    "basket_affinity",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+    ic AS (SELECT l_partkey, count(*) AS item_cnt FROM b GROUP BY l_partkey),
+    p AS (
+        SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+               count(*) AS pair_count
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY part_a, part_b
+    ),
+    top AS (
+        SELECT * FROM p
+        ORDER BY pair_count DESC, part_a, part_b LIMIT {BASKET_TOP}
+    )
+    SELECT t.part_a, t.part_b, t.pair_count,
+           round(CAST(t.pair_count AS DOUBLE) / n.n_orders, 6) AS support,
+           round(CAST(t.pair_count AS DOUBLE) / ia.item_cnt, 6)
+               AS confidence_a_to_b,
+           round(CAST(t.pair_count AS DOUBLE) * n.n_orders
+                 / (ia.item_cnt * ib.item_cnt), 6) AS lift
+    FROM top t
+    JOIN ic ia ON ia.l_partkey = t.part_a
+    JOIN ic ib ON ib.l_partkey = t.part_b
+    CROSS JOIN n
+    """,
+    tags=("basket", "association-rules", "retail", "behavior"),
+)
+def basket_affinity(spark, sf_dir):
+    """Market-basket association rules over order baskets: the top-{k}
+    part pairs most often bought together, with support
+    (pair/orders), confidence (pair/count(a)) and lift
+    (support / (supp(a)·supp(b))) — the classic co-purchase
+    recommendation signal, at the ITEM level where ``coview_pagerank``
+    ranks the user-level co-view graph.
+
+    Scale shape: baskets collapse to distinct (order, part) first; the
+    pair self-join is an equi-join ON l_orderkey, so pairs only ever
+    materialize WITHIN a basket — the blowup is Σ(basket choose 2),
+    bounded by per-order basket size (≤13 here; a production cap drops
+    crawler-sized baskets the same way coview caps users).  Pair counts
+    aggregate with map-side partials on (a, b) keys; the top-{k} is a
+    distributed TakeOrdered; and the support/lift DENOMINATORS join
+    AFTER the top-{k} cut — {k} broadcast-probe rows against the item
+    count table, never a |parts|-sized broadcast.""".format(k=BASKET_TOP)
+    result, caches = _basket_affinity_plan(spark, sf_dir)
+    return materialized(result, *caches)
+
+
+def _basket_affinity_plan(spark, sf_dir):
+    """Lazy (result, caches) pair — the plan gate inspects this; the
+    registered fn materializes and releases the cache."""
+    li = ensure_parallelism(
+        load_table(spark, sf_dir, "lineitem"), by=("l_orderkey",)
+    )
+    b = li.select("l_orderkey", "l_partkey").distinct().persist()
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    ic = b.groupBy("l_partkey").agg(F.count("*").alias("item_cnt"))
+    a = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    c = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    top = (
+        a.join(c, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP)
+    )
+    ia = ic.select(F.col("l_partkey").alias("part_a"), F.col("item_cnt").alias("cnt_a"))
+    ib = ic.select(F.col("l_partkey").alias("part_b"), F.col("item_cnt").alias("cnt_b"))
+    result = (
+        F.broadcast(top)
+        .join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_count",
+            F.round(
+                F.col("pair_count").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+            F.round(
+                F.col("pair_count").cast("double") / F.col("cnt_a"), 6
+            ).alias("confidence_a_to_b"),
+            F.round(
+                F.col("pair_count").cast("double")
+                * F.col("n_orders")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return result, (b,)
+
+
+# ---------------------------------------------------------------------------
+# Weekly seasonality profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonality_profile",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, strftime(ts, '%A') AS dow,
+               count(*) AS n,
+               sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS sv
+        FROM events GROUP BY event_type, dow
+    )
+    SELECT event_type, dow, n,
+           round(CAST(sv AS DOUBLE) / n, 6) AS avg_value,
+           round(CAST(n AS DOUBLE) /
+                 sum(n) OVER (PARTITION BY event_type), 6) AS share
+    FROM d
+    """,
+    tags=("seasonality", "time-series", "behavior"),
+)
+def seasonality_profile(spark, sf_dir):
+    """Weekly seasonality per event type: count, decimal-exact average
+    value, and within-type share for each (event_type, weekday) cell —
+    the day-of-week profile capacity planning and anomaly baselines
+    start from (``anomaly_zscore``'s trailing window catches spikes;
+    this catches the Monday-vs-Sunday structure it must not flag).
+
+    Scale shape: one aggregate to |event_type|×7 cells with map-side
+    partials (sums over round-2 DECIMALs, partitioning-invariant), then
+    the share is a window sum OVER the 7-row event_type partitions of
+    the tiny cell table — nothing corpus-scale past the first exchange,
+    and weekday comes from the locale-independent pattern day name so
+    both engines bucket identically."""
+    e = load_table(spark, sf_dir, "events")
+    d = (
+        e.groupBy(
+            "event_type", F.date_format("ts", "EEEE").alias("dow")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round("value", 2).cast("decimal(18,2)")).alias("sv"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    return d.select(
+        "event_type",
+        "dow",
+        "n",
+        F.round(F.col("sv").cast("double") / F.col("n"), 6).alias("avg_value"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias(
+            "share"
+        ),
+    )

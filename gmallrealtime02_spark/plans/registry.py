@@ -268,6 +268,9 @@ _PRIORITY = [
     "attribution_last_touch",
     "key_skew_profile",
     "bpe_compression_by_lang",
+    # -- ninth round-4 wave (market-basket rules, weekly seasonality) --
+    "basket_affinity",
+    "seasonality_profile",
 ]
 
 

@@ -1029,3 +1029,34 @@ def test_bpe_lang_rollup_adds_one_exchange(spark, sf_dir):
     plan = _executed_plan(QUERIES["bpe_compression_by_lang"].fn(spark, sf_dir))
     assert _exchanges(plan) <= 1, plan
     assert "Join" not in plan, plan
+
+
+def test_basket_affinity_pairs_only_within_baskets(spark, sf_dir):
+    """Pair generation must be an equi-join ON the order key (pairs only
+    materialize within a basket) and the support/lift denominators must
+    join AFTER the top-k cut — no corpus-wide pair product, no
+    |parts|-sized broadcast, top-k as distributed TakeOrdered."""
+    from gmallrealtime02_spark.plans.behavior import _basket_affinity_plan
+
+    result, caches = _basket_affinity_plan(spark, sf_dir)
+    try:
+        plan = _executed_plan(result)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan.replace(
+            "BroadcastNestedLoopJoin BuildRight, Cross", "", 1
+        ), plan  # the single allowed nested-loop is the 1-row n_orders cross
+        assert "TakeOrdered" in plan, plan
+    finally:
+        for c in caches:
+            c.unpersist()
+        spark.catalog.clearCache()
+
+
+def test_seasonality_profile_two_tiny_exchanges(spark, sf_dir):
+    """One corpus aggregate to |event_type|x7 cells, then the share
+    window over the tiny cell table — both exchanges keyed on
+    event_type, nothing corpus-scale past the first."""
+    plan = _executed_plan(QUERIES["seasonality_profile"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 2, plan
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert all(k == "event_type" for k in keys), (keys, plan)
