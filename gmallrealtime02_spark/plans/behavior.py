@@ -677,3 +677,102 @@ def seasonality_profile(spark, sf_dir):
             "share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-type daily trend line (closed-form OLS on exact power sums)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_trend",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS y
+        FROM events GROUP BY event_type, day
+    ),
+    x AS (
+        SELECT event_type,
+               CAST(day - min(day) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS x,
+               y
+        FROM d
+    ),
+    s AS (
+        SELECT event_type, count(*) AS n,
+               sum(x) AS sx, sum(x * x) AS sxx,
+               sum(y) AS sy,
+               sum(CAST(x AS DECIMAL(18,0)) * y) AS sxy,
+               sum(y * y) AS syy
+        FROM x GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                 / nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0), 6)
+               AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                    / nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0)
+                    * sx) / n, 6) AS intercept,
+           round(((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                  * (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE)))
+                 / nullif((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                          * (n * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0), 6)
+               AS r2
+    FROM s
+    """,
+    tags=("stats", "regression", "trend", "time-series"),
+)
+def daily_trend(spark, sf_dir):
+    """Closed-form OLS trend line per event type: slope / intercept / R²
+    of the daily value total regressed on day index — the in-engine
+    "is this metric growing?" primitive (`ewma_daily_value` smooths,
+    `anomaly_zscore` flags; this quantifies direction with a fit
+    quality).
+
+    Scale shape: one (event_type, day) aggregate with decimal map-side
+    partials collapses the corpus to |types|×|days| cells; the day
+    index is a min() window over that tiny table's type partitions; the
+    five OLS power sums (`quantity_price_corr` discipline — exact
+    BIGINT/DECIMAL partials, double math ONCE on the totals) reduce per
+    type.  Degenerate fits (single day, constant series) yield null via
+    nullif, identically in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.round("value", 2).cast("decimal(18,2)")).alias("y"))
+    w = Window.partitionBy("event_type")
+    x = d.select(
+        "event_type",
+        F.datediff("day", F.min("day").over(w)).cast("bigint").alias("x"),
+        "y",
+    )
+    s = x.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sxd, sxxd = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd, syyd = F.col("sxy").cast("double"), F.col("syy").cast("double")
+    num = n * sxyd - F.col("sx") * syd
+    den = F.nullif(n.cast("double") * sxxd - sxd * F.col("sx"), F.lit(0.0))
+    slope = num / den
+    den2 = F.nullif(
+        (n.cast("double") * sxxd - sxd * F.col("sx"))
+        * (n * syyd - syd * syd),
+        F.lit(0.0),
+    )
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round((syd - slope * F.col("sx")) / n, 6).alias("intercept"),
+        F.round(num * num / den2, 6).alias("r2"),
+    )

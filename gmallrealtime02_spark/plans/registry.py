@@ -268,9 +268,11 @@ _PRIORITY = [
     "attribution_last_touch",
     "key_skew_profile",
     "bpe_compression_by_lang",
-    # -- ninth round-4 wave (market-basket rules, weekly seasonality) --
+    # -- ninth round-4 wave (market-basket rules, weekly seasonality,
+    #    closed-form OLS trend) --
     "basket_affinity",
     "seasonality_profile",
+    "daily_trend",
 ]
 
 

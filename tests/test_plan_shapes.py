@@ -1060,3 +1060,13 @@ def test_seasonality_profile_two_tiny_exchanges(spark, sf_dir):
     assert _exchanges(plan) <= 2, plan
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert all(k == "event_type" for k in keys), (keys, plan)
+
+
+def test_daily_trend_two_exchanges_all_typed(spark, sf_dir):
+    """OLS trend: the corpus collapses at the (event_type, day) aggregate;
+    the day-index window and the power-sum reduce run over the tiny cell
+    table — ≤2 exchanges, every key rooted at event_type."""
+    plan = _executed_plan(QUERIES["daily_trend"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 2, plan
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert keys and all(k == "event_type" for k in keys), (keys, plan)
