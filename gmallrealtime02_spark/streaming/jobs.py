@@ -739,3 +739,79 @@ def streaming_anomaly(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_attribution(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Streaming twin of the batch ``attribution_last_touch`` query: a
+    per-user carry (``applyInPandasWithState``) of the latest
+    NON-purchase touch; every purchase row emits immediately with the
+    channel it attributes to ('direct' when no touch precedes it) —
+    the real-time "which channel just converted" feed the batch rollup
+    retrospectively audits.
+
+    State per user is (touch_type, touch_ts, touch_event_id) — three
+    fields, O(users) total, never an event buffer.  Within a batch the
+    group's rows are processed in (ts, kind_ord, event_id) order with
+    touches BEFORE purchases on timestamp ties — the exact tie rule of
+    the batch query's carry-forward window, so an in-order replay
+    reproduces the batch attribution bit-for-bit (pinned in tests).
+    Out-of-order delivery across batch boundaries is bounded by the
+    watermark, the same tradeoff as ``stateful_funnel``."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    e = events.withWatermark("ts", watermark)
+
+    def attribute(key, pdfs, state):
+        if state.exists:
+            t_type, t_ts, t_eid = state.get
+        else:
+            t_type, t_ts, t_eid = None, None, None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((t_type, t_ts, t_eid))
+            return
+        rows = pd.concat(chunks, ignore_index=True)
+        rows["kind_ord"] = (rows["event_type"] == "purchase").astype("int64")
+        rows = rows.sort_values(["ts", "kind_ord", "event_id"])
+        out = []
+        for _, r in rows.iterrows():
+            if r["event_type"] != "purchase":
+                # later (ts, event_id) wins, matching the window's order
+                if t_ts is None or (r["ts"], r["event_id"]) > (t_ts, t_eid):
+                    t_type, t_ts, t_eid = (
+                        r["event_type"],
+                        r["ts"],
+                        int(r["event_id"]),
+                    )
+                continue
+            out.append(
+                {
+                    "event_id": int(r["event_id"]),
+                    "user_id": key[0],
+                    "ts": r["ts"],
+                    "attributed_to": t_type if t_type is not None else "direct",
+                    "value": float(r["value"]),
+                }
+            )
+        state.update((t_type, t_ts, t_eid))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["event_id", "user_id", "ts", "attributed_to", "value"],
+            )
+
+    return e.groupBy("user_id").applyInPandasWithState(
+        attribute,
+        outputStructType=(
+            "event_id long, user_id long, ts timestamp, "
+            "attributed_to string, value double"
+        ),
+        stateStructType=(
+            "touch_type string, touch_ts timestamp, touch_event_id long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -8,6 +8,7 @@ boundaries; processAllAvailable() makes each run synchronous.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 
@@ -948,3 +949,96 @@ def test_streaming_anomaly_replay_matches_batch(spark, sf_dir):
         for k in set(final) ^ set(batch)
         | {k for k in set(final) & set(batch) if final[k] != batch[k]}
     }
+
+
+def test_streaming_attribution_matches_batch_rollup(spark, sf_dir):
+    """In-order replay of the events table through the streaming
+    last-touch attributor must reproduce the batch
+    attribution_last_touch channel rollup exactly (same tie rule:
+    touches sort before purchases on equal timestamps)."""
+    from gmallrealtime02_spark.plans.registry import load_all
+    from gmallrealtime02_spark.sources import load_table
+
+    batch = {
+        r.attributed_to: (r.purchases, round(r.revenue, 2))
+        for r in load_all()["attribution_last_touch"].fn(spark, sf_dir).collect()
+    }
+
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "events_attr_replay")
+        src.write.parquet(path)
+        stream = spark.readStream.schema(src.schema).parquet(path)
+        q = (
+            SJ.streaming_attribution(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("attr_replay_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r.attributed_to: (r.purchases, round(r.revenue, 2))
+            for r in spark.sql(
+                "SELECT attributed_to, count(*) AS purchases, "
+                "sum(round(value, 2)) AS revenue "
+                "FROM attr_replay_out GROUP BY attributed_to"
+            ).collect()
+        }
+    assert got == batch, (got, batch)
+
+
+def test_streaming_attribution_state_carries_across_batches(spark, tmp_path):
+    """A touch in batch 1 must attribute a purchase arriving in batch 2
+    (state carry), and a purchase with no prior touch is 'direct'."""
+    import pandas as pd
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 10, 0), 7, "view", 0.0),
+            (2, datetime.datetime(2024, 1, 1, 10, 1), 8, "purchase", 5.0),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(3, datetime.datetime(2024, 1, 1, 10, 2), 7, "purchase", 9.0)],
+        schema,
+    )
+    src = str(tmp_path / "attr_batches")
+    b1.write.parquet(src)
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        SJ.streaming_attribution(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_carry_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r.event_id: r.attributed_to
+        for r in spark.sql("SELECT * FROM attr_carry_out").collect()
+    }
+    assert rows == {2: "direct", 3: "view"}, rows
