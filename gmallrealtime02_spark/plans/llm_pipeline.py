@@ -3004,3 +3004,78 @@ def bitext_mine(spark, sf_dir):
         )
     )
     return materialized(result, v, top)
+
+
+# ---------------------------------------------------------------------------
+# Temporal novelty scoring (new-information rate per document)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_novelty",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(ws) - 4),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                     ws[i+3] || ' ' || ws[i+4]
+            )) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+            WHERE len(ws) >= 5
+        )
+    ),
+    mn AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_seen_before,
+           round(1.0 - CAST(sum(CASE WHEN first_doc < doc_id
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*), 6) AS novelty
+    FROM sh JOIN mn USING (shingle)
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "ngram", "novelty", "curation"),
+)
+def doc_novelty(spark, sf_dir):
+    """Temporal novelty score per document: the fraction of its distinct
+    5-word spans NOT already present in any earlier document (doc_id as
+    ingestion order) — the new-information-rate signal crawl curation
+    ranks sources by (a feed that keeps re-serving known spans scores
+    toward 0 and gets down-weighted; ``cross_doc_span_overlap`` counts
+    symmetric sharing, this is the directional first-seen form that
+    matches how an incremental corpus actually grows).
+
+    Scale shape: identical to ``cross_doc_span_overlap`` — spans explode
+    scan-side, the span table persists and shuffles ONCE on the span
+    key (the min-owner aggregate and the join-back reuse the exchange),
+    then one doc_id re-aggregation.  min(doc_id) is the same
+    first-seen-owner rule as ``dedup_paragraphs_global``; no pair
+    product anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        ensure_parallelism(
+            d.select(
+                "doc_id",
+                F.explode(S.word_shingles(F.col("text"), 5)).alias("shingle"),
+            ),
+            by=("shingle",),
+        )
+        .persist()
+    )
+    mn = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    seen = F.sum(
+        F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    result = (
+        sh.join(mn, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            seen.alias("n_seen_before"),
+            F.round(
+                F.lit(1.0) - seen.cast("double") / F.count("*"), 6
+            ).alias("novelty"),
+        )
+    )
+    return materialized(result, sh)

@@ -273,6 +273,7 @@ _PRIORITY = [
     "basket_affinity",
     "seasonality_profile",
     "daily_trend",
+    "doc_novelty",
 ]
 
 

@@ -1070,3 +1070,12 @@ def test_daily_trend_two_exchanges_all_typed(spark, sf_dir):
     assert _exchanges(plan) <= 2, plan
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert keys and all(k == "event_type" for k in keys), (keys, plan)
+
+
+def test_doc_novelty_single_span_exchange(spark, sf_dir):
+    """Novelty scoring must reuse the one span-key exchange for both the
+    first-owner aggregate and the join-back (cross_doc_span_overlap's
+    shape) — no pair product, no second corpus shuffle."""
+    plan = _executed_plan(QUERIES["doc_novelty"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
