@@ -776,3 +776,96 @@ def daily_trend(spark, sf_dir):
         F.round((syd - slope * F.col("sx")) / n, 6).alias("intercept"),
         F.round(num * num / den2, 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B-test readout (two-proportion z-test on exact counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_test_zscore",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+               max(CASE WHEN event_type = 'purchase' AND value >= 100
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT variant, count(*) AS users,
+               CAST(sum(converted) AS BIGINT) AS conversions
+        FROM u GROUP BY variant
+    ),
+    w AS (
+        SELECT max(CASE WHEN variant = 0 THEN users END) AS n_a,
+               max(CASE WHEN variant = 0 THEN conversions END) AS c_a,
+               max(CASE WHEN variant = 1 THEN users END) AS n_b,
+               max(CASE WHEN variant = 1 THEN conversions END) AS c_b
+        FROM v
+    )
+    SELECT n_a, c_a, round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+           n_b, c_b, round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+           round((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+                 / nullif(sqrt(
+                       (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                       * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                       * (1.0 / n_a + 1.0 / n_b)), 0), 6) AS zscore
+    FROM w
+    """,
+    tags=("ab-test", "stats", "behavior"),
+)
+def ab_test_zscore(spark, sf_dir):
+    """A/B-test readout: users split into two deterministic variants
+    (user_id parity — the stand-in for a real assignment column),
+    per-variant high-value-conversion rates (a purchase of value ≥ 100
+    — a definition that actually splits this fixture's users) and the pooled
+    two-proportion z-score (B minus A) — the standard experiment
+    significance readout, computed in-engine from exact counts so the
+    number is identical on every run and engine (a sampled readout
+    would wobble run to run).
+
+    Scale shape: the corpus collapses at a per-user max() aggregate
+    (one user_id exchange, map-side partials), then |variants| rows
+    reduce to ONE readout row — double math happens once on four exact
+    integers.  Degenerate splits (a variant with zero users never
+    occurs by construction; zero pooled variance) yield null via
+    nullif."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 100),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "converted"
+    )
+    v = u.groupBy("variant").agg(
+        F.count("*").alias("users"),
+        F.sum("converted").cast("bigint").alias("conversions"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("conversions"))).alias("c_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("conversions"))).alias("c_b"),
+    )
+    na, ca = F.col("n_a"), F.col("c_a")
+    nb, cb = F.col("n_b"), F.col("c_b")
+    pool = (ca + cb).cast("double") / (na + nb)
+    se = F.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb))
+    return w.select(
+        "n_a",
+        "c_a",
+        F.round(ca.cast("double") / na, 6).alias("rate_a"),
+        "n_b",
+        "c_b",
+        F.round(cb.cast("double") / nb, 6).alias("rate_b"),
+        F.round(
+            (cb.cast("double") / nb - ca.cast("double") / na)
+            / F.nullif(se, F.lit(0.0)),
+            6,
+        ).alias("zscore"),
+    )

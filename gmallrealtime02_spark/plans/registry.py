@@ -274,6 +274,7 @@ _PRIORITY = [
     "seasonality_profile",
     "daily_trend",
     "doc_novelty",
+    "ab_test_zscore",
 ]
 
 
