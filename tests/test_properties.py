@@ -384,3 +384,90 @@ def test_event_funnel_matches_brute_force(spark, events):
     finally:
         tables.load_table = orig
     assert got == _brute_funnel(events), (got, _brute_funnel(events))
+
+
+# --- PIT join: carry-forward rewrite == brute-force interval lookup --------
+
+
+_pit_event = st.tuples(
+    st.integers(min_value=1, max_value=5),      # user_id
+    st.integers(min_value=0, max_value=30),     # ts offset (minutes)
+    st.sampled_from(["view", "click", "purchase", "error", "signup"]),
+)
+
+
+def _brute_pit(rows):
+    """Brute-force point-in-time lookup: per user, build the collapsed
+    SCD2 change list from non-purchase events in (ts, event_id) order,
+    then each purchase takes the last change at-or-before it (state
+    rows win timestamp ties against purchases)."""
+    by_user: dict[int, list] = {}
+    for eid, (uid, ts, et) in enumerate(rows):
+        by_user.setdefault(uid, []).append((ts, eid, et))
+    out = {}
+    for uid, evs in by_user.items():
+        changes = []  # (ts, eid, state, version)
+        prev = None
+        for ts, eid, et in sorted(
+            (t, e, y) for t, e, y in evs if y != "purchase"
+        ):
+            if prev is None or et != prev:
+                changes.append((ts, eid, et, len(changes) + 1))
+                prev = et
+        for ts, eid, et in sorted(evs):
+            if et != "purchase":
+                continue
+            cur = None
+            for cts, ceid, cstate, cver in changes:
+                # state-first tie order: a change AT the purchase ts applies
+                if (cts, 0) <= (ts, 1):
+                    cur = (cstate, cts, cver)
+                else:
+                    break
+            out[eid] = cur  # None -> no prior state (nulls)
+    return out
+
+
+@given(st.lists(_pit_event, min_size=0, max_size=40))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_pit_join_matches_brute_force(spark, events):
+    """The union + carry-forward rewrite of scd2_pit_join must equal a
+    brute-force per-purchase interval lookup on arbitrary streams
+    (shared timestamps, repeated states, purchases before any state)."""
+    from datetime import datetime, timedelta
+
+    from gmallrealtime02_spark.plans.warehouse import scd2_pit_join
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (eid, t0 + timedelta(minutes=ts), uid, et, 1.0)
+        for eid, (uid, ts, et) in enumerate(events)
+    ]
+    sdf = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    import gmallrealtime02_spark.plans.warehouse as wh
+
+    orig = wh.load_table
+    try:
+        wh.load_table = lambda _s, _d, _t: sdf
+        got = {
+            r.event_id: (
+                None
+                if r.state is None
+                else (r.state, r.state_since, r.state_version)
+            )
+            for r in scd2_pit_join(spark, "unused").collect()
+        }
+    finally:
+        wh.load_table = orig
+    want = {
+        eid: (None if cur is None else (cur[0], t0 + timedelta(minutes=cur[1]), cur[2]))
+        for eid, cur in _brute_pit(events).items()
+    }
+    assert got == want, (got, want)
