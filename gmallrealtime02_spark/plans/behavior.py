@@ -869,3 +869,69 @@ def ab_test_zscore(spark, sf_dir):
             6,
         ).alias("zscore"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert latency distribution (view → purchase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_to_convert",
+    oracle="""
+    WITH p AS (
+        SELECT p.event_id, p.user_id, p.ts, v.ts AS prev_view_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    ),
+    d AS (
+        SELECT CAST(date_diff('microsecond', prev_view_ts, ts) AS BIGINT)
+                   // 1000000 AS delta_s
+        FROM p WHERE prev_view_ts IS NOT NULL
+    )
+    SELECT count(*) AS n_conversions,
+           CAST(min(delta_s) AS BIGINT) AS min_s,
+           round(quantile_cont(delta_s, 0.5), 6) AS p50_s,
+           round(quantile_cont(delta_s, 0.9), 6) AS p90_s,
+           CAST(max(delta_s) AS BIGINT) AS max_s
+    FROM d
+    """,
+    tags=("attribution", "asof", "percentile", "behavior"),
+)
+def time_to_convert(spark, sf_dir):
+    """View-to-purchase latency distribution: for every purchase with a
+    preceding view by the same user (the ``asof_prev_view`` match),
+    the whole-second delay, summarized as count / min / exact
+    interpolated p50 & p90 / max — the conversion-lag readout that
+    sizes attribution windows (a p90 of hours says a 30-minute
+    last-touch window undercounts).
+
+    Scale shape: the as-of match is the carry-forward rewrite (one
+    user_id exchange, no range join); deltas are exact BIGINT seconds
+    so the sort-based percentile is engine-identical; the final
+    summary is one scalar aggregate (`value_percentiles` is the
+    per-group form; ``histogram_quantiles`` the mergeable-sketch form
+    this validates at scale)."""
+    from ..operators.windows import asof_prev_event
+
+    e = load_table(spark, sf_dir, "events")
+    matched = asof_prev_event(e, "purchase", "view")
+    d = matched.filter(F.col("prev_src_ts").isNotNull()).select(
+        # exact micros then floor-div: engines disagree on whether a
+        # 'second' diff truncates elapsed time or counts boundary
+        # crossings when sub-second components differ
+        (
+            F.timestamp_diff("MICROSECOND", F.col("prev_src_ts"), F.col("ts"))
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("delta_s")
+    )
+    return d.agg(
+        F.count("*").alias("n_conversions"),
+        F.min("delta_s").cast("bigint").alias("min_s"),
+        F.round(F.percentile("delta_s", F.lit(0.5)), 6).alias("p50_s"),
+        F.round(F.percentile("delta_s", F.lit(0.9)), 6).alias("p90_s"),
+        F.max("delta_s").cast("bigint").alias("max_s"),
+    )

@@ -275,6 +275,7 @@ _PRIORITY = [
     "daily_trend",
     "doc_novelty",
     "ab_test_zscore",
+    "time_to_convert",
 ]
 
 
