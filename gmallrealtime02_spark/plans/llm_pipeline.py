@@ -3079,3 +3079,51 @@ def doc_novelty(spark, sf_dir):
         )
     )
     return materialized(result, sh)
+
+
+@register(
+    "near_dup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    assign AS (
+        SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+        FROM reach GROUP BY a
+    ),
+    cs AS (
+        SELECT canonical_id, count(*) AS cluster_size
+        FROM assign GROUP BY canonical_id
+    )
+    SELECT cluster_size, count(*) AS n_clusters
+    FROM cs GROUP BY cluster_size
+    """,
+    tags=("dedup", "connected-components", "diagnostics"),
+)
+def near_dup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram (cluster_size → n_clusters) over
+    the ``dedup_canonical`` component assignment — the dedup-audit
+    chart every large-scale cleaning run is judged by: a long tail of
+    giant clusters means boilerplate or a threshold set too loose
+    (one web-scale cluster of 10⁶ "docs" is usually a nav template),
+    while all-2s means the threshold barely fires.  Complements
+    ``dedup_eval``'s precision/recall with the structural view.
+
+    Scale shape: reuses the production LSH → connected-components
+    assignment unchanged (banded candidates, min-label propagation,
+    localCheckpoint-bounded lineage), then two tiny rollups: per
+    canonical (|clustered docs| keys) and per size (≤log-ish distinct
+    sizes).  Nothing new touches the corpus."""
+    assign = S.dedup_canonical(load_table(spark, sf_dir, "documents"), 0.5)
+    return (
+        assign.groupBy("canonical_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+    )

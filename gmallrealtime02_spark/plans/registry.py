@@ -276,6 +276,7 @@ _PRIORITY = [
     "doc_novelty",
     "ab_test_zscore",
     "time_to_convert",
+    "near_dup_cluster_sizes",
 ]
 
 
