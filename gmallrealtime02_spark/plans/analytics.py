@@ -308,6 +308,34 @@ def pivot_event_counts(spark, sf_dir):
     )
 
 
+@register(
+    "unpivot_event_counts",
+    # the round-trip collapses to the long-form count — the value of the
+    # query is the UNPIVOT operator in the physical plan (Expand), the
+    # inverse of pivot_event_counts
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           CAST(count(*) AS BIGINT) AS ct
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("unpivot", "melt"),
+)
+def unpivot_event_counts(spark, sf_dir):
+    """Unpivot (melt): the wide per-day event matrix back to long
+    (dt, event_type, ct) rows via the native unpivot/Expand operator —
+    the inverse of ``pivot_event_counts`` and the standard shape-change
+    before a long-form join or chart feed.  Zero-count cells (absent in
+    the long form) are dropped on the way out.  Scale: Expand is
+    scan-side over the tiny wide table; the only exchange is the pivot
+    aggregate's own."""
+    wide = pivot_event_counts(spark, sf_dir)
+    return (
+        wide.unpivot("dt", _EVENT_TYPES, "event_type", "ct")
+        .filter(F.col("ct") > 0)
+        .select("dt", "event_type", F.col("ct").cast("bigint"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # CDC splitter path (P1/P5/P7/K2) + scalar functions (§2.8)
 # ---------------------------------------------------------------------------

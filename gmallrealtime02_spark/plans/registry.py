@@ -277,6 +277,7 @@ _PRIORITY = [
     "ab_test_zscore",
     "time_to_convert",
     "near_dup_cluster_sizes",
+    "unpivot_event_counts",
 ]
 
 
