@@ -495,6 +495,13 @@ def key_skew_profile(spark, sf_dir):
     beyond {k} rows.  The per-key count table persists so the scalar
     reduce and the ranking share one corpus scan; released after
     materialization.""".format(k=SKEW_TOP)
+    result, caches = _key_skew_profile_plan(spark, sf_dir)
+    return materialized(result, *caches)
+
+
+def _key_skew_profile_plan(spark, sf_dir):
+    """Lazy (result, caches) pair — the plan gate inspects this; the
+    registered fn materializes and releases the cache."""
     e = load_table(spark, sf_dir, "events")
     k = e.groupBy("user_id").agg(F.count("*").alias("cnt")).persist()
     t = k.agg(F.sum("cnt").alias("total"), F.count("*").alias("n_keys"))
@@ -514,7 +521,7 @@ def key_skew_profile(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), F.col("user_id").asc())
         .limit(SKEW_TOP)
     )
-    return materialized(result, k)
+    return result, (k,)
 
 
 # ---------------------------------------------------------------------------

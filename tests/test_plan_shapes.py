@@ -1079,3 +1079,47 @@ def test_doc_novelty_single_span_exchange(spark, sf_dir):
     plan = _executed_plan(QUERIES["doc_novelty"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_key_skew_profile_takeordered_no_global_sort(spark, sf_dir):
+    """The skew profiler's top-k must plan as distributed TakeOrdered
+    over the per-key counts; the scalar totals broadcast back."""
+    from gmallrealtime02_spark.plans.behavior import _key_skew_profile_plan
+
+    result, caches = _key_skew_profile_plan(spark, sf_dir)
+    try:
+        plan = _executed_plan(result)
+        assert "TakeOrdered" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+    finally:
+        for c in caches:
+            c.unpersist()
+        spark.catalog.clearCache()
+
+
+def test_ab_test_zscore_collapses_at_user_aggregate(spark, sf_dir):
+    """The experiment readout's only corpus-scale exchange is the
+    per-user conversion aggregate; everything after is ≤|variants|
+    rows."""
+    plan = _executed_plan(QUERIES["ab_test_zscore"].fn(spark, sf_dir))
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert all(k in ("user_id", "variant") for k in keys), (keys, plan)
+
+
+def test_time_to_convert_no_range_join(spark, sf_dir):
+    """The as-of match must be the carry-forward rewrite — user_id-keyed
+    window, no nested-loop range join."""
+    plan = _executed_plan(QUERIES["time_to_convert"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert "user_id" in keys, (keys, plan)
+
+
+def test_unpivot_plans_as_expand(spark, sf_dir):
+    """The melt must be the native Expand operator over the tiny wide
+    table — only the pivot's own (dt, type) + dt aggregates exchange,
+    nothing corpus-scale after."""
+    plan = _executed_plan(QUERIES["unpivot_event_counts"].fn(spark, sf_dir))
+    assert "Expand" in plan, plan
+    assert _exchanges(plan) <= 2, plan
