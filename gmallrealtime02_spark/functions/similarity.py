@@ -581,22 +581,7 @@ def embedding_near_dup_lsh_plan(
         )
         .persist()
     )
-    keys = v.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket_col(F.col("embedding"), t, n_planes).alias(
-                            "bkt"
-                        ),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    keys = lsh_keys(v, n_tables, n_planes=n_planes)
     a = keys.select(F.col("vec_id").alias("vec_a"), "tbl", "bkt")
     b = keys.select(F.col("vec_id").alias("vec_b"), "tbl", "bkt")
     cand = (
@@ -635,6 +620,41 @@ def _plane_component(j: int, d: Column) -> Column:
     a, b = PLANE_PERMS[j]
     term = (F.lit(a).cast("long") * (d + 1).cast("long") + F.lit(b)) % HASH_MOD
     return term / F.lit(float(HASH_MOD)) - 0.5
+
+
+def lsh_keys(
+    df: DataFrame,
+    n_tables: int,
+    extra_cols: tuple[str, ...] = (),
+    n_planes: int = PLANES_PER_TABLE,
+) -> DataFrame:
+    """(vec_id, [extra_cols...,] tbl, bkt) key rows for ``n_tables`` LSH
+    tables — the shared ids-only fan-out every LSH consumer builds
+    (near-dup dedup, ANN probe, bitext mining).  One definition so a
+    bucket-derivation fix (e.g. the PLANE_PERMS aliasing bug
+    ``_plane_component`` warns about) lands everywhere at once.
+    ``extra_cols`` ride the fan-out (e.g. lang for bitext); vectors
+    never do."""
+    extra = list(extra_cols)
+    return df.select(
+        "vec_id",
+        *extra,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket_col(F.col("embedding"), t, n_planes).alias(
+                            "bkt"
+                        ),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        "vec_id", *extra, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
+    )
 
 
 def lsh_bucket_col(vec: Column, table: int, n_planes: int = PLANES_PER_TABLE) -> Column:
@@ -685,20 +705,7 @@ def ann_lsh_topk_plan(
     """Lazy (result, caches) pair — plan gates inspect this; the public
     fn materializes and releases the base-vector cache."""
     base = ensure_parallelism(emb).select("vec_id", "embedding").persist()
-    table_keys = base.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket_col(F.col("embedding"), t).alias("bkt"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    table_keys = lsh_keys(base, n_tables)
     # ids-only probe: vectors never ride the n_tables fan-out, the
     # candidate dedup is a distinct over two longs, and each side's
     # vector joins back once after dedup (query side broadcast).

@@ -87,6 +87,13 @@ def asof_prev_event(
     forward with ``last(..., ignorenulls)``.  One hash exchange on user_id
     and a per-partition sort -- no O(n*m) range-join blowup, which is what
     makes this shape survive 100 TB where a theta join would not.
+
+    The (ts, kind_ord, event_id) source-first tie rule defined here is
+    REPLICATED (with richer carried payloads) by
+    ``plans.warehouse.scd2_pit_join``,
+    ``plans.behavior.attribution_last_touch``, their oracle SQL, and the
+    Python port in ``streaming.jobs.streaming_attribution`` — change the
+    rule in all of them together or batch/PIT/streaming results diverge.
     """
     sub = events.filter(F.col("event_type").isin([target_type, source_type]))
     marked = sub.select(

@@ -313,10 +313,16 @@ def pivot_event_counts(spark, sf_dir):
     # the round-trip collapses to the long-form count — the value of the
     # query is the UNPIVOT operator in the physical plan (Expand), the
     # inverse of pivot_event_counts
+    # the type list is pinned on BOTH sides: the Spark unpivot is
+    # restricted to _EVENT_TYPES, so the oracle must be too — otherwise
+    # a sixth event_type appearing in the fixture would emit oracle rows
+    # the melt (correctly) omits and silently break the hash-match
     oracle="""
     SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
            CAST(count(*) AS BIGINT) AS ct
-    FROM events GROUP BY 1, 2
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+    GROUP BY 1, 2
     """,
     tags=("unpivot", "melt"),
 )

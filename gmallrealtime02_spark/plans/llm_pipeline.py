@@ -2931,21 +2931,7 @@ def bitext_mine(spark, sf_dir):
         )
         .persist()
     )
-    keys = v.select(
-        "vec_id",
-        "lang",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        S.lsh_bucket_col(F.col("embedding"), t).alias("bkt"),
-                    )
-                    for t in range(BITEXT_TABLES)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", "lang", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    keys = S.lsh_keys(v, BITEXT_TABLES, extra_cols=("lang",))
     src_k = keys.filter(F.col("lang") == BITEXT_SRC_LANG).select(
         F.col("vec_id").alias("src_id"), "tbl", "bkt"
     )

@@ -787,12 +787,17 @@ def streaming_attribution(
                         int(r["event_id"]),
                     )
                 continue
+            # late purchase guard: a purchase arriving AFTER a future
+            # touch entered state (cross-batch out-of-order) must not be
+            # credited to a channel that had not yet touched the user —
+            # fall back to 'direct' unless the touch is at-or-before it
+            touch_valid = t_ts is not None and t_ts <= r["ts"]
             out.append(
                 {
                     "event_id": int(r["event_id"]),
                     "user_id": key[0],
                     "ts": r["ts"],
-                    "attributed_to": t_type if t_type is not None else "direct",
+                    "attributed_to": t_type if touch_valid else "direct",
                     "value": float(r["value"]),
                 }
             )

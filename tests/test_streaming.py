@@ -1042,3 +1042,45 @@ def test_streaming_attribution_state_carries_across_batches(spark, tmp_path):
         for r in spark.sql("SELECT * FROM attr_carry_out").collect()
     }
     assert rows == {2: "direct", 3: "view"}, rows
+
+
+def test_streaming_attribution_late_purchase_not_credited_to_future_touch(
+    spark, tmp_path
+):
+    """A purchase arriving late (after a LATER touch already entered
+    state in a previous batch) must fall back to 'direct', not credit
+    the future channel."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    b1 = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 10, 5), 9, "click", 0.0)], schema
+    )
+    # purchase at 10:00 arrives in batch 2, after the 10:05 click
+    b2 = spark.createDataFrame(
+        [(2, datetime.datetime(2024, 1, 1, 10, 0), 9, "purchase", 3.0)], schema
+    )
+    src = str(tmp_path / "attr_late")
+    b1.write.parquet(src)
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        SJ.streaming_attribution(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r.event_id: r.attributed_to
+        for r in spark.sql("SELECT * FROM attr_late_out").collect()
+    }
+    assert rows == {2: "direct"}, rows
