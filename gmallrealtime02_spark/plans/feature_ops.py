@@ -427,26 +427,32 @@ def dq_checks(spark, sf_dir):
     """Deequ-style data-quality verification suite over the orders fact:
     six constraints — non-empty, completeness(o_totalprice),
     uniqueness(o_orderkey), numeric range, categorical domain, and
-    referential integrity against customer — evaluated as ONE pass plus
-    the two aggregates that genuinely need their own exchange, emitted
-    as (check_name, metric, passed) rows a pipeline can gate deploys on.
+    referential integrity against customer — evaluated in ONE pass over
+    orders, emitted as (check_name, metric, passed) rows a pipeline can
+    gate deploys on.
 
-    Scale shape: the five scan metrics fold into a single aggregate over
-    one orders scan (count / conditional sums are map-side partials; the
-    COUNT DISTINCT adds the unavoidable o_orderkey exchange).  The
-    orphan check is a LEFT ANTI join that broadcasts only the customer
-    KEY column — never the fact — then reduces to one number;
-    at dim sizes past the broadcast threshold it degrades to a shuffle
-    join on the key columns alone (no hint pinned).  The per-check rows
-    come from exploding a 6-struct literal array over the single joined
-    metrics row — no extra scans, no driver-side loop."""
+    Scale shape: all six metrics fold into a single aggregate over one
+    orders scan — the referential check rides the same pass as a
+    broadcast LEFT join on the customer KEY column (never the fact)
+    with a null-mark conditional sum, so there is no separate anti-join
+    branch re-reading the fact; count / conditional sums are map-side
+    partials, and the COUNT DISTINCT adds the one unavoidable
+    o_orderkey exchange.  At dim sizes past the broadcast threshold the
+    join degrades to a shuffle join on the key columns alone (no hint
+    pinned).  The per-check rows come from exploding a 6-struct literal
+    array over the single metrics row — no extra scans, no driver-side
+    loop."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
     ck = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("ck")
     )
-    m = o.agg(
+    # one scan: the referential check folds into the same aggregate as
+    # the scan metrics — a broadcast LEFT join marks orphans (null ck)
+    # and a conditional sum counts them, so orders is read ONCE instead
+    # of once for metrics + once for a separate anti join
+    row = o.join(F.broadcast(ck), o.o_custkey == ck.ck, "left").agg(
         F.count("*").alias("n"),
         F.count("o_totalprice").alias("n_price"),
         F.countDistinct("o_orderkey").alias("n_keys"),
@@ -460,9 +466,7 @@ def dq_checks(spark, sf_dir):
         F.sum(
             F.when(~F.col("o_orderstatus").isin(*DQ_STATUSES), 1).otherwise(0)
         ).alias("domain_viol"),
-    )
-    orph = o.join(ck, o.o_custkey == ck.ck, "left_anti").agg(
-        F.count("*").alias("orphans")
+        F.sum(F.when(F.col("ck").isNull(), 1).otherwise(0)).alias("orphans"),
     )
 
     def _chk(name, metric, passed):
@@ -472,7 +476,6 @@ def dq_checks(spark, sf_dir):
             passed.alias("passed"),
         )
 
-    row = m.crossJoin(orph)
     return row.select(
         F.explode(
             F.array(

@@ -979,15 +979,16 @@ def test_scd2_pit_join_stays_on_user_key(spark, sf_dir):
     assert keys == {"user_id"}, (keys, plan)
 
 
-def test_dq_checks_antijoin_broadcasts_key_only(spark, sf_dir):
-    """The referential check must broadcast the customer KEY column into
-    a LeftAnti hash join — the orders fact never shuffles for it.  The
-    only nested-loop join allowed is the 1-row × 1-row metrics cross
-    join; scalar aggregates own the SinglePartition exchanges."""
+def test_dq_checks_single_scan_key_only_broadcast(spark, sf_dir):
+    """All six constraints must ride ONE orders scan: the referential
+    check is a broadcast LEFT join on the customer KEY column (read
+    schema = c_custkey alone) with a null-mark sum — no separate
+    anti-join branch re-reading the fact, no extra exchanges beyond
+    the COUNT DISTINCT's."""
     plan = _executed_plan(QUERIES["dq_checks"].fn(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
-    assert _exchanges(plan) <= 4, plan
-    # key-only broadcast: the anti-join build side reads just c_custkey
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan
+    assert plan.count("orders.parquet") == 1, plan
+    assert _exchanges(plan) <= 3, plan
     m = re.search(r"ReadSchema: struct<c_custkey", plan)
     assert m, plan
 
