@@ -193,10 +193,44 @@ def bench_streaming() -> None:
     )
 
 
+def bench_sweep() -> None:
+    """Time EVERY registry query once (cold-per-query: caches cleared
+    between) and print one JSON line {query: sec}.  Not part of the
+    driver contract — a whole-surface regression radar: diff two sweep
+    runs to spot any operator that silently got slower.  Single-shot
+    timings carry local-mode noise (±20% on sub-2 s queries); the
+    headline best-of-2 in main() stays the comparable number."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="bench-sweep")
+    queries = load_all()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    timings: dict[str, float] = {}
+    for name, q in queries.items():
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+    print(
+        json.dumps(
+            {
+                "metric": "sweep_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     import sys
 
     if "--streaming" in sys.argv[1:]:
         bench_streaming()
+    elif "--sweep" in sys.argv[1:]:
+        bench_sweep()
     else:
         main()
