@@ -95,7 +95,9 @@ N_MICRO_BATCHES = 8
 
 def bench_streaming() -> None:
     """rows/s through the two flagship streaming jobs, file-source twin
-    (the suite's broker stand-in), N_MICRO_BATCHES triggers each."""
+    (the suite's broker stand-in).  Input splits into N_MICRO_BATCHES
+    files; maxFilesPerTrigger consumes N_MICRO_BATCHES//4 per trigger,
+    so each job runs ~4 triggers end to end."""
     import shutil
     import tempfile
 

@@ -418,3 +418,46 @@ def quantize_per_vector(emb: DataFrame) -> DataFrame:
         codes.alias("codes"),
         mse.alias("mse"),
     )
+
+
+def adc_tables(
+    emb: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    n_queries: int = 10,
+) -> list[tuple[int, list[list[float]]]]:
+    """Per-query ADC lookup tables: for each query vector (vec_id <
+    n_queries), the squared-L2 distance from its s-th subvector to each
+    centroid of subspace s's codebook — [(qid, [table_s0, ...]), ...].
+
+    This is the DETERMINISM-CRITICAL piece of PQ scoring (the Python
+    float fold order must mirror the oracle's list_reduce), so both
+    consumers — ann_pq_topk's literal-struct fan-out and
+    ann_ivfpq_topk's broadcast table — build from this ONE helper; a
+    rounding or slicing change desynchronizes from the oracle in one
+    place, not two."""
+    qrows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double"), 6)
+            ).alias("e"),
+        )
+        .orderBy("vec_id")
+        .collect()  # bounded driver pull: n_queries rows
+    )
+
+    def sub_d2(qvec: list[float], cvec: list[float]) -> float:
+        acc = 0.0
+        for a, b in zip(qvec, cvec):
+            acc += (a - b) * (a - b)
+        return acc
+
+    out = []
+    for r in qrows:
+        tables = []
+        for s in range(len(books)):
+            qs = list(r.e[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM])
+            tables.append([sub_d2(qs, vec) for _cid, vec in books[s]])
+        out.append((int(r.vec_id), tables))
+    return out

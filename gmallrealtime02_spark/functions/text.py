@@ -207,6 +207,19 @@ def char_codepoints(s: Column) -> Column:
     )
 
 
+def hash_sql(s: str) -> str:
+    """DuckDB expression mirroring ``portable_hash`` over a string
+    expression ``{s}`` — the oracle-side twin of the polynomial fold.
+    ONE definition for every oracle builder (llm_pipeline, sketches,
+    corpus_tools): the fold must stay bit-identical to the Spark column
+    above, so it lives next to it."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(list_filter(string_split({s}, ''), c -> c != ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc*31 + c) % {HASH_MOD})"
+    )
+
+
 def portable_hash(s: Column) -> Column:
     """Polynomial rolling hash ``acc*31 + codepoint (mod 2^31-1)`` — exactly
     reproducible in any engine with a list fold (DuckDB: list_reduce), used

@@ -83,7 +83,12 @@ def rolling_active_users(spark, sf_dir):
     oracle="""
     WITH ud AS (
         SELECT user_id, CAST(ts AS DATE) AS day,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+               -- coalesce: a day whose purchases all carry NULL value is
+               -- still an OBSERVATION (total 0) — leaving it NULL made
+               -- the Spark carry (last ignorenulls skips it) and the
+               -- ASOF oracle (picks it) diverge
+               CAST(coalesce(sum(CAST(value AS DECIMAL(18,6))), 0) AS DOUBLE)
+                   AS day_value
         FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
     ),
     span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
@@ -120,7 +125,9 @@ def gap_fill(spark, sf_dir):
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.col("ts").cast("date").alias("day"))
         .agg(
-            F.sum(F.col("value").cast("decimal(18,6)"))
+            F.coalesce(
+                F.sum(F.col("value").cast("decimal(18,6)")), F.lit(0)
+            )
             .cast("double")
             .alias("day_value")
         )

@@ -583,12 +583,7 @@ def knn_label_propagation(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # portable_hash(s) as a DuckDB expression (same char fold as functions.text)
-def _hash_sql(s: str) -> str:
-    return (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(list_filter(string_split({s}, ''), c -> c != ''), "
-        f"c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc*31 + c) % {P})"
-    )
+_hash_sql = TX.hash_sql
 
 
 _SHINGLE_HASH_CTE = f"""
@@ -684,10 +679,13 @@ _POS_SHIFT = 1 << 20  # encode = hash * 2^20 + position (h < 2^31 -> < 2^51)
     fp AS (
         SELECT doc_id,
                CASE WHEN len(hs) >= {WINNOW_W} THEN list_distinct(
-                   list_transform(generate_series(1, len(hs) - {WINNOW_W - 1}),
-                       i -> list_min(list_transform(
-                           generate_series(0, {WINNOW_W - 1}),
-                           k -> hs[i+k] * {_POS_SHIFT} + (i+k)))))
+                   list_transform(
+                       list_distinct(list_transform(
+                           generate_series(1, len(hs) - {WINNOW_W - 1}),
+                           i -> list_min(list_transform(
+                               generate_series(0, {WINNOW_W - 1}),
+                               k -> hs[i+k] * {_POS_SHIFT} + (i+k))))),
+                       x -> x // {_POS_SHIFT}))
                ELSE [] END AS fps
         FROM sh
     )
@@ -703,9 +701,14 @@ def winnowing_fingerprint(spark, sf_dir):
     {w}-wide window over the positional shingle-hash sequence and keep
     each window's minimum — any shared run of {t} consecutive shingles
     between two documents is then GUARANTEED to share a fingerprint,
-    with ~2/(w+1) of positions selected.  Ties break to the leftmost
-    minimal position via the hash*2^20+pos encoding (one integer min
-    per window, same fold both engines).
+    with ~2/(w+1) of positions selected.  Window minima are taken over
+    the hash*2^20+pos encoding (leftmost-position tie-break, one
+    integer min per window, same fold both engines), then the POSITION
+    IS STRIPPED — the emitted fingerprints are bare hashes, so two
+    documents sharing a run at different offsets share the same
+    fingerprint VALUE (the cross-doc join the scheme exists for; the
+    first revision emitted the encoded form, which never matched
+    across documents).
 
     Entirely scan-side: rolling shingle hashes (each char folded once),
     window minima, and the checksum are per-row array ops — ZERO
@@ -715,26 +718,7 @@ def winnowing_fingerprint(spark, sf_dir):
     """.format(w=WINNOW_W, t=WINNOW_W + N_SHINGLE - 1)
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     hs = shingle_hashes_fast(F.col("text"))
-
-    def fps_of(hs_b: Column) -> Column:
-        return F.when(
-            F.size(hs_b) >= WINNOW_W,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(hs_b) - (WINNOW_W - 1)),
-                    lambda i: F.array_min(
-                        F.transform(
-                            F.sequence(F.lit(0), F.lit(WINNOW_W - 1)),
-                            lambda k: F.element_at(hs_b, i + k) * _POS_SHIFT
-                            + (i + k),
-                        )
-                    ),
-                )
-            ),
-        ).otherwise(F.array().cast("array<long>"))
-
-    # bind hs once (HOF lambda var), so the rolling fold runs once per doc
-    fps = F.transform(F.array(hs), fps_of)[0]
+    fps = F.transform(F.array(hs), winnow_fps)[0]
     return d.filter(F.size(F.split("text", " ")) >= N_SHINGLE).select(
         "doc_id",
         F.size(fps).alias("n_fp"),
@@ -742,6 +726,32 @@ def winnowing_fingerprint(spark, sf_dir):
             "fp_sum"
         ),
     )
+
+
+def winnow_fps(hs_b: Column) -> Column:
+    """Winnowing fingerprint array (bare hashes, distinct) from a bound
+    shingle-hash array — module-level so the cross-doc shared-run
+    guarantee is directly testable on synthetic documents."""
+    encoded = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(hs_b) - (WINNOW_W - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(WINNOW_W - 1)),
+                    lambda k: F.element_at(hs_b, i + k) * _POS_SHIFT
+                    + (i + k),
+                )
+            ),
+        )
+    )
+    # strip the position: emit bare hashes so fingerprints match
+    # across documents regardless of offset
+    return F.when(
+        F.size(hs_b) >= WINNOW_W,
+        F.array_distinct(
+            F.transform(encoded, lambda x: F.shiftright(x, 20))
+        ),
+    ).otherwise(F.array().cast("array<long>"))
 
 
 @register(

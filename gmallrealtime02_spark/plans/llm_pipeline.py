@@ -31,12 +31,7 @@ P = TX.HASH_MOD
 # --- shared oracle SQL fragments -------------------------------------------
 
 # portable_hash(s) as a DuckDB expression over a string expression {s}
-def _hash_sql(s: str) -> str:
-    return (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(list_filter(string_split({s}, ''), c -> c != ''), "
-        f"c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc*31 + c) % {P})"
-    )
+_hash_sql = TX.hash_sql
 
 
 _SHINGLES_CTE = """
@@ -1323,6 +1318,7 @@ def training_mix(spark, sf_dir):
 # Clustering + embedding compression
 # ---------------------------------------------------------------------------
 
+from ..functions import clustering as CL  # noqa: E402
 from ..functions.clustering import (  # noqa: E402
     kmeans_assign,
     quantize_per_vector,
@@ -2616,34 +2612,14 @@ def ann_pq_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     codes, books = pq_fit(emb)
 
-    qrows = (
-        emb.filter(F.col("vec_id") < 10)
-        .select(
-            "vec_id",
-            F.transform(
-                "embedding", lambda x: F.round(x.cast("double"), 6)
-            ).alias("e"),
-        )
-        .orderBy("vec_id")
-        .collect()
-    )
-
-    def _sub_d2(qvec: list[float], cvec: list[float]) -> float:
-        acc = 0.0
-        for a, b in zip(qvec, cvec):
-            acc += (a - b) * (a - b)
-        return acc
-
     # one (qid, d0[16], …, d3[16]) literal per query — 10 x 4 x 16 doubles
     q_structs = []
-    for r in qrows:
-        fields = [F.lit(int(r.vec_id)).alias("qid")]
-        for s in range(PQ_NSUB):
-            qs = list(r.e[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM])
-            table = [
-                F.lit(_sub_d2(qs, vec)) for _cid, vec in books[s]
-            ]
-            fields.append(F.array(*table).alias(f"d{s}"))
+    for qid, tables in CL.adc_tables(emb, books):
+        fields = [F.lit(qid).alias("qid")]
+        for s, table in enumerate(tables):
+            fields.append(
+                F.array(*[F.lit(v) for v in table]).alias(f"d{s}")
+            )
         q_structs.append(F.struct(*fields))
 
     cand = codes.select(
@@ -2782,31 +2758,9 @@ def ann_ivfpq_topk(spark, sf_dir):
         .select("qid", F.col("vec_id").alias("cid"))
     )
 
-    qrows = (
-        emb.filter(F.col("vec_id") < 10)
-        .select(
-            "vec_id",
-            F.transform(
-                "embedding", lambda x: F.round(x.cast("double"), 6)
-            ).alias("e"),
-        )
-        .orderBy("vec_id")
-        .collect()
-    )
-
-    def _sub_d2(qvec, cvec):
-        acc = 0.0
-        for a, b in zip(qvec, cvec):
-            acc += (a - b) * (a - b)
-        return acc
-
-    qt_rows = []
-    for r in qrows:
-        tables = []
-        for s in range(PQ_NSUB):
-            qs = list(r.e[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM])
-            tables.append([_sub_d2(qs, vec) for _cid, vec in books[s]])
-        qt_rows.append((int(r.vec_id), *tables))
+    qt_rows = [
+        (qid, *tables) for qid, tables in CL.adc_tables(emb, books)
+    ]
     qt = spark.createDataFrame(
         qt_rows,
         "qid long, "

@@ -32,14 +32,8 @@ from .registry import register
 
 P = TX.HASH_MOD
 
-# portable_hash(s) as a DuckDB expression over a string expression {s}
-# (same fold as functions.text.portable_hash — llm_pipeline._hash_sql twin).
-def _hash_sql(s: str) -> str:
-    return (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(list_filter(string_split({s}, ''), c -> c != ''), "
-        f"c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc*31 + c) % {P})"
-    )
+# oracle-side portable hash — single shared definition (functions.text)
+_hash_sql = TX.hash_sql
 
 
 # ---------------------------------------------------------------------------
@@ -96,6 +90,20 @@ def hll_estimate_py(regs: list[int]) -> tuple[int, float]:
     else:
         est = raw
     return hit, round(est, 6)
+
+
+def hll_estimate(hit: Column, z_hit: Column) -> Column:
+    """HLL estimate (round-6) from hit-register count + hit-side 2^-m
+    sum: the bias-corrected raw estimate with the small-range
+    linear-counting branch (Flajolet et al. 2007).  ONE definition for
+    every consumer (daily, rollup, overlap) — a threshold or rounding
+    change lands everywhere at once, keeping the merge-invariance gate
+    (rolled-up estimates == direct ones) meaningful."""
+    raw = (HLL_ALPHA * HLL_M * HLL_M) / (z_hit + (HLL_M - hit))
+    linear = HLL_M * F.log(F.lit(float(HLL_M)) / (HLL_M - hit))
+    return F.round(
+        F.when((raw <= 2.5 * HLL_M) & (hit < HLL_M), linear).otherwise(raw), 6
+    )
 
 
 _HLL_EST_SQL = f"""
@@ -166,15 +174,10 @@ def hll_distinct_daily(spark, sf_dir):
         F.count("*").alias("hit"),
         F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("z_hit"),
     )
-    raw = (HLL_ALPHA * HLL_M * HLL_M) / (
-        F.col("z_hit") + (HLL_M - F.col("hit"))
-    )
-    linear = HLL_M * F.log(F.lit(float(HLL_M)) / (HLL_M - F.col("hit")))
-    est = F.when((raw <= 2.5 * HLL_M) & (F.col("hit") < HLL_M), linear).otherwise(raw)
     return per_dt.select(
         "dt",
         F.col("hit").cast("int").alias("hit_registers"),
-        F.round(est, 6).alias("hll_distinct"),
+        hll_estimate(F.col("hit"), F.col("z_hit")).alias("hll_distinct"),
     )
 
 
@@ -246,15 +249,10 @@ def hll_rollup(spark, sf_dir):
         F.count("*").alias("hit"),
         F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("z_hit"),
     )
-    raw = (HLL_ALPHA * HLL_M * HLL_M) / (
-        F.col("z_hit") + (HLL_M - F.col("hit"))
-    )
-    linear = HLL_M * F.log(F.lit(float(HLL_M)) / (HLL_M - F.col("hit")))
-    est = F.when((raw <= 2.5 * HLL_M) & (F.col("hit") < HLL_M), linear).otherwise(raw)
     return per_dt.select(
         "dt",
         F.col("hit").cast("int").alias("hit_registers"),
-        F.round(est, 6).alias("hll_distinct"),
+        hll_estimate(F.col("hit"), F.col("z_hit")).alias("hll_distinct"),
     )
 
 
@@ -333,12 +331,7 @@ def hll_overlap(spark, sf_dir):
     )
     uni = seg.groupBy("reg").agg(F.max("m").alias("m"))
 
-    def est(hit, z):
-        raw = (HLL_ALPHA * HLL_M * HLL_M) / (z + (HLL_M - hit))
-        linear = HLL_M * F.log(F.lit(float(HLL_M)) / (HLL_M - hit))
-        return F.round(
-            F.when((raw <= 2.5 * HLL_M) & (hit < HLL_M), linear).otherwise(raw), 6
-        )
+    est = hll_estimate
 
     def stats(df, name):
         return df.agg(
@@ -1000,8 +993,10 @@ WITH bounds AS (
 ),
 bins AS (
     SELECT e.event_type,
-           least(CAST(floor((e.value - b.lo) / (b.hi - b.lo) * {HIST_BINS})
-                      AS BIGINT), {HIST_BINS - 1}) AS bin,
+           CASE WHEN b.hi = b.lo THEN 0
+                ELSE least(CAST(floor((e.value - b.lo) / (b.hi - b.lo)
+                                      * {HIST_BINS})
+                           AS BIGINT), {HIST_BINS - 1}) END AS bin,
            count(*) AS ct
     FROM events e JOIN bounds b ON e.event_type = b.event_type
     GROUP BY 1, 2
@@ -1049,14 +1044,22 @@ def histogram_quantiles(spark, sf_dir):
         e.join(F.broadcast(bounds), "event_type")
         .select(
             "event_type",
-            F.least(
-                F.floor(
-                    (F.col("value") - F.col("lo"))
-                    / (F.col("hi") - F.col("lo"))
-                    * HIST_BINS
-                ).cast("bigint"),
-                F.lit(HIST_BINS - 1).cast("bigint"),
-            ).alias("bin"),
+            # hi == lo (constant series) guard: Spark's x/0 is NULL and
+            # DuckDB's 0/0 is NaN — divergent AND oracle-crashing; a
+            # degenerate range is one bin holding everything, so pin
+            # bin 0 explicitly on both sides
+            F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo"))
+                        * HIST_BINS
+                    ).cast("bigint"),
+                    F.lit(HIST_BINS - 1).cast("bigint"),
+                )
+            )
+            .alias("bin"),
         )
         .groupBy("event_type", "bin")
         .agg(F.count("*").alias("ct"))

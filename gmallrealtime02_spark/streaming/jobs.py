@@ -687,7 +687,19 @@ def streaming_anomaly(events: DataFrame) -> DataFrame:
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            for dt, m in pdf.groupby("dt")["micros"].sum().items():
+            # NULL values arrive as NaN (float64 batch): drop them to
+            # mirror F.sum's null-skip — and an all-null (type, day)
+            # group must create NO entry (pandas would sum NaNs to 0.0,
+            # minting a zero day the batch op does not have).  Coerce
+            # back to int64 so the groupby sum accumulates exactly
+            # (float64 partials lose exactness past 2^53).
+            pdf = pdf.dropna(subset=["micros"])
+            if not len(pdf):
+                continue
+            sums = pdf.assign(
+                micros=pdf["micros"].astype("int64")
+            ).groupby("dt")["micros"].sum()
+            for dt, m in sums.items():
                 totals[dt] = totals.get(dt, 0) + int(m)
         days = sorted(totals)
         state.update((days, [totals[d] for d in days]))

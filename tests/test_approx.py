@@ -252,3 +252,23 @@ def test_hll_overlap_tracks_exact_intersection(spark, sf_dir):
     assert exact > 0
     rel = abs(row.est_overlap - exact) / exact
     assert rel < 0.5, (row.est_overlap, exact, rel)
+
+
+def test_histogram_quantiles_constant_series(spark):
+    """hi == lo (a constant value column) must yield p50 = p90 = the
+    constant, not a divide-by-zero NULL/NaN divergence (regression:
+    Spark x/0 is NULL, DuckDB 0/0 is NaN — the bin expr now pins the
+    degenerate range to bin 0 on both sides)."""
+    import gmallrealtime02_spark.plans.sketches as sk
+
+    sdf = spark.createDataFrame(
+        [(i, "flat", 7.5) for i in range(40)],
+        "event_id long, event_type string, value double",
+    )
+    orig = sk.load_table
+    try:
+        sk.load_table = lambda _s, _d, _t: sdf
+        row = sk.histogram_quantiles(spark, "unused").collect()[0]
+    finally:
+        sk.load_table = orig
+    assert (row.n, row.p50, row.p90) == (40, 7.5, 7.5), row

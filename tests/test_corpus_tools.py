@@ -64,3 +64,26 @@ def test_zorder_bucket_prunes_both_dimensions(spark, sf_dir):
         joined.filter(F.col("user_id") == 7).select("zbucket").distinct().count()
     )
     assert one_user <= max(4, total * 0.25), (one_user, total)
+
+
+def test_winnowing_shared_run_shares_fingerprint_across_offsets(spark):
+    """The MOSS guarantee, cross-document: two documents containing the
+    same >=(w+n-1)-shingle run at DIFFERENT offsets must share at least
+    one emitted fingerprint VALUE (regression: the first revision
+    emitted hash*2^20+pos, which never matched across documents)."""
+    from pyspark.sql import functions as F
+
+    from gmallrealtime02_spark.functions.similarity import shingle_hashes_fast
+    from gmallrealtime02_spark.plans.corpus_tools import winnow_fps
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, run),
+            (2, "pre1 pre2 pre3 pre4 pre5 " + run),
+        ],
+        "doc_id long, text string",
+    )
+    fps = F.transform(F.array(shingle_hashes_fast(F.col("text"))), winnow_fps)[0]
+    rows = {r.doc_id: set(r.fps) for r in docs.select("doc_id", fps.alias("fps")).collect()}
+    assert rows[1] & rows[2], rows
