@@ -828,6 +828,11 @@ def cosine_topk_np(
 
     Results match the fold-based ``cosine_topk`` (same neighbors; cosine
     differs only by float summation order, far below ranking precision).
+    Ranking uses the SAME tie discipline as the fold form — 6-dp-rounded
+    cosine, then cid ascending — in both the per-partition partial and
+    the global window, so a near-tie at the k boundary resolves
+    identically instead of by Arrow batch order (which silently dropped
+    the lowest-cid row of a partition-internal tie).
     """
     import numpy as np
     import pandas as pd  # noqa: PLC0415 — worker-side
@@ -853,12 +858,15 @@ def cosine_topk_np(
             S = bQn @ Cn.T  # (n_queries, batch)
             out_q, out_c, out_s = [], [], []
             for qi, qid in enumerate(bqids):
-                row = S[qi]
+                row = np.round(S[qi], 6)
                 mask = cids != qid
                 idx = np.nonzero(mask)[0]
                 if not len(idx):
                     continue
-                top = idx[np.argsort(-row[idx], kind="stable")[:k]]
+                # order by (-rounded cosine, cid): the fold form's exact
+                # tie rule, not Arrow batch order
+                order = np.lexsort((cids[idx], -row[idx]))
+                top = idx[order[:k]]
                 out_q.extend([qid] * len(top))
                 out_c.extend(cids[top])
                 out_s.extend(row[top])
@@ -942,6 +950,17 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # a component with diameter > max_iters would return WRONG
+        # (unconverged) labels — split clusters, silently kept
+        # duplicates, and an oracle mismatch.  Fail loudly instead;
+        # callers with genuinely long chains raise max_iters.
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "iterations (a component's diameter exceeds the bound); "
+            "raise max_iters"
+        )
     return labels.select("doc_id", "component")
 
 

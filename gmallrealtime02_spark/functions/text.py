@@ -236,12 +236,21 @@ def positional_fingerprint(text: Column) -> Column:
 
     Distinguishes anagrams (unlike a bag-of-chars sum); cheap enough to
     compute scan-side on every document.
+
+    Empty-text guard: ``sequence(1, 0)`` is the DESCENDING array [1, 0]
+    in Spark (not empty as in DuckDB's generate_series), so zip_with
+    null-pads against the empty codepoint array and the fold yields
+    NULL where the oracle yields 0 — pin 0 explicitly.
     """
     pos_products = F.zip_with(
         F.sequence(F.lit(1), F.length(text)),
         char_codepoints(text),
         lambda i, c: (i * c) % HASH_MOD,
     )
-    return F.aggregate(
-        pos_products, F.lit(0).cast("long"), lambda acc, x: (acc + x) % HASH_MOD
+    return F.when(F.length(text) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            pos_products,
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc + x) % HASH_MOD,
+        )
     )

@@ -40,7 +40,18 @@ def salted_join(
 
     Use when one fact key dominates (power-law ids) and the other side is
     small enough to replicate but too big to broadcast outright.
+
+    Only ``inner`` and ``left`` are equivalent to the unsalted join: the
+    dim side is replicated n_salts×, so any join type that emits
+    UNMATCHED dim rows (right/full/right_semi/...) would emit each of
+    them n_salts times.  Rejected loudly rather than silently wrong.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only (got {how!r}): the "
+            "replicated dim side would duplicate unmatched rows "
+            "n_salts times under right/full semantics"
+        )
     fact_s = fact.withColumn(
         "__salt",
         F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts)),

@@ -44,19 +44,6 @@ ROLL_DAYS = 7  # trailing-window width (days)
     tags=("window", "distinct", "timeseries"),
 )
 def rolling_active_users(spark, sf_dir):
-    """Trailing {w}-day distinct active users per day (the WAU/MAU
-    family).  Spark has no COUNT(DISTINCT) OVER (RANGE ...), and the
-    join form the oracle uses multiplies the fact table by the number of
-    report days.  The scalable shape is contribution explode: each
-    DISTINCT (user, day) pair fans out to the ≤{w} later days it keeps
-    the user "active" for — a BOUNDED blow-up factor of {w}, independent
-    of corpus size — then one distinct on (target_day, user).
-
-    Exchanges: one for the (user, day) distinct (map-side partials), one
-    for the post-explode distinct; both keys are user-sized, never
-    event-sized.  Report days are restricted to days that actually occur
-    (the join with observed days is a broadcast of O(days) rows).
-    """.format(w=ROLL_DAYS)
     e = ensure_parallelism(load_table(spark, sf_dir, "events"))
     ud = e.select(
         F.col("ts").cast("date").alias("day"), "user_id"
@@ -76,6 +63,21 @@ def rolling_active_users(spark, sf_dir):
             F.date_format("day", "yyyy-MM-dd").alias("dt"), "active_users"
         )
     )
+
+
+rolling_active_users.__doc__ = """Trailing {w}-day distinct active users per day (the WAU/MAU
+family).  Spark has no COUNT(DISTINCT) OVER (RANGE ...), and the
+join form the oracle uses multiplies the fact table by the number of
+report days.  The scalable shape is contribution explode: each
+DISTINCT (user, day) pair fans out to the ≤{w} later days it keeps
+the user "active" for — a BOUNDED blow-up factor of {w}, independent
+of corpus size — then one distinct on (target_day, user).
+
+Exchanges: one for the (user, day) distinct (map-side partials), one
+for the post-explode distinct; both keys are user-sized, never
+event-sized.  Report days are restricted to days that actually occur
+(the join with observed days is a broadcast of O(days) rows).
+""".format(w=ROLL_DAYS)
 
 
 @register(
@@ -179,24 +181,26 @@ TRI_TOP = 20
     tags=("graph", "triangle", "join"),
 )
 def triangle_count(spark, sf_dir):
-    """Top-{k} items by triangle participation in the co-view graph
-    (community-density signal; triangles are the unit of clustering
-    coefficient).  An edge {{a,b}} exists when some user viewed both.
-
-    Scale shape: edges are canonically oriented lo<hi once (halves the
-    edge list and makes each triangle countable exactly once as
-    a<b<c), then ONE wedge join (edges ⋈ edges on the middle vertex)
-    followed by a hash semi-probe of the closing edge — never a
-    per-node neighborhood cross product materialized beyond oriented
-    wedges.  Production adds degree-ordering to bound hub wedges
-    (orient toward higher degree, O(m^1.5) total wedges); id-ordering
-    keeps the oracle exact here and the participation counts are
-    orientation-invariant either way.  The per-user co-view fan-out is
-    bounded by the per-user distinct-item slice, capped upstream for
-    crawler-grade users (same cap note as coview_pagerank).
-    """.format(k=TRI_TOP)
     result, caches = _triangle_count_plan(spark, sf_dir)
     return materialized(result, *caches)
+
+
+triangle_count.__doc__ = """Top-{k} items by triangle participation in the co-view graph
+(community-density signal; triangles are the unit of clustering
+coefficient).  An edge {{a,b}} exists when some user viewed both.
+
+Scale shape: edges are canonically oriented lo<hi once (halves the
+edge list and makes each triangle countable exactly once as
+a<b<c), then ONE wedge join (edges ⋈ edges on the middle vertex)
+followed by a hash semi-probe of the closing edge — never a
+per-node neighborhood cross product materialized beyond oriented
+wedges.  Production adds degree-ordering to bound hub wedges
+(orient toward higher degree, O(m^1.5) total wedges); id-ordering
+keeps the oracle exact here and the participation counts are
+orientation-invariant either way.  The per-user co-view fan-out is
+bounded by the per-user distinct-item slice, capped upstream for
+crawler-grade users (same cap note as coview_pagerank).
+""".format(k=TRI_TOP)
 
 
 def _triangle_count_plan(spark, sf_dir):
@@ -487,23 +491,25 @@ SKEW_TOP = 10
     tags=("skew", "profiling", "operational"),
 )
 def key_skew_profile(spark, sf_dir):
-    """Join-key skew profiler for the events.user_id key: the top-{k}
-    heaviest keys with their share of all rows and skew factor
-    (cnt / mean-per-key) — the measurement that decides WHERE
-    ``operators.skew.salted_join`` pays for itself (a key with
-    skew_factor ≫ partition count stalls its reducer; salting splits
-    it).  Measure, don't guess, applied to the engine's own scale
-    strategy.
-
-    Scale shape: one user_id-keyed count aggregate with map-side
-    partials, a two-scalar total/count reduce over the per-key counts
-    (broadcast back as a 1-row cross join), and a distributed
-    TakeOrdered for the top-{k} — no global sort, nothing driver-side
-    beyond {k} rows.  The per-key count table persists so the scalar
-    reduce and the ranking share one corpus scan; released after
-    materialization.""".format(k=SKEW_TOP)
     result, caches = _key_skew_profile_plan(spark, sf_dir)
     return materialized(result, *caches)
+
+
+key_skew_profile.__doc__ = """Join-key skew profiler for the events.user_id key: the top-{k}
+heaviest keys with their share of all rows and skew factor
+(cnt / mean-per-key) — the measurement that decides WHERE
+``operators.skew.salted_join`` pays for itself (a key with
+skew_factor ≫ partition count stalls its reducer; salting splits
+it).  Measure, don't guess, applied to the engine's own scale
+strategy.
+
+Scale shape: one user_id-keyed count aggregate with map-side
+partials, a two-scalar total/count reduce over the per-key counts
+(broadcast back as a 1-row cross join), and a distributed
+TakeOrdered for the top-{k} — no global sort, nothing driver-side
+beyond {k} rows.  The per-key count table persists so the scalar
+reduce and the ranking share one corpus scan; released after
+materialization.""".format(k=SKEW_TOP)
 
 
 def _key_skew_profile_plan(spark, sf_dir):
@@ -569,24 +575,26 @@ BASKET_TOP = 20
     tags=("basket", "association-rules", "retail", "behavior"),
 )
 def basket_affinity(spark, sf_dir):
-    """Market-basket association rules over order baskets: the top-{k}
-    part pairs most often bought together, with support
-    (pair/orders), confidence (pair/count(a)) and lift
-    (support / (supp(a)·supp(b))) — the classic co-purchase
-    recommendation signal, at the ITEM level where ``coview_pagerank``
-    ranks the user-level co-view graph.
-
-    Scale shape: baskets collapse to distinct (order, part) first; the
-    pair self-join is an equi-join ON l_orderkey, so pairs only ever
-    materialize WITHIN a basket — the blowup is Σ(basket choose 2),
-    bounded by per-order basket size (≤13 here; a production cap drops
-    crawler-sized baskets the same way coview caps users).  Pair counts
-    aggregate with map-side partials on (a, b) keys; the top-{k} is a
-    distributed TakeOrdered; and the support/lift DENOMINATORS join
-    AFTER the top-{k} cut — {k} broadcast-probe rows against the item
-    count table, never a |parts|-sized broadcast.""".format(k=BASKET_TOP)
     result, caches = _basket_affinity_plan(spark, sf_dir)
     return materialized(result, *caches)
+
+
+basket_affinity.__doc__ = """Market-basket association rules over order baskets: the top-{k}
+part pairs most often bought together, with support
+(pair/orders), confidence (pair/count(a)) and lift
+(support / (supp(a)·supp(b))) — the classic co-purchase
+recommendation signal, at the ITEM level where ``coview_pagerank``
+ranks the user-level co-view graph.
+
+Scale shape: baskets collapse to distinct (order, part) first; the
+pair self-join is an equi-join ON l_orderkey, so pairs only ever
+materialize WITHIN a basket — the blowup is Σ(basket choose 2),
+bounded by per-order basket size (≤13 here; a production cap drops
+crawler-sized baskets the same way coview caps users).  Pair counts
+aggregate with map-side partials on (a, b) keys; the top-{k} is a
+distributed TakeOrdered; and the support/lift DENOMINATORS join
+AFTER the top-{k} cut — {k} broadcast-probe rows against the item
+count table, never a |parts|-sized broadcast.""".format(k=BASKET_TOP)
 
 
 def _basket_affinity_plan(spark, sf_dir):

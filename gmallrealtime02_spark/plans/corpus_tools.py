@@ -323,22 +323,24 @@ def _learn_merges(spark, sf_dir) -> list[tuple[int, str, str, int]]:
     tags=("tokenizer", "bpe", "training-data", "iterative"),
 )
 def bpe_learn_merges(spark, sf_dir):
-    """Distributed BPE merge learning, {n} iterations: the actual
-    tokenizer-training loop (count pairs -> pick arg-max -> merge ->
-    repeat), returning (merge_rank, pair_a, pair_b, pair_count).
-
-    Scale shape: exactly ONE corpus-scale pass (the word-count exchange);
-    every Lloyd-style iteration after that runs on the distinct-word
-    vocabulary (|V| << corpus) with map-side pair partials, the arg-max
-    is a 1-row driver pull (same bounded pattern as the k-means centroid
-    pull), and the merge itself is a scan-side fold — zero additional
-    corpus exchanges.  localCheckpoint bounds lineage growth across
-    iterations exactly as in dedup_canonical's label propagation.
-    """.format(n=N_MERGES)
     merges = _learn_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges, "merge_rank int, pair_a string, pair_b string, pair_count bigint"
     )
+
+
+bpe_learn_merges.__doc__ = """Distributed BPE merge learning, {n} iterations: the actual
+tokenizer-training loop (count pairs -> pick arg-max -> merge ->
+repeat), returning (merge_rank, pair_a, pair_b, pair_count).
+
+Scale shape: exactly ONE corpus-scale pass (the word-count exchange);
+every Lloyd-style iteration after that runs on the distinct-word
+vocabulary (|V| << corpus) with map-side pair partials, the arg-max
+is a 1-row driver pull (same bounded pattern as the k-means centroid
+pull), and the merge itself is a scan-side fold — zero additional
+corpus exchanges.  localCheckpoint bounds lineage growth across
+iterations exactly as in dedup_canonical's label propagation.
+""".format(n=N_MERGES)
 
 
 @register(
@@ -526,7 +528,7 @@ KNN_K = 5
 )
 def knn_label_propagation(spark, sf_dir):
     """Weak-supervision label propagation: every 10th vector plays
-    "unlabeled" and receives the majority label of its {k} nearest
+    "unlabeled" and receives the majority label of its KNN_K nearest
     labeled neighbors by cosine (neighbor ties -> lower cid; vote ties ->
     lower label — a total order, so the answer is engine-independent).
 
@@ -626,22 +628,6 @@ DF_CAP = 64  # discriminative-shingle cap: drop shingles in > DF_CAP docs
     tags=("dedup", "containment"),
 )
 def minhash_containment(spark, sf_dir):
-    """Containment near-dup pairs: |A ∩ B| / min(|A|, |B|) over
-    DISCRIMINATIVE shingle-hash sets — catches SUBSET duplicates (a doc
-    embedded inside a longer one) that symmetric Jaccard misses
-    (|A∩B|/|A∪B| stays low when |B| >> |A|).
-
-    "Discriminative" = document frequency <= {cap}: background-vocabulary
-    shingles shared by more docs than that are excluded from both the
-    intersection AND the set sizes (the stopword-removal move plagiarism
-    detectors make).  The cap is also what makes the op scale: postings
-    self-join cost is bounded by df_cap * |postings| instead of going
-    QUADRATIC on hot shingles (the uncapped first cut measured 16 s at
-    sf0.1; capped, ~1 s).  df=1 shingles are additionally dropped from
-    the JOIN side only (they cannot intersect; they still count toward
-    sizes).  At 100 TB the cap becomes a df quantile instead of an
-    absolute; the plan shape is identical.
-    """.format(cap=DF_CAP)
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     dhs = F.array_distinct(shingle_hashes_fast(F.col("text")))
     post = d.select("doc_id", F.explode(dhs).alias("h"))
@@ -666,6 +652,24 @@ def minhash_containment(spark, sf_dir):
         .filter(cont >= CONTAINMENT_T)
         .select("doc_a", "doc_b", "inter", F.round(cont, 6).alias("containment"))
     )
+
+
+minhash_containment.__doc__ = """Containment near-dup pairs: |A ∩ B| / min(|A|, |B|) over
+DISCRIMINATIVE shingle-hash sets — catches SUBSET duplicates (a doc
+embedded inside a longer one) that symmetric Jaccard misses
+(|A∩B|/|A∪B| stays low when |B| >> |A|).
+
+"Discriminative" = document frequency <= {cap}: background-vocabulary
+shingles shared by more docs than that are excluded from both the
+intersection AND the set sizes (the stopword-removal move plagiarism
+detectors make).  The cap is also what makes the op scale: postings
+self-join cost is bounded by df_cap * |postings| instead of going
+QUADRATIC on hot shingles (the uncapped first cut measured 16 s at
+sf0.1; capped, ~1 s).  df=1 shingles are additionally dropped from
+the JOIN side only (they cannot intersect; they still count toward
+sizes).  At 100 TB the cap becomes a df quantile instead of an
+absolute; the plan shape is identical.
+""".format(cap=DF_CAP)
 
 
 WINNOW_W = 4  # fingerprint window: guarantee a match on any 7-shingle run
@@ -697,25 +701,6 @@ _POS_SHIFT = 1 << 20  # encode = hash * 2^20 + position (h < 2^31 -> < 2^51)
     tags=("text", "fingerprint", "winnowing"),
 )
 def winnowing_fingerprint(spark, sf_dir):
-    """Winnowing document fingerprints (the MOSS scheme): slide a
-    {w}-wide window over the positional shingle-hash sequence and keep
-    each window's minimum — any shared run of {t} consecutive shingles
-    between two documents is then GUARANTEED to share a fingerprint,
-    with ~2/(w+1) of positions selected.  Window minima are taken over
-    the hash*2^20+pos encoding (leftmost-position tie-break, one
-    integer min per window, same fold both engines), then the POSITION
-    IS STRIPPED — the emitted fingerprints are bare hashes, so two
-    documents sharing a run at different offsets share the same
-    fingerprint VALUE (the cross-doc join the scheme exists for; the
-    first revision emitted the encoded form, which never matched
-    across documents).
-
-    Entirely scan-side: rolling shingle hashes (each char folded once),
-    window minima, and the checksum are per-row array ops — ZERO
-    exchanges at any corpus size (gated).  Downstream span-level
-    contamination joins shuffle only the selected (doc_id, fingerprint)
-    pairs, ~2/(w+1) of the shingle volume.
-    """.format(w=WINNOW_W, t=WINNOW_W + N_SHINGLE - 1)
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     hs = shingle_hashes_fast(F.col("text"))
     fps = F.transform(F.array(hs), winnow_fps)[0]
@@ -726,6 +711,27 @@ def winnowing_fingerprint(spark, sf_dir):
             "fp_sum"
         ),
     )
+
+
+winnowing_fingerprint.__doc__ = """Winnowing document fingerprints (the MOSS scheme): slide a
+{w}-wide window over the positional shingle-hash sequence and keep
+each window's minimum — any shared run of {t} consecutive shingles
+between two documents is then GUARANTEED to share a fingerprint,
+with ~2/(w+1) of positions selected.  Window minima are taken over
+the hash*2^20+pos encoding (leftmost-position tie-break, one
+integer min per window, same fold both engines), then the POSITION
+IS STRIPPED — the emitted fingerprints are bare hashes, so two
+documents sharing a run at different offsets share the same
+fingerprint VALUE (the cross-doc join the scheme exists for; the
+first revision emitted the encoded form, which never matched
+across documents).
+
+Entirely scan-side: rolling shingle hashes (each char folded once),
+window minima, and the checksum are per-row array ops — ZERO
+exchanges at any corpus size (gated).  Downstream span-level
+contamination joins shuffle only the selected (doc_id, fingerprint)
+pairs, ~2/(w+1) of the shingle volume.
+""".format(w=WINNOW_W, t=WINNOW_W + N_SHINGLE - 1)
 
 
 def winnow_fps(hs_b: Column) -> Column:
@@ -846,21 +852,6 @@ _ZKEY_SQL = " + ".join(
     tags=("layout", "zorder"),
 )
 def zorder_layout(spark, sf_dir):
-    """Z-order (Morton) clustering key over (user_id, event hour) — the
-    write-time layout that makes BOTH `WHERE user_id = ?` and
-    `WHERE ts BETWEEN ?` prune files at 100 TB: sorting by zkey before
-    the partitioned write puts each file inside a small rectangle of the
-    (user, time) plane, so min/max footer stats skip it for either
-    predicate (a single-column sort prunes only its own column).
-
-    The key is pure bit arithmetic — interleave the low {bits} bits of
-    each dimension — computed scan-side with ZERO exchanges (gated; the
-    downstream `repartitionByRange(zkey)` write is the only shuffle the
-    layout job would add).  The hour index is exact integer arithmetic
-    from a midnight epoch (hour-boundary counting == floor(duration)
-    when the origin sits on the boundary), so the key is
-    engine-reproducible.
-    """.format(bits=Z_BITS)
     e = ensure_parallelism(load_table(spark, sf_dir, "events"))
     hour_idx = F.timestamp_diff(
         "HOUR", F.lit(_Z_EPOCH).cast("timestamp_ntz"), F.col("ts")
@@ -879,6 +870,23 @@ def zorder_layout(spark, sf_dir):
         zkey.cast("long").alias("zkey"),
         F.shiftright(zkey, Z_BUCKET_SHIFT).cast("long").alias("zbucket"),
     )
+
+
+zorder_layout.__doc__ = """Z-order (Morton) clustering key over (user_id, event hour) — the
+write-time layout that makes BOTH `WHERE user_id = ?` and
+`WHERE ts BETWEEN ?` prune files at 100 TB: sorting by zkey before
+the partitioned write puts each file inside a small rectangle of the
+(user, time) plane, so min/max footer stats skip it for either
+predicate (a single-column sort prunes only its own column).
+
+The key is pure bit arithmetic — interleave the low {bits} bits of
+each dimension — computed scan-side with ZERO exchanges (gated; the
+downstream `repartitionByRange(zkey)` write is the only shuffle the
+layout job would add).  The hour index is exact integer arithmetic
+from a midnight epoch (hour-boundary counting == floor(duration)
+when the origin sits on the boundary), so the key is
+engine-reproducible.
+""".format(bits=Z_BITS)
 
 
 try:  # kmeans CTE helper lives in the (import-guarded) llm_pipeline module
@@ -924,7 +932,7 @@ try:  # kmeans CTE helper lives in the (import-guarded) llm_pipeline module
         same contract that lets k-means itself carry a hash-exact
         oracle (quantized inputs, decimal centroid sums, fold-ordered
         distances, total-order ranks).
-        """.format(m=DIVERSITY_PER_ROLE)
+        """
         emb = load_table(spark, sf_dir, "embeddings")
         assign = kmeans_assign(emb, k=DIVERSITY_K, iters=DIVERSITY_ITERS)
         w_core = Window.partitionBy("cid").orderBy(F.col("d2").asc(), F.col("vec_id"))
@@ -948,6 +956,10 @@ try:  # kmeans CTE helper lives in the (import-guarded) llm_pipeline module
             F.lit("frontier").alias("role"),
         )
         return core.unionAll(frontier)
+
+    diversity_sample.__doc__ = diversity_sample.__doc__.format(
+        m=DIVERSITY_PER_ROLE
+    )
 except ImportError:  # pragma: no cover - numpy-less environments
     pass
 

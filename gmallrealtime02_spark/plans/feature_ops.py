@@ -47,18 +47,6 @@ CHUNK_S = 6  # stride (words) — 50% overlap
     tags=("text", "chunking", "rag", "training-data"),
 )
 def doc_chunks(spark, sf_dir):
-    """Overlapping sliding-window chunks ({w} words, stride {s}) — the
-    retrieval/context-window prep step: every token lands in ≥1 chunk and
-    interior tokens in 2, so no answer span is ever split across a hard
-    boundary (the reason RAG chunkers overlap).
-
-    Scale shape: ZERO exchange — the explode is scan-side, the blow-up
-    factor is a bounded ≤2× (width/stride), and each output row carries
-    only its own slice.  Chunk ids are per-document offsets, so the
-    operator is embarrassingly parallel and layout-independent at
-    100 TB (contrast boilerplate_lines' disjoint chunking in
-    corpus_tools.py, which feeds cross-doc grouping instead).
-    """.format(w=CHUNK_W, s=CHUNK_S)
     d = load_table(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")
     n = F.size(ws)
@@ -90,6 +78,20 @@ def doc_chunks(spark, sf_dir):
             ).alias("n_words"),
         )
     )
+
+
+doc_chunks.__doc__ = """Overlapping sliding-window chunks ({w} words, stride {s}) — the
+retrieval/context-window prep step: every token lands in ≥1 chunk and
+interior tokens in 2, so no answer span is ever split across a hard
+boundary (the reason RAG chunkers overlap).
+
+Scale shape: ZERO exchange — the explode is scan-side, the blow-up
+factor is a bounded ≤2× (width/stride), and each output row carries
+only its own slice.  Chunk ids are per-document offsets, so the
+operator is embarrassingly parallel and layout-independent at
+100 TB (contrast boilerplate_lines' disjoint chunking in
+corpus_tools.py, which feeds cross-doc grouping instead).
+""".format(w=CHUNK_W, s=CHUNK_S)
 
 
 # ---------------------------------------------------------------------------
@@ -187,19 +189,6 @@ _EWMA_W_SQL = (
     tags=("timeseries", "window", "decay"),
 )
 def ewma_daily_value(spark, sf_dir):
-    """Exponentially-weighted trailing mean (α=1/2, horizon {k} days) of
-    each user's daily purchase value, evaluated at every day reached by
-    at least one observation — the recency-weighted engagement score
-    behind churn/LTV features.
-
-    Spark has no COUNT/AVG OVER (RANGE …) with per-row decay weights;
-    the scalable form is the same bounded contribution explode as
-    rolling_active_users: each (user, day) day-sum fans out to the ≤{k}
-    later days it still influences (bounded {k}× blow-up, independent of
-    corpus size), then ONE (user, day) aggregate.  Two exchanges total,
-    both on user-day keys, never event-sized.  All sums are decimal-
-    exact with power-of-two weights, so results are bit-identical across
-    engines and partitionings.""".format(k=EWMA_K)
     e = ensure_parallelism(load_table(spark, sf_dir, "events"))
     ud = (
         e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
@@ -235,6 +224,21 @@ def ewma_daily_value(spark, sf_dir):
             ).alias("ewma_value"),
         )
     )
+
+
+ewma_daily_value.__doc__ = """Exponentially-weighted trailing mean (α=1/2, horizon {k} days) of
+each user's daily purchase value, evaluated at every day reached by
+at least one observation — the recency-weighted engagement score
+behind churn/LTV features.
+
+Spark has no COUNT/AVG OVER (RANGE …) with per-row decay weights;
+the scalable form is the same bounded contribution explode as
+rolling_active_users: each (user, day) day-sum fans out to the ≤{k}
+later days it still influences (bounded {k}× blow-up, independent of
+corpus size), then ONE (user, day) aggregate.  Two exchanges total,
+both on user-day keys, never event-sized.  All sums are decimal-
+exact with power-of-two weights, so results are bit-identical across
+engines and partitionings.""".format(k=EWMA_K)
 
 
 # ---------------------------------------------------------------------------
@@ -283,18 +287,6 @@ _W_MOD = 2001  # weights land in [-1000, 1000]
     tags=("text", "classifier", "quality", "training-data"),
 )
 def hashed_ngram_score(spark, sf_dir):
-    """fastText-style linear classifier INFERENCE: hash each word bigram
-    into {b} feature buckets, dot with a weight vector, threshold — the
-    shape of every learned quality/toxicity filter applied at corpus
-    scale (the model is frozen at inference; weights here come from a
-    deterministic integer formula so the oracle reproduces them, but the
-    plan is identical with trained weights broadcast as a {b}-entry
-    array — bounded by design, unlike a vocab-sized table).
-
-    Scale shape: ZERO exchange — hashing, lookup, and the dot product
-    all run scan-side inside codegen via array folds; integer arithmetic
-    end-to-end until the final division, so the score is bit-identical
-    across engines and layouts.""".format(b=NGRAM_BUCKETS)
     d = load_table(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")
     wh = F.transform(ws, lambda w: TX.portable_hash(w))
@@ -318,6 +310,20 @@ def hashed_ngram_score(spark, sf_dir):
         .alias("score"),
         F.when(n_bigrams > 0, sum_w > 0).otherwise(F.lit(False)).alias("keep"),
     )
+
+
+hashed_ngram_score.__doc__ = """fastText-style linear classifier INFERENCE: hash each word bigram
+into {b} feature buckets, dot with a weight vector, threshold — the
+shape of every learned quality/toxicity filter applied at corpus
+scale (the model is frozen at inference; weights here come from a
+deterministic integer formula so the oracle reproduces them, but the
+plan is identical with trained weights broadcast as a {b}-entry
+array — bounded by design, unlike a vocab-sized table).
+
+Scale shape: ZERO exchange — hashing, lookup, and the dot product
+all run scan-side inside codegen via array folds; integer arithmetic
+end-to-end until the final division, so the score is bit-identical
+across engines and layouts.""".format(b=NGRAM_BUCKETS)
 
 
 # ---------------------------------------------------------------------------
@@ -344,15 +350,6 @@ TRIGRAM_TOP = 20
     tags=("window", "path-mining", "behavior"),
 )
 def event_trigrams(spark, sf_dir):
-    """Top-{k} most common 3-event user paths (Markov path mining — the
-    open-ended complement of event_funnel's fixed stage list): sliding
-    window of 3 consecutive events per user, global frequency ranking.
-
-    Scale shape: ONE user_id exchange feeds the lead() window; the path
-    aggregate shuffles ≤|event_type|³ distinct keys with map-side
-    partials; the final ranking is a distributed TakeOrderedAndProject
-    (never a single-reducer global sort).  Ties broken by path string so
-    the top-{k} is deterministic.""".format(k=TRIGRAM_TOP)
     e = ensure_parallelism(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = e.select(
@@ -371,6 +368,17 @@ def event_trigrams(spark, sf_dir):
         .orderBy(F.col("n").desc(), "path")
         .limit(TRIGRAM_TOP)
     )
+
+
+event_trigrams.__doc__ = """Top-{k} most common 3-event user paths (Markov path mining — the
+open-ended complement of event_funnel's fixed stage list): sliding
+window of 3 consecutive events per user, global frequency ranking.
+
+Scale shape: ONE user_id exchange feeds the lead() window; the path
+aggregate shuffles ≤|event_type|³ distinct keys with map-side
+partials; the final ranking is a distributed TakeOrderedAndProject
+(never a single-reducer global sort).  Ties broken by path string so
+the top-{k} is deterministic.""".format(k=TRIGRAM_TOP)
 
 
 # ---------------------------------------------------------------------------

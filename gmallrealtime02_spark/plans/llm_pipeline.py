@@ -178,15 +178,6 @@ def _chunked(docs):
     tags=("dedup", "training-data", "paragraph"),
 )
 def dedup_paragraphs_global(spark, sf_dir):
-    """Corpus-wide paragraph dedup (the CCNet/RefinedWeb cleaning step):
-    every {n}-word pseudo-paragraph is kept only at its FIRST corpus
-    occurrence (min (doc_id, idx)); documents are reassembled from their
-    surviving paragraphs.  Two shuffles, both on small keys: the
-    min-struct winner aggregation on chunk text (map-side partials
-    collapse repeats before the exchange — no ranking window, no join
-    back), then the per-doc reassembly on doc_id.  At 100 TB the chunk
-    key can be replaced by its 16-byte digest to shrink the exchange
-    further; document bodies never shuffle.""".format(n=CHUNK_WORDS)
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     winners = (
         _chunked(d)
@@ -201,6 +192,17 @@ def dedup_paragraphs_global(spark, sf_dir):
         ).alias("clean_text"),
         F.count("*").alias("n_kept"),
     )
+
+
+dedup_paragraphs_global.__doc__ = """Corpus-wide paragraph dedup (the CCNet/RefinedWeb cleaning step):
+every {n}-word pseudo-paragraph is kept only at its FIRST corpus
+occurrence (min (doc_id, idx)); documents are reassembled from their
+surviving paragraphs.  Two shuffles, both on small keys: the
+min-struct winner aggregation on chunk text (map-side partials
+collapse repeats before the exchange — no ranking window, no join
+back), then the per-doc reassembly on doc_id.  At 100 TB the chunk
+key can be replaced by its 16-byte digest to shrink the exchange
+further; document bodies never shuffle.""".format(n=CHUNK_WORDS)
 
 
 @register(
@@ -218,13 +220,6 @@ def dedup_paragraphs_global(spark, sf_dir):
     tags=("dedup", "training-data", "repetition"),
 )
 def intra_doc_dedup(spark, sf_dir):
-    """Within-document repetition removal (the C4-style "drop repeated
-    spans" cleaner): repeated {n}-word pseudo-paragraphs inside one doc
-    collapse to their first occurrence.  Entirely SCAN-SIDE — per-row
-    ``array_distinct`` preserves first-occurrence order, so there is no
-    explode, no shuffle, no state: whole-stage-codegen'd array lambdas
-    only (the oracle uses the explode+min formulation, which is the same
-    function by definition).""".format(n=CHUNK_WORDS)
     d = load_table(spark, sf_dir, "documents")
     ws_d = d.select("doc_id", F.split("text", " ").alias("ws"))
     uniq = F.array_distinct(_chunk_array(F.col("ws")))
@@ -233,6 +228,15 @@ def intra_doc_dedup(spark, sf_dir):
         F.array_join(uniq, " ").alias("dedup_text"),
         F.size(uniq).cast("bigint").alias("n_unique_chunks"),
     )
+
+
+intra_doc_dedup.__doc__ = """Within-document repetition removal (the C4-style "drop repeated
+spans" cleaner): repeated {n}-word pseudo-paragraphs inside one doc
+collapse to their first occurrence.  Entirely SCAN-SIDE — per-row
+``array_distinct`` preserves first-occurrence order, so there is no
+explode, no shuffle, no state: whole-stage-codegen'd array lambdas
+only (the oracle uses the explode+min formulation, which is the same
+function by definition).""".format(n=CHUNK_WORDS)
 
 
 @register(
@@ -1527,13 +1531,6 @@ TEMP_ALPHA = 0.3  # multilingual sampling temperature (XLM-R-style)
     tags=("training-data", "mix", "sampling"),
 )
 def lang_rebalance(spark, sf_dir):
-    """Temperature-based language rebalancing (the XLM-R / mT5
-    multilingual mix rule): sampling weight w_l = p_l^a / sum p_m^a with
-    a = {a}, flattening the language distribution so low-resource
-    languages are up-sampled.  One tiny per-lang count exchange; the
-    weight normalization is windows over |langs| grouped rows.  Emits
-    the raw share, the temperature weight, and the per-lang resample
-    factor (w_l / p_l) a sampler would apply.""".format(a=TEMP_ALPHA)
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -1549,6 +1546,15 @@ def lang_rebalance(spark, sf_dir):
         F.round(weight, 6).alias("temp_weight"),
         F.round(weight / share, 6).alias("resample_factor"),
     )
+
+
+lang_rebalance.__doc__ = """Temperature-based language rebalancing (the XLM-R / mT5
+multilingual mix rule): sampling weight w_l = p_l^a / sum p_m^a with
+a = {a}, flattening the language distribution so low-resource
+languages are up-sampled.  One tiny per-lang count exchange; the
+weight normalization is windows over |langs| grouped rows.  Emits
+the raw share, the temperature weight, and the per-lang resample
+factor (w_l / p_l) a sampler would apply.""".format(a=TEMP_ALPHA)
 
 
 TOP_NGRAMS_K = 50
@@ -1573,17 +1579,6 @@ TOP_NGRAMS_K = 50
     tags=("text", "ngram", "heavy-hitters", "tokenizer"),
 )
 def corpus_top_ngrams(spark, sf_dir):
-    """Corpus-wide top-{k} bigrams by occurrence — the first iteration of
-    BPE-style merge-pair counting and the canonical heavy-hitters shape:
-    bigrams explode scan-side from a PROJECTED words array, partial
-    counts combine map-side so the exchange carries (distinct-bigram,
-    count) pairs, then a single top-k.  The final ordering exchange
-    moves only the grouped counts; ties break lexicographically for
-    cross-engine determinism.  At 100 TB, replace the exact global
-    ordering with per-partition top-k + merge (same two-stage shape
-    Spark already plans via TakeOrderedAndProject).""".format(
-        k=TOP_NGRAMS_K
-    )
     d = load_table(spark, sf_dir, "documents")
     ws_d = ensure_parallelism(
         d.select("doc_id", F.split("text", " ").alias("ws"))
@@ -1596,6 +1591,19 @@ def corpus_top_ngrams(spark, sf_dir):
         counts.orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(TOP_NGRAMS_K)
     )
+
+
+corpus_top_ngrams.__doc__ = """Corpus-wide top-{k} bigrams by occurrence — the first iteration of
+BPE-style merge-pair counting and the canonical heavy-hitters shape:
+bigrams explode scan-side from a PROJECTED words array, partial
+counts combine map-side so the exchange carries (distinct-bigram,
+count) pairs, then a single top-k.  The final ordering exchange
+moves only the grouped counts; ties break lexicographically for
+cross-engine determinism.  At 100 TB, replace the exact global
+ordering with per-partition top-k + merge (same two-stage shape
+Spark already plans via TakeOrderedAndProject).""".format(
+    k=TOP_NGRAMS_K
+)
 
 
 _PERPLEXITY_CTES = """

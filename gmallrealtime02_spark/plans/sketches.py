@@ -675,23 +675,25 @@ FROM r{PR_ITERS}
     tags=("graph", "pagerank", "iterative"),
 )
 def coview_pagerank(spark, sf_dir):
-    """PageRank ({iters} iterations, damping 0.85) over the item co-view
-    graph: items are nodes, an edge a→b exists when some user viewed
-    both.  Ranks are exact fixed-point integers (micro-units ×1e12,
-    integer division for the per-edge split) — bit-identical across
-    engines, partitionings, and iteration schedules, with no
-    order-dependent float accumulation anywhere.
-
-    Scale shape: the (user, item) distinct projection bounds the
-    self-join fan-out by the per-user catalog slice; the EDGES table is
-    built once, persisted partitioned by src, and every iteration joins
-    the O(nodes) rank table INTO it — the big table's exchange happens
-    once, each Lloyd-style pass shuffles only rank partials keyed by
-    dst.  Heavy-hitter users (crawlers) would be capped upstream in
-    production; the cap is a one-line filter on per-user distinct items.
-    """.format(iters=PR_ITERS)
     result, caches = _coview_pagerank_plan(spark, sf_dir)
     return materialized(result, *caches)
+
+
+coview_pagerank.__doc__ = """PageRank ({iters} iterations, damping 0.85) over the item co-view
+graph: items are nodes, an edge a→b exists when some user viewed
+both.  Ranks are exact fixed-point integers (micro-units ×1e12,
+integer division for the per-edge split) — bit-identical across
+engines, partitionings, and iteration schedules, with no
+order-dependent float accumulation anywhere.
+
+Scale shape: the (user, item) distinct projection bounds the
+self-join fan-out by the per-user catalog slice; the EDGES table is
+built once, persisted partitioned by src, and every iteration joins
+the O(nodes) rank table INTO it — the big table's exchange happens
+once, each Lloyd-style pass shuffles only rank partials keyed by
+dst.  Heavy-hitter users (crawlers) would be capped upstream in
+production; the cap is a one-line filter on per-user distinct items.
+""".format(iters=PR_ITERS)
 
 
 def _coview_pagerank_plan(spark, sf_dir):
@@ -861,14 +863,6 @@ GROUP BY lang
     tags=("training-data", "mixing", "window"),
 )
 def token_budget_mix(spark, sf_dir):
-    """Token-budget corpus selection: per language, admit documents in
-    doc_id order until the cumulative token count hits the budget
-    ({budget} tokens) — the deterministic greedy fill used to hold a
-    per-language token quota in a training mixture.  One (lang) window
-    exchange (same shape as sequence_packing's stream fill); selection
-    and accounting happen in the same pass.""".format(
-        budget=TOKEN_BUDGET_PER_LANG
-    )
     d = load_table(spark, sf_dir, "documents")
     ntok = F.size(F.split("text", " "))
     t = d.select("doc_id", "lang", ntok.alias("ntok"))
@@ -886,6 +880,16 @@ def token_budget_mix(spark, sf_dir):
             F.sum("ntok").cast("bigint").alias("tokens_selected"),
         )
     )
+
+
+token_budget_mix.__doc__ = """Token-budget corpus selection: per language, admit documents in
+doc_id order until the cumulative token count hits the budget
+({budget} tokens) — the deterministic greedy fill used to hold a
+per-language token quota in a training mixture.  One (lang) window
+exchange (same shape as sequence_packing's stream fill); selection
+and accounting happen in the same pass.""".format(
+    budget=TOKEN_BUDGET_PER_LANG
+)
 
 
 # ---------------------------------------------------------------------------

@@ -589,9 +589,12 @@ def excess_stock_suppliers(spark, sf_dir):
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     s = load_table(spark, sf_dir, "supplier")
     qty = F.col("l_quantity").cast("decimal(18,2)")
-    in_1996 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
-        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
-    )
+    # literals MUST be NTZ (sources/tables.py rule): an LTZ cast coerces
+    # the NTZ column through the session timezone, flipping rows in DST
+    # gaps on a non-UTC driver session and diverging from the oracle
+    in_1996 = (
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     shipped = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")

@@ -99,16 +99,18 @@ def pack_bins(t, budget: int = PACK_BUDGET, n_shards: int = PACK_SHARDS):
     tags=("training-data", "packing", "window"),
 )
 def sequence_packing(spark, sf_dir):
-    """Sequence packing: split documents into fixed token-budget training
-    bins ({budget} tokens) by sequential interval fill in doc_id order
-    within each (lang, shard) stream — see :func:`pack_bins`.
-    Deterministic (no first-fit heuristic state), one exchange on
-    (lang, shard), parallel independent fills per shard.""".format(
-        budget=PACK_BUDGET
-    )
     d = load_table(spark, sf_dir, "documents")
     ntok = F.size(F.split(F.col("text"), " "))
     return pack_bins(d.select("doc_id", "lang", ntok.alias("ntok")))
+
+
+sequence_packing.__doc__ = """Sequence packing: split documents into fixed token-budget training
+bins ({budget} tokens) by sequential interval fill in doc_id order
+within each (lang, shard) stream — see :func:`pack_bins`.
+Deterministic (no first-fit heuristic state), one exchange on
+(lang, shard), parallel independent fills per shard.""".format(
+    budget=PACK_BUDGET
+)
 
 
 _SH4 = """
@@ -390,15 +392,6 @@ def quantity_price_corr(spark, sf_dir):
     tags=("training-data", "packing", "materialize"),
 )
 def pack_sequences_text(spark, sf_dir):
-    """MATERIALIZED packed training sequences: where `sequence_packing`
-    emits bin accounting, this emits the actual {budget}-token sequence
-    text per (lang, shard, bin) — documents are sliced at exact token
-    boundaries where they span bins, pieces concatenate in doc_id order.
-    Same single (lang, shard) window exchange as pack_bins, plus the
-    per-bin reassembly agg; each output row is <= budget tokens, so the
-    collect never exceeds one training sequence.  Zero-token docs are
-    excluded (they contribute no text; the accounting query counts
-    them).""".format(budget=PACK_BUDGET)
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
@@ -447,3 +440,14 @@ def pack_sequences_text(spark, sf_dir):
         ).alias("seq_text"),
         F.sum("n_piece").cast("bigint").alias("seq_tokens"),
     )
+
+
+pack_sequences_text.__doc__ = """MATERIALIZED packed training sequences: where `sequence_packing`
+emits bin accounting, this emits the actual {budget}-token sequence
+text per (lang, shard, bin) — documents are sliced at exact token
+boundaries where they span bins, pieces concatenate in doc_id order.
+Same single (lang, shard) window exchange as pack_bins, plus the
+per-bin reassembly agg; each output row is <= budget tokens, so the
+collect never exceeds one training sequence.  Zero-token docs are
+excluded (they contribute no text; the accounting query counts
+them).""".format(budget=PACK_BUDGET)

@@ -170,7 +170,10 @@ def realtime_total(spark: SparkSession, sf_dir: str, date: str) -> str:
     (ChartController.java:23-46): the day's DAU plus the reference's
     hardcoded new-device tile, ids/names/values bit-identical."""
     dau = _dau_for_dates(spark, sf_dir, [date])
-    rows = dau_ops.dau_total(dau).filter(f"dt = '{date}'").collect()
+    # Column predicate, not an interpolated SQL string: the date is
+    # caller-supplied (HTTP-facing) — a quote in it must compare as a
+    # value, never rewrite the filter
+    rows = dau_ops.dau_total(dau).filter(F.col("dt") == date).collect()
     total = rows[0]["total"] if rows else 0
     return json.dumps(
         [

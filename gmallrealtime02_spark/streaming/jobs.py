@@ -47,13 +47,26 @@ def streaming_first_seen_dedup(
     Plain ``dropDuplicates(keys)`` with ``ts_col`` NOT in the keys keeps
     state forever — the watermark never evicts it, so state grows
     unboundedly across days.  The within-watermark variant evicts a
-    key's state once the watermark passes it, and is EXACTLY first-seen
-    whenever every duplicate of a key carries an event time within
-    ``watermark`` of the first occurrence — true by construction for
-    day-scoped keys like (dt, mid), whose duplicates all fall inside one
-    24 h day, with the default 48 h delay.  For keys without such a time
-    scope the horizon is the retransmission window
-    (``streaming_dedup_within_watermark`` documents that contract)."""
+    key's state once the watermark passes it, and drops every duplicate
+    whose event time falls within ``watermark`` of the first occurrence
+    — true by construction for day-scoped keys like (dt, mid), whose
+    duplicates all fall inside one 24 h day, with the default 48 h
+    delay.  For keys without such a time scope the horizon is the
+    retransmission window (``streaming_dedup_within_watermark``
+    documents that contract).
+
+    First-seen means first-ARRIVED: the kept row's payload (ts, hr,
+    value) is whichever duplicate the stream delivered first, which on
+    out-of-order delivery can differ from the batch pipeline's
+    min-(ts, event_id) winner (the EXISTENCE of the key row — the
+    reference's Redis-SADD contract, and everything DAU counts — is
+    identical either way; only non-key payload columns can differ).
+    ``stateful_day_scoped_dedup`` narrows the gap: it keeps the
+    min-(ts, event_id) row among duplicates arriving up to the key's
+    first emit (in-batch reordering handled; a later batch's
+    earlier-ts duplicate is still swallowed — the standard streaming
+    tradeoff, with the batch pipeline as the exact retrospective
+    form)."""
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 

@@ -35,10 +35,25 @@ def upsert_batch(
 
     New rows win over existing rows with the same key (the reference's
     doc-id overwrite semantic, MyEsUtil.scala:87-91).  Writes to a temp
-    dir then swaps, so a crash mid-write never corrupts the table —
-    together with checkpointed offsets this reproduces the reference's
-    at-least-once + idempotent-sink guarantee (OffsetManager.scala:33-46).
+    dir then RENAME-SWAPS: old → .old, tmp → live, drop .old.  The
+    exposure window is two metadata renames (no data copy, no
+    delete-before-replace — the first revision rmtree'd the live table
+    before renaming the new one in, so a kill in that window lost the
+    table unrecoverably); a crash between the renames leaves the
+    complete previous table at ``.old``, which the next batch restores
+    before merging.  Together with checkpointed offsets this
+    reproduces the reference's at-least-once + idempotent-sink
+    guarantee (OffsetManager.scala:33-46).  (A production deployment on
+    an object store swaps via Delta/Iceberg commit instead; the
+    recover-then-swap protocol here is the filesystem equivalent.)
     """
+    old = f"{path}.old"
+    # crash recovery: a previous run died between the two renames —
+    # the complete prior table is at .old; restore it
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    shutil.rmtree(old, ignore_errors=True)
+
     batch = batch.dropDuplicates(keys)
     if os.path.exists(path):
         existing = spark.read.parquet(path)
@@ -49,8 +64,9 @@ def upsert_batch(
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     merged.write.mode("overwrite").parquet(tmp)
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def make_upsert_sink(path: str, keys: list[str]):

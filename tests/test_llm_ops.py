@@ -425,3 +425,20 @@ def test_semdedup_finds_planted_duplicates(spark, sf_dir):
     found = {(r.vec_a, r.vec_b) for r in pairs}
     want = {(r.vec_id, r.vec_id + 100000) for r in emb.select("vec_id").collect()}
     assert want <= found, f"missing {len(want - found)} of {len(want)}"
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A path graph with diameter > max_iters must raise, not silently
+    return split (unconverged) components."""
+    import pytest as _pytest
+
+    from gmallrealtime02_spark.functions.similarity import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=3)
+    # and with enough rounds the same chain is one component
+    labels = connected_components(chain, max_iters=20).collect()
+    assert {r.component for r in labels} == {0}

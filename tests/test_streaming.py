@@ -1084,3 +1084,22 @@ def test_streaming_attribution_late_purchase_not_credited_to_future_touch(
         for r in spark.sql("SELECT * FROM attr_late_out").collect()
     }
     assert rows == {2: "direct"}, rows
+
+
+def test_upsert_batch_recovers_from_crash_between_renames(spark, tmp_path):
+    """The rename-swap protocol: if a previous run died after moving the
+    live table to .old but before renaming the new one in, the next
+    upsert must restore .old and proceed — no data loss window."""
+    import os
+
+    path = str(tmp_path / "upsert_tbl")
+    b1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    upsert_batch(spark, b1, path, ["k"])
+    # simulate the crash window: live table moved aside, new never landed
+    os.rename(path, path + ".old")
+    assert not os.path.exists(path)
+    b2 = spark.createDataFrame([(2, "b")], "k long, v string")
+    upsert_batch(spark, b2, path, ["k"])
+    rows = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert rows == {1: "a", 2: "b"}, rows
+    assert not os.path.exists(path + ".old")
