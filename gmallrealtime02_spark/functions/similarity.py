@@ -829,10 +829,17 @@ def cosine_topk_np(
     Results match the fold-based ``cosine_topk`` (same neighbors; cosine
     differs only by float summation order, far below ranking precision).
     Ranking uses the SAME tie discipline as the fold form — 6-dp-rounded
-    cosine, then cid ascending — in both the per-partition partial and
-    the global window, so a near-tie at the k boundary resolves
-    identically instead of by Arrow batch order (which silently dropped
-    the lowest-cid row of a partition-internal tie).
+    cosine, then cid ascending.  The rounding that decides ties is
+    Spark's own ``F.round`` (repr-based HALF_UP) applied in the global
+    window stage — NOT numpy's round-half-to-even, whose half-boundary
+    behavior differs and would let the np form pick a different
+    k-boundary neighbor.  To keep the partial correct under that
+    discipline without re-implementing JVM rounding in Python, each
+    partition emits a small SUPERSET: its raw top-k per query plus every
+    candidate within 2e-6 of the kth raw score (rounding is monotone, so
+    nothing below that margin can enter the rounded top-k); the global
+    window then ranks by the Spark-rounded value, resolving ties
+    identically to the fold form instead of by Arrow batch order.
     """
     import numpy as np
     import pandas as pd  # noqa: PLC0415 — worker-side
@@ -858,18 +865,23 @@ def cosine_topk_np(
             S = bQn @ Cn.T  # (n_queries, batch)
             out_q, out_c, out_s = [], [], []
             for qi, qid in enumerate(bqids):
-                row = np.round(S[qi], 6)
+                row = S[qi]
                 mask = cids != qid
                 idx = np.nonzero(mask)[0]
                 if not len(idx):
                     continue
-                # order by (-rounded cosine, cid): the fold form's exact
-                # tie rule, not Arrow batch order
-                order = np.lexsort((cids[idx], -row[idx]))
-                top = idx[order[:k]]
-                out_q.extend([qid] * len(top))
-                out_c.extend(cids[top])
-                out_s.extend(row[top])
+                # superset emission: raw top-k plus the 2e-6 tie margin
+                # around the kth raw score — any candidate whose Spark-
+                # rounded (HALF_UP, 6 dp) value could tie into the top-k
+                # survives to the global stage, which owns tie-breaking
+                if len(idx) > k:
+                    kth = np.partition(row[idx], -k)[-k]
+                    keep = idx[row[idx] >= kth - 2e-6]
+                else:
+                    keep = idx
+                out_q.extend([qid] * len(keep))
+                out_c.extend(cids[keep])
+                out_s.extend(row[keep])
             yield pd.DataFrame(
                 {
                     "qid": pd.Series(out_q, dtype="int64"),
@@ -883,11 +895,12 @@ def cosine_topk_np(
     )
     from pyspark.sql import Window
 
+    rounded = partial.withColumn("cosine", F.round(F.col("cosine"), 6))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return (
-        partial.withColumn("rnk", F.row_number().over(w))
+        rounded.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("qid", "cid", F.round(F.col("cosine"), 6).alias("cosine"), "rnk")
+        .select("qid", "cid", "cosine", "rnk")
     )
 
 
@@ -918,7 +931,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("component", F.col("doc_id"))
         .persist()
     )
-    for _ in range(max_iters):
+    # max_iters bounds the number of label-CHANGING rounds; one extra
+    # round is allowed purely to observe changed == 0, so a component of
+    # diameter exactly max_iters converges instead of being rejected
+    # (its last change lands in round max_iters and the verification
+    # round confirms the fixpoint).
+    changed = 0
+    for _ in range(max_iters + 1):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
@@ -951,15 +970,16 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             break
     edges.unpersist()
     if changed != 0:
-        # a component with diameter > max_iters would return WRONG
-        # (unconverged) labels — split clusters, silently kept
+        # still changing after max_iters changing rounds + the verify
+        # round: a component with diameter > max_iters would return
+        # WRONG (unconverged) labels — split clusters, silently kept
         # duplicates, and an oracle mismatch.  Fail loudly instead;
         # callers with genuinely long chains raise max_iters.
         labels.unpersist()
         raise RuntimeError(
-            f"connected_components did not converge in {max_iters} "
-            "iterations (a component's diameter exceeds the bound); "
-            "raise max_iters"
+            f"connected_components did not converge within {max_iters} "
+            "label-changing iterations (a component's diameter exceeds "
+            "the bound); raise max_iters"
         )
     return labels.select("doc_id", "component")
 

@@ -41,16 +41,22 @@ def salted_join(
     Use when one fact key dominates (power-law ids) and the other side is
     small enough to replicate but too big to broadcast outright.
 
-    Only ``inner`` and ``left`` are equivalent to the unsalted join: the
-    dim side is replicated n_salts×, so any join type that emits
-    UNMATCHED dim rows (right/full/right_semi/...) would emit each of
-    them n_salts times.  Rejected loudly rather than silently wrong.
+    Only join types whose output is driven by the FACT side are
+    equivalent to the unsalted join: ``inner``, ``left``, ``left_semi``
+    and ``left_anti`` (a fact row's salt matches exactly one dim
+    replica, so semi/anti membership is unchanged and replicas can never
+    duplicate fact output).  Any type that emits UNMATCHED dim rows
+    (right/full/right_semi/...) would emit each of them n_salts times —
+    rejected loudly rather than silently wrong.  ``how`` is matched
+    case-insensitively with underscores ignored, the same normalization
+    Spark's own ``DataFrame.join`` applies.
     """
-    if how not in ("inner", "left", "left_outer", "leftouter"):
+    how_norm = how.strip().lower().replace("_", "")
+    if how_norm not in ("inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"):
         raise ValueError(
-            f"salted_join supports inner/left only (got {how!r}): the "
-            "replicated dim side would duplicate unmatched rows "
-            "n_salts times under right/full semantics"
+            f"salted_join supports inner/left/left_semi/left_anti only "
+            f"(got {how!r}): the replicated dim side would duplicate "
+            "unmatched rows n_salts times under right/full semantics"
         )
     fact_s = fact.withColumn(
         "__salt",

@@ -441,7 +441,9 @@ def dq_checks(spark, sf_dir):
 
     Scale shape: all six metrics fold into a single aggregate over one
     orders scan — the referential check rides the same pass as a
-    broadcast LEFT join on the customer KEY column (never the fact)
+    broadcast LEFT join on the DISTINCT customer KEY column (never the
+    fact; distinct makes the fold immune to a dirty dim with duplicated
+    keys, which would otherwise multiply order rows into every metric)
     with a null-mark conditional sum, so there is no separate anti-join
     branch re-reading the fact; count / conditional sums are map-side
     partials, and the COUNT DISTINCT adds the one unavoidable
@@ -453,13 +455,19 @@ def dq_checks(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
-    ck = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("ck")
+    ck = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("ck"))
+        .distinct()
     )
     # one scan: the referential check folds into the same aggregate as
     # the scan metrics — a broadcast LEFT join marks orphans (null ck)
     # and a conditional sum counts them, so orders is read ONCE instead
-    # of once for metrics + once for a separate anti join
+    # of once for metrics + once for a separate anti join.  The key side
+    # is DISTINCT first: a duplicated c_custkey (exactly the dirty-dim
+    # condition a DQ suite exists to catch) would otherwise duplicate
+    # matching order rows through the left join and corrupt all five
+    # scan metrics; distinct on the dim key column is dim-sized, cheap
     row = o.join(F.broadcast(ck), o.o_custkey == ck.ck, "left").agg(
         F.count("*").alias("n"),
         F.count("o_totalprice").alias("n_price"),
