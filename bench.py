@@ -85,9 +85,36 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Host-drift sentinel: a fixed synthetic workload that is
+                # independent of this repo's code.  Round-over-round, the
+                # headline total is only comparable after normalizing by
+                # this — round 4's driver bench ran on a host where the
+                # UNCHANGED round-3 commit was 2× its recorded time.
+                "calibration_sec": _calibration(spark),
             }
         )
     )
+
+
+def _calibration(spark) -> float:
+    """Best-of-2 timing of a fixed shuffle+agg on spark.range — pure
+    Spark/host cost, no repo code, no file IO.  Use it to normalize
+    headline totals across rounds run on differently-loaded hosts."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (
+            spark.range(20_000_000)
+            .groupBy((F.col("id") % 4096).alias("k"))
+            .agg(F.sum("id").alias("s"), F.count("*").alias("n"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 N_MICRO_BATCHES = 8

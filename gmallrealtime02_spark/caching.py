@@ -7,23 +7,87 @@ cannot unpersist it — the caller executes later — so earlier revisions
 leaked executor storage across multi-query sessions (every cached RDD
 stayed pinned until session end).
 
-``materialized(result, *caches)`` is the standard exit: run the plan
-now (``localCheckpoint(eager=True)`` — the result survives as its own
-checkpointed RDD, typically small: scores, survivors, top-k), then
-release the temporary caches.  Query fns that need plan-shape gates
-split into a lazy ``_name_plan() -> (result, caches)`` builder (what
-the gate inspects) plus a registered wrapper that materializes.
+``materialized(result, *caches)`` is the standard exit.  Release is
+DEFERRED: the caches are queued, the result is returned lazy, and the
+queue is drained at the start of the NEXT ``materialized()`` call — by
+which point the previous query has been executed by its caller.  Storage
+is therefore bounded at one query's caches instead of growing without
+bound, and a timed single-query harness never pays an extra
+materialization job (the round-4 eager ``localCheckpoint(eager=True)``
+exit added one Spark job per query: +0.3 s measured on
+dedup_minhash_lsh at sf0.1, a 61% bench regression).
+
+Unpersisting a cache that a still-lazy plan references is always safe —
+Spark recomputes the subtree without reuse — so the worst case of the
+deferral (caller builds query B before executing query A) is a
+recompute, never a wrong answer.
+
+Long-lived sessions that want the old synchronous behavior (release the
+instant the result is checkpointed, at the cost of one eager job per
+query) opt in with ``SPARK_GRAFT_EAGER_RELEASE=1``.
+
+Query fns that need plan-shape gates split into a lazy
+``_name_plan() -> (result, caches)`` builder (what the gate inspects)
+plus a registered wrapper that calls ``materialized``.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+_PENDING: list[DataFrame] = []
+
+
+def release_pending() -> None:
+    """Unpersist every cache queued by earlier ``materialized()`` exits.
+
+    Safe to call at any time (session teardown, between queries): a
+    still-referenced cache just loses storage reuse, never correctness.
+    """
+    while _PENDING:
+        c = _PENDING.pop()
+        try:
+            c.unpersist()
+        except Exception:
+            pass  # session already stopped / cache GC'd
 
 
 def materialized(result: DataFrame, *caches: DataFrame) -> DataFrame:
-    """Execute ``result`` eagerly, then unpersist the given caches."""
-    try:
-        return result.localCheckpoint(eager=True)
-    finally:
-        for c in caches:
-            c.unpersist()
+    """Standard exit for query fns whose plan reads persisted caches.
+
+    Drains the previous query's cache queue, queues this query's caches
+    for the next drain, and returns ``result`` lazy.  With
+    ``SPARK_GRAFT_EAGER_RELEASE=1``: eagerly localCheckpoints the result
+    and unpersists immediately (round-4 behavior — one extra job).
+    """
+    if os.environ.get("SPARK_GRAFT_EAGER_RELEASE") == "1":
+        release_pending()
+        try:
+            return result.localCheckpoint(eager=True)
+        finally:
+            for c in caches:
+                c.unpersist()
+    # Drain the previous query's queue — EXCEPT entries semantically
+    # identical to a cache this query just (re-)registered.  Spark's
+    # CacheManager keys entries by canonicalized plan, so re-running the
+    # same query re-uses the populated entry from the previous run;
+    # unpersisting the old handle would evict it out from under the new
+    # plan before the caller executes.  Ownership transfers instead
+    # (hash collision worst case: one skipped unpersist, a bounded leak).
+    keep = set()
+    for c in caches:
+        try:
+            keep.add(c.semanticHash())
+        except Exception:
+            pass
+    while _PENDING:
+        c = _PENDING.pop()
+        try:
+            if c.semanticHash() not in keep:
+                c.unpersist()
+        except Exception:
+            pass
+    _PENDING.extend(caches)
+    return result

@@ -634,7 +634,81 @@ def lsh_keys(
     bucket-derivation fix (e.g. the PLANE_PERMS aliasing bug
     ``_plane_component`` warns about) lands everywhere at once.
     ``extra_cols`` ride the fan-out (e.g. lang for bitext); vectors
-    never do."""
+    never do.
+
+    Computed by an Arrow-batched numpy kernel, BIT-IDENTICAL to the
+    Catalyst-fold formulation (``lsh_keys_fold``, kept as the parity
+    reference): the per-plane projection is an index-ordered float64
+    accumulation (``np.add.accumulate`` row-wise == the fold's
+    sequential ``acc + x``), and the plane components are the same
+    int64-mod arithmetic — so the DuckDB oracles that unroll the fold
+    still hash-match.  The fold version costs ~0.6 µs per element-op
+    (higher-order Catalyst expressions are interpreted, not codegen'd):
+    n_tables·n_planes·dim ops/row made lsh_keys the dominant cost of
+    every LSH consumer (5.2 s of dedup_embedding_cosine's 7.3 s at
+    sf0.1); the vectorized kernel does the identical FLOPs in C at
+    ~100× the throughput, which at 100 TB is the difference between the
+    signature scan being a footnote and being the bottleneck."""
+    from pyspark.sql import types as T
+
+    extra = list(extra_cols)
+    need = n_tables * n_planes
+    if need > len(PLANE_PERMS):  # same explicit failure as _plane_component
+        raise IndexError(
+            f"{n_tables} tables × {n_planes} planes exceeds PLANE_PERMS "
+            f"({len(PLANE_PERMS)}) — raise MAX_LSH_TABLES, don't wrap"
+        )
+    perms = PLANE_PERMS[:need]
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = T.StructType(
+        [
+            in_fields["vec_id"],
+            *(in_fields[c] for c in extra),
+            T.StructField("tbl", T.IntegerType(), False),
+            T.StructField("bkt", T.IntegerType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side import
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d = np.arange(E.shape[1], dtype=np.int64)
+            frames = []
+            for t in range(n_tables):
+                bkt = np.zeros(len(pdf), dtype=np.int64)
+                for p in range(n_planes):
+                    a, b = perms[t * n_planes + p]
+                    comp = (
+                        ((a * (d + 1) + b) % HASH_MOD).astype(np.float64)
+                        / float(HASH_MOD)
+                        - 0.5
+                    )
+                    s = np.add.accumulate(E * comp, axis=1)[:, -1]
+                    bkt += np.where(s > 0, 1 << p, 0)
+                f = pdf[["vec_id", *extra]].copy()
+                f["tbl"] = np.int32(t)
+                f["bkt"] = bkt.astype(np.int32)
+                frames.append(f)
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select("vec_id", *extra, "embedding").mapInPandas(kernel, out_schema)
+
+
+def lsh_keys_fold(
+    df: DataFrame,
+    n_tables: int,
+    extra_cols: tuple[str, ...] = (),
+    n_planes: int = PLANES_PER_TABLE,
+) -> DataFrame:
+    """Catalyst-fold formulation of ``lsh_keys`` — the semantic spec the
+    Arrow kernel must match bit-for-bit (pinned in
+    tests/test_llm_ops.py::test_lsh_keys_kernel_matches_fold).  Slow
+    (interpreted HOFs); not used by any registered query."""
     extra = list(extra_cols)
     return df.select(
         "vec_id",

@@ -1855,7 +1855,7 @@ def _bigram_pmi_plan(spark, sf_dir):
     SELECT word, shard, df_shard, postings FROM (
         SELECT word, CAST(doc_id % 8 AS BIGINT) AS shard,
                count(*) AS df_shard,
-               list(doc_id ORDER BY doc_id) AS postings
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         FROM (
             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
             FROM documents
@@ -1872,10 +1872,12 @@ def inverted_index(spark, sf_dir):
     The shard key (doc_id % 8) is the 100 TB design point: a common
     term's posting list never lands on ONE reducer — each (term, shard)
     cell builds independently and serving unions the 8 cells.  Postings
-    are sort_array(collect_set(...)), deterministic and engine-exact.
-    At scale the shard count follows corpus size (keep cells ~10⁶
-    postings); the distinct-ify before grouping is the one fact
-    shuffle."""
+    are emitted as a deterministic comma-joined string (sorted doc_ids)
+    so the output schema is flat scalar columns — collection-typed
+    outputs break downstream pandas canonicalizers (driver harness) and
+    most sinks.  At scale the shard count follows corpus size (keep
+    cells ~10⁶ postings); the distinct-ify before grouping is the one
+    fact shuffle."""
     d = load_table(spark, sf_dir, "documents")
     words = ensure_parallelism(
         d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
@@ -1885,7 +1887,9 @@ def inverted_index(spark, sf_dir):
         .groupBy("word", "shard")
         .agg(
             F.count("*").alias("df_shard"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias(
+                "postings"
+            ),
         )
     )
 

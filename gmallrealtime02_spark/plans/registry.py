@@ -58,24 +58,106 @@ def register(
 # Rotation ledger:
 #   rounds 1–3  — slots held the §2-coverage + LLM-family prefix; all 50
 #                 went green in CORRECTNESS_r03.json (hash-grade).
-#   round 4     — window holds the 50 highest-salience queries that had
-#                 no driver row yet (TPC-H family, window/setops/pivot/
-#                 cube, bm25/pmi/funnel/inverted-index/incremental-dedup/
-#                 semantic-dedup/ANN-scale/packing/DSIR/phrase/CCNet).
-#   rounds 5–6  — rotate in the 12 still-unverified (5 rows-only/approx
-#                 + stratified_sample, quantity_price_corr,
-#                 small_quantity_revenue, purchasers_also_viewers,
-#                 idle_customer_balance, banded_revenue,
-#                 top_events_per_user) plus every round-4 addition
-#                 (sketches/PageRank/mixing/interval-join/PQ/IVFPQ/
-#                 histogram-quantiles/corpus-tools/behavior/feature-ops/
-#                 curation waves — all oracled, listed at the end of
-#                 _PRIORITY).  >100 registered queries now sit past the
-#                 round-4 window, so full driver coverage takes two more
-#                 rotations.
+#   round 4     — TPC-H family, window/setops/pivot/cube, LLM retrieval/
+#                 dedup/ANN/packing wave: 49/50 green in
+#                 CORRECTNESS_r04.json; `inverted_index` red on a
+#                 harness-contract issue (array<bigint> output column —
+#                 fixed to a flat string column this round).
+#   round 5     — (current window) the 5 rows that have never gone green:
+#                 inverted_index (fixed) + the 4 ever-red r1 names
+#                 (top_events_per_user, purchasers_also_viewers, and the
+#                 two engine-sketch approx ops, which are rows-only by
+#                 nature), then the highest-salience round-4 additions:
+#                 sketches (HLL/CMS/Bloom/quantile histogram), the BPE
+#                 tokenizer family, curation_pipeline, span-surgery +
+#                 dedup-eval curation, PQ/IVFPQ ANN, mixing/sampling, and
+#                 the graph/behavior wave.
+#   round 6     — the 21 remaining never-verified rows (3 rows-only-by-
+#                 nature media/BLAS ops + low-salience analytics/behavior
+#                 singles listed right after the window below).
 _PRIORITY = [
-    # ---- round-4 window: driver-unverified queries, highest salience ----
-    # TPC-H analytics family
+    # ---- round-5 window (50): never-green rows first ----
+    "inverted_index",
+    "top_events_per_user",
+    "purchasers_also_viewers",
+    "daily_uniques_approx",
+    "value_percentiles_approx",
+    # sketches family
+    "hll_distinct_daily",
+    "cms_heavy_hitters",
+    "bloom_decontamination",
+    "histogram_quantiles",
+    "hll_rollup",
+    "hll_overlap",
+    # BPE tokenizer family
+    "bpe_pair_counts",
+    "bpe_learn_merges",
+    "bpe_encode",
+    "bpe_compression_by_lang",
+    # curation / span surgery / dedup-eval
+    "curation_pipeline",
+    "boilerplate_lines",
+    "minhash_containment",
+    "winnowing_fingerprint",
+    "exact_substring_scrub",
+    "dedup_eval",
+    "near_dup_cluster_sizes",
+    "doc_novelty",
+    "hashed_ngram_score",
+    "quality_classifier_train",
+    # embeddings / ANN scale ladder completion
+    "knn_label_propagation",
+    "jl_projection",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "bitext_mine",
+    # mixing / sampling
+    "diversity_sample",
+    "curriculum_stages",
+    "temperature_mix",
+    "token_budget_mix",
+    "weighted_sample",
+    "domain_quality",
+    "stratified_sample",
+    # feature ops / entity resolution / corpus management
+    "doc_chunks",
+    "record_linkage",
+    "corpus_diff",
+    "shard_assignment",
+    # graph / behavior wave
+    "coview_pagerank",
+    "triangle_count",
+    "rolling_active_users",
+    "retention_cohorts",
+    "attribution_last_touch",
+    "key_skew_profile",
+    "rfm_segmentation",
+    "scd2_pit_join",
+    "dq_checks",
+    # ---- round-6 spillover: the 21 remaining never-verified rows ----
+    "ann_cosine_topk_np",
+    "media_resize",
+    "media_frames",
+    "interval_error_purchase_join",
+    "zorder_layout",
+    "gap_fill",
+    "table_stats",
+    "ewma_daily_value",
+    "event_trigrams",
+    "anomaly_zscore",
+    "grouping_sets_revenue",
+    "basket_affinity",
+    "seasonality_profile",
+    "daily_trend",
+    "ab_test_zscore",
+    "time_to_convert",
+    "unpivot_event_counts",
+    "quantity_price_corr",
+    "small_quantity_revenue",
+    "banded_revenue",
+    "idle_customer_balance",
+    # ---- post-window: driver-verified (hash-green in r03/r04) ----
+    # round-4 window, all green r04 except inverted_index (moved to top)
     "pricing_summary",
     "top_customers",
     "promo_revenue",
@@ -95,7 +177,6 @@ _PRIORITY = [
     "late_supplier_blame",
     "large_order_customers",
     "important_stock_value",
-    # window functions / sessionization / set ops / pivot / cube
     "sessionize",
     "running_total",
     "user_event_seq",
@@ -109,7 +190,6 @@ _PRIORITY = [
     "price_band_join",
     "value_percentiles",
     "dau_retention",
-    # LLM-pipeline family, post-window in r3
     "event_funnel",
     "pack_sequences_text",
     "dedup_semantic",
@@ -119,7 +199,6 @@ _PRIORITY = [
     "corpus_top_ngrams",
     "doc_lm_perplexity",
     "bigram_pmi",
-    "inverted_index",
     "bm25_search",
     "cross_doc_span_overlap",
     "dsir_weights",
@@ -128,8 +207,7 @@ _PRIORITY = [
     "ccnet_quality_buckets",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    # ---- post-window: driver-verified in r03 (hash-green), plus the ----
-    # ---- 12 deferred to the round-5 rotation ----
+    # ---- driver-verified in r03 (hash-green) ----
     # -- reference flagship pipelines (SURVEY §2.3/§2.4/§2.5: P3/P9,
     #    J1/J3/J5, A1/A2/A4/A5/A6) --
     "dau_mids",
@@ -194,90 +272,6 @@ _PRIORITY = [
     "sequence_packing",
     "decontamination",
     "value_moments",
-    # -- round-5 rotation candidates --
-    "stratified_sample",
-    "quantity_price_corr",
-    "ann_cosine_topk_np",
-    "media_resize",
-    "media_frames",
-    # -- round-4 additions (sketch/graph/mixing family) — round-5 window --
-    "hll_distinct_daily",
-    "cms_heavy_hitters",
-    "bloom_decontamination",
-    "coview_pagerank",
-    "temperature_mix",
-    "token_budget_mix",
-    "ann_pq_topk",
-    "interval_error_purchase_join",
-    "ann_ivfpq_topk",
-    "histogram_quantiles",
-    # -- round-4 additions (corpus-tools family: BPE tokenizer training,
-    #    boilerplate/containment/winnowing curation, JL projection, kNN
-    #    labeling, curriculum staging) — round-5 window --
-    "boilerplate_lines",
-    "bpe_pair_counts",
-    "bpe_learn_merges",
-    "bpe_encode",
-    "jl_projection",
-    "knn_label_propagation",
-    "minhash_containment",
-    "winnowing_fingerprint",
-    "curriculum_stages",
-    "zorder_layout",
-    "diversity_sample",
-    # -- behavior/time-series/graph wave — round-5 window --
-    "rolling_active_users",
-    "gap_fill",
-    "triangle_count",
-    # -- feature-ops wave (chunking/profiling/decay/classifier/paths) —
-    #    round-5 window --
-    "doc_chunks",
-    "table_stats",
-    # -- fourth round-4 wave (pipeline composition + entity resolution +
-    #    tokenizer apply) — round-5 window --
-    "curation_pipeline",
-    "record_linkage",
-    "ewma_daily_value",
-    "hashed_ngram_score",
-    "event_trigrams",
-    # -- curation wave 5 (span surgery, dedup eval, snapshot diff,
-    #    shard assignment, anomaly detection) — round-5 window --
-    "exact_substring_scrub",
-    "dedup_eval",
-    "corpus_diff",
-    "shard_assignment",
-    "anomaly_zscore",
-    "quality_classifier_train",
-    "hll_rollup",
-    "hll_overlap",
-    # -- sixth round-4 wave (grouping sets, weighted sampling, domain
-    #    curation, RFM segmentation) — rounds-5/6 window --
-    "grouping_sets_revenue",
-    "weighted_sample",
-    "domain_quality",
-    "rfm_segmentation",
-    # -- seventh round-4 wave (point-in-time SCD2 join, one-pass data-
-    #    quality constraint suite, margin-based bitext mining) —
-    #    rounds-5/6 window --
-    "scd2_pit_join",
-    "dq_checks",
-    "bitext_mine",
-    # -- eighth round-4 wave (cohort retention, last-touch attribution,
-    #    join-key skew profiler, tokenizer fairness) — rounds-5/6 window --
-    "retention_cohorts",
-    "attribution_last_touch",
-    "key_skew_profile",
-    "bpe_compression_by_lang",
-    # -- ninth round-4 wave (market-basket rules, weekly seasonality,
-    #    closed-form OLS trend) --
-    "basket_affinity",
-    "seasonality_profile",
-    "daily_trend",
-    "doc_novelty",
-    "ab_test_zscore",
-    "time_to_convert",
-    "near_dup_cluster_sizes",
-    "unpivot_event_counts",
 ]
 
 

@@ -165,6 +165,35 @@ def stat_groups(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def map_order_data(spark: SparkSession, sf_dir: str) -> str:
+    """GET /getChinaOrderData — the dw-chart geo-map rollup
+    (IndexController.java:198-202).  The reference ships this endpoint as
+    an EMPTY stub (returns ``""``) feeding an echarts China-map panel; the
+    intended payload is the standard echarts map series —
+    ``[{"name": <geo>, "value": <amount>}, …]``.  Here it is computed:
+    order revenue per customer nation (the schema's geo dimension).
+    Plan shape: nation (25 rows) is broadcast-hinted; orders⋈customer is
+    left to the optimizer — customer is a LARGE dim (auto-broadcast from
+    stats at test scale, sort-merge at 100 TB), and the grouped agg
+    reduces to 25 rows before the driver sees anything."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rows = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("value"))
+        .collect()
+    )
+    return json.dumps(
+        sorted(
+            ({"name": r["n_name"], "value": r["value"]} for r in rows),
+            key=lambda d: d["name"],
+        )
+    )
+
+
 def realtime_total(spark: SparkSession, sf_dir: str, date: str) -> str:
     """GET /realtime-total?date=… — JSON list of stat tiles
     (ChartController.java:23-46): the day's DAU plus the reference's

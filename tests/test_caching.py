@@ -1,0 +1,75 @@
+"""Cache-lifecycle contract: deferred release (bench path pays no extra
+job) while long sessions still get bounded executor storage."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from gmallrealtime02_spark import caching
+from gmallrealtime02_spark.caching import materialized, release_pending
+
+
+def _is_cached(df) -> bool:
+    # storageLevel reads the live CacheManager entry for this plan, so it
+    # flips back to NONE after unpersist — absolute getPersistentRDDs
+    # counts are useless in the shared-session test suite
+    return df.storageLevel.useMemory or df.storageLevel.useDisk
+
+
+def test_materialized_is_lazy_and_defers_release(spark):
+    release_pending()
+    base = spark.range(100).withColumn("v", F.col("id") * 2)
+    cache = base.persist()
+    result = materialized(cache.groupBy((F.col("id") % 10).alias("k")).count(), cache)
+    # no eager job: the returned plan stays lazy; caller executes
+    assert result.count() == 10
+    assert _is_cached(cache)
+    assert cache in caching._PENDING, "cache must be queued, not released in-line"
+    # next query's materialized() drains the queue
+    out2 = materialized(spark.range(5).select(F.sum("id").alias("s")))
+    assert not caching._PENDING
+    assert out2.collect()[0][0] == 10
+    assert not _is_cached(cache)
+
+
+def test_materialized_rerun_transfers_cache_ownership(spark):
+    """Re-running the same query re-registers a semantically identical
+    persist; the drain must NOT evict the shared CacheManager entry out
+    from under the new plan (that recompute cost the round-4 bench +61%
+    on dedup_minhash_lsh)."""
+    release_pending()
+
+    def build():
+        cache = spark.range(200).withColumn("v", F.col("id") * 3).persist()
+        agg = cache.groupBy((F.col("id") % 7).alias("k")).agg(F.sum("v").alias("s"))
+        return materialized(agg, cache), cache
+
+    r1, c1 = build()
+    assert r1.count() == 7  # populates the cache
+    r2, c2 = build()  # same plan → drain must keep the entry
+    assert _is_cached(c2), "shared cache entry evicted by the drain"
+    assert r2.count() == 7
+    # a DIFFERENT next query does release it
+    materialized(spark.range(3).select(F.count("*").alias("n")))
+    assert not _is_cached(c2)
+
+
+def test_eager_release_opt_in(spark, monkeypatch):
+    release_pending()
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_RELEASE", "1")
+    cache = spark.range(50).persist()
+    result = materialized(cache.select(F.count("*").alias("n")), cache)
+    # eager path: checkpointed result, cache released immediately
+    assert not caching._PENDING
+    assert not _is_cached(cache)
+    assert result.collect()[0][0] == 50
+
+
+def test_release_pending_survives_stopped_caches(spark):
+    release_pending()
+    cache = spark.range(10).persist()
+    cache.count()
+    caching._PENDING.append(cache)
+    cache.unpersist()  # already gone — drain must not raise
+    release_pending()
+    assert not caching._PENDING

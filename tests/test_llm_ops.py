@@ -442,3 +442,18 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # and with enough rounds the same chain is one component
     labels = connected_components(chain, max_iters=20).collect()
     assert {r.component for r in labels} == {0}
+
+
+def test_lsh_keys_kernel_matches_fold(spark, sf_dir):
+    """The Arrow-batched lsh_keys kernel must be BIT-IDENTICAL to the
+    Catalyst-fold spec (index-ordered float64 accumulation + int64-mod
+    plane components): one flipped sign bit silently changes every LSH
+    consumer's candidate set and breaks their cross-engine oracles."""
+    from gmallrealtime02_spark.functions.similarity import lsh_keys, lsh_keys_fold
+    from gmallrealtime02_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fast = {(r.vec_id, r.tbl): r.bkt for r in lsh_keys(emb, 16).collect()}
+    spec = {(r.vec_id, r.tbl): r.bkt for r in lsh_keys_fold(emb, 16).collect()}
+    assert fast == spec
+    assert len(fast) == emb.count() * 16

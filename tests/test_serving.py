@@ -118,3 +118,18 @@ def test_paged_detail_multi_token_keyword_is_es_or(spark, duck, sf_dir):
         "0000001" in r["user_name"] or "0000002" in r["user_name"]
         for r in out["rows"]
     )
+
+
+def test_map_order_data_contract(spark, duck, sf_dir):
+    """getChinaOrderData parity (IndexController.java:198-202 — the
+    reference stubs this; the echarts map series shape is the contract):
+    sorted [{name, value}] of order revenue per customer nation."""
+    out = json.loads(serving.map_order_data(spark, sf_dir))
+    want = duck.execute("""
+        SELECT n_name, round(sum(o_totalprice), 2)
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """).fetchall()
+    assert out == [{"name": n, "value": v} for n, v in want]
+    assert len(out) == 25
