@@ -8,23 +8,34 @@ leaked executor storage across multi-query sessions (every cached RDD
 stayed pinned until session end).
 
 ``materialized(result, *caches)`` is the standard exit.  Release is
-DEFERRED: the caches are queued, the result is returned lazy, and the
-queue is drained at the start of the NEXT ``materialized()`` call — by
-which point the previous query has been executed by its caller.  Storage
-is therefore bounded at one query's caches instead of growing without
-bound, and a timed single-query harness never pays an extra
-materialization job (the round-4 eager ``localCheckpoint(eager=True)``
-exit added one Spark job per query: +0.3 s measured on
-dedup_minhash_lsh at sf0.1, a 61% bench regression).
+DEFERRED and QUERY-SCOPED:
 
-Unpersisting a cache that a still-lazy plan references is always safe —
-Spark recomputes the subtree without reuse — so the worst case of the
-deferral (caller builds query B before executing query A) is a
-recompute, never a wrong answer.
+- Caches queue tagged with the current QUERY GENERATION (bumped by
+  ``begin_query()``, which the registry wrapper calls on entry to every
+  registered query fn, and foreachBatch sinks call per batch).
+- ``materialized()`` drains only PRIOR-generation entries — a query
+  composed of several materialized sub-plans (e.g. dedup_eval = LSH
+  pairs ⋈ exact-Jaccard pairs) keeps every sub-plan's cache alive until
+  the caller executes the composed result.  Draining on the call (the
+  first lazy design) unpersisted sub-plan #1's cache when sub-plan #2
+  was built, re-running the whole LSH pipeline once per consumer.
+- Prior-generation entries semantically identical to a cache the
+  current query (re-)registers TRANSFER instead of draining: Spark's
+  CacheManager keys entries by canonicalized plan, so a re-run reuses
+  the populated entry — unpersisting the old handle would evict it out
+  from under the new plan.
 
-Long-lived sessions that want the old synchronous behavior (release the
-instant the result is checkpointed, at the cost of one eager job per
-query) opt in with ``SPARK_GRAFT_EAGER_RELEASE=1``.
+Net effect: executor storage is bounded at one query's caches, a timed
+single-query harness pays no extra job (the round-4 eager
+``localCheckpoint(eager=True)`` exit added one Spark job per query:
++0.3 s measured on dedup_minhash_lsh at sf0.1, a 61% bench
+regression), and re-runs stay warm.  Unpersisting a cache a still-lazy
+plan references is always safe — Spark recomputes without reuse — so
+every failure mode here is a recompute, never a wrong answer.
+
+Long-lived sessions that want synchronous release (the instant the
+result is checkpointed, at the cost of one eager job per query) opt in
+with ``SPARK_GRAFT_EAGER_RELEASE=1``.
 
 Query fns that need plan-shape gates split into a lazy
 ``_name_plan() -> (result, caches)`` builder (what the gate inspects)
@@ -37,17 +48,27 @@ import os
 
 from pyspark.sql import DataFrame
 
-_PENDING: list[DataFrame] = []
+_PENDING: list[tuple[int, DataFrame]] = []
+_GEN: int = 0
+
+
+def begin_query() -> None:
+    """Mark a query boundary: caches queued before this call become
+    eligible for release at the next ``materialized()`` exit.  Called by
+    the registry wrapper on entry to every registered query fn and by
+    foreachBatch sinks at each batch start."""
+    global _GEN
+    _GEN += 1
 
 
 def release_pending() -> None:
-    """Unpersist every cache queued by earlier ``materialized()`` exits.
+    """Unpersist every queued cache regardless of generation.
 
-    Safe to call at any time (session teardown, between queries): a
+    Safe to call at any time (session teardown, between tests): a
     still-referenced cache just loses storage reuse, never correctness.
     """
     while _PENDING:
-        c = _PENDING.pop()
+        _, c = _PENDING.pop()
         try:
             c.unpersist()
         except Exception:
@@ -57,11 +78,11 @@ def release_pending() -> None:
 def materialized(result: DataFrame, *caches: DataFrame) -> DataFrame:
     """Standard exit for query fns whose plan reads persisted caches.
 
-    Drains the previous query's cache queue, queues this query's caches
-    for the next drain, and returns ``result`` lazy.  With
+    Queues ``caches`` under the current generation, drains prior-
+    generation entries (with semanticHash ownership transfer, see module
+    docstring), and returns ``result`` lazy.  With
     ``SPARK_GRAFT_EAGER_RELEASE=1``: eagerly localCheckpoints the result
-    and unpersists immediately (round-4 behavior — one extra job).
-    """
+    and unpersists immediately (round-4 behavior — one extra job)."""
     if os.environ.get("SPARK_GRAFT_EAGER_RELEASE") == "1":
         release_pending()
         try:
@@ -69,25 +90,23 @@ def materialized(result: DataFrame, *caches: DataFrame) -> DataFrame:
         finally:
             for c in caches:
                 c.unpersist()
-    # Drain the previous query's queue — EXCEPT entries semantically
-    # identical to a cache this query just (re-)registered.  Spark's
-    # CacheManager keys entries by canonicalized plan, so re-running the
-    # same query re-uses the populated entry from the previous run;
-    # unpersisting the old handle would evict it out from under the new
-    # plan before the caller executes.  Ownership transfers instead
-    # (hash collision worst case: one skipped unpersist, a bounded leak).
     keep = set()
     for c in caches:
         try:
             keep.add(c.semanticHash())
         except Exception:
             pass
+    survivors: list[tuple[int, DataFrame]] = []
     while _PENDING:
-        c = _PENDING.pop()
+        gen, c = _PENDING.pop()
+        if gen == _GEN:
+            survivors.append((gen, c))  # same query build: never drain
+            continue
         try:
             if c.semanticHash() not in keep:
                 c.unpersist()
         except Exception:
             pass
-    _PENDING.extend(caches)
+    _PENDING.extend(survivors)
+    _PENDING.extend((_GEN, c) for c in caches)
     return result

@@ -167,10 +167,126 @@ def minhash_signature_array(text: Column) -> Column:
     )
 
 
+def minhash_sig_table(
+    eligible: DataFrame, keep: tuple[str, ...], text_col: str = "text"
+) -> DataFrame:
+    """(keep..., sig: array<long>) via an Arrow-batched exact-integer
+    kernel — BIT-IDENTICAL to the Catalyst fold spec
+    (``minhash_signature_array``; parity pinned in
+    tests/test_llm_ops.py::test_minhash_kernel_matches_fold).
+
+    Why this exists: the fold pipeline (char rolling hash → rolling
+    shingle composition → 16-permutation min) is interpreted
+    higher-order expressions at ~0.6 µs per element-op — the dominant
+    cost of every minhash consumer and, at 100 TB of text, THE corpus
+    scan.  The kernel does the identical arithmetic vectorized: all of
+    it is int64 mod-P ring math, so unlike the float LSH case there is
+    no rounding-order concern at all — h(word) folds to
+    Σ cᵢ·31^(L−1−i) (mod P) (the mod-at-each-step fold and the
+    power-sum are the same residue), shingle composition and the
+    permutation min are elementwise, and segment reductions use
+    ``np.add.reduceat``/``minimum.reduceat`` over word/doc boundaries.
+    Overflow audit: codepoint (<2²¹)·pow31 (<2³¹) < 2⁵², reduced mod P
+    before the ≤L-term sum (<L·2³¹); a·h+b < 2⁶²; all inside int64.
+
+    Caveat (documented, corpus-checked): the fold's ``split(s, '')``
+    walks UTF-16 code units while the kernel decodes codepoints — they
+    agree on the Basic Multilingual Plane (the test corpus is ASCII;
+    the parity test would catch a divergence on real data).
+
+    ``eligible`` must already be filtered to ≥ N_SHINGLE words."""
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f for f in eligible.schema.fields}
+    out_schema = T.StructType(
+        [
+            *(in_fields[c] for c in keep),
+            T.StructField("sig", T.ArrayType(T.LongType(), False), False),
+        ]
+    )
+    perms_a = [a for a, _ in MINHASH_PERMS]
+    perms_b = [b for _, b in MINHASH_PERMS]
+    n = N_SHINGLE
+
+    def kernel(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side import
+        import pandas as pd  # noqa: PLC0415
+
+        P = HASH_MOD
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            doc_words = [t.split(" ") for t in pdf[text_col]]
+            nwords = np.array([len(ws) for ws in doc_words], dtype=np.int64)
+            wlens = np.array(
+                [len(w) for ws in doc_words for w in ws], dtype=np.int64
+            )
+            flat = "".join(w for ws in doc_words for w in ws)
+            # codepoints, vectorized (utf-32 == ord(); see BMP caveat)
+            cp = (
+                np.frombuffer(flat.encode("utf-32-le"), dtype="<u4").astype(
+                    np.int64
+                )
+                if flat
+                else np.zeros(0, dtype=np.int64)
+            )
+            max_len = int(wlens.max()) if len(wlens) else 0
+            pow31 = np.ones(max_len + 1, dtype=np.int64)
+            for k in range(1, max_len + 1):
+                pow31[k] = (pow31[k - 1] * 31) % P
+            # per-word rolling hash as a power-sum over its chars; empty
+            # words (consecutive/leading/trailing spaces) hash to 0 and
+            # occupy no chars, so reducing only over NONEMPTY segments
+            # still spans each word's exact char range (and keeps every
+            # reduceat index < len, which a trailing empty word violates)
+            starts = np.cumsum(wlens) - wlens
+            w_h = np.zeros(len(wlens), dtype=np.int64)
+            nonempty = wlens > 0
+            if cp.size and nonempty.any():
+                pos = np.arange(len(cp), dtype=np.int64) - np.repeat(
+                    starts, wlens
+                )
+                exp = np.repeat(wlens, wlens) - 1 - pos
+                prod = (cp * pow31[exp]) % P
+                w_h[nonempty] = np.add.reduceat(prod, starts[nonempty]) % P
+            w_p = pow31[wlens]
+            # shingle start indices into the flat word arrays
+            sh_counts = nwords - (n - 1)
+            sh_doc_starts = np.cumsum(sh_counts) - sh_counts
+            word_doc_starts = np.cumsum(nwords) - nwords
+            total_sh = int(sh_counts.sum())
+            sh = (
+                np.arange(total_sh, dtype=np.int64)
+                - np.repeat(sh_doc_starts, sh_counts)
+                + np.repeat(word_doc_starts, sh_counts)
+            )
+            h = w_h[sh]
+            for j in range(1, n):
+                h = (h * 31 + 32) % P  # ' ' separator (code 32)
+                h = (h * w_p[sh + j] + w_h[sh + j]) % P
+            sig = np.empty((len(pdf), len(perms_a)), dtype=np.int64)
+            for j, (a, b) in enumerate(zip(perms_a, perms_b)):
+                sig[:, j] = np.minimum.reduceat((a * h + b) % P, sh_doc_starts)
+            out = pdf[list(keep)].copy()
+            out["sig"] = list(sig)
+            yield out
+
+    return eligible.select(*keep, text_col).mapInPandas(kernel, out_schema)
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, sig: array<long>) for every doc with ≥ N_SHINGLE words —
     the same population the oracle's shingles CTE covers (short docs have
-    no shingles, hence no signature)."""
+    no shingles, hence no signature).  Computed by the Arrow kernel
+    (``minhash_sig_table``); ``minhash_signatures_fold`` is the Catalyst
+    spec it must match bit-for-bit."""
+    eligible = docs.filter(F.size(F.split(F.col(text_col), " ")) >= N_SHINGLE)
+    return minhash_sig_table(eligible, ("doc_id",), text_col)
+
+
+def minhash_signatures_fold(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Catalyst-fold formulation — the semantic spec for the kernel
+    (slow: interpreted HOFs; not used by any registered query)."""
     eligible = docs.filter(F.size(F.split(F.col(text_col), " ")) >= N_SHINGLE)
     return eligible.select(
         "doc_id", minhash_signature_array(F.col(text_col)).alias("sig")
@@ -1102,12 +1218,10 @@ def minhash_incremental_survivors_plan(
     """Lazy (result, caches) pair — the plan gate inspects this; the
     public fn materializes and releases the signature cache."""
     base = ensure_parallelism(docs)
-    eligible = base.filter(F.size(F.split(F.col("text"), " ")) >= N_SHINGLE)
-    sig = eligible.select(
-        "doc_id",
-        new_pred.alias("is_new"),
-        minhash_signature_array(F.col("text")).alias("sig"),
-    ).persist()
+    eligible = base.filter(
+        F.size(F.split(F.col("text"), " ")) >= N_SHINGLE
+    ).withColumn("is_new", new_pred)
+    sig = minhash_sig_table(eligible, ("doc_id", "is_new")).persist()
     bands = sig.select(
         "doc_id", "is_new", F.posexplode(band_keys_col()).alias("band", "bkey")
     )

@@ -2800,6 +2800,181 @@ def ann_ivfpq_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# MMR diverse rerank (maximal marginal relevance over ANN candidates)
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7  # relevance weight; (1-λ) penalizes redundancy
+MMR_CAND = 20  # candidate pool per query (brute-force top-20)
+MMR_K = 5  # selections per query
+
+_MMR_CAND_CTE = f"""
+cand AS (
+    SELECT qid, cid, cosine AS rel FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               {_cos_sql('q.embedding', 'c.embedding')} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id ASC
+               ) AS rnk
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id < 10 AND q.vec_id != c.vec_id
+    ) WHERE rnk <= {MMR_CAND}
+),
+pairsim AS (
+    SELECT c1.qid, c1.cid, c2.cid AS sid,
+           {_cos_sql('e1.embedding', 'e2.embedding')} AS sim
+    FROM cand c1
+    JOIN cand c2 ON c1.qid = c2.qid AND c1.cid != c2.cid
+    JOIN embeddings e1 ON e1.vec_id = c1.cid
+    JOIN embeddings e2 ON e2.vec_id = c2.cid
+),
+sel1 AS (
+    SELECT qid, cid, 1 AS step, rel AS score FROM (
+        SELECT qid, cid, rel, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY rel DESC, cid ASC) AS rn
+        FROM cand
+    ) WHERE rn = 1
+)"""
+
+
+def _mmr_step_ctes() -> str:
+    """Unrolled greedy steps 2..K: each picks, per query, the unselected
+    candidate maximizing λ·rel − (1−λ)·max-sim-to-selected."""
+    parts = []
+    for k in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(f"SELECT * FROM sel{j}" for j in range(1, k))
+        parts.append(f"""
+prev{k} AS ({prev}),
+mmr{k} AS (
+    SELECT c.qid, c.cid,
+           round({MMR_LAMBDA} * c.rel - {round(1 - MMR_LAMBDA, 6)} * max(p.sim), 6)
+               AS score
+    FROM cand c
+    JOIN pairsim p ON p.qid = c.qid AND p.cid = c.cid
+    JOIN prev{k} s ON s.qid = p.qid AND s.cid = p.sid
+    WHERE NOT EXISTS (
+        SELECT 1 FROM prev{k} x WHERE x.qid = c.qid AND x.cid = c.cid)
+    GROUP BY c.qid, c.cid, c.rel
+),
+sel{k} AS (
+    SELECT qid, cid, {k} AS step, score FROM (
+        SELECT qid, cid, score, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY score DESC, cid ASC) AS rn
+        FROM mmr{k}
+    ) WHERE rn = 1
+)""")
+    return ",".join(parts)
+
+
+_MMR_ORACLE = (
+    f"WITH {_MMR_CAND_CTE},{_mmr_step_ctes()}\n"
+    + " UNION ALL ".join(f"SELECT * FROM sel{k}" for k in range(1, MMR_K + 1))
+)
+
+
+@register(
+    "mmr_rerank",
+    # Greedy MMR is deterministic given deterministic similarities: rel
+    # and sim are the fold-ordered round-6 cosines both engines compute
+    # bit-identically, every argmax totals on (score, cid), and λ·rel −
+    # (1−λ)·max(sim) is the same IEEE expression — so the oracle unrolls
+    # the K greedy steps and the result hash-matches.
+    oracle=_MMR_ORACLE,
+    tags=("similarity", "rerank", "diversity", "mmr"),
+)
+def mmr_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998):
+    from each query's brute-force top-20 cosine candidates, greedily pick
+    5 balancing relevance against redundancy — selection k maximizes
+    λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s).  The diverse-retrieval
+    primitive for few-shot example selection and dedup-aware serving.
+
+    Scale shape: the expensive part (corpus-wide candidate scoring)
+    reuses ann_cosine_topk's broadcast-query scan; everything after
+    operates on 10×20 candidate rows — the pairwise sim table is
+    (queries × 20 × 19) rows built from a broadcast of the candidate
+    ids, and the K−1 greedy rounds are window-on-tiny-data jobs whose
+    cost is independent of corpus size.  Candidate vectors join back by
+    id once (broadcast semi); the corpus never re-shuffles."""
+    from pyspark.sql import Window
+
+    from ..functions.similarity import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = (
+        S.cosine_topk(emb, 10, MMR_CAND)
+        .select("qid", "cid", F.col("cosine").alias("rel"))
+        .persist()
+    )
+    # candidate vectors: broadcast-semi-reduce the corpus to ≤ q·20 rows
+    cvec = emb.join(
+        F.broadcast(cand.select(F.col("cid").alias("vec_id")).distinct()),
+        "vec_id",
+    ).select(F.col("vec_id"), "embedding")
+    e1 = cvec.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("e1"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("n1"),
+    )
+    e2 = cvec.select(
+        F.col("vec_id").alias("sid"),
+        F.col("embedding").alias("e2"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("n2"),
+    )
+    pairsim = (
+        cand.select("qid", "cid")
+        .join(
+            cand.select(F.col("qid").alias("q2"), F.col("cid").alias("sid")),
+            (F.col("qid") == F.col("q2")) & (F.col("cid") != F.col("sid")),
+        )
+        .join(F.broadcast(e1), "cid")
+        .join(F.broadcast(e2), "sid")
+        .select(
+            "qid",
+            "cid",
+            "sid",
+            F.round(
+                _dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")), 6
+            ).alias("sim"),
+        )
+        .persist()
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid").asc())
+    sel = (
+        cand.withColumn("score", F.col("rel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "cid", F.lit(1).alias("step"), "score")
+    )
+    for k in range(2, MMR_K + 1):
+        picked = sel.select("qid", F.col("cid").alias("sid"))
+        scored = (
+            cand.join(sel.select("qid", "cid"), ["qid", "cid"], "left_anti")
+            .join(pairsim, ["qid", "cid"])
+            .join(picked, ["qid", "sid"], "left_semi")
+            .groupBy("qid", "cid", "rel")
+            .agg(F.max("sim").alias("ms"))
+            .select(
+                "qid",
+                "cid",
+                F.round(
+                    F.lit(MMR_LAMBDA) * F.col("rel")
+                    - F.lit(round(1 - MMR_LAMBDA, 6)) * F.col("ms"),
+                    6,
+                ).alias("score"),
+            )
+        )
+        pick_k = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("qid", "cid", F.lit(k).alias("step"), "score")
+        )
+        sel = sel.unionByName(pick_k)
+    return materialized(sel, cand, pairsim)
+
+
+# ---------------------------------------------------------------------------
 # Margin-based bitext mining (cross-lingual parallel-pair candidates)
 # ---------------------------------------------------------------------------
 

@@ -42,7 +42,27 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # query boundary for the deferred cache-release protocol:
+            # caches queued by PREVIOUS queries become releasable; caches
+            # this query queues stay alive until the NEXT query, however
+            # many materialized() sub-plans this build composes
+            from ..caching import begin_query
+
+            begin_query()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        QUERIES[name] = Query(
+            name=name,
+            fn=wrapped,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            tags=tags,
+        )
         return fn
 
     return deco
@@ -272,6 +292,10 @@ _PRIORITY = [
     "sequence_packing",
     "decontamination",
     "value_moments",
+    # -- round-5 additions (contamination scoring, MMR diverse rerank) —
+    #    rounds-6/7 window --
+    "contamination_report",
+    "mmr_rerank",
 ]
 
 

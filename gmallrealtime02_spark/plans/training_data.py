@@ -168,6 +168,76 @@ def decontamination(spark, sf_dir):
 
 
 @register(
+    "contamination_report",
+    oracle=f"""
+    WITH sh AS ({_SH4}),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+    hits AS (
+        SELECT tr.doc_id, count(*) AS n_hits
+        FROM tr JOIN ev ON tr.shingle = ev.shingle
+        GROUP BY tr.doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           round(COALESCE(h.n_hits, 0) / CAST(t.n_shingles AS DOUBLE), 6)
+               AS overlap_frac,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    tags=("training-data", "decontamination", "ngram", "report"),
+)
+def contamination_report(spark, sf_dir):
+    """Contamination SCORING (vs ``decontamination``, which pairs/filters):
+    for every training document, the fraction of its distinct 4-word
+    shingles that appear anywhere in the eval set — the overlap metric a
+    data audit reports per document (and aggregates per source) before
+    deciding a removal threshold, GPT-3-appendix style, rather than the
+    binary any-collision flag.
+
+    Scale shape: the per-doc shingle total is computed SCAN-SIDE
+    (``size`` of the distinct-shingle array — no explode, no shuffle for
+    the denominator); only hit rows (train shingle ∈ broadcast eval set)
+    enter the one small groupBy exchange, and the hits table joins back
+    broadcast, so the corpus-sized side never shuffles.  Eval shingles
+    are eval-set-sized (tiny) by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    eligible = d.filter(F.size(F.split("text", " ")) >= 4)
+    tr = eligible.filter(F.col("doc_id") % 97 != 0)
+    totals = tr.select(
+        "doc_id", F.size(S.word_shingles(F.col("text"), 4)).alias("n_shingles")
+    )
+    ev = (
+        eligible.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(S.word_shingles(F.col("text"), 4)).alias("shingle"))
+        .distinct()
+    )
+    hits = (
+        tr.select(
+            "doc_id", F.explode(S.word_shingles(F.col("text"), 4)).alias("shingle")
+        )
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        totals.join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0))
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("overlap_frac"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@register(
     "stratified_sample",
     oracle="""
     SELECT doc_id, lang FROM (

@@ -544,6 +544,9 @@ def streaming_ingest_dedup(
     )
 
     def ingest(batch: DataFrame, bid: int) -> None:
+        from ..caching import begin_query
+
+        begin_query()  # per-batch cache-release boundary (see caching.py)
         spark = batch.sparkSession
         # in-batch self-dedup, component-min semantics: every clustered
         # doc whose id is not its component's minimum is dropped

@@ -1,12 +1,13 @@
-"""Cache-lifecycle contract: deferred release (bench path pays no extra
-job) while long sessions still get bounded executor storage."""
+"""Cache-lifecycle contract: query-scoped deferred release (bench path
+pays no extra job, composed sub-plans keep their caches, long sessions
+get bounded executor storage, re-runs stay warm)."""
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 
 from gmallrealtime02_spark import caching
-from gmallrealtime02_spark.caching import materialized, release_pending
+from gmallrealtime02_spark.caching import begin_query, materialized, release_pending
 
 
 def _is_cached(df) -> bool:
@@ -18,18 +19,38 @@ def _is_cached(df) -> bool:
 
 def test_materialized_is_lazy_and_defers_release(spark):
     release_pending()
+    begin_query()
     base = spark.range(100).withColumn("v", F.col("id") * 2)
     cache = base.persist()
     result = materialized(cache.groupBy((F.col("id") % 10).alias("k")).count(), cache)
     # no eager job: the returned plan stays lazy; caller executes
     assert result.count() == 10
     assert _is_cached(cache)
-    assert cache in caching._PENDING, "cache must be queued, not released in-line"
-    # next query's materialized() drains the queue
+    # the NEXT query's first materialized() drains the queue
+    begin_query()
     out2 = materialized(spark.range(5).select(F.sum("id").alias("s")))
-    assert not caching._PENDING
     assert out2.collect()[0][0] == 10
     assert not _is_cached(cache)
+
+
+def test_composed_subplans_keep_caches_within_one_query(spark):
+    """A query built from SEVERAL materialized sub-plans (dedup_eval
+    shape) must keep every sub-plan's cache until the caller executes:
+    draining on the call instead of at the query boundary re-ran the
+    whole first sub-pipeline once per consumer (observed: dedup_eval
+    5.2 → 18.4 s and growing per run)."""
+    release_pending()
+    begin_query()
+    c1 = spark.range(50).withColumn("a", F.col("id") % 5).persist()
+    r1 = materialized(c1.groupBy("a").count(), c1)
+    c2 = spark.range(60).withColumn("b", F.col("id") % 6).persist()
+    r2 = materialized(c2.groupBy("b").count(), c2)
+    assert _is_cached(c1), "sub-plan #2's exit must not drain sub-plan #1"
+    assert _is_cached(c2)
+    assert r1.count() == 5 and r2.count() == 6
+    begin_query()
+    materialized(spark.range(3).select(F.count("*").alias("n")))
+    assert not _is_cached(c1) and not _is_cached(c2)
 
 
 def test_materialized_rerun_transfers_cache_ownership(spark):
@@ -40,6 +61,7 @@ def test_materialized_rerun_transfers_cache_ownership(spark):
     release_pending()
 
     def build():
+        begin_query()
         cache = spark.range(200).withColumn("v", F.col("id") * 3).persist()
         agg = cache.groupBy((F.col("id") % 7).alias("k")).agg(F.sum("v").alias("s"))
         return materialized(agg, cache), cache
@@ -50,8 +72,21 @@ def test_materialized_rerun_transfers_cache_ownership(spark):
     assert _is_cached(c2), "shared cache entry evicted by the drain"
     assert r2.count() == 7
     # a DIFFERENT next query does release it
+    begin_query()
     materialized(spark.range(3).select(F.count("*").alias("n")))
     assert not _is_cached(c2)
+
+
+def test_registry_wrapper_marks_query_boundary(spark, sf_dir):
+    """Registered query fns bump the generation on entry — the protocol
+    the whole design hangs on; a registry refactor that drops the
+    wrapper silently reverts to the unbounded-storage behavior."""
+    from gmallrealtime02_spark.plans.registry import load_all
+
+    release_pending()
+    gen_before = caching._GEN
+    load_all()["dedup_exact"].fn(spark, sf_dir).count()
+    assert caching._GEN > gen_before
 
 
 def test_eager_release_opt_in(spark, monkeypatch):
@@ -69,7 +104,7 @@ def test_release_pending_survives_stopped_caches(spark):
     release_pending()
     cache = spark.range(10).persist()
     cache.count()
-    caching._PENDING.append(cache)
+    caching._PENDING.append((caching._GEN, cache))
     cache.unpersist()  # already gone — drain must not raise
     release_pending()
     assert not caching._PENDING

@@ -457,3 +457,100 @@ def test_lsh_keys_kernel_matches_fold(spark, sf_dir):
     spec = {(r.vec_id, r.tbl): r.bkt for r in lsh_keys_fold(emb, 16).collect()}
     assert fast == spec
     assert len(fast) == emb.count() * 16
+
+
+def test_mmr_rerank_properties(spark, sf_dir):
+    """MMR semantics: 5 distinct picks per query; pick 1 IS the top-rel
+    candidate; and scores are non-increasing from step 2 on (each round's
+    pool shrinks and each candidate's penalty only grows as the selected
+    set expands, so the greedy max cannot rise — catching an anti-join or
+    penalty-accumulation bug).  Note the penalty term can be NEGATIVE
+    (anti-correlated candidates earn a diversity bonus), so score ≤ λ·rel
+    is NOT an invariant on synthetic random vectors."""
+    from gmallrealtime02_spark.functions.similarity import cosine_topk
+    from gmallrealtime02_spark.plans.registry import load_all
+    from gmallrealtime02_spark.sources.tables import load_table
+
+    rows = load_all()["mmr_rerank"].fn(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == set(range(10))
+    top1 = {
+        r.qid: r.cid
+        for r in cosine_topk(load_table(spark, sf_dir, "embeddings"), 10, 1)
+        .collect()
+    }
+    for qid, picks in by_q.items():
+        assert len(picks) == 5
+        assert len({p.cid for p in picks}) == 5
+        picks = sorted(picks, key=lambda p: p.step)
+        assert [p.step for p in picks] == [1, 2, 3, 4, 5]
+        assert picks[0].cid == top1[qid]
+        for a, b in zip(picks[1:], picks[2:]):
+            assert b.score <= a.score + 1e-9, (qid, a, b)
+
+
+def test_minhash_kernel_matches_fold(spark, sf_dir):
+    """The Arrow minhash kernel must be BIT-IDENTICAL to the Catalyst
+    fold spec — every downstream band key, candidate pair, and oracle
+    hash depends on these exact int64 residues.  Exercised on the real
+    corpus plus hand-made edge docs (empty words from double/leading/
+    trailing spaces, exactly-N_SHINGLE words)."""
+    from gmallrealtime02_spark.functions.similarity import (
+        minhash_signatures,
+        minhash_signatures_fold,
+    )
+    from gmallrealtime02_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (100001, "a  b c"),          # empty word mid-doc
+            (100002, " x y z"),          # leading empty word
+            (100003, "p q r "),          # trailing empty word
+            (100004, "one two three"),   # exactly N_SHINGLE words
+            (100005, "   "),             # all-empty words (4 empties)
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edge)
+    fast = {r.doc_id: list(r.sig) for r in minhash_signatures(both).collect()}
+    spec = {r.doc_id: list(r.sig) for r in minhash_signatures_fold(both).collect()}
+    assert fast == spec
+    assert 100001 in fast and 100005 in fast
+
+
+def test_minhash_kernel_fuzz_parity(spark):
+    """Kernel-vs-fold parity on 150 seeded-random texts the corpus can't
+    cover: BMP non-ASCII codepoints, runs of spaces, single chars, long
+    words, 0..6-word docs.  (Non-BMP stays out: the fold walks UTF-16
+    units while the kernel decodes codepoints — the documented caveat.)"""
+    import random
+
+    from gmallrealtime02_spark.functions.similarity import (
+        minhash_signatures,
+        minhash_signatures_fold,
+    )
+
+    rng = random.Random(20260814)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABC0123456789"
+        "àéîõüßñçЖд中日αβγ•€"  # BMP non-ASCII
+    )
+    texts = []
+    for _ in range(150):
+        n_words = rng.randint(0, 6)
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+            for _ in range(n_words)
+        ]
+        sep = " " * rng.randint(1, 3)
+        texts.append(sep.join(words))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    fast = {r.doc_id: list(r.sig) for r in minhash_signatures(docs).collect()}
+    spec = {r.doc_id: list(r.sig) for r in minhash_signatures_fold(docs).collect()}
+    assert fast == spec
+    assert fast, "fuzz population should contain eligible docs"

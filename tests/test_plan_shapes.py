@@ -1152,3 +1152,23 @@ def test_unpivot_plans_as_expand(spark, sf_dir):
     plan = _executed_plan(QUERIES["unpivot_event_counts"].fn(spark, sf_dir))
     assert "Expand" in plan, plan
     assert _exchanges(plan) <= 2, plan
+
+
+def test_contamination_report_corpus_never_shuffles(spark, sf_dir):
+    """contamination_report: the corpus-sized sides (per-doc totals,
+    train shingles) move through broadcast joins only — the sole shuffle
+    exchanges carry hit rows / small aggregates, and there is no
+    sort-merge join anywhere."""
+    plan = _executed_plan(QUERIES["contamination_report"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert _exchanges(plan) <= 2, plan
+
+
+def test_mmr_rerank_no_corpus_pair_product(spark, sf_dir):
+    """mmr_rerank: candidate scoring is the broadcast-query scan (one
+    intended 10-row broadcast nested loop); everything after operates on
+    queries x 20 candidate rows.  The corpus itself must never enter a
+    cartesian product."""
+    plan = _executed_plan(QUERIES["mmr_rerank"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
