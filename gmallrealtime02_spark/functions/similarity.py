@@ -167,6 +167,149 @@ def minhash_signature_array(text: Column) -> Column:
     )
 
 
+def _shingle_hash_stream(texts: list, n: int):
+    """Worker-side numpy core shared by the Arrow kernels: the flat
+    positional shingle-hash sequence (int64 mod-P, bit-identical to
+    ``shingle_hashes_fast``) plus per-doc segment (starts, counts).
+    Docs with < n words contribute empty segments.  See
+    ``minhash_sig_table`` for the overflow audit and the UTF-16/BMP
+    caveat."""
+    import numpy as np  # noqa: PLC0415 — worker-side import
+
+    P = HASH_MOD
+    doc_words = [t.split(" ") for t in texts]
+    nwords = np.array([len(ws) for ws in doc_words], dtype=np.int64)
+    wlens = np.array([len(w) for ws in doc_words for w in ws], dtype=np.int64)
+    flat = "".join(w for ws in doc_words for w in ws)
+    cp = (
+        np.frombuffer(flat.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+        if flat
+        else np.zeros(0, dtype=np.int64)
+    )
+    max_len = int(wlens.max()) if len(wlens) else 0
+    pow31 = np.ones(max_len + 1, dtype=np.int64)
+    for k in range(1, max_len + 1):
+        pow31[k] = (pow31[k - 1] * 31) % P
+    # per-word rolling hash as a power-sum over its chars; empty words
+    # (consecutive/leading/trailing spaces) hash to 0 and occupy no
+    # chars, so reducing only over NONEMPTY segments still spans each
+    # word's exact char range (and keeps every reduceat index < len,
+    # which a trailing empty word violates)
+    starts = np.cumsum(wlens) - wlens
+    w_h = np.zeros(len(wlens), dtype=np.int64)
+    nonempty = wlens > 0
+    if cp.size and nonempty.any():
+        pos = np.arange(len(cp), dtype=np.int64) - np.repeat(starts, wlens)
+        exp = np.repeat(wlens, wlens) - 1 - pos
+        prod = (cp * pow31[exp]) % P
+        w_h[nonempty] = np.add.reduceat(prod, starts[nonempty]) % P
+    w_p = pow31[wlens]
+    # shingle start indices into the flat word arrays
+    sh_counts = np.maximum(nwords - (n - 1), 0)
+    sh_doc_starts = np.cumsum(sh_counts) - sh_counts
+    word_doc_starts = np.cumsum(nwords) - nwords
+    total_sh = int(sh_counts.sum())
+    sh = (
+        np.arange(total_sh, dtype=np.int64)
+        - np.repeat(sh_doc_starts, sh_counts)
+        + np.repeat(word_doc_starts, sh_counts)
+    )
+    h = w_h[sh]
+    for j in range(1, n):
+        h = (h * 31 + 32) % P  # ' ' separator (code 32)
+        h = (h * w_p[sh + j] + w_h[sh + j]) % P
+    return h, sh_doc_starts, sh_counts
+
+
+def shingle_hash_table(
+    df: DataFrame,
+    keep: tuple[str, ...],
+    text_col: str = "text",
+    n: int = N_SHINGLE,
+) -> DataFrame:
+    """(keep..., hs: array<long>) — the POSITIONAL shingle-hash sequence
+    per row (empty array below n words), via the Arrow kernel;
+    bit-identical to ``shingle_hashes_fast`` (parity pinned in
+    tests/test_llm_ops.py).  The at-scale form for every consumer that
+    explodes or windows shingle hashes (containment postings, winnowing,
+    Bloom probes): the interpreted per-char HOF fold is the corpus-scan
+    cost the kernel removes."""
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = T.StructType(
+        [
+            *(in_fields[c] for c in keep),
+            T.StructField("hs", T.ArrayType(T.LongType(), False), False),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side import
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h, sh_starts, sh_counts = _shingle_hash_stream(
+                list(pdf[text_col]), n
+            )
+            out = pdf[list(keep)].copy()
+            out["hs"] = np.split(h, (sh_starts + sh_counts)[:-1])
+            yield out
+
+    return df.select(*keep, text_col).mapInPandas(kernel, out_schema)
+
+
+def word_shingle_table(
+    df: DataFrame,
+    keep: tuple[str, ...],
+    text_col: str = "text",
+    n: int = N_SHINGLE,
+) -> DataFrame:
+    """(keep..., shingles: array<string>) — DISTINCT n-word shingles in
+    first-occurrence order (empty below n words), replicating
+    ``word_shingles`` exactly but via plain Python string slicing in an
+    Arrow batch instead of an interpreted per-(shingle, word) HOF
+    concat (parity pinned in tests/test_llm_ops.py).  For consumers
+    that join on shingle STRINGS (exact Jaccard, decontamination)."""
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = T.StructType(
+        [
+            *(in_fields[c] for c in keep),
+            T.StructField(
+                "shingles", T.ArrayType(T.StringType(), False), False
+            ),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            col = []
+            for t in pdf[text_col]:
+                ws = t.split(" ")
+                if len(ws) < n:
+                    col.append([])
+                else:
+                    col.append(
+                        list(
+                            dict.fromkeys(
+                                " ".join(ws[i : i + n])
+                                for i in range(len(ws) - n + 1)
+                            )
+                        )
+                    )
+            out = pdf[list(keep)].copy()
+            out["shingles"] = col
+            yield out
+
+    return df.select(*keep, text_col).mapInPandas(kernel, out_schema)
+
+
 def minhash_sig_table(
     eligible: DataFrame, keep: tuple[str, ...], text_col: str = "text"
 ) -> DataFrame:
@@ -216,54 +359,9 @@ def minhash_sig_table(
         for pdf in batches:
             if not len(pdf):
                 continue
-            doc_words = [t.split(" ") for t in pdf[text_col]]
-            nwords = np.array([len(ws) for ws in doc_words], dtype=np.int64)
-            wlens = np.array(
-                [len(w) for ws in doc_words for w in ws], dtype=np.int64
-            )
-            flat = "".join(w for ws in doc_words for w in ws)
-            # codepoints, vectorized (utf-32 == ord(); see BMP caveat)
-            cp = (
-                np.frombuffer(flat.encode("utf-32-le"), dtype="<u4").astype(
-                    np.int64
-                )
-                if flat
-                else np.zeros(0, dtype=np.int64)
-            )
-            max_len = int(wlens.max()) if len(wlens) else 0
-            pow31 = np.ones(max_len + 1, dtype=np.int64)
-            for k in range(1, max_len + 1):
-                pow31[k] = (pow31[k - 1] * 31) % P
-            # per-word rolling hash as a power-sum over its chars; empty
-            # words (consecutive/leading/trailing spaces) hash to 0 and
-            # occupy no chars, so reducing only over NONEMPTY segments
-            # still spans each word's exact char range (and keeps every
-            # reduceat index < len, which a trailing empty word violates)
-            starts = np.cumsum(wlens) - wlens
-            w_h = np.zeros(len(wlens), dtype=np.int64)
-            nonempty = wlens > 0
-            if cp.size and nonempty.any():
-                pos = np.arange(len(cp), dtype=np.int64) - np.repeat(
-                    starts, wlens
-                )
-                exp = np.repeat(wlens, wlens) - 1 - pos
-                prod = (cp * pow31[exp]) % P
-                w_h[nonempty] = np.add.reduceat(prod, starts[nonempty]) % P
-            w_p = pow31[wlens]
-            # shingle start indices into the flat word arrays
-            sh_counts = nwords - (n - 1)
-            sh_doc_starts = np.cumsum(sh_counts) - sh_counts
-            word_doc_starts = np.cumsum(nwords) - nwords
-            total_sh = int(sh_counts.sum())
-            sh = (
-                np.arange(total_sh, dtype=np.int64)
-                - np.repeat(sh_doc_starts, sh_counts)
-                + np.repeat(word_doc_starts, sh_counts)
-            )
-            h = w_h[sh]
-            for j in range(1, n):
-                h = (h * 31 + 32) % P  # ' ' separator (code 32)
-                h = (h * w_p[sh + j] + w_h[sh + j]) % P
+            h, sh_doc_starts, _ = _shingle_hash_stream(list(pdf[text_col]), n)
+            # every eligible doc has >= 1 shingle, so reduceat segments
+            # are non-empty and min(init=P, values) == min(values)
             sig = np.empty((len(pdf), len(perms_a)), dtype=np.int64)
             for j, (a, b) in enumerate(zip(perms_a, perms_b)):
                 sig[:, j] = np.minimum.reduceat((a * h + b) % P, sh_doc_starts)
@@ -399,9 +497,8 @@ def exact_jaccard_pairs_plan(
     """Lazy (result, caches) pair — plan gates inspect this; the public
     fn materializes and releases the shingle cache."""
     sh = (
-        docs.select(
-            "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
-        )
+        word_shingle_table(docs, ("doc_id",))
+        .select("doc_id", F.explode("shingles").alias("shingle"))
         .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))

@@ -628,9 +628,12 @@ DF_CAP = 64  # discriminative-shingle cap: drop shingles in > DF_CAP docs
     tags=("dedup", "containment"),
 )
 def minhash_containment(spark, sf_dir):
+    from ..functions.similarity import shingle_hash_table
+
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    dhs = F.array_distinct(shingle_hashes_fast(F.col("text")))
-    post = d.select("doc_id", F.explode(dhs).alias("h"))
+    post = shingle_hash_table(d, ("doc_id",)).select(
+        "doc_id", F.explode(F.array_distinct("hs")).alias("h")
+    )
     dfc = post.groupBy("h").agg(F.count("*").alias("df"))
     capped = post.join(dfc, "h").filter(F.col("df") <= DF_CAP)
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -701,10 +704,14 @@ _POS_SHIFT = 1 << 20  # encode = hash * 2^20 + position (h < 2^31 -> < 2^51)
     tags=("text", "fingerprint", "winnowing"),
 )
 def winnowing_fingerprint(spark, sf_dir):
+    from ..functions.similarity import shingle_hash_table
+
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    hs = shingle_hashes_fast(F.col("text"))
-    fps = F.transform(F.array(hs), winnow_fps)[0]
-    return d.filter(F.size(F.split("text", " ")) >= N_SHINGLE).select(
+    hashed = shingle_hash_table(
+        d.filter(F.size(F.split("text", " ")) >= N_SHINGLE), ("doc_id",)
+    )
+    fps = winnow_fps(F.col("hs"))
+    return hashed.select(
         "doc_id",
         F.size(fps).alias("n_fp"),
         F.aggregate(fps, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(

@@ -2153,10 +2153,8 @@ def _cross_doc_span_overlap_plan(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     sh = (
         ensure_parallelism(
-            d.select(
-                "doc_id",
-                F.explode(S.word_shingles(F.col("text"), 5)).alias("shingle"),
-            ),
+            S.word_shingle_table(ensure_parallelism(d), ("doc_id",), n=5)
+            .select("doc_id", F.explode("shingles").alias("shingle")),
             by=("shingle",),
         )
         .persist()
@@ -3182,10 +3180,8 @@ def doc_novelty(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     sh = (
         ensure_parallelism(
-            d.select(
-                "doc_id",
-                F.explode(S.word_shingles(F.col("text"), 5)).alias("shingle"),
-            ),
+            S.word_shingle_table(ensure_parallelism(d), ("doc_id",), n=5)
+            .select("doc_id", F.explode("shingles").alias("shingle")),
             by=("shingle",),
         )
         .persist()

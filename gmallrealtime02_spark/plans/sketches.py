@@ -569,14 +569,12 @@ def bloom_decontamination(spark, sf_dir):
     so the rolling composition (`shingle_hashes_fast`) touches each
     character once and allocates nothing — measured 5.5 s -> ~1.5 s at
     sf0.1 vs the string-building form."""
-    d = load_table(spark, sf_dir, "documents")
     from ..functions import similarity as S
+    from ..sources.tables import ensure_parallelism
 
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(S.shingle_hashes_fast(F.col("text"), 4))
-        ).alias("h"),
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sh = S.shingle_hash_table(d, ("doc_id",), n=4).select(
+        "doc_id", F.explode(F.array_distinct("hs")).alias("h")
     )
     ev = sh.filter(F.col("doc_id") % 97 == 0)
     tr = sh.filter(F.col("doc_id") % 97 != 0)

@@ -147,13 +147,9 @@ def decontamination(spark, sf_dir):
     the only exchange is the final per-pair count.  Same skeleton as the
     LSH candidate join, but asymmetric smallness makes it cheaper."""
     d = load_table(spark, sf_dir, "documents")
-    sh = (
-        d.filter(F.size(F.split("text", " ")) >= 4)
-        .select(
-            "doc_id",
-            F.explode(S.word_shingles(F.col("text"), 4)).alias("shingle"),
-        )
-    )
+    sh = S.word_shingle_table(
+        d.filter(F.size(F.split("text", " ")) >= 4), ("doc_id",), n=4
+    ).select("doc_id", F.explode("shingles").alias("shingle"))
     ev = sh.filter(F.col("doc_id") % 97 == 0).withColumnRenamed(
         "doc_id", "eval_doc"
     )
@@ -196,32 +192,34 @@ def contamination_report(spark, sf_dir):
     deciding a removal threshold, GPT-3-appendix style, rather than the
     binary any-collision flag.
 
-    Scale shape: the per-doc shingle total is computed SCAN-SIDE
-    (``size`` of the distinct-shingle array — no explode, no shuffle for
-    the denominator); only hit rows (train shingle ∈ broadcast eval set)
-    enter the one small groupBy exchange, and the hits table joins back
-    broadcast, so the corpus-sized side never shuffles.  Eval shingles
-    are eval-set-sized (tiny) by construction."""
-    d = load_table(spark, sf_dir, "documents")
+    Scale shape: the shingle arrays come from ONE Arrow-kernel pass over
+    the corpus (persisted: totals, eval set, and hits all read it — no
+    per-consumer re-shingling); the per-doc total is ``size`` of the
+    array (no explode, no shuffle for the denominator); only hit rows
+    (train shingle ∈ broadcast eval set) enter the one small groupBy
+    exchange, and the hits table joins back broadcast, so the
+    corpus-sized side never shuffles.  Eval shingles are eval-set-sized
+    (tiny) by construction."""
+    from ..caching import materialized
+    from ..sources.tables import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     eligible = d.filter(F.size(F.split("text", " ")) >= 4)
-    tr = eligible.filter(F.col("doc_id") % 97 != 0)
-    totals = tr.select(
-        "doc_id", F.size(S.word_shingles(F.col("text"), 4)).alias("n_shingles")
-    )
+    shingled = S.word_shingle_table(eligible, ("doc_id",), n=4).persist()
+    tr = shingled.filter(F.col("doc_id") % 97 != 0)
+    totals = tr.select("doc_id", F.size("shingles").alias("n_shingles"))
     ev = (
-        eligible.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode(S.word_shingles(F.col("text"), 4)).alias("shingle"))
+        shingled.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("shingles").alias("shingle"))
         .distinct()
     )
     hits = (
-        tr.select(
-            "doc_id", F.explode(S.word_shingles(F.col("text"), 4)).alias("shingle")
-        )
+        tr.select("doc_id", F.explode("shingles").alias("shingle"))
         .join(F.broadcast(ev), "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
-    return (
+    result = (
         totals.join(F.broadcast(hits), "doc_id", "left")
         .select(
             "doc_id",
@@ -235,6 +233,7 @@ def contamination_report(spark, sf_dir):
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+    return materialized(result, shingled)
 
 
 @register(

@@ -554,3 +554,58 @@ def test_minhash_kernel_fuzz_parity(spark):
     spec = {r.doc_id: list(r.sig) for r in minhash_signatures_fold(docs).collect()}
     assert fast == spec
     assert fast, "fuzz population should contain eligible docs"
+
+
+def test_shingle_tables_match_fold_specs(spark, sf_dir):
+    """shingle_hash_table (positional hashes) and word_shingle_table
+    (distinct strings, first-occurrence order) must replicate their
+    Catalyst specs exactly — ORDER INCLUDED (winnowing windows over hash
+    positions; array_distinct keeps first occurrence).  Corpus + the
+    same edge docs as the minhash parity test, at n=3 and n=4."""
+    from gmallrealtime02_spark.functions.similarity import (
+        shingle_hash_table,
+        shingle_hashes_fast,
+        word_shingle_table,
+        word_shingles,
+    )
+    from gmallrealtime02_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (100001, "a  b c"),
+            (100002, " x y z"),
+            (100003, "p q r "),
+            (100004, "one two three"),
+            (100005, "   "),
+            (100006, "just two"),
+            (100007, "rep rep rep rep rep"),  # duplicate shingles
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edge)
+    for n in (3, 4):
+        fast_h = {
+            r.doc_id: list(r.hs)
+            for r in shingle_hash_table(both, ("doc_id",), n=n).collect()
+        }
+        spec_h = {
+            r.doc_id: list(r.hs)
+            for r in both.select(
+                "doc_id", shingle_hashes_fast(F.col("text"), n).alias("hs")
+            ).collect()
+        }
+        assert fast_h == spec_h, f"hash parity broke at n={n}"
+        fast_s = {
+            r.doc_id: list(r.shingles)
+            for r in word_shingle_table(both, ("doc_id",), n=n).collect()
+        }
+        spec_s = {
+            r.doc_id: list(r.sh)
+            for r in both.select(
+                "doc_id", word_shingles(F.col("text"), n).alias("sh")
+            ).collect()
+        }
+        assert fast_s == spec_s, f"string parity broke at n={n}"
+    assert fast_h[100007] == spec_h[100007]  # positional dups retained
+    assert len(fast_s[100007]) == 1  # strings distinct
