@@ -2838,7 +2838,9 @@ sel1 AS (
 
 def _mmr_step_ctes() -> str:
     """Unrolled greedy steps 2..K: each picks, per query, the unselected
-    candidate maximizing λ·rel − (1−λ)·max-sim-to-selected."""
+    candidate maximizing λ·rel − (1−λ)·max-sim-to-selected.  The argmax
+    orders on the RAW double (identical IEEE expression both engines);
+    rounding is output-only."""
     parts = []
     for k in range(2, MMR_K + 1):
         prev = " UNION ALL ".join(f"SELECT * FROM sel{j}" for j in range(1, k))
@@ -2846,7 +2848,7 @@ def _mmr_step_ctes() -> str:
 prev{k} AS ({prev}),
 mmr{k} AS (
     SELECT c.qid, c.cid,
-           round({MMR_LAMBDA} * c.rel - {round(1 - MMR_LAMBDA, 6)} * max(p.sim), 6)
+           {MMR_LAMBDA} * c.rel - {round(1 - MMR_LAMBDA, 6)} * max(p.sim)
                AS score
     FROM cand c
     JOIN pairsim p ON p.qid = c.qid AND p.cid = c.cid
@@ -2867,7 +2869,9 @@ sel{k} AS (
 
 _MMR_ORACLE = (
     f"WITH {_MMR_CAND_CTE},{_mmr_step_ctes()}\n"
+    + "SELECT qid, cid, step, round(score, 6) AS score FROM ("
     + " UNION ALL ".join(f"SELECT * FROM sel{k}" for k in range(1, MMR_K + 1))
+    + ")"
 )
 
 
@@ -2892,11 +2896,15 @@ def mmr_rerank(spark, sf_dir):
     reuses ann_cosine_topk's broadcast-query scan; everything after
     operates on 10×20 candidate rows — the pairwise sim table is
     (queries × 20 × 19) rows built from a broadcast of the candidate
-    ids, and the K−1 greedy rounds are window-on-tiny-data jobs whose
-    cost is independent of corpus size.  Candidate vectors join back by
-    id once (broadcast semi); the corpus never re-shuffles."""
-    from pyspark.sql import Window
-
+    ids, and the K-step greedy selection runs as ONE Arrow
+    ``applyInPandas`` per query group (a Python loop over ≤20
+    candidates — the first cut unrolled K DataFrame rounds of
+    windows+joins, whose codegen compile alone cost ~13 s cold).  The
+    argmax compares RAW doubles (the identical IEEE expression the
+    oracle orders by — rel and sim are round-6-stable, so λ·rel −
+    (1−λ)·max(sim) is bit-equal cross-engine); rounding is output-only.
+    Candidate vectors join back by id once (broadcast semi); the corpus
+    never re-shuffles."""
     from ..functions.similarity import _dot
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2936,40 +2944,54 @@ def mmr_rerank(spark, sf_dir):
                 _dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")), 6
             ).alias("sim"),
         )
-        .persist()
     )
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid").asc())
-    sel = (
-        cand.withColumn("score", F.col("rel"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("qid", "cid", F.lit(1).alias("step"), "score")
-    )
-    for k in range(2, MMR_K + 1):
-        picked = sel.select("qid", F.col("cid").alias("sid"))
-        scored = (
-            cand.join(sel.select("qid", "cid"), ["qid", "cid"], "left_anti")
-            .join(pairsim, ["qid", "cid"])
-            .join(picked, ["qid", "sid"], "left_semi")
-            .groupBy("qid", "cid", "rel")
-            .agg(F.max("sim").alias("ms"))
-            .select(
-                "qid",
-                "cid",
-                F.round(
-                    F.lit(MMR_LAMBDA) * F.col("rel")
-                    - F.lit(round(1 - MMR_LAMBDA, 6)) * F.col("ms"),
-                    6,
-                ).alias("score"),
+    lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 6)
+    k_sel = MMR_K
+
+    def greedy(pdf):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        rel = {}
+        sims = {}
+        for r in pdf.itertuples(index=False):
+            rel[r.cid] = r.rel
+            if r.sid == r.sid and r.sid is not None:  # NaN-safe (lone cand)
+                sims[(r.cid, int(r.sid))] = r.sim
+        qid = int(pdf["qid"].iloc[0])
+        picks, selected = [], []
+        for step in range(1, min(k_sel, len(rel)) + 1):
+            best = None
+            for cid, rv in rel.items():
+                if cid in selected:
+                    continue
+                if step == 1:
+                    score = rv
+                else:
+                    score = lam * rv - mu * max(
+                        sims[(cid, s)] for s in selected
+                    )
+                if best is None or score > best[1] or (
+                    score == best[1] and cid < best[0]
+                ):
+                    best = (cid, score)
+            picks.append(
+                {"qid": qid, "cid": best[0], "step": step, "score": best[1]}
             )
-        )
-        pick_k = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("qid", "cid", F.lit(k).alias("step"), "score")
-        )
-        sel = sel.unionByName(pick_k)
-    return materialized(sel, cand, pairsim)
+            selected.append(best[0])
+        return pd.DataFrame(picks)
+
+    joined = cand.join(
+        pairsim.select("qid", "cid", F.col("sid").cast("double"), "sim"),
+        ["qid", "cid"],
+        "left",
+    )
+    sel = joined.groupBy("qid").applyInPandas(
+        greedy, "qid long, cid long, step int, score double"
+    )
+    result = sel.select(
+        "qid", "cid", "step", F.round("score", 6).alias("score")
+    )
+    return materialized(result, cand)
 
 
 # ---------------------------------------------------------------------------
