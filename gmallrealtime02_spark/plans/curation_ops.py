@@ -560,3 +560,205 @@ def anomaly_zscore(spark, sf_dir):
         F.round(z, 6).alias("zscore"),
         (F.abs(z) >= 2.0).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram entropy (gibberish / low-diversity detector)
+# ---------------------------------------------------------------------------
+
+ENTROPY_LOW = 6.0  # bits; below = repetitive / machine-generated suspect
+
+
+@register(
+    "char_ngram_entropy",
+    oracle=f"""
+    WITH tg AS (
+        SELECT doc_id, substring(text, i, 3) AS tri
+        FROM documents, unnest(generate_series(1, length(text) - 2)) AS t(i)
+        WHERE length(text) >= 3
+    ),
+    cnt AS (SELECT doc_id, tri, count(*) AS c FROM tg GROUP BY 1, 2),
+    agg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+               sum(CAST(round(c * log2(c), 6) AS DECIMAL(18,6))) AS s
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_trigrams,
+           round(log2(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n, 6)
+               AS entropy,
+           (log2(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n
+               < {ENTROPY_LOW}) AS is_low_entropy
+    FROM agg
+    """,
+    tags=("text", "quality", "entropy", "gibberish", "training-data"),
+)
+def char_ngram_entropy(spark, sf_dir):
+    """Character-trigram Shannon entropy per document — the classic
+    gibberish / boilerplate / machine-spam detector (low entropy =
+    repetitive character distribution; used alongside the Gopher rules
+    and perplexity buckets as an orthogonal quality axis that needs no
+    language model).
+
+    Scale shape: ZERO exchange — entropy is a per-document local
+    statistic, computed in one Arrow ``mapInPandas`` pass over the
+    corpus scan (the trigram multiset never materializes row-wise, no
+    (doc, trigram) shuffle like the oracle's relational phrasing).  At
+    100 TB this is a pure map over the text column, fused with whatever
+    scan feeds the curation pipeline.
+
+    Cross-engine exactness: per-trigram terms c·log2(c) are rounded to
+    6 dp and summed as exact integer micro-units (the oracle sums the
+    same terms as DECIMAL(18,6)) — order-invariant, so the kernel's
+    accumulation order cannot drift from DuckDB's."""
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_trigrams", T.LongType(), False),
+            T.StructField("entropy", T.DoubleType(), False),
+            T.StructField("is_low_entropy", T.BooleanType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        import math  # noqa: PLC0415 — worker-side import
+        from collections import Counter  # noqa: PLC0415
+
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text) - 2
+                if n < 1:
+                    continue
+                counts = Counter(text[i : i + 3] for i in range(n))
+                micro = sum(
+                    round(c * math.log2(c) * 1e6)
+                    for c in counts.values()
+                    if c > 1
+                )
+                ent = math.log2(n) - (micro / 1e6) / n
+                rows.append(
+                    (int(doc_id), n, round(ent, 6), ent < ENTROPY_LOW)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_trigrams", "entropy",
+                               "is_low_entropy"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(kernel, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# T5-style span-corruption mask generation
+# ---------------------------------------------------------------------------
+
+CORRUPT_BLOCK = 20  # tokens per corruption block (one span per block)
+CORRUPT_MIN_BLEN = 5  # skip runt trailing blocks with no room for a span
+
+
+@register(
+    "span_corruption_masks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents
+    ),
+    b AS (
+        SELECT doc_id, ntok,
+               unnest(generate_series(0,
+                   CAST(ceil(ntok / {CORRUPT_BLOCK}.0) AS BIGINT) - 1)) AS blk
+        FROM t WHERE ntok >= {CORRUPT_MIN_BLEN}
+    ),
+    s AS (
+        SELECT doc_id, blk,
+               least(ntok - blk * {CORRUPT_BLOCK}, {CORRUPT_BLOCK}) AS blen,
+               md5(CAST(doc_id AS VARCHAR) || ':' ||
+                   CAST(blk AS VARCHAR)) AS h
+        FROM b
+    ),
+    p AS (
+        SELECT doc_id, blk, blen,
+               1 + ascii(substring(h, 1, 1)) % 3 AS span_len,
+               ascii(substring(h, 2, 1)) AS a2
+        FROM s WHERE blen >= {CORRUPT_MIN_BLEN}
+    )
+    SELECT doc_id, CAST(blk AS BIGINT) AS sentinel_id,
+           CAST(blk * {CORRUPT_BLOCK}
+                + a2 % (blen - span_len + 1) AS BIGINT) AS start_pos,
+           CAST(span_len AS INT) AS span_len
+    FROM p
+    """,
+    tags=("training-data", "corruption", "masking", "t5"),
+)
+def span_corruption_masks(spark, sf_dir):
+    """Deterministic T5-style span-corruption masks: each document's
+    token stream is cut into {blk}-token blocks; every block with at
+    least {mn} tokens yields ONE masked span (length 1–3, position
+    hash-derived), giving a ~10% corruption rate with non-overlapping
+    spans BY CONSTRUCTION (one span per disjoint block) and sequential
+    sentinel ids — no per-doc sequential state, unlike rejection-sampled
+    span drawing.  Hash-deterministic (md5 of doc_id:block), so the
+    masks are reproducible across engines, reruns, and cluster layouts
+    — the property that makes data-ablation experiments comparable.
+
+    Scale shape: ZERO exchange — block explode and span derivation are
+    scan-side codegen expressions; output rows ≈ corpus_tokens / {blk}.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    t = docs.select("doc_id", ntok.alias("ntok")).filter(
+        F.col("ntok") >= CORRUPT_MIN_BLEN
+    )
+    b = t.withColumn(
+        "blk",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.ceil(F.col("ntok") / float(CORRUPT_BLOCK)) - 1,
+            )
+        ),
+    )
+    blen = F.least(
+        F.col("ntok") - F.col("blk") * CORRUPT_BLOCK, F.lit(CORRUPT_BLOCK)
+    )
+    h = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("blk").cast("string"),
+        )
+    )
+    s = b.select(
+        "doc_id",
+        "blk",
+        blen.alias("blen"),
+        h.alias("h"),
+    ).filter(F.col("blen") >= CORRUPT_MIN_BLEN)
+    span_len = 1 + F.ascii(F.substring("h", 1, 1)) % 3
+    a2 = F.ascii(F.substring("h", 2, 1))
+    p = s.select(
+        "doc_id",
+        "blk",
+        "blen",
+        span_len.alias("span_len"),
+        a2.alias("a2"),
+    )
+    return p.select(
+        "doc_id",
+        F.col("blk").cast("bigint").alias("sentinel_id"),
+        (
+            F.col("blk") * CORRUPT_BLOCK
+            + F.col("a2") % (F.col("blen") - F.col("span_len") + 1)
+        )
+        .cast("bigint")
+        .alias("start_pos"),
+        F.col("span_len").cast("int").alias("span_len"),
+    )
+
+
+span_corruption_masks.__doc__ = span_corruption_masks.__doc__.format(
+    blk=CORRUPT_BLOCK, mn=CORRUPT_MIN_BLEN
+)

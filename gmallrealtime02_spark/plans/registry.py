@@ -296,6 +296,9 @@ _PRIORITY = [
     #    rounds-6/7 window --
     "contamination_report",
     "mmr_rerank",
+    "char_ngram_entropy",
+    "span_corruption_masks",
+    "pack_boundary_masks",
 ]
 
 

@@ -520,3 +520,103 @@ per-bin reassembly agg; each output row is <= budget tokens, so the
 collect never exceeds one training sequence.  Zero-token docs are
 excluded (they contribute no text; the accounting query counts
 them).""".format(budget=PACK_BUDGET)
+
+
+@register(
+    "pack_boundary_masks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, doc_id % {PACK_SHARDS} AS shard,
+               len(string_split(text, ' ')) AS ntok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, shard, ntok,
+               CAST(coalesce(sum(ntok) OVER (
+                   PARTITION BY lang, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS prior
+        FROM t WHERE ntok > 0
+    ),
+    b AS (
+        SELECT doc_id, lang, shard, ntok, prior,
+               unnest(generate_series(prior // {PACK_BUDGET},
+                   (prior + ntok - 1) // {PACK_BUDGET})) AS bin
+        FROM c
+    )
+    SELECT lang, CAST(shard AS INTEGER) AS shard, bin, doc_id,
+           CAST(greatest(prior - bin * {PACK_BUDGET}, 0) AS BIGINT)
+               AS start_in_bin,
+           CAST(greatest(bin * {PACK_BUDGET} - prior, 0) AS BIGINT)
+               AS start_in_doc,
+           CAST(least((bin + 1) * {PACK_BUDGET}, prior + ntok)
+                - greatest(bin * {PACK_BUDGET}, prior) AS BIGINT) AS n_piece
+    FROM b
+    """,
+    tags=("training-data", "packing", "loss-mask"),
+)
+def pack_boundary_masks(spark, sf_dir):
+    """Document-boundary masks for the packed training sequences: for
+    every (lang, shard, bin) produced by ``sequence_packing`` /
+    ``pack_sequences_text``, the exact half-open token interval each
+    document piece occupies WITHIN the bin (start_in_bin, n_piece) and
+    within its source document (start_in_doc) — precisely what a
+    trainer needs to (a) reset cross-document attention at piece
+    boundaries and (b) mask the loss on tokens that continue a document
+    split from the previous bin.  Same interval arithmetic as the
+    packing ops, so the three queries are mutually consistent by
+    construction.
+
+    Scale shape: identical to ``pack_bins`` — one exchange on
+    (lang, shard) for the running-offset window; the bin explode and
+    interval arithmetic are scan-side.  Output rows ≈ corpus_tokens /
+    budget + n_docs (one row per piece)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        d.select(
+            "doc_id",
+            "lang",
+            (F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard"),
+            F.size(F.split("text", " ")).alias("ntok"),
+        )
+        .filter(F.col("ntok") > 0)
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn(
+        "prior", F.coalesce(F.sum("ntok").over(w), F.lit(0)).cast("long")
+    )
+    b = t.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("prior") / PACK_BUDGET),
+                F.floor((F.col("prior") + F.col("ntok") - 1) / PACK_BUDGET),
+            )
+        ),
+    )
+    zero = F.lit(0).cast("long")
+    return b.select(
+        "lang",
+        "shard",
+        "bin",
+        "doc_id",
+        F.greatest(F.col("prior") - F.col("bin") * PACK_BUDGET, zero)
+        .cast("bigint")
+        .alias("start_in_bin"),
+        F.greatest(F.col("bin") * PACK_BUDGET - F.col("prior"), zero)
+        .cast("bigint")
+        .alias("start_in_doc"),
+        (
+            F.least(
+                (F.col("bin") + 1) * PACK_BUDGET,
+                F.col("prior") + F.col("ntok"),
+            )
+            - F.greatest(F.col("bin") * PACK_BUDGET, F.col("prior"))
+        )
+        .cast("bigint")
+        .alias("n_piece"),
+    )

@@ -1172,3 +1172,31 @@ def test_mmr_rerank_no_corpus_pair_product(spark, sf_dir):
     cartesian product."""
     plan = _executed_plan(QUERIES["mmr_rerank"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_char_ngram_entropy_zero_exchange(spark, sf_dir):
+    """char_ngram_entropy: per-doc entropy is a single Arrow mapInPandas
+    over the corpus scan — no (doc, trigram) shuffle (the oracle's
+    relational phrasing), no exchange at all."""
+    plan = _executed_plan(QUERIES["char_ngram_entropy"].fn(spark, sf_dir))
+    assert _exchanges(plan) == 0, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+
+def test_span_corruption_masks_zero_exchange(spark, sf_dir):
+    """span_corruption_masks: block explode + hash-derived span position
+    are scan-side codegen expressions — zero exchange, no Python."""
+    plan = _executed_plan(QUERIES["span_corruption_masks"].fn(spark, sf_dir))
+    assert _exchanges(plan) == 0, plan
+    assert "MapInPandas" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_pack_boundary_masks_single_stream_exchange(spark, sf_dir):
+    """pack_boundary_masks: same shape as pack_bins — ONE exchange on the
+    (lang, shard) stream key for the running-offset window; the bin
+    explode and interval arithmetic stay scan-side."""
+    plan = _executed_plan(QUERIES["pack_boundary_masks"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
