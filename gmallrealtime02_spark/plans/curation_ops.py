@@ -180,8 +180,13 @@ def dedup_eval(spark, sf_dir):
     the scoring join is over pair keys only (two ints), and the final
     aggregate is a 3-scalar reduction."""
     docs = load_table(spark, sf_dir, "documents")
-    pred = S.minhash_lsh_pairs(docs, 0.5).select("doc_a", "doc_b")
-    truth = S.exact_jaccard_pairs(docs, 0.5).select("doc_a", "doc_b")
+    # Both pair sets feed TWO consumers (their count agg + the hit join):
+    # persist the tiny (int, int) pair lists so the LSH band join and the
+    # exact shingle join each execute ONCE, not per consumer.
+    pred_lazy, pred_caches = S.minhash_lsh_pairs_plan(docs, 0.5)
+    pred = pred_lazy.select("doc_a", "doc_b").persist()
+    truth_lazy, truth_caches = S.exact_jaccard_pairs_plan(docs, 0.5)
+    truth = truth_lazy.select("doc_a", "doc_b").persist()
     hit = pred.join(truth, ["doc_a", "doc_b"], "left_semi")
     m = (
         pred.agg(F.count("*").alias("n_pred"))
@@ -189,7 +194,7 @@ def dedup_eval(spark, sf_dir):
         .crossJoin(hit.agg(F.count("*").alias("n_hit")))
     )
     zero = F.lit(0.0)
-    return m.select(
+    result = m.select(
         "n_pred",
         "n_truth",
         "n_hit",
@@ -208,6 +213,7 @@ def dedup_eval(spark, sf_dir):
             6,
         ).alias("recall"),
     )
+    return materialized(result, pred, truth, *pred_caches, *truth_caches)
 
 
 def _register_dedup_eval_oracle() -> None:
