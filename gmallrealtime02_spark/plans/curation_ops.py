@@ -359,19 +359,20 @@ _GD_ITERS = 3
 _EN_STOP_SQL = "['the', 'a', 'of', 'and', 'is']"
 
 
-def _classifier_oracle() -> str:
-    """Unrolled batch-GD logistic regression in pure SQL, iteration-exact
-    with the Spark implementation: per-doc gradient terms are rounded to
-    6 dp and summed as DECIMAL(18,6) (order-invariant), weights update
-    in double."""
+def _gd_ctes(keep_id: bool) -> tuple[list[str], str, str]:
+    """The shared SQL scaffold of the batch-GD logistic regression: the
+    feature CTE ``f`` (optionally carrying doc_id through), the zeroed
+    weight row, and one (gradient, weight-update) CTE pair per unrolled
+    iteration.  Returns (ctes, final_weight_cte_name, z_expression)."""
     z = "w.w0 * 1.0 + w.w1 * f.f1 + w.w2 * f.f2 + w.w3 * f.f3"
     p = f"1.0 / (1.0 + exp(-({z})))"
+    id_col = "doc_id,\n               " if keep_id else ""
     ctes = [
-        """f AS (
-        SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        f"""f AS (
+        SELECT {id_col}CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
                len(string_split(text, ' ')) / 100.0 AS f1,
                CAST(len(list_filter(string_split(text, ' '),
-                        w -> list_contains(""" + _EN_STOP_SQL + """, w)))
+                        w -> list_contains({_EN_STOP_SQL}, w)))
                     AS DOUBLE) / len(string_split(text, ' ')) AS f2,
                CAST(length(text) AS DOUBLE)
                     / len(string_split(text, ' ')) AS f3
@@ -392,6 +393,15 @@ def _classifier_oracle() -> str:
         )
         ctes.append(f"wc{i} AS (SELECT {upd} FROM g{i} g, {prev} w)")
         prev = f"wc{i}"
+    return ctes, prev, z
+
+
+def _classifier_oracle() -> str:
+    """Unrolled batch-GD logistic regression in pure SQL, iteration-exact
+    with the Spark implementation: per-doc gradient terms are rounded to
+    6 dp and summed as DECIMAL(18,6) (order-invariant), weights update
+    in double."""
+    ctes, prev, z = _gd_ctes(keep_id=False)
     zf = z.replace("f.f", "f")  # final-pass z over bare f columns
     return (
         "WITH "
@@ -405,6 +415,76 @@ def _classifier_oracle() -> str:
                  / count(*), 6) AS accuracy
     FROM f, {prev} w"""
     )
+
+
+def _classifier_score_oracle() -> str:
+    """Same unrolled GD weight trajectory, then a per-document scoring
+    pass: raw logit (pure double arithmetic over engine-identical
+    weights — no exp in the output path), hard prediction, truth."""
+    ctes, prev, z = _gd_ctes(keep_id=True)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT f.doc_id,
+           round({z}, 6) AS logit,
+           CASE WHEN ({z}) >= 0 THEN 1 ELSE 0 END AS pred_en,
+           CAST(f.y AS INT) AS is_en
+    FROM f, {prev} w"""
+    )
+
+
+def _classifier_feats(spark, sf_dir):
+    """The classifier's persisted feature table (doc_id, y, f1, f2, f3):
+    one corpus scan projecting text down to 4 doubles + an id — the
+    ~1000x reduction every GD iteration then re-reads from cache."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    sw = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "is"]])
+    return (
+        ensure_parallelism(d)
+        .filter(F.size(ws) > 0)
+        .select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+            (F.size(ws) / F.lit(100.0)).alias("f1"),
+            (
+                F.size(F.filter(ws, lambda w: F.array_contains(sw, w))).cast(
+                    "double"
+                )
+                / F.size(ws)
+            ).alias("f2"),
+            (F.length("text").cast("double") / F.size(ws)).alias("f3"),
+        )
+        .persist()
+    )
+
+
+def _gd_weights(feats, fcols) -> list[float]:
+    """Run the ``_GD_ITERS`` batch-gradient steps; each step is a
+    map-side-partial aggregate to 4 scalars (6-dp DECIMAL gradient terms
+    — order- and partitioning-invariant), weights ride to the next step
+    as literals ('broadcast the model, reduce the gradient')."""
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(_GD_ITERS):
+        z = (
+            F.lit(w[0]) * fcols[0]
+            + F.lit(w[1]) * fcols[1]
+            + F.lit(w[2]) * fcols[2]
+            + F.lit(w[3]) * fcols[3]
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        row = feats.agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(
+                    F.round((p - F.col("y")) * fx, 6).cast("decimal(18,6)")
+                ).alias(f"s{j}")
+                for j, fx in enumerate(fcols)
+            ],
+        ).first()
+        w = [w[j] - float(row[f"s{j}"]) / row["n"] for j in range(4)]
+    return w
 
 
 @register(
@@ -434,47 +514,9 @@ def quality_classifier_train(spark, sf_dir):
     the 4 weights ride to the next step as literals — the classic
     'broadcast the model, reduce the gradient' layout that holds at any
     corpus size and any cluster width."""
-    d = load_table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    sw = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "is"]])
-    feats = (
-        ensure_parallelism(d)
-        .filter(F.size(ws) > 0)
-        .select(
-            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
-            (F.size(ws) / F.lit(100.0)).alias("f1"),
-            (
-                F.size(F.filter(ws, lambda w: F.array_contains(sw, w))).cast(
-                    "double"
-                )
-                / F.size(ws)
-            ).alias("f2"),
-            (F.length("text").cast("double") / F.size(ws)).alias("f3"),
-        )
-        .persist()
-    )
+    feats = _classifier_feats(spark, sf_dir)
     fcols = [F.lit(1.0), F.col("f1"), F.col("f2"), F.col("f3")]
-    w = [0.0, 0.0, 0.0, 0.0]
-    n = None
-    for _ in range(_GD_ITERS):
-        z = (
-            F.lit(w[0]) * fcols[0]
-            + F.lit(w[1]) * fcols[1]
-            + F.lit(w[2]) * fcols[2]
-            + F.lit(w[3]) * fcols[3]
-        )
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        row = feats.agg(
-            F.count("*").alias("n"),
-            *[
-                F.sum(
-                    F.round((p - F.col("y")) * fx, 6).cast("decimal(18,6)")
-                ).alias(f"s{j}")
-                for j, fx in enumerate(fcols)
-            ],
-        ).first()
-        n = row["n"]
-        w = [w[j] - float(row[f"s{j}"]) / n for j in range(4)]
+    w = _gd_weights(feats, fcols)
     zf = (
         F.lit(w[0]) * fcols[0]
         + F.lit(w[1]) * fcols[1]
@@ -491,6 +533,50 @@ def quality_classifier_train(spark, sf_dir):
         "n",
         *[F.round(F.lit(w[j]), 6).alias(f"w{j}") for j in range(4)],
         "accuracy",
+    )
+    return materialized(result, feats)
+
+
+@register(
+    "quality_classifier_score",
+    oracle=_classifier_score_oracle(),
+    tags=("ml", "classifier", "training-data", "scoring"),
+)
+def quality_classifier_score(spark, sf_dir):
+    """The INFERENCE half of ``quality_classifier_train`` — and the part
+    that actually runs at 100 TB: train the same 3-step batch-GD
+    logistic weights on the persisted 4-double feature table, then score
+    EVERY document in one pass.  Output: (doc_id, logit, pred_en,
+    is_en) — the raw margin a curation pipeline thresholds or buckets
+    (cf. ``ccnet_quality_buckets``), not just the train-set accuracy
+    scalar.
+
+    Engine-exactness: the weights are engine-identical by the train
+    op's DECIMAL-gradient discipline, and the per-doc output is the raw
+    LOGIT (w·f in one pinned evaluation order — pure double arithmetic,
+    no exp in the output path), so both engines emit the identical IEEE
+    double before the 6-dp round.
+
+    Scale shape: the corpus text is read exactly once (the feature
+    projection, cached); GD touches only 4-scalar aggregates; the
+    scoring pass is a ZERO-EXCHANGE map over the cached features with
+    the 4 weights folded in as literals — the canonical 'model as
+    broadcast constant' inference layout that is embarrassingly
+    parallel at any cluster width."""
+    feats = _classifier_feats(spark, sf_dir)
+    fcols = [F.lit(1.0), F.col("f1"), F.col("f2"), F.col("f3")]
+    w = _gd_weights(feats, fcols)
+    z = (
+        F.lit(w[0]) * fcols[0]
+        + F.lit(w[1]) * fcols[1]
+        + F.lit(w[2]) * fcols[2]
+        + F.lit(w[3]) * fcols[3]
+    )
+    result = feats.select(
+        "doc_id",
+        F.round(z, 6).alias("logit"),
+        F.when(z >= 0, 1).otherwise(0).cast("int").alias("pred_en"),
+        F.col("y").cast("int").alias("is_en"),
     )
     return materialized(result, feats)
 

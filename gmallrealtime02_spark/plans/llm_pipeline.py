@@ -351,9 +351,7 @@ def _cos_sql(a: str, b: str) -> str:
     return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
 
 
-@register(
-    "ann_cosine_topk",
-    oracle=f"""
+_BRUTE_COS_ORACLE = f"""
     SELECT qid, cid, cosine, rnk FROM (
         SELECT q.vec_id AS qid, c.vec_id AS cid,
                {_cos_sql('q.embedding', 'c.embedding')} AS cosine,
@@ -364,7 +362,12 @@ def _cos_sql(a: str, b: str) -> str:
                ) AS rnk
         FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id != c.vec_id
     ) WHERE rnk <= 5
-    """,
+    """
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=_BRUTE_COS_ORACLE,
     tags=("similarity", "ann"),
 )
 def ann_cosine_topk(spark, sf_dir):
@@ -401,13 +404,7 @@ _NEAR_DUP_LSH_KEYS = " UNION ALL ".join(
 )
 
 
-@register(
-    "ann_lsh_topk",
-    # Approximate by construction but DETERMINISTIC (same hyperplane
-    # arithmetic as dedup_embedding_cosine), so the oracle replicates the
-    # 8 bucket tables and the result is hash-exact cross-engine; recall
-    # vs brute force is additionally gated in pytest.
-    oracle=f"""
+_LSH_TOPK_ORACLE = f"""
     WITH keys AS (
         {" UNION ALL ".join(
             f"SELECT vec_id, {t} AS tbl, {_lsh_bucket_sql(t)} AS bkt FROM embeddings"
@@ -432,7 +429,16 @@ _NEAR_DUP_LSH_KEYS = " UNION ALL ".join(
         JOIN embeddings qe ON qe.vec_id = c.qid
         JOIN embeddings ce ON ce.vec_id = c.cid
     ) WHERE rnk <= 5
-    """,
+    """
+
+
+@register(
+    "ann_lsh_topk",
+    # Approximate by construction but DETERMINISTIC (same hyperplane
+    # arithmetic as dedup_embedding_cosine), so the oracle replicates the
+    # 8 bucket tables and the result is hash-exact cross-engine; recall
+    # vs brute force is additionally gated in pytest.
+    oracle=_LSH_TOPK_ORACLE,
     tags=("similarity", "ann", "lsh"),
 )
 def ann_lsh_topk_q(spark, sf_dir):
@@ -498,14 +504,7 @@ def ann_cosine_topk_np_q(spark, sf_dir):
     return S.cosine_topk_np(load_table(spark, sf_dir, "embeddings"), 10, 5)
 
 
-@register(
-    "ann_ivf_topk",
-    # Approximate by construction but DETERMINISTIC: centroids are the
-    # first 16 vectors, cell affinity is an index-ordered cosine fold
-    # (bit-identical doubles), ranks tie-break on cell id — so the oracle
-    # replicates assignment + 4-cell probing exactly; recall vs brute
-    # force is additionally gated in pytest.
-    oracle=f"""
+_IVF_TOPK_ORACLE = f"""
     WITH cent AS (
         SELECT vec_id AS cell, embedding AS cvec FROM embeddings
         WHERE vec_id < 16
@@ -546,7 +545,17 @@ def ann_cosine_topk_np_q(spark, sf_dir):
         JOIN embeddings qe ON qe.vec_id = c.qid
         JOIN embeddings ce ON ce.vec_id = c.cid
     ) WHERE rnk <= 5
-    """,
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    # Approximate by construction but DETERMINISTIC: centroids are the
+    # first 16 vectors, cell affinity is an index-ordered cosine fold
+    # (bit-identical doubles), ranks tie-break on cell id — so the oracle
+    # replicates assignment + 4-cell probing exactly; recall vs brute
+    # force is additionally gated in pytest.
+    oracle=_IVF_TOPK_ORACLE,
     tags=("similarity", "ann", "ivf"),
 )
 def ann_ivf_topk_q(spark, sf_dir):
@@ -1850,6 +1859,100 @@ def _bigram_pmi_plan(spark, sf_dir):
 
 
 @register(
+    "kn_bigram_lm",
+    oracle="""
+    WITH bg AS (
+        SELECT unnest(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 1),
+            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        )) AS bg
+        FROM documents
+    ),
+    c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+    -- left marginal: token count AND distinct-continuation type count of w1
+    c1 AS (
+        SELECT split_part(bg, ' ', 1) AS w, sum(c12) AS c1, count(*) AS nt
+        FROM c12 GROUP BY w
+    ),
+    -- continuation count: distinct left contexts of w2 (c12 rows ARE types)
+    cont AS (
+        SELECT split_part(bg, ' ', 2) AS w, count(*) AS cont FROM c12 GROUP BY w
+    ),
+    t AS (SELECT count(*) AS t FROM c12)
+    SELECT bg, c12, p_kn, rnk FROM (
+        SELECT c12.bg, c12.c12,
+               round((greatest(CAST(c12.c12 AS DOUBLE) - 0.75, 0.0)
+                      + 0.75 * CAST(c1.nt AS DOUBLE)
+                        * (CAST(cont.cont AS DOUBLE)
+                           / CAST((SELECT t FROM t) AS DOUBLE)))
+                     / CAST(c1.c1 AS DOUBLE), 6) AS p_kn,
+               ROW_NUMBER() OVER (ORDER BY c12.c12 DESC, c12.bg ASC) AS rnk
+        FROM c12
+        JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w
+        JOIN cont ON split_part(c12.bg, ' ', 2) = cont.w
+    ) WHERE rnk <= 50
+    """,
+    tags=("text", "lm", "ngram", "kneser-ney"),
+)
+def kn_bigram_lm(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram LM estimation (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.28), reported for the corpus's 50 most
+    frequent bigrams: P_KN(w2|w1) = (max(c(w1 w2) − D, 0)
+    + D · N1+(w1 •) · P_cont(w2)) / c(w1 •) with D = 0.75 and
+    P_cont(w2) = N1+(• w2) / |bigram types| — the absolute-discount
+    mass redistributed by continuation probability, the classic
+    smoothing used for n-gram LM filtering/perplexity scoring of
+    pretraining corpora (cf. ``doc_lm_perplexity``'s add-one LM).
+
+    Engine-exactness: all inputs to the probability are exact int64
+    counts; the expression casts each factor to double and evaluates in
+    one pinned order, so both engines produce the identical IEEE double
+    before the final 6-dp round.
+
+    Scale shape: ONE corpus scan produces the bigram-type count table;
+    the left marginal + discount type-count (one groupBy of c12), the
+    continuation counts (a second groupBy of c12), and the scalar type
+    total all derive from that — vocabulary-sized, never corpus-sized,
+    exchanges.  Marginal joins are plain shuffle joins on the word key
+    (10⁸⁺ distinct tokens at 100 TB — deliberately not broadcast; AQE
+    may downgrade at small SF).  The top-50 is orderBy().limit() — a
+    TakeOrderedAndProject, never a one-reducer global window."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = ensure_parallelism(d.select(F.split("text", " ").alias("ws")))
+    bg = ws.select(F.explode(TX.word_bigrams_of(F.col("ws"))).alias("bg"))
+    c12 = bg.groupBy("bg").agg(F.count("*").alias("c12")).persist()
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    w2 = F.substring_index(F.col("bg"), " ", -1)
+    c1 = c12.groupBy(w1.alias("w")).agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("nt")
+    )
+    cont = c12.groupBy(w2.alias("w")).agg(F.count("*").alias("cont"))
+    t = c12.count()
+    p_kn = F.round(
+        (
+            F.greatest(F.col("c12").cast("double") - F.lit(0.75), F.lit(0.0))
+            + F.lit(0.75)
+            * F.col("nt").cast("double")
+            * (F.col("cont").cast("double") / F.lit(float(t)))
+        )
+        / F.col("c1").cast("double"),
+        6,
+    )
+    scored = (
+        c12.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(c1, F.col("w1") == c1.w)
+        .drop("w")
+        .join(cont, F.col("w2") == cont.w)
+        .select("bg", "c12", p_kn.alias("p_kn"))
+    )
+    order = [F.col("c12").desc(), F.col("bg").asc()]
+    top = scored.orderBy(*order).limit(50)
+    ranked = top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+    return materialized(ranked, c12)
+
+
+@register(
     "inverted_index",
     oracle="""
     SELECT word, shard, df_shard, postings FROM (
@@ -2602,7 +2705,7 @@ SELECT qid, cid, round(adc_d2, 6) AS adc_d2, rnk FROM (
     oracle=_PQ_ORACLE,
     tags=("similarity", "ann", "quantization"),
 )
-def ann_pq_topk(spark, sf_dir):
+def ann_pq_topk(spark, sf_dir, fitted=None):
     """Product-quantization ANN (Jégou et al. 2011): 4 subspace
     codebooks (k=16, 2 Lloyd iterations each) compress every 64-dim
     vector to 4 centroid ids; queries score candidates with asymmetric
@@ -2620,7 +2723,7 @@ def ann_pq_topk(spark, sf_dir):
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    codes, books = pq_fit(emb)
+    codes, books = fitted if fitted is not None else pq_fit(emb)
 
     # one (qid, d0[16], …, d3[16]) literal per query — 10 x 4 x 16 doubles
     q_structs = []
@@ -2718,7 +2821,7 @@ SELECT qid, cid, round(adc_d2, 6) AS adc_d2, rnk FROM (
     oracle=_IVFPQ_ORACLE,
     tags=("similarity", "ann", "ivf", "quantization"),
 )
-def ann_ivfpq_topk(spark, sf_dir):
+def ann_ivfpq_topk(spark, sf_dir, fitted=None):
     """IVFPQ (the production billion-vector ANN layout, Jégou et al.
     2011 §IV): the IVF coarse quantizer prunes the candidate set to the
     query's 4 nearest cells (~n_probe/n_cells of the corpus, partition-
@@ -2736,7 +2839,7 @@ def ann_ivfpq_topk(spark, sf_dir):
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    codes, books = pq_fit(emb)
+    codes, books = fitted if fitted is not None else pq_fit(emb)
 
     cent = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
@@ -2795,6 +2898,129 @@ def ann_ivfpq_topk(spark, sf_dir):
         .select("qid", "cid", F.round("adc_d2", 6).alias("adc_d2"), "rnk")
     )
     return materialized(result, ranked)
+
+
+_L2_FOLD = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+    "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), "
+    "(x, y) -> x + y)"
+)
+
+_L2_TRUTH_SQL = f"""
+    SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_L2_FOLD.format(a='q.embedding', b='c.embedding')}
+                       ASC, c.vec_id ASC
+               ) AS rnk
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id < 10 AND q.vec_id != c.vec_id
+    ) WHERE rnk <= 5"""
+
+
+def _recall_row_sql(method: str, approx: str, truth: str) -> str:
+    return (
+        f"SELECT '{method}' AS method, "
+        f"(SELECT count(*) FROM {approx} a JOIN {truth} t "
+        f"ON a.qid = t.qid AND a.cid = t.cid) AS hits, "
+        f"(SELECT count(*) FROM {truth}) AS truth_n"
+    )
+
+
+_ANN_RECALL_ORACLE = f"""
+WITH tc AS (SELECT qid, cid FROM ({_BRUTE_COS_ORACLE})),
+tl AS ({_L2_TRUTH_SQL}),
+lsh AS (SELECT qid, cid FROM ({_LSH_TOPK_ORACLE})),
+ivf AS (SELECT qid, cid FROM ({_IVF_TOPK_ORACLE})),
+pq AS (SELECT qid, cid FROM ({_PQ_ORACLE})),
+ivfpq AS (SELECT qid, cid FROM ({_IVFPQ_ORACLE})),
+hits AS (
+    {_recall_row_sql('lsh', 'lsh', 'tc')}
+    UNION ALL {_recall_row_sql('ivf', 'ivf', 'tc')}
+    UNION ALL {_recall_row_sql('pq', 'pq', 'tl')}
+    UNION ALL {_recall_row_sql('ivfpq', 'ivfpq', 'tl')}
+)
+SELECT method, hits, truth_n,
+       round(CAST(hits AS DOUBLE) / truth_n, 6) AS recall
+FROM hits
+"""
+
+
+@register(
+    "ann_recall_eval",
+    # Every tier of the ANN ladder is deterministic (the whole point of
+    # the integer-ring hyperplanes / first-16 cells / decimal-exact
+    # codebooks), so even this EVALUATION of the approximations is
+    # hash-oracled: the SQL re-runs all four approximate indexes plus
+    # both exact baselines and must land on the identical hit counts.
+    oracle=_ANN_RECALL_ORACLE,
+    tags=("similarity", "ann", "eval"),
+)
+def ann_recall_eval(spark, sf_dir):
+    """Recall@5 of the full ANN scale ladder against exact ground truth
+    — the index-selection readout an embedding-dedup/search pipeline
+    tunes against before committing to a layout at 10⁹ vectors: each
+    approximate tier (LSH buckets, IVF cell probing, PQ codes, IVFPQ)
+    scored against the exact baseline in ITS OWN metric (LSH/IVF
+    approximate cosine ranking; PQ/IVFPQ approximate L2 ranking — for
+    unnormalized vectors the two rankings differ, so crossing metrics
+    would misreport both).  Output: (method, hits, truth_n, recall).
+
+    Scale shape: the two exact baselines are the brute-force scoring
+    scans (broadcast query block, candidates stream scan-side) that any
+    recall eval must pay ONCE on a sample — production runs this on an
+    n_queries-sized probe set, not the corpus, so the quadratic term is
+    bounded by the probe count; every approximate tier reuses its
+    production plan (banded buckets / cell pruning / ADC lookups)
+    unchanged.  Hit counting joins 50-row frames; the per-method rows
+    are one-row scalar attaches (the sketches' broadcast-of-one-row
+    pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    tc = S.cosine_topk(emb, 10, 5).select("qid", "cid").persist()
+    e = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    d2 = CL._sq_dist(F.col("qe"), F.col("ce"))
+    wl = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    tl = (
+        F.broadcast(q)
+        .join(ensure_parallelism(e), F.col("qid") != F.col("cid"))
+        .select("qid", "cid", d2.alias("d2"))
+        .withColumn("rnk", F.row_number().over(wl))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "cid")
+        .persist()
+    )
+    fitted = pq_fit(emb)  # one fit shared by both PQ tiers
+    tiers = [
+        ("lsh", lambda: ann_lsh_topk_q(spark, sf_dir)),
+        ("ivf", lambda: ann_ivf_topk_q(spark, sf_dir)),
+        ("pq", lambda: ann_pq_topk(spark, sf_dir, fitted=fitted)),
+        ("ivfpq", lambda: ann_ivfpq_topk(spark, sf_dir, fitted=fitted)),
+    ]
+    truths = {"lsh": tc, "ivf": tc, "pq": tl, "ivfpq": tl}
+    result = None
+    for name, fn in tiers:
+        truth = truths[name]
+        approx = fn().select("qid", "cid")
+        hits = approx.join(truth, ["qid", "cid"]).agg(
+            F.count("*").alias("hits")
+        )
+        tn = truth.agg(F.count("*").alias("truth_n"))
+        row = hits.crossJoin(tn).select(
+            F.lit(name).alias("method"),
+            "hits",
+            "truth_n",
+            F.round(
+                F.col("hits").cast("double") / F.col("truth_n"), 6
+            ).alias("recall"),
+        )
+        result = row if result is None else result.unionByName(row)
+    return materialized(result, tc, tl)
 
 
 # ---------------------------------------------------------------------------

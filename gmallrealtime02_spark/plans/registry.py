@@ -299,6 +299,9 @@ _PRIORITY = [
     "char_ngram_entropy",
     "span_corruption_masks",
     "pack_boundary_masks",
+    "kn_bigram_lm",
+    "quality_classifier_score",
+    "ann_recall_eval",
 ]
 
 

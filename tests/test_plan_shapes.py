@@ -1200,3 +1200,37 @@ def test_pack_boundary_masks_single_stream_exchange(spark, sf_dir):
     assert _exchanges(plan) <= 1, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_quality_classifier_score_is_zero_exchange_scan(spark, sf_dir):
+    """quality_classifier_score: the scoring pass is a pure map over the
+    cached feature table with the learned weights folded in as literals
+    — ZERO exchanges, no join, no Python runner.  This is the plan that
+    must hold at 100 TB: inference cost == one scan."""
+    plan = _executed_plan(QUERIES["quality_classifier_score"].fn(spark, sf_dir))
+    assert _exchanges(plan) == 0, plan
+    assert "Join" not in _strip_cached_subplans(plan), plan
+    assert "Python" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_kn_bigram_lm_single_corpus_pass(spark, sf_dir):
+    """kn_bigram_lm: like bigram_pmi, the corpus crosses the wire once
+    into the bigram-type count; the left marginal, continuation counts,
+    and scalar type total all re-aggregate the PERSISTED c12 (>= 3
+    InMemoryTableScan consumers), no pair product, and the top-50 is a
+    distributed TakeOrderedAndProject feeding a 50-row window."""
+    plan = _executed_plan(QUERIES["kn_bigram_lm"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window"), plan
+
+
+def test_ann_recall_eval_no_cartesian_blowup(spark, sf_dir):
+    """ann_recall_eval: the two exact baselines broadcast the bounded
+    query block (BroadcastNestedLoopJoin, never CartesianProduct), every
+    approximate tier keeps its production pruned plan, and hit counting
+    joins k-by-n_queries-row frames."""
+    plan = _executed_plan(QUERIES["ann_recall_eval"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
