@@ -1953,6 +1953,117 @@ def kn_bigram_lm(spark, sf_dir):
 
 
 @register(
+    "doc_kn_perplexity",
+    oracle="""
+    WITH bg AS (
+        SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 1),
+            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        )) AS bg
+        FROM documents
+    ),
+    c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+    c1 AS (
+        SELECT split_part(bg, ' ', 1) AS w, sum(c12) AS c1, count(*) AS nt
+        FROM c12 GROUP BY w
+    ),
+    cont AS (
+        SELECT split_part(bg, ' ', 2) AS w, count(*) AS cont FROM c12 GROUP BY w
+    ),
+    t AS (SELECT count(*) AS t FROM c12),
+    lm AS (
+        SELECT c12.bg,
+               (greatest(CAST(c12.c12 AS DOUBLE) - 0.75, 0.0)
+                + 0.75 * CAST(c1.nt AS DOUBLE)
+                  * (CAST(cont.cont AS DOUBLE)
+                     / CAST((SELECT t FROM t) AS DOUBLE)))
+               / CAST(c1.c1 AS DOUBLE) AS p
+        FROM c12
+        JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w
+        JOIN cont ON split_part(c12.bg, ' ', 2) = cont.w
+    ),
+    scored AS (
+        SELECT bg.doc_id, count(*) AS n_bigrams,
+               sum(CAST(round(-ln(lm.p), 6) AS DECIMAL(18,6))) AS nll
+        FROM bg JOIN lm ON bg.bg = lm.bg
+        GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           ((2 * CAST(nll * 1000000 AS BIGINT) + n_bigrams)
+            // (2 * n_bigrams)) / 1000000.0 AS avg_nll
+    FROM scored
+    """,
+    tags=("text", "quality", "language-model", "kneser-ney"),
+)
+def doc_kn_perplexity(spark, sf_dir):
+    """Per-document average negative log-likelihood under the
+    interpolated Kneser–Ney bigram LM of ``kn_bigram_lm`` — the
+    smoothed counterpart of ``doc_lm_perplexity``'s add-one model (KN
+    assigns discounted-but-positive mass via continuation probability
+    instead of flat +1, so rare-but-well-formed constructions are
+    penalized far less — the filter-quality difference that made KN
+    the n-gram standard).  Trained on the corpus itself, every scored
+    bigram exists in the model, so no unseen-event backoff is needed
+    and P < 1 strictly (the discount guarantees positive NLL, which
+    the integer half-up average below requires).
+
+    Engine-exactness: the probability is the pinned-order double chain
+    of ``kn_bigram_lm``; per-bigram NLL terms are round(-ln p, 6) →
+    DECIMAL(18,6) sums (exact, order-independent) and the per-doc mean
+    uses the integer half-up division (2a+n) div 2n — the
+    ``doc_lm_perplexity`` discipline, shared verbatim.
+
+    Scale shape: the exploded (doc_id, bigram) table persists once
+    (it feeds LM training AND scoring); all LM tables re-aggregate the
+    persisted bigram-type counts (vocabulary-sized exchanges); the
+    scoring join shuffles on the bigram key the LM is already grouped
+    by."""
+    d = load_table(spark, sf_dir, "documents")
+    bgd = (
+        ensure_parallelism(d.select("doc_id", F.split("text", " ").alias("ws")))
+        .select("doc_id", F.explode(TX.word_bigrams_of(F.col("ws"))).alias("bg"))
+        .persist()
+    )
+    c12 = bgd.groupBy("bg").agg(F.count("*").alias("c12")).persist()
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    w2 = F.substring_index(F.col("bg"), " ", -1)
+    c1 = c12.groupBy(w1.alias("w")).agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("nt")
+    )
+    cont = c12.groupBy(w2.alias("w")).agg(F.count("*").alias("cont"))
+    t = c12.count()
+    p = (
+        F.greatest(F.col("c12").cast("double") - F.lit(0.75), F.lit(0.0))
+        + F.lit(0.75)
+        * F.col("nt").cast("double")
+        * (F.col("cont").cast("double") / F.lit(float(t)))
+    ) / F.col("c1").cast("double")
+    lm = (
+        c12.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(c1, F.col("w1") == c1.w)
+        .drop("w")
+        .join(cont, F.col("w2") == cont.w)
+        .select("bg", p.alias("p"))
+    )
+    nll_term = F.round(-F.log(F.col("p")), 6).cast("decimal(18,6)")
+    result = (
+        bgd.join(lm, "bg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum(nll_term).alias("nll"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr(
+                "CAST((2 * CAST(nll * 1000000 AS BIGINT) + n_bigrams)"
+                " div (2 * n_bigrams) AS DOUBLE) / 1000000"
+            ).alias("avg_nll"),
+        )
+    )
+    return materialized(result, bgd, c12)
+
+
+@register(
     "inverted_index",
     oracle="""
     SELECT word, shard, df_shard, postings FROM (
@@ -3021,6 +3132,176 @@ def ann_recall_eval(spark, sf_dir):
         )
         result = row if result is None else result.unionByName(row)
     return materialized(result, tc, tl)
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    SELECT qid, cid, kind, cosine, rnk FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               CASE WHEN q.label = c.label THEN 'pos' ELSE 'neg' END AS kind,
+               {_cos_sql('q.embedding', 'c.embedding')} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id,
+                       CASE WHEN q.label = c.label THEN 'pos' ELSE 'neg' END
+                   ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id ASC
+               ) AS rnk
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id < 10 AND q.vec_id != c.vec_id
+    ) WHERE rnk <= 3
+    """,
+    tags=("similarity", "contrastive", "training-data"),
+)
+def hard_negative_mining(spark, sf_dir):
+    """Contrastive-pair mining over the labeled embedding table — the
+    data-prep step for training embedding models (in-batch negatives are
+    too easy; retrieval-mined hard negatives are what moves recall, per
+    DPR/ANCE-style pipelines): for each query vector, the top-3
+    same-label neighbors (positives) and the top-3 HIGHEST-cosine
+    different-label neighbors (the hard negatives — near the decision
+    boundary, not random).  Output: (qid, cid, kind, cosine, rnk).
+
+    Engine-exactness: same fold-ordered double cosine as
+    ``ann_cosine_topk``; ranking totals on (cosine, cid).
+
+    Scale shape: the bounded query block broadcasts; candidates stream
+    scan-side (one cosine fold per pair, norms folded once per row below
+    the join); the per-(query, kind) top-3 is a window over the
+    candidate stream keyed by query — at production scale the mining
+    runs over the ANN candidate sets (``ann_*_topk``) instead of the
+    brute scan, same downstream shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+        F.sqrt(S._dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
+    )
+    c = ensure_parallelism(emb).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("clabel"),
+        F.sqrt(S._dot(F.col("embedding"), F.col("embedding"))).alias("cn"),
+    )
+    cosine = F.round(
+        S._dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
+    )
+    kind = F.when(F.col("qlabel") == F.col("clabel"), "pos").otherwise("neg")
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("cid"))
+        .select("qid", "cid", kind.alias("kind"), cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("qid", "kind").orderBy(
+        F.col("cosine").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+_LSH_TUNE_CONFIGS = [
+    (b, S.N_HASHES // b, round((1.0 / b) ** (b / S.N_HASHES), 6))
+    for b in (1, 2, 4, 8, 16)
+]
+
+
+def _tune_bands_sql(b: int, r: int) -> str:
+    return " UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, {key} AS bkey FROM sig".format(
+            bi=bi,
+            key=" || ',' || ".join(
+                f"CAST(m{bi * r + j} AS VARCHAR)" for j in range(r)
+            ),
+        )
+        for bi in range(b)
+    )
+
+
+_LSH_TUNE_ORACLE = (
+    f"WITH {_SHINGLES_CTE.strip().rstrip()},\n"
+    f"h AS (SELECT doc_id, {_hash_sql('shingle')} AS h FROM shingles),\n"
+    f"sig AS (SELECT doc_id, {_SIG_COLS} FROM h GROUP BY doc_id),\n"
+    + ",\n".join(
+        f"bands_{b} AS ({_tune_bands_sql(b, r)})" for b, r, _ in _LSH_TUNE_CONFIGS
+    )
+    + "\n"
+    + " UNION ALL ".join(
+        f"SELECT {b} AS bands, {r} AS rows_per_band, "
+        f"CAST({thr} AS DOUBLE) AS est_threshold, "
+        f"(SELECT count(*) FROM (SELECT DISTINCT a.doc_id, b.doc_id "
+        f"FROM bands_{b} a JOIN bands_{b} b "
+        f"ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)) "
+        f"AS n_candidates"
+        for b, r, thr in _LSH_TUNE_CONFIGS
+    )
+)
+
+
+@register(
+    "lsh_tuning_curve",
+    oracle=_LSH_TUNE_ORACLE,
+    tags=("dedup", "minhash", "lsh", "tuning"),
+)
+def lsh_tuning_curve(spark, sf_dir):
+    """The LSH parameter planner: for every (bands, rows-per-band)
+    split of the 16-permutation minhash signature, the measured
+    candidate-pair count next to the theoretical S-curve threshold
+    (1/b)^(1/r) — what a dedup pipeline inspects to pick banding
+    BEFORE committing to a layout at 10¹⁰ documents (too few bands →
+    recall cliff above the threshold; too many → the candidate count
+    explodes toward n²).  Output: (bands, rows_per_band,
+    est_threshold, n_candidates); est_threshold is a Python-computed
+    literal injected into both engines, so no cross-engine pow().
+
+    Scale shape: ONE Arrow-kernel signature scan (persisted) feeds
+    every configuration; each config is a banded self-join on
+    (band, key) — candidates only, never an all-pairs product — and a
+    distinct-pair count whose exchange carries id pairs.  The b=1 row
+    (full-signature agreement) is the exact-dup floor; b=16 is the
+    single-row-band ceiling."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = S.minhash_signatures(d).persist()
+    result = None
+    for b, r, thr in _LSH_TUNE_CONFIGS:
+        keys = F.array(
+            *[
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[bi * r + j].cast("string")
+                        for j in range(r)
+                    ],
+                )
+                for bi in range(b)
+            ]
+        )
+        bands = sigs.select(
+            "doc_id", F.posexplode(keys).alias("band", "bkey")
+        )
+        a, bb = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                bb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+            )
+            .distinct()
+        )
+        row = cand.agg(F.count("*").alias("n_candidates")).select(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            F.lit(thr).alias("est_threshold"),
+            "n_candidates",
+        )
+        result = row if result is None else result.unionByName(row)
+    return materialized(result, sigs)
 
 
 # ---------------------------------------------------------------------------

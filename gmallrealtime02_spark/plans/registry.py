@@ -302,6 +302,9 @@ _PRIORITY = [
     "kn_bigram_lm",
     "quality_classifier_score",
     "ann_recall_eval",
+    "doc_kn_perplexity",
+    "hard_negative_mining",
+    "lsh_tuning_curve",
 ]
 
 

@@ -1234,3 +1234,34 @@ def test_ann_recall_eval_no_cartesian_blowup(spark, sf_dir):
     joins k-by-n_queries-row frames."""
     plan = _executed_plan(QUERIES["ann_recall_eval"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_doc_kn_perplexity_single_corpus_pass(spark, sf_dir):
+    """doc_kn_perplexity: the exploded (doc, bigram) table and the
+    bigram-type counts both persist; LM tables re-aggregate c12, the
+    scoring join re-reads the cached explode — the corpus text is
+    scanned exactly once (>= 3 cache consumers), no pair product."""
+    plan = _executed_plan(QUERIES["doc_kn_perplexity"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_hard_negative_mining_broadcasts_query_block(spark, sf_dir):
+    """hard_negative_mining: the bounded query block broadcasts
+    (BroadcastNestedLoopJoin over the candidate stream, never a
+    CartesianProduct shuffle); the per-(query, kind) top-3 window keys
+    on qid so no global single-partition sort."""
+    plan = _executed_plan(QUERIES["hard_negative_mining"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_lsh_tuning_curve_banded_joins_only(spark, sf_dir):
+    """lsh_tuning_curve: every configuration's candidate join is an
+    equality join on (band, key) — no CartesianProduct anywhere — and
+    all five configs read the one persisted Arrow-kernel signature
+    scan."""
+    plan = _executed_plan(QUERIES["lsh_tuning_curve"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("InMemoryTableScan") >= 5, plan
