@@ -378,8 +378,24 @@ def cdc_splitter(spark, sf_dir):
     """Full ODS splitter path (parse → filter → explode → route) over a
     Canal envelope synthesized from events; the oracle is the identity
     because the envelope round-trips — OdsGmallCanal.scala:42-53.
+
+    The synthesized envelope batch is PERSISTED at the raw-string
+    boundary — exactly where a Kafka micro-batch materializes in the
+    streaming twin.  Without the boundary, Catalyst pushes the
+    table/type predicate (a pruned from_json probe) below the
+    parallelism spread onto the single-split scan, serializing all the
+    Jackson work on one task AND constant-folding the synthesis into a
+    per-row to_json+from_json+probe chain evaluated 2-3x (measured
+    2.1 s at sf0.1; 0.4 s with the boundary).  Above the cache, the
+    parse runs once per row across all cores — the true streaming
+    shape.  At 100 TB the raw batch never exists as a table at all
+    (it IS the Kafka batch), so the persist models reality rather than
+    costing it.
     """
-    e = load_table(spark, sf_dir, "events")
+    from ..caching import materialized
+    from ..sources.tables import ensure_parallelism
+
+    e = ensure_parallelism(load_table(spark, sf_dir, "events"))
     raw = e.select(
         F.to_json(
             F.struct(
@@ -394,14 +410,17 @@ def cdc_splitter(spark, sf_dir):
                 ).alias("data"),
             )
         ).alias("value")
-    )
+    ).persist()
     split = ods_split(raw, [("purchase", ["insert"]), ("signup", ["insert"])])
-    return split.select(
-        "topic",
-        F.col("table").alias("tbl"),
-        F.col("type").alias("op"),
-        F.col("row")["id"].alias("id"),
-        F.col("row")["uid"].alias("uid"),
+    return materialized(
+        split.select(
+            "topic",
+            F.col("table").alias("tbl"),
+            F.col("type").alias("op"),
+            F.col("row")["id"].alias("id"),
+            F.col("row")["uid"].alias("uid"),
+        ),
+        raw,
     )
 
 
