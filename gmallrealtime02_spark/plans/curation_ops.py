@@ -434,30 +434,45 @@ def _classifier_score_oracle() -> str:
     )
 
 
+def classifier_features(d):
+    """(doc_id, y, f1, f2, f3) over any documents-shaped frame — narrow
+    scan-side projections only, so the same expression tree serves the
+    batch trainer/scorer AND the streaming ingest filter
+    (``streaming.jobs.streaming_quality_filter``) unchanged."""
+    ws = F.split("text", " ")
+    sw = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "is"]])
+    return d.filter(F.size(ws) > 0).select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.size(ws) / F.lit(100.0)).alias("f1"),
+        (
+            F.size(F.filter(ws, lambda w: F.array_contains(sw, w))).cast(
+                "double"
+            )
+            / F.size(ws)
+        ).alias("f2"),
+        (F.length("text").cast("double") / F.size(ws)).alias("f3"),
+    )
+
+
+def classifier_logit(w):
+    """The pinned-order logit column w·(1, f1, f2, f3) — the ONE
+    evaluation-order definition shared by train, score, and the
+    streaming filter (bit-identical doubles require identical order)."""
+    return (
+        F.lit(w[0]) * F.lit(1.0)
+        + F.lit(w[1]) * F.col("f1")
+        + F.lit(w[2]) * F.col("f2")
+        + F.lit(w[3]) * F.col("f3")
+    )
+
+
 def _classifier_feats(spark, sf_dir):
     """The classifier's persisted feature table (doc_id, y, f1, f2, f3):
     one corpus scan projecting text down to 4 doubles + an id — the
     ~1000x reduction every GD iteration then re-reads from cache."""
     d = load_table(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    sw = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "is"]])
-    return (
-        ensure_parallelism(d)
-        .filter(F.size(ws) > 0)
-        .select(
-            "doc_id",
-            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
-            (F.size(ws) / F.lit(100.0)).alias("f1"),
-            (
-                F.size(F.filter(ws, lambda w: F.array_contains(sw, w))).cast(
-                    "double"
-                )
-                / F.size(ws)
-            ).alias("f2"),
-            (F.length("text").cast("double") / F.size(ws)).alias("f3"),
-        )
-        .persist()
-    )
+    return classifier_features(ensure_parallelism(d)).persist()
 
 
 def _gd_weights(feats, fcols) -> list[float]:
@@ -566,12 +581,7 @@ def quality_classifier_score(spark, sf_dir):
     feats = _classifier_feats(spark, sf_dir)
     fcols = [F.lit(1.0), F.col("f1"), F.col("f2"), F.col("f3")]
     w = _gd_weights(feats, fcols)
-    z = (
-        F.lit(w[0]) * fcols[0]
-        + F.lit(w[1]) * fcols[1]
-        + F.lit(w[2]) * fcols[2]
-        + F.lit(w[3]) * fcols[3]
-    )
+    z = classifier_logit(w)
     result = feats.select(
         "doc_id",
         F.round(z, 6).alias("logit"),

@@ -499,6 +499,32 @@ def streaming_hll(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_quality_filter(
+    docs: DataFrame, weights, threshold: float = 0.0
+) -> DataFrame:
+    """Model-broadcast quality filtering on the document ingest stream —
+    the other half of ingest-time curation next to
+    ``streaming_ingest_dedup``: a classifier trained OFFLINE
+    (``plans.curation_ops.quality_classifier_train``'s weights) scores
+    every arriving document and below-threshold docs never enter the
+    corpus.  Emits (doc_id, logit) for survivors.
+
+    Stateless by construction: the features and the pinned-order logit
+    are the BATCH scorer's own expression trees
+    (``classifier_features``/``classifier_logit``), so streaming scores
+    are bit-identical to ``quality_classifier_score`` on the same rows
+    (pinned in tests/test_streaming.py), no watermark or state is
+    needed, and at 100 TB/day the filter is an embarrassingly parallel
+    narrow map — the 4 weights ride in the plan as literals, the
+    'model as broadcast constant' inference layout."""
+    from ..plans.curation_ops import classifier_features, classifier_logit
+
+    f = classifier_features(docs)
+    return f.select(
+        "doc_id", F.round(classifier_logit(weights), 6).alias("logit")
+    ).filter(F.col("logit") >= threshold)
+
+
 def streaming_ingest_dedup(
     new_docs: DataFrame,
     corpus_path: str,

@@ -31,6 +31,10 @@ INVARIANCE_CRITICAL = [
     "bigram_pmi",              # double factors, integer counts
     "doc_similar_topk",        # decimal-summed quantized weight products
     "bitext_mine",             # deterministic LSH + decimal margin sums
+    "kn_bigram_lm",            # pinned-order double chain over int counts
+    "doc_kn_perplexity",       # decimal-summed rounded KN NLL terms
+    "quality_classifier_score",  # decimal-gradient weights, pinned logit
+    "ann_recall_eval",         # deterministic ladder + integer hit counts
 ]
 
 

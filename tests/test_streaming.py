@@ -1103,3 +1103,52 @@ def test_upsert_batch_recovers_from_crash_between_renames(spark, tmp_path):
     rows = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert rows == {1: "a", 2: "b"}, rows
     assert not os.path.exists(path + ".old")
+
+
+def test_streaming_quality_filter_matches_batch(spark, tmp_path):
+    """streaming_quality_filter: offline-trained weights score the
+    ingest stream with the batch scorer's own expression trees — the
+    per-doc logits match a batch run of the SAME function bit-for-bit,
+    and below-threshold docs are dropped before they enter the corpus.
+    Weights w = (-0.05, 1.0, 0, 0) make logit = n_words/100 - 0.05,
+    i.e. only docs with >= 5 words survive threshold 0."""
+    src = str(tmp_path / "qf_src")
+    w = [-0.05, 1.0, 0.0, 0.0]
+    rows = [
+        (1, "alpha beta gamma", "en"),                      # 3 words: drop
+        (2, "one two three four five", "en"),               # 5 words: keep
+        (3, "a b c d e f g", "fr"),                         # 7 words: keep
+        (4, "", "en"),                                      # empty: excluded
+        (5, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "en"),        # keep
+    ]
+    _write_batch(spark, src, rows[:3], schema=DOC_SCHEMA)
+    _write_batch(spark, src, rows[3:], schema=DOC_SCHEMA)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        SJ.streaming_quality_filter(stream, w)
+        .writeStream.format("memory")
+        .queryName("qf_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.doc_id, r.logit)
+            for r in spark.sql("SELECT * FROM qf_out").collect()
+        }
+    finally:
+        q.stop()
+    # batch twin: the same stateless function over the same rows
+    batch = {
+        (r.doc_id, r.logit)
+        for r in SJ.streaming_quality_filter(
+            spark.read.schema(DOC_SCHEMA).parquet(src + "/*"), w
+        ).collect()
+    }
+    assert got == batch
+    assert {d for d, _ in got} == {2, 3, 5}, got
