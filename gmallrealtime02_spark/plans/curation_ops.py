@@ -864,3 +864,145 @@ def span_corruption_masks(spark, sf_dir):
 span_corruption_masks.__doc__ = span_corruption_masks.__doc__.format(
     blk=CORRUPT_BLOCK, mn=CORRUPT_MIN_BLEN
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus datasheet + epoch-seeded training shuffle
+# ---------------------------------------------------------------------------
+
+N_EPOCHS = 3
+
+
+@register(
+    "corpus_datasheet",
+    oracle="""
+    WITH a AS (
+        SELECT count(*) AS n_docs,
+               count(DISTINCT lang) AS n_langs,
+               count(DISTINCT source) AS n_sources,
+               sum(len(string_split(text, ' '))) AS n_tokens,
+               sum(length(text)) AS n_chars,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+               count(DISTINCT md5(text)) AS n_distinct_texts
+        FROM documents
+    )
+    SELECT n_docs, n_langs, n_sources, n_tokens, n_chars,
+           round(CAST(n_en AS DOUBLE) / n_docs, 6) AS pct_en,
+           n_docs - n_distinct_texts AS n_exact_dup_docs,
+           round(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS mean_tokens
+    FROM a
+    """,
+    tags=("training-data", "datasheet", "audit"),
+)
+def corpus_datasheet(spark, sf_dir):
+    """One-row corpus datasheet ('Datasheets for Datasets', Gebru et al.
+    2021 — the summary card a corpus release ships with): document /
+    language / source counts, token and char totals, English share,
+    exact-duplicate count, mean document length.
+
+    Engine-exactness: everything is exact int64 counts except the two
+    ratios, which divide in one pinned double order before a 6-dp
+    round.
+
+    Scale shape: ONE corpus scan.  The three COUNT(DISTINCT)s plan as
+    a single Expand (rows x4) feeding partial aggregates — the
+    lang/source distincts are a handful of values and the text-digest
+    distinct carries 16-byte hashes, never text, so the exchange is
+    digest-sized.  (A production datasheet at 10¹⁰ docs would fold the
+    digest distinct into the exact-dedup groupBy it already runs; here
+    the one-pass form keeps the op self-contained.)"""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    nw = F.size(F.split("text", " "))
+    a = d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(nw.cast("bigint")).alias("n_tokens"),
+        F.sum(F.length("text").cast("bigint")).alias("n_chars"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+    )
+    return a.select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_en").cast("double") / F.col("n_docs"), 6).alias(
+            "pct_en"
+        ),
+        (F.col("n_docs") - F.col("n_distinct_texts")).alias(
+            "n_exact_dup_docs"
+        ),
+        F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 6).alias(
+            "mean_tokens"
+        ),
+    )
+
+
+@register(
+    "epoch_shuffle",
+    oracle=f"""
+    WITH e AS (
+        SELECT d.doc_id, t.epoch,
+               md5(CAST(t.epoch AS VARCHAR) || ':'
+                   || CAST(d.doc_id AS VARCHAR)) AS h
+        FROM documents d,
+             (SELECT unnest(generate_series(0, {N_EPOCHS - 1})) AS epoch) t
+    ),
+    s AS (
+        SELECT epoch, doc_id, h,
+               (ascii(substr(h, 1, 1)) * 256 + ascii(substr(h, 2, 1)))
+                   % {N_SHARDS} AS shard
+        FROM e
+    )
+    SELECT CAST(epoch AS INT) AS epoch, doc_id, CAST(shard AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY epoch, shard ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+    tags=("training-data", "sharding", "shuffle", "epochs"),
+)
+def epoch_shuffle(spark, sf_dir):
+    """Per-EPOCH deterministic training shuffle — ``shard_assignment``
+    with the epoch folded into the hash seed, so every epoch reads the
+    corpus in a different but fully REPRODUCIBLE permutation (the data
+    loader contract multi-epoch LLM training needs: epoch k's order must
+    not repeat epoch k-1's, yet any node, engine, or rerun must derive
+    the identical order — rand(seed) fails the second half because its
+    draws depend on row-to-partition assignment).
+
+    Scale shape: the epoch fan-out is a {N_EPOCHS}-element explode on
+    the scan (epochs x corpus rows, the unavoidable output size);
+    exactly one exchange on (epoch, shard) — the write fan-out a
+    sharded-output writer needs anyway — and the within-shard rank is
+    the per-file ordering pass the writer performs regardless."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    e = d.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(k) for k in range(N_EPOCHS)])).alias(
+            "epoch"
+        ),
+    )
+    h = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    s = e.select("epoch", "doc_id", h.alias("h")).withColumn(
+        "shard",
+        (
+            F.ascii(F.substring("h", 1, 1)) * 256
+            + F.ascii(F.substring("h", 2, 1))
+        )
+        % N_SHARDS,
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    return s.select(
+        F.col("epoch").cast("int").alias("epoch"),
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

@@ -3779,3 +3779,59 @@ def near_dup_cluster_sizes(spark, sf_dir):
         .groupBy("cluster_size")
         .agg(F.count("*").alias("n_clusters"))
     )
+
+
+@register(
+    "cross_source_overlap",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTES},
+    j AS (
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b
+        FROM pairs p
+        JOIN documents da ON p.doc_a = da.doc_id
+        JOIN documents db ON p.doc_b = db.doc_id
+    )
+    SELECT source_a, source_b, count(*) AS n_pairs
+    FROM j GROUP BY source_a, source_b
+    """,
+    tags=("dedup", "minhash", "audit", "training-data"),
+)
+def cross_source_overlap(spark, sf_dir):
+    """The cross-source near-duplicate overlap matrix — which corpus
+    SOURCES duplicate each other (the RefinedWeb/Pile-style audit run
+    before mixing: heavy off-diagonal mass means two feeds crawl the
+    same content and the mix weights double-count it; heavy diagonal
+    mass means a feed self-duplicates).  Near-dup pairs come from the
+    production MinHash+LSH plan (est_jaccard >= 0.5), sources join in by
+    doc_id, and the (unordered) source pair aggregates to a count.
+
+    Scale shape: the pair table reuses the banded-LSH plan unchanged
+    (no pair product); the source attach joins the pair ids (two ints a
+    row, ≪ corpus — AQE broadcasts the measured-small side) against the
+    id→source projection of the corpus scan; the final aggregate is
+    |sources|² keys at most."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = S.minhash_lsh_pairs(docs, 0.5)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return j.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_pairs")
+    )

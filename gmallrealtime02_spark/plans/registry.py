@@ -305,6 +305,9 @@ _PRIORITY = [
     "doc_kn_perplexity",
     "hard_negative_mining",
     "lsh_tuning_curve",
+    "corpus_datasheet",
+    "epoch_shuffle",
+    "cross_source_overlap",
 ]
 
 

@@ -1265,3 +1265,31 @@ def test_lsh_tuning_curve_banded_joins_only(spark, sf_dir):
     plan = _executed_plan(QUERIES["lsh_tuning_curve"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert plan.count("InMemoryTableScan") >= 5, plan
+
+
+def test_corpus_datasheet_single_scan(spark, sf_dir):
+    """corpus_datasheet: one corpus scan through an Expand feeding
+    partial aggregates — no join, no window, no Python; exchanges carry
+    digest-sized partials only."""
+    plan = _executed_plan(QUERIES["corpus_datasheet"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_epoch_shuffle_single_exchange(spark, sf_dir):
+    """epoch_shuffle: the epoch fan-out explodes scan-side; exactly one
+    exchange on (epoch, shard) — the writer's own fan-out — feeds the
+    within-shard rank."""
+    plan = _executed_plan(QUERIES["epoch_shuffle"].fn(spark, sf_dir))
+    assert _exchanges(plan) <= 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_cross_source_overlap_no_pair_product(spark, sf_dir):
+    """cross_source_overlap: near-dup pairs come from the banded LSH
+    plan (never a CartesianProduct); the source attach joins the tiny
+    id-pair table against the id->source projection."""
+    plan = _executed_plan(QUERIES["cross_source_overlap"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
