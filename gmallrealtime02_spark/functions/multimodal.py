@@ -234,3 +234,77 @@ def decode_media(media: DataFrame, decoder=None) -> DataFrame:
             yield out
 
     return media.mapInPandas(op, schema=DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup (aHash over the decoded payload)
+# ---------------------------------------------------------------------------
+
+AHASH_BITS = 32
+
+
+def ahash_of(cps, size_col, total_col, bits: int = AHASH_BITS):
+    """Blockwise average-hash signature — the aHash an image-dedup
+    pipeline computes over an 8×8 grayscale thumbnail, applied to the
+    deterministic decoded-payload stand-in (the payload's codepoint
+    sequence; a real decoder plugs its luma sequence into the same
+    column).  Bit *i* is set when block *i*'s mean exceeds the global
+    mean, with the blocks the ``floor(i·L/bits)`` boundaries.
+
+    Engine-exactness: the mean comparison is the cross-multiplied
+    INTEGER inequality ``block_sum·L > total·block_len`` (no division,
+    no floats), so DuckDB reproduces the signature bit-for-bit.
+
+    ``cps``/``size_col``/``total_col`` must be already-projected columns
+    (codepoint array, its size, its sum): Catalyst's CollapseProject
+    keeps expensive projected arrays materialized, but inlining the fold
+    here would re-evaluate it once per block.
+    """
+    L = size_col.cast("long")
+    terms = []
+    for i in range(bits):
+        start = F.floor((F.lit(i) * L) / F.lit(bits)).cast("int")
+        end = F.floor((F.lit(i + 1) * L) / F.lit(bits)).cast("int")
+        blk = F.slice(cps, start + F.lit(1), end - start)
+        bsum = F.aggregate(
+            blk, F.lit(0).cast("long"), lambda a, c: a + c.cast("long")
+        )
+        blen = (end - start).cast("long")
+        terms.append(
+            F.when(
+                bsum * L > total_col * blen, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    sig = terms[0]
+    for t in terms[1:]:
+        sig = sig + t
+    return sig
+
+
+def media_ahash_table(media: DataFrame, bits: int = AHASH_BITS) -> DataFrame:
+    """(doc_id, ahash) over a media table: decode the binary payload
+    scan-side (utf-8 stand-in for the codec) → codepoint sequence →
+    blockwise aHash.  Each intermediate (codepoint array, size, sum) is
+    its own projection so the O(len) folds evaluate once per row, and
+    the binary payload never leaves the scan stage — only the 8-byte
+    signature continues downstream."""
+    from .text import char_codepoints
+
+    t = media.select(
+        "doc_id", F.decode(F.col("content"), "utf-8").alias("payload")
+    )
+    t = t.select("doc_id", char_codepoints(F.col("payload")).alias("cps"))
+    t = t.select(
+        "doc_id",
+        "cps",
+        F.size("cps").alias("n_cp"),
+        F.aggregate(
+            "cps", F.lit(0).cast("long"), lambda a, c: a + c.cast("long")
+        ).alias("cp_total"),
+    )
+    return t.select(
+        "doc_id",
+        ahash_of(
+            F.col("cps"), F.col("n_cp"), F.col("cp_total"), bits
+        ).alias("ahash"),
+    )

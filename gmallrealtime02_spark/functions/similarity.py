@@ -611,22 +611,37 @@ def simhash_banded_pairs_plan(
 ) -> tuple[DataFrame, tuple[DataFrame, ...]]:
     """Lazy (result, caches) pair — plan gates inspect this; the public
     fn materializes and releases the signature cache."""
+    sig = ensure_parallelism(docs).select(
+        "doc_id", simhash_col(F.col("text")).alias("simhash")
+    )
+    return banded_hamming_pairs_plan(
+        sig, SIMHASH_BITS, max_hamming, sig_col="simhash"
+    )
+
+
+def banded_hamming_pairs_plan(
+    sig: DataFrame, bits: int, max_hamming: int, sig_col: str = "sig"
+) -> tuple[DataFrame, tuple[DataFrame, ...]]:
+    """Generic pigeonhole hamming-≤k pair join over ANY (doc_id, <sig>)
+    signature table (simhash, perceptual aHash, ...): split the ``bits``
+    signature into ``max_hamming+1`` contiguous segments — signatures
+    within hamming ``max_hamming`` must agree exactly on ≥1 segment —
+    and join only on (segment_idx, segment_value) equality keys, then
+    hamming-verify each candidate.  Identical output to the O(n²) form;
+    the shuffle carries (doc_id, 2 small ints) per segment, never the
+    signature-table product."""
     n_seg = max_hamming + 1
-    seg_bits = [SIMHASH_BITS // n_seg + (1 if i < SIMHASH_BITS % n_seg else 0)
+    seg_bits = [bits // n_seg + (1 if i < bits % n_seg else 0)
                 for i in range(n_seg)]
     offsets = [sum(seg_bits[:i]) for i in range(n_seg)]
-    sig = (
-        ensure_parallelism(docs)
-        .select("doc_id", simhash_col(F.col("text")).alias("simhash"))
-        .persist()
-    )
+    sig = sig.persist()
     segs = sig.select(
         "doc_id",
-        "simhash",
+        sig_col,
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+                    F.shiftright(F.col(sig_col), offsets[i]).bitwiseAND(
                         F.lit((1 << seg_bits[i]) - 1)
                     )
                     for i in range(n_seg)
@@ -645,8 +660,8 @@ def simhash_banded_pairs_plan(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col(f"a.{sig_col}").alias("sh_a"),
+            F.col(f"b.{sig_col}").alias("sh_b"),
         )
         .distinct()
     )

@@ -16,8 +16,10 @@ from pyspark.sql import functions as F
 from ..functions import similarity as S
 from ..functions import text as TX
 from ..functions.multimodal import (
+    AHASH_BITS,
     as_media_table,
     extract_features,
+    media_ahash_table,
     resize_media,
     sample_frames,
 )
@@ -1024,6 +1026,72 @@ def media_frames(spark, sf_dir):
     return sample_frames(media, every_n=4).select(
         "doc_id", "frame_idx", "frame_digest"
     )
+
+
+_AHASH_SIG_CTE = """
+    cps AS (
+        SELECT doc_id,
+               list_transform(list_filter(string_split(text, ''), c -> c != ''),
+                              c -> CAST(ascii(c) AS BIGINT)) AS cp
+        FROM documents
+    ), stats AS (
+        SELECT doc_id, cp, CAST(len(cp) AS BIGINT) AS L,
+               CAST(coalesce(list_sum(cp), 0) AS BIGINT) AS total
+        FROM cps
+    ), bits AS (
+        SELECT doc_id,
+               CASE WHEN CAST(coalesce(list_sum(list_slice(
+                             cp, (i*L)//32 + 1, ((i+1)*L)//32)), 0) AS BIGINT)
+                         * L > total * (((i+1)*L)//32 - (i*L)//32)
+                    THEN CAST(1 AS BIGINT) << i
+                    ELSE CAST(0 AS BIGINT) END AS term
+        FROM stats, range(32) t(i)
+    ), sig AS (
+        SELECT doc_id, CAST(sum(term) AS BIGINT) AS ahash
+        FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "media_dedup_phash",
+    oracle=f"""
+    WITH {_AHASH_SIG_CTE.strip()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.ahash, b.ahash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    """,
+    tags=("multimodal", "dedup", "phash"),
+)
+def media_dedup_phash(spark, sf_dir):
+    """Perceptual-hash near-dup detection over the MEDIA table — the
+    image-dedup pipeline shape (aHash over each item's decoded payload,
+    then hamming-≤3 pairs): re-encoded/lightly-edited copies of the same
+    asset land within a few signature bits of each other, which
+    byte-digest dedup (``media_features``) can never see.
+
+    The decoded-payload stand-in is the utf-8 codepoint sequence (a real
+    image decoder plugs its 8×8 grayscale luma sequence into the same
+    ``ahash_of`` column); bit *i* compares block *i*'s mean against the
+    global mean via the cross-multiplied integer inequality, so the
+    signature — and therefore the whole result — is reproduced
+    bit-for-bit by the DuckDB oracle.
+
+    Scale shape: the binary payload never leaves the scan (only the
+    8-byte signature continues); pairing is the pigeonhole banded
+    hamming join (4 exact-match segments of 8 bits), so the shuffle
+    carries (doc_id, segment) keys and candidate verification touches
+    only signature pairs — no O(n²) product, no payload movement.
+    Same-signature exact copies fall out at hamming 0."""
+    media = as_media_table(
+        ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    )
+    sig = media_ahash_table(media)
+    result, caches = S.banded_hamming_pairs_plan(
+        sig, AHASH_BITS, max_hamming=3, sig_col="ahash"
+    )
+    return materialized(result, *caches)
 
 
 @register(
@@ -3834,4 +3902,115 @@ def cross_source_overlap(spark, sf_dir):
     )
     return j.groupBy("source_a", "source_b").agg(
         F.count("*").alias("n_pairs")
+    )
+
+
+from .registry import QUERIES as _REGISTRY  # noqa: E402
+
+
+@register(
+    "curation_funnel",
+    oracle=f"""
+    WITH out AS ({_REGISTRY["curation_pipeline"].oracle}),
+    a AS (SELECT
+        CAST(count(*) AS BIGINT) AS n0,
+        CAST(sum(n_tokens) AS BIGINT) AS t0,
+        CAST(sum(CASE WHEN ok_quality THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN ok_quality THEN n_tokens ELSE 0 END) AS BIGINT) AS t1,
+        CAST(sum(CASE WHEN ok_quality AND ok_lang THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(sum(CASE WHEN ok_quality AND ok_lang THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+        CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        CAST(sum(CASE WHEN is_canonical THEN n_tokens ELSE 0 END) AS BIGINT) AS t3,
+        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS t4
+    FROM out)
+    SELECT 0 AS stage_ord, 'ingested' AS stage, n0 AS n_docs, t0 AS n_tokens FROM a
+    UNION ALL SELECT 1, 'quality', n1, t1 FROM a
+    UNION ALL SELECT 2, 'lang', n2, t2 FROM a
+    UNION ALL SELECT 3, 'dedup', n3, t3 FROM a
+    UNION ALL SELECT 4, 'sample', n4, t4 FROM a
+    """,
+    tags=("training-data", "pipeline", "audit"),
+)
+def curation_funnel(spark, sf_dir):
+    """The curation FUNNEL over ``curation_pipeline``'s per-document
+    provenance rows: cumulative surviving documents and tokens after
+    each stage (ingested -> quality -> +lang -> +dedup -> +sample) —
+    the headline table of every corpus paper's 'data' section (what
+    fraction of the crawl survived each filter) and the first thing
+    inspected when a mix's token budget comes up short.
+
+    Scale shape: one pass over the provenance frame (itself one corpus
+    scan + one digest exchange); all ten stage sums ride a single
+    partial-aggregate tree to one row, then a constant-width stack
+    emits the 5 funnel rows — no second scan, no join."""
+    p = curation_pipeline(spark, sf_dir)
+    conds = [
+        ("ingested", F.lit(True)),
+        ("quality", F.col("ok_quality")),
+        ("lang", F.col("ok_quality") & F.col("ok_lang")),
+        ("dedup", F.col("is_canonical")),
+        ("sample", F.col("keep")),
+    ]
+    aggs = []
+    for i, (_, c) in enumerate(conds):
+        aggs.append(F.sum(F.when(c, 1).otherwise(0)).alias(f"n{i}"))
+        aggs.append(
+            F.sum(F.when(c, F.col("n_tokens")).otherwise(0)).alias(f"t{i}")
+        )
+    a = p.agg(*aggs)
+    stack = ", ".join(
+        f"{i}, '{name}', n{i}, t{i}" for i, (name, _) in enumerate(conds)
+    )
+    return a.selectExpr(
+        f"stack(5, {stack}) AS (stage_ord, stage, n_docs, n_tokens)"
+    )
+
+
+@register(
+    "cluster_top_terms",
+    oracle=f"""
+    WITH {_kmeans_ctes(k=10, iters=3)},
+    assign AS (SELECT vec_id, cid FROM a3),
+    wd AS (
+        SELECT a.cid, unnest(string_split(d.text, ' ')) AS word
+        FROM documents d JOIN assign a ON a.vec_id = d.doc_id
+    ),
+    cnt AS (SELECT cid, word, count(*) AS cnt FROM wd GROUP BY cid, word)
+    SELECT cid, word, cnt, rnk FROM (
+        SELECT cid, word, cnt,
+               row_number() OVER (
+                   PARTITION BY cid ORDER BY cnt DESC, word ASC) AS rnk
+        FROM cnt
+    ) WHERE rnk <= 3
+    """,
+    tags=("clustering", "text", "interpretability"),
+)
+def cluster_top_terms(spark, sf_dir):
+    """Cluster LABELING — the interpretability step after semantic
+    clustering (what IS cluster 7?): the 3 most frequent words of the
+    documents assigned to each k-means cluster, joining the embedding
+    assignment to the text corpus on the shared id (the convention
+    ``bitext_mine`` established).  This is how cluster-based mixes
+    (cluster-balanced sampling, SemDeDup pruning reports) get
+    human-readable names.
+
+    Scale shape: the k-means assignment reuses its production plan
+    (broadcast centroids, zero-exchange argmin scan); the label join
+    attaches cid to the corpus scan (id-keyed, AQE broadcasts the
+    id->cid side when measured-small); words explode scan-side into a
+    (cid, word) count whose exchange is vocabulary-sized; the per-cid
+    top-3 is a window over k counts, not corpus rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(emb, k=10, iters=3).select("vec_id", "cid")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    wd = d.join(assign, d.doc_id == assign.vec_id).select(
+        "cid", F.explode(F.split("text", " ")).alias("word")
+    )
+    cnt = wd.groupBy("cid", "word").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("cid").orderBy(F.col("cnt").desc(), F.col("word").asc())
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("cid", "word", "cnt", "rnk")
     )

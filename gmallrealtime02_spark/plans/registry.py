@@ -308,6 +308,9 @@ _PRIORITY = [
     "corpus_datasheet",
     "epoch_shuffle",
     "cross_source_overlap",
+    "curation_funnel",
+    "cluster_top_terms",
+    "media_dedup_phash",
 ]
 
 

@@ -525,6 +525,78 @@ def streaming_quality_filter(
     ).filter(F.col("logit") >= threshold)
 
 
+def streaming_media_features(media_stream: DataFrame) -> DataFrame:
+    """Media feature extraction on the INGEST stream — the multimodal
+    twin of ``streaming_quality_filter``: every arriving binary payload
+    passes through the BATCH extractor's own Arrow ``mapInPandas``
+    kernel (``functions.multimodal.extract_features``) plus the
+    scan-side perceptual aHash (``media_ahash_table``), so streaming
+    features and signatures are bit-identical to a batch run over the
+    same rows (pinned in tests/test_streaming.py).
+
+    Stateless narrow map: no watermark, no state — at ingest scale the
+    payload is decoded once, ON the scan, and only the small typed
+    feature row (plus the 8-byte signature) continues to the sink;
+    downstream near-dup checks join on the signature, never the bytes.
+    Works unchanged on batch and streaming frames (both are per-row
+    maps), which is exactly what the equivalence test exploits.
+    """
+    from ..functions.multimodal import ahash_of
+    from ..functions.text import char_codepoints
+
+    # signature scan-side FIRST (needs the payload column), features via
+    # the Arrow kernel after — mapInPandas passes non-schema columns
+    # through only if listed in its output schema, so the signature is
+    # attached before the payload is dropped.
+    t = media_stream.withColumn(
+        "cps", char_codepoints(F.decode(F.col("content"), "utf-8"))
+    )
+    t = t.withColumn("n_cp", F.size("cps")).withColumn(
+        "cp_total",
+        F.aggregate(
+            "cps", F.lit(0).cast("long"), lambda a, c: a + c.cast("long")
+        ),
+    )
+    t = t.withColumn(
+        "ahash", ahash_of(F.col("cps"), F.col("n_cp"), F.col("cp_total"))
+    ).drop("cps", "n_cp", "cp_total")
+    return extract_features_with_ahash(t)
+
+
+def extract_features_with_ahash(media: DataFrame) -> DataFrame:
+    """Arrow feature kernel that PASSES THROUGH a precomputed ahash
+    column — one mapInPandas over (media columns + ahash), so batch and
+    stream share a single narrow stage with no self-join."""
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    def op(batches):
+        for pdf in batches:
+            from ..functions.multimodal import _entropy
+
+            content = pdf["content"]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": content.map(len).astype("int64"),
+                    "digest": content.map(
+                        lambda b: _hl.md5(bytes(b)).hexdigest()
+                    ),
+                    "byte_entropy": content.map(lambda b: _entropy(bytes(b))),
+                    "ahash": pdf["ahash"].astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        op,
+        schema=(
+            "doc_id long, n_bytes long, digest string, "
+            "byte_entropy double, ahash long"
+        ),
+    )
+
+
 def streaming_ingest_dedup(
     new_docs: DataFrame,
     corpus_path: str,

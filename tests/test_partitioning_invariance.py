@@ -35,6 +35,7 @@ INVARIANCE_CRITICAL = [
     "doc_kn_perplexity",       # decimal-summed rounded KN NLL terms
     "quality_classifier_score",  # decimal-gradient weights, pinned logit
     "ann_recall_eval",         # deterministic ladder + integer hit counts
+    "media_dedup_phash",       # integer-only aHash + banded hamming
 ]
 
 

@@ -1293,3 +1293,34 @@ def test_cross_source_overlap_no_pair_product(spark, sf_dir):
     id-pair table against the id->source projection."""
     plan = _executed_plan(QUERIES["cross_source_overlap"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_curation_funnel_single_pass(spark, sf_dir):
+    """curation_funnel: all ten stage sums ride ONE partial-aggregate
+    tree over the provenance frame to a single row; the 5-row funnel is
+    a constant-width Expand (stack) — no second corpus scan, no join
+    above the provenance plan."""
+    plan = _executed_plan(QUERIES["curation_funnel"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_cluster_top_terms_no_pair_product(spark, sf_dir):
+    """cluster_top_terms: assignment reuses the zero-exchange kmeans
+    argmin scan; the word count exchange is vocabulary-sized and the
+    top-3 window partitions by cid (never a single global partition)."""
+    plan = _executed_plan(QUERIES["cluster_top_terms"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_media_dedup_phash_banded_no_pair_product(spark, sf_dir):
+    """media_dedup_phash: pairing is the pigeonhole banded hamming join
+    (equality keys on (segment, value)) — never the signature-table
+    product — and the binary payload stays scan-side: no exchange
+    carries the content/payload column."""
+    plan = _executed_plan(QUERIES["media_dedup_phash"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "content" not in line and "payload" not in line, line

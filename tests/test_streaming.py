@@ -1152,3 +1152,59 @@ def test_streaming_quality_filter_matches_batch(spark, tmp_path):
     }
     assert got == batch
     assert {d for d, _ in got} == {2, 3, 5}, got
+
+
+def test_streaming_media_features_matches_batch(spark, tmp_path):
+    """streaming_media_features: binary payloads arriving on the ingest
+    stream produce byte features + perceptual aHash bit-identical to a
+    batch run of the SAME function over the same rows — one stateless
+    Arrow stage, signature computed scan-side before the payload drops."""
+    src = str(tmp_path / "media_src")
+    media_schema = "doc_id long, content binary, media_type string, n_bytes long"
+    rows1 = [
+        (1, bytearray(b"the quick brown fox jumps over the lazy dog"),
+         "text/plain", 43),
+        (2, bytearray(b"the quick brown fox jumps over the lazy dot"),
+         "text/plain", 43),
+    ]
+    rows2 = [
+        (3, bytearray(b""), "text/plain", 0),
+        (4, bytearray(b"zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz" * 4),
+         "text/plain", 160),
+    ]
+    _write_batch(spark, src, rows1, schema=media_schema)
+    _write_batch(spark, src, rows2, schema=media_schema)
+    stream = (
+        spark.readStream.schema(media_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        SJ.streaming_media_features(stream)
+        .writeStream.format("memory")
+        .queryName("mf_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.doc_id, r.n_bytes, r.digest, r.byte_entropy, r.ahash)
+            for r in spark.sql("SELECT * FROM mf_out").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.doc_id, r.n_bytes, r.digest, r.byte_entropy, r.ahash)
+        for r in SJ.streaming_media_features(
+            spark.read.schema(media_schema).parquet(src + "/*")
+        ).collect()
+    }
+    assert got == batch
+    assert len(got) == 4
+    by_id = {t[0]: t for t in got}
+    # near-identical payloads (one trailing char differs) land within a
+    # few aHash bits; the empty payload signs to 0
+    ham = bin(by_id[1][4] ^ by_id[2][4]).count("1")
+    assert ham <= 3, (by_id[1][4], by_id[2][4])
+    assert by_id[3][4] == 0
