@@ -1048,3 +1048,121 @@ def bpe_compression_by_lang(spark, sf_dir):
             ).alias("chars_per_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-divergence matrix (mixing/curation diagnostics)
+# ---------------------------------------------------------------------------
+
+LN2 = 0.6931471805599453  # python-computed literal, injected into BOTH
+# engines (the lsh_tuning_curve discipline) so no cross-engine ln(2)
+
+_JSD_PA = "(CAST(a.n AS DOUBLE) / a.total)"
+_JSD_PB = "(CAST(b.n AS DOUBLE) / b.total)"
+
+
+@register(
+    "source_jsd_matrix",
+    oracle=f"""
+    WITH wc AS (
+        SELECT source, word, count(*) AS n FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+        WHERE word != '' GROUP BY source, word
+    ), tot AS (SELECT source, sum(n) AS total FROM wc GROUP BY source),
+    c AS (SELECT wc.source, word, n, total FROM wc JOIN tot USING (source)),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_common,
+               sum(CAST(round({_JSD_PA} * ln(2 * {_JSD_PA} / ({_JSD_PA} + {_JSD_PB})), 6) AS DECIMAL(18,6))
+                   + CAST(round({_JSD_PB} * ln(2 * {_JSD_PB} / ({_JSD_PA} + {_JSD_PB})), 6) AS DECIMAL(18,6))) AS kl,
+               sum(a.n) AS na, sum(b.n) AS nb,
+               min(a.total) AS ta, min(b.total) AS tb
+        FROM c a JOIN c b ON a.word = b.word AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, CAST(n_common AS BIGINT) AS n_common,
+           round(0.5 * (CAST(kl AS DOUBLE)
+                        + (1 - CAST(na AS DOUBLE) / ta) * {LN2}
+                        + (1 - CAST(nb AS DOUBLE) / tb) * {LN2}), 6) AS jsd
+    FROM pairs
+    """,
+    tags=("corpus", "mixing", "divergence"),
+)
+def source_jsd_matrix(spark, sf_dir):
+    """Pairwise Jensen–Shannon divergence between every two sources'
+    unigram distributions — the domain-similarity matrix behind mixture
+    design (which sources are near-duplicates of each other in
+    DISTRIBUTION, which add diversity; the signal DoReMi-style mix
+    tuning and `cross_source_overlap`'s document-level matrix summarize
+    from opposite ends).  JSD is symmetric and bounded by ln 2, so the
+    190 cells are directly comparable.
+
+    Engine-exactness: per-word KL terms are rounded to 1e-6 and summed
+    as DECIMAL(18,6) (the `doc_lm_perplexity` discipline); the
+    missing-mass closed form avoids per-pair outer joins — a word absent
+    from the other source contributes exactly p·ln2, and Σp over the
+    SHARED words is the exact integer ratio Σn/total, so the complement
+    (1−Σp)·ln2 uses only exact sums and the injected LN2 literal (no
+    cross-engine transcendental beyond the rounded terms).
+
+    Scale shape: one corpus scan → the persisted (source, word, n)
+    count table (vocabulary-sized), which feeds the per-source totals
+    (broadcast back) AND both pair-join sides; the pair expansion
+    self-joins on WORD (vocabulary-sized shuffle, ≤ |sources| rows per
+    word side) and collapses immediately to |sources|² pair rows — the
+    corpus is never re-read and nothing driver-side exceeds the matrix
+    itself."""
+    from ..caching import materialized
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    wc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("n"))
+        .persist()  # ONE corpus scan; feeds totals + both pair-join sides
+    )
+    tot = wc.groupBy("source").agg(F.sum("n").alias("total"))
+    c = wc.join(F.broadcast(tot), "source")
+    a, b = c.alias("a"), c.alias("b")
+    pa = F.col("a.n").cast("double") / F.col("a.total")
+    pb = F.col("b.n").cast("double") / F.col("b.total")
+    term = (
+        F.round(pa * F.log(F.lit(2.0) * pa / (pa + pb)), 6).cast("decimal(18,6)")
+        + F.round(pb * F.log(F.lit(2.0) * pb / (pa + pb)), 6).cast("decimal(18,6)")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum(term).alias("kl"),
+            F.sum("a.n").alias("na"),
+            F.sum("b.n").alias("nb"),
+            F.min("a.total").alias("ta"),
+            F.min("b.total").alias("tb"),
+        )
+    )
+    result = pairs.select(
+        "source_a",
+        "source_b",
+        "n_common",
+        F.round(
+            F.lit(0.5)
+            * (
+                F.col("kl").cast("double")
+                + (F.lit(1.0) - F.col("na").cast("double") / F.col("ta")) * F.lit(LN2)
+                + (F.lit(1.0) - F.col("nb").cast("double") / F.col("tb")) * F.lit(LN2)
+            ),
+            6,
+        ).alias("jsd"),
+    )
+    return materialized(result, wc)

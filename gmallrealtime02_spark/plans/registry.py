@@ -311,6 +311,7 @@ _PRIORITY = [
     "curation_funnel",
     "cluster_top_terms",
     "media_dedup_phash",
+    "source_jsd_matrix",
 ]
 
 

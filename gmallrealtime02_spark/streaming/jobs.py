@@ -499,6 +499,70 @@ def streaming_hll(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_cms(docs: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Streaming twin of the batch ``cms_heavy_hitters`` sketch: per-shard
+    count-min cells over the arriving corpus's tokens, updated every
+    micro-batch.
+
+    Work splits like ``streaming_hll``: the (row, pos) cell coordinates
+    are computed JVM-side inside codegen with the BATCH sketch's own
+    hash params (``portable_hash`` + ``CMS_PARAMS`` — so a cell here is
+    a cell there), and the Python state op only folds integer increments
+    into the d×w=1024-long state vector.  State per shard is 1024 longs —
+    O(shards), not O(vocabulary) — and shard sketches MERGE CELL-WISE
+    (addition commutes), so the reader's estimate over the union equals
+    a batch sketch of the full corpus exactly, regardless of batching or
+    arrival order (pinned in tests/test_streaming.py).  At 100 TB/day
+    this is the frequency monitor that runs where exact word counts
+    can't: the state never grows with the data."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions import text as TX
+    from ..plans import sketches as SK
+
+    n_cells = len(SK.CMS_PARAMS) * SK.CMS_W
+    w = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        F.explode(F.split("text", " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    h = w.select("shard", TX.portable_hash(F.col("word")).alias("h"))
+    rp = h.select(
+        "shard",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (((F.lit(a) * F.col("h") + b) % SK.P) % SK.CMS_W)
+                        .cast("int")
+                        .alias("pos"),
+                    )
+                    for i, (a, b) in enumerate(SK.CMS_PARAMS)
+                ]
+            )
+        ).alias("rp"),
+    ).select("shard", F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"))
+
+    def merge(key, pdfs, state):
+        cells = list(state.get[0]) if state.exists else [0] * n_cells
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for (r, p), n in pdf.groupby(["row", "pos"]).size().items():
+                cells[int(r) * SK.CMS_W + int(p)] += int(n)
+        state.update((cells,))
+        yield pd.DataFrame([{"shard": int(key[0]), "cells": cells}])
+
+    return rp.groupBy("shard").applyInPandasWithState(
+        merge,
+        outputStructType="shard int, cells array<long>",
+        stateStructType="cells array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_quality_filter(
     docs: DataFrame, weights, threshold: float = 0.0
 ) -> DataFrame:

@@ -36,6 +36,7 @@ INVARIANCE_CRITICAL = [
     "quality_classifier_score",  # decimal-gradient weights, pinned logit
     "ann_recall_eval",         # deterministic ladder + integer hit counts
     "media_dedup_phash",       # integer-only aHash + banded hamming
+    "source_jsd_matrix",       # decimal-summed rounded KL terms + exact masses
 ]
 
 

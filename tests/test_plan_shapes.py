@@ -1324,3 +1324,18 @@ def test_media_dedup_phash_banded_no_pair_product(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "content" not in line and "payload" not in line, line
+
+
+def test_source_jsd_matrix_single_scan_no_product(spark, sf_dir):
+    """source_jsd_matrix: the corpus is scanned ONCE (the persisted
+    (source, word, p) table feeds both sides of the pair join); the pair
+    expansion is a word-keyed equi-join, never a source-pair product, and
+    no single-partition exchange appears."""
+    plan = _executed_plan(QUERIES["source_jsd_matrix"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    stripped = _strip_cached_subplans(plan)
+    # above the persisted (source, word, p) cache: only InMemoryTableScan
+    # consumers, no direct parquet re-read
+    assert stripped.count("Scan parquet") == 0, stripped
+    assert stripped.count("InMemoryTableScan") >= 2, stripped
+    assert "Exchange SinglePartition" not in stripped, stripped

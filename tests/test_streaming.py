@@ -1208,3 +1208,87 @@ def test_streaming_media_features_matches_batch(spark, tmp_path):
     ham = bin(by_id[1][4] ^ by_id[2][4]).count("1")
     assert ham <= 3, (by_id[1][4], by_id[2][4])
     assert by_id[3][4] == 0
+
+
+def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
+    """streaming_cms: per-shard CMS cells folded over micro-batches merge
+    cell-wise into EXACTLY the sketch a batch pass over the full corpus
+    builds (addition commutes), using the batch op's own hash params —
+    probe estimates from the merged cells equal the python-mirror CMS
+    and never underestimate the exact counts."""
+    from gmallrealtime02_spark.functions.text import HASH_MOD
+    from gmallrealtime02_spark.plans.sketches import CMS_PARAMS, CMS_W, P
+
+    src = str(tmp_path / "cms_src")
+    doc_schema = "doc_id long, text string"
+    rows1 = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana date"),
+        (3, "apple elderberry"),
+    ]
+    rows2 = [
+        (4, "apple fig banana"),
+        (5, "cherry cherry cherry apple"),
+        (6, ""),
+    ]
+    _write_batch(spark, src, rows1, schema=doc_schema)
+    _write_batch(spark, src, rows2, schema=doc_schema)
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        SJ.streaming_cms(stream, n_shards=4)
+        .writeStream.format("memory")
+        .queryName("cms_out")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emits = spark.sql(
+            "SELECT shard, cells FROM cms_out"
+        ).collect()
+    finally:
+        q.stop()
+    # last emit per shard is the final state (update mode appends to the
+    # memory sink; later rows for a shard supersede earlier ones)
+    final = {}
+    for r in emits:
+        final[r.shard] = list(r.cells)
+    merged = [0] * (len(CMS_PARAMS) * CMS_W)
+    for cells in final.values():
+        for i, c in enumerate(cells):
+            merged[i] += c
+
+    # python mirror: exact counts + CMS built with the same params
+    def phash(word):
+        acc = 0
+        for ch in word:
+            acc = (acc * 31 + ord(ch)) % HASH_MOD
+        return acc
+
+    from collections import Counter
+
+    words = [
+        w
+        for _, text in rows1 + rows2
+        for w in text.split(" ")
+        if w != ""
+    ]
+    exact = Counter(words)
+    mirror = [0] * (len(CMS_PARAMS) * CMS_W)
+    for w, n in exact.items():
+        h = phash(w)
+        for i, (a, b) in enumerate(CMS_PARAMS):
+            mirror[i * CMS_W + ((a * h + b) % P) % CMS_W] += n
+    assert merged == mirror
+    for w, n in exact.items():
+        h = phash(w)
+        est = min(
+            merged[i * CMS_W + ((a * h + b) % P) % CMS_W]
+            for i, (a, b) in enumerate(CMS_PARAMS)
+        )
+        assert est >= n
+        assert est == n  # tiny vocab: no collisions at w=256
