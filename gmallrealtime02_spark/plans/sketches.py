@@ -492,6 +492,29 @@ def _cms_heavy_hitters_plan(spark, sf_dir):
 BLOOM_M = 65_536  # bits (8 KB bitmap)
 BLOOM_PARAMS = [(1_000_003, 1), (999_983, 2), (1_000_033, 3)]  # k = 3 hashes
 
+
+def bloom_bitmap_words(hashes, col: str = "h") -> list[int]:
+    """Build the eval-set Bloom bitmap as 1024 signed-wrapped longs from
+    a DataFrame of shingle hashes — the OFFLINE artifact both the batch
+    audit (``bloom_decontamination``) and the ingest-stream filter
+    (``streaming.jobs.streaming_bloom_decontamination``) ship into their
+    plans as one 8 KB array literal.  Bounded driver pull: ≤ BLOOM_M
+    distinct bit positions, eval-set-size independent."""
+    pos_cols = [
+        (((F.lit(a) * F.col(col) + b) % P) % BLOOM_M).cast("int")
+        for a, b in BLOOM_PARAMS
+    ]
+    bit_rows = (
+        hashes.select(F.explode(F.array(*pos_cols)).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_M // 64)
+    for r in bit_rows:
+        words[r["pos"] >> 6] |= 1 << (r["pos"] & 63)
+    # wrap to signed 64-bit — bit 63 set would overflow a JVM long literal
+    return [x - (1 << 64) if x >= (1 << 63) else x for x in words]
+
 _BLOOM_SH4 = """
     SELECT doc_id, unnest(list_distinct(list_transform(
         generate_series(0, len(string_split(text, ' ')) - 4),
@@ -583,15 +606,7 @@ def bloom_decontamination(spark, sf_dir):
         (((F.lit(a) * F.col("h") + b) % P) % BLOOM_M).cast("int")
         for a, b in BLOOM_PARAMS
     ]
-    # Build the bitmap: distinct eval bit positions -> 1024 packed longs.
-    bit_rows = (
-        ev.select(F.explode(F.array(*pos_cols)).alias("pos")).distinct().collect()
-    )
-    words = [0] * (BLOOM_M // 64)
-    for r in bit_rows:
-        words[r["pos"] >> 6] |= 1 << (r["pos"] & 63)
-    # wrap to signed 64-bit — bit 63 set would overflow a JVM long literal
-    words = [x - (1 << 64) if x >= (1 << 63) else x for x in words]
+    words = bloom_bitmap_words(ev)
     # one true array LITERAL, not CreateArray(1024 exprs): the latter
     # rebuilds the array per row per probe (3x1024 allocs/row measured at
     # 5.5 s for this query; the folded literal takes it to ~1 s)

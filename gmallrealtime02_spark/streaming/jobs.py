@@ -563,6 +563,58 @@ def streaming_cms(docs: DataFrame, n_shards: int = 8) -> DataFrame:
     )
 
 
+def streaming_bloom_decontamination(
+    docs: DataFrame, bloom_words: list[int], n: int = 4
+) -> DataFrame:
+    """Eval-set decontamination at INGEST — the third leg of the
+    ingest-curation stool next to ``streaming_quality_filter`` (model as
+    plan literal) and ``streaming_ingest_dedup`` (corpus probe): the
+    eval set's 4-gram Bloom bitmap, built OFFLINE by
+    ``plans.sketches.bloom_bitmap_words``, rides into the plan as one
+    8 KB array literal and every arriving document's distinct shingle
+    hashes probe it scan-side.  Emits per doc: distinct shingles, Bloom
+    hits, and the contaminated flag (integer cross-multiplied ≥50%
+    hit-ratio rule — no float threshold).
+
+    Stateless narrow map, and the whole probe stays INSIDE the row: the
+    hit count is a higher-order filter over the doc's own hash array
+    (mask via a 64-long POW2 literal — ``shiftleft`` needs a literal
+    shift, ``element_at`` doesn't), so there is no explode, no per-doc
+    re-aggregation, no watermark, and — Bloom's whole point — no
+    broadcast that grows with the eval set.  Batch-vs-stream
+    bit-equivalence pinned in tests/test_streaming.py; Bloom never
+    misses, so a contaminated=0 doc is CLEAN with certainty."""
+    from ..functions import similarity as S
+    from ..plans import sketches as SK
+
+    pow2 = [1 << i for i in range(63)] + [-(1 << 63)]  # signed bit 63
+    pow2_lit = F.lit(pow2).cast("array<long>")
+    bitmap = F.lit(bloom_words).cast("array<long>")
+
+    def hit(h):
+        out = F.lit(True)
+        for a, b in SK.BLOOM_PARAMS:
+            pos = (((F.lit(a) * h + b) % SK.P) % SK.BLOOM_M).cast("int")
+            word = F.element_at(bitmap, (F.shiftright(pos, 6) + 1).cast("int"))
+            mask = F.element_at(pow2_lit, pos % 64 + 1)
+            out = out & (word.bitwiseAND(mask) != F.lit(0).cast("long"))
+        return out
+
+    sh = S.shingle_hash_table(docs, ("doc_id",), n=n)
+    t = sh.select("doc_id", F.array_distinct("hs").alias("hs"))
+    return t.select(
+        "doc_id",
+        F.size("hs").alias("n_shingles"),
+        F.size(F.filter("hs", hit)).alias("n_bloom_hits"),
+    ).withColumn(
+        "contaminated",
+        (
+            (F.col("n_shingles") > 0)
+            & (F.col("n_bloom_hits") * 2 >= F.col("n_shingles"))
+        ).cast("int"),
+    )
+
+
 def streaming_quality_filter(
     docs: DataFrame, weights, threshold: float = 0.0
 ) -> DataFrame:

@@ -1292,3 +1292,68 @@ def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
         )
         assert est >= n
         assert est == n  # tiny vocab: no collisions at w=256
+
+
+def test_streaming_bloom_decontamination_matches_batch(spark, tmp_path):
+    """streaming_bloom_decontamination: the offline-built eval Bloom
+    bitmap flags arriving contaminated docs bit-identically to a batch
+    run of the same function; an eval-copy doc is contaminated, a
+    disjoint doc is clean (Bloom never misses, so clean is certain)."""
+    from gmallrealtime02_spark.plans.sketches import bloom_bitmap_words
+    from gmallrealtime02_spark.functions import similarity as S
+    import pyspark.sql.functions as F
+
+    doc_schema = "doc_id long, text string"
+    eval_rows = [
+        (100, "the quick brown fox jumps over the lazy dog every day"),
+        (101, "training data decontamination is table stakes now"),
+    ]
+    ev = spark.createDataFrame(eval_rows, doc_schema)
+    ev_hashes = S.shingle_hash_table(ev, ("doc_id",), n=4).select(
+        "doc_id", F.explode(F.array_distinct("hs")).alias("h")
+    )
+    words = bloom_bitmap_words(ev_hashes)
+
+    src = str(tmp_path / "bloom_src")
+    rows1 = [
+        (1, "the quick brown fox jumps over the lazy dog every day"),  # copy
+        (2, "completely unrelated text about spark shuffles and joins"),
+    ]
+    rows2 = [
+        (3, "training data decontamination is table stakes now truly"),
+        (4, ""),
+    ]
+    _write_batch(spark, src, rows1, schema=doc_schema)
+    _write_batch(spark, src, rows2, schema=doc_schema)
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        SJ.streaming_bloom_decontamination(stream, words)
+        .writeStream.format("memory")
+        .queryName("bloom_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.doc_id, r.n_shingles, r.n_bloom_hits, r.contaminated)
+            for r in spark.sql("SELECT * FROM bloom_out").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.doc_id, r.n_shingles, r.n_bloom_hits, r.contaminated)
+        for r in SJ.streaming_bloom_decontamination(
+            spark.read.schema(doc_schema).parquet(src + "/*"), words
+        ).collect()
+    }
+    assert got == batch
+    by_id = {t[0]: t for t in got}
+    assert by_id[1][3] == 1  # exact eval copy: every shingle hits
+    assert by_id[1][1] == by_id[1][2]
+    assert by_id[2][3] == 0  # disjoint doc: clean
+    assert by_id[3][3] == 1  # near-copy of eval doc: over the 50% rule
