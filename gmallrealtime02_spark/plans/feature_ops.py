@@ -524,3 +524,95 @@ def dq_checks(spark, sf_dir):
             )
         ).alias("c")
     ).select("c.*")
+
+
+# ---------------------------------------------------------------------------
+# Embedding QA (norm profile + outlier flags before indexing)
+# ---------------------------------------------------------------------------
+
+_NORM_FOLD = (
+    "round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+    "(a, b) -> a + b)), 6)"
+)
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT vec_id, {_NORM_FOLD} AS l2_norm,
+               round(list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs
+        FROM embeddings
+    ), s AS (
+        SELECT round(quantile_cont(l2_norm, 0.01), 6) AS norm_p01,
+               round(quantile_cont(l2_norm, 0.99), 6) AS norm_p99,
+               round(quantile_cont(max_abs, 0.99), 6) AS spike_p99
+        FROM t
+    )
+    SELECT vec_id, l2_norm, max_abs,
+           CAST(CASE WHEN l2_norm < norm_p01 THEN 1 ELSE 0 END AS INTEGER) AS is_low,
+           CAST(CASE WHEN l2_norm > norm_p99 THEN 1 ELSE 0 END AS INTEGER) AS is_high,
+           CAST(CASE WHEN max_abs > spike_p99 THEN 1 ELSE 0 END AS INTEGER) AS is_spiky
+    FROM t CROSS JOIN s
+    """,
+    tags=("embeddings", "quality", "profiling"),
+)
+def embedding_norm_stats(spark, sf_dir):
+    """Embedding QA before anything indexes or trains on the vectors:
+    per-vector L2 norm and peak component magnitude, with
+    percentile-band outlier flags (norm below p01 / above p99, max-abs
+    above p99) — the cheap detector for the classic embedding-pipeline
+    failures: zero/near-zero vectors from empty inputs, exploded norms
+    from a bad batch, mixed normalized/unnormalized shards (norm
+    flags), and collapsed/spiky vectors whose mass concentrates in one
+    component (spike flag).  Each failure silently poisons cosine ANN
+    and k-means downstream.  On a HEALTHY normalized corpus — like this
+    testdata, norm ≡ 1.0 — the norm flags are all zero by construction
+    and the spike flag carries the signal; that asymmetry is the point
+    of running the check.
+
+    Engine-exactness: the norm is a fold in ARRAY ORDER (the `_DOT_FOLD`
+    discipline — both engines run the same IEEE add chain) and max-abs
+    is order-independent, both rounded to 1e-6; the thresholds are exact
+    interpolated percentiles of those rounded values (`F.percentile` ≡
+    `quantile_cont`, the `value_percentiles` convention), so the flags
+    hash-match.
+
+    Scale shape: both profiles compute scan-side (one fold + one max per
+    row, embedding column pruned immediately after); the persisted
+    (vec_id, norm, max_abs) table feeds the three-scalar percentile
+    aggregate, which broadcasts back as a 1-row cross join — no global
+    sort, no single-partition window, nothing driver-side beyond 3
+    scalars."""
+    from ..caching import materialized
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    n2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    max_abs = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    t = emb.select(
+        "vec_id",
+        F.round(F.sqrt(n2), 6).alias("l2_norm"),
+        F.round(max_abs, 6).alias("max_abs"),
+    ).persist()
+    s = t.agg(
+        F.round(F.percentile("l2_norm", F.lit(0.01)), 6).alias("norm_p01"),
+        F.round(F.percentile("l2_norm", F.lit(0.99)), 6).alias("norm_p99"),
+        F.round(F.percentile("max_abs", F.lit(0.99)), 6).alias("spike_p99"),
+    )
+    result = t.crossJoin(F.broadcast(s)).select(
+        "vec_id",
+        "l2_norm",
+        "max_abs",
+        (F.col("l2_norm") < F.col("norm_p01")).cast("int").alias("is_low"),
+        (F.col("l2_norm") > F.col("norm_p99")).cast("int").alias("is_high"),
+        (F.col("max_abs") > F.col("spike_p99")).cast("int").alias("is_spiky"),
+    )
+    return materialized(result, t)

@@ -312,6 +312,7 @@ _PRIORITY = [
     "cluster_top_terms",
     "media_dedup_phash",
     "source_jsd_matrix",
+    "embedding_norm_stats",
 ]
 
 

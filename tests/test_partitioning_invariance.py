@@ -37,6 +37,7 @@ INVARIANCE_CRITICAL = [
     "ann_recall_eval",         # deterministic ladder + integer hit counts
     "media_dedup_phash",       # integer-only aHash + banded hamming
     "source_jsd_matrix",       # decimal-summed rounded KL terms + exact masses
+    "embedding_norm_stats",    # array-order folds + exact percentiles
 ]
 
 

@@ -1339,3 +1339,15 @@ def test_source_jsd_matrix_single_scan_no_product(spark, sf_dir):
     assert stripped.count("Scan parquet") == 0, stripped
     assert stripped.count("InMemoryTableScan") >= 2, stripped
     assert "Exchange SinglePartition" not in stripped, stripped
+
+
+def test_embedding_norm_stats_scan_side_profile(spark, sf_dir):
+    """embedding_norm_stats: profiles compute scan-side and the
+    embedding column prunes immediately (no exchange carries it); the
+    percentile thresholds attach as a broadcast 1-row join, never a
+    single-partition window."""
+    plan = _executed_plan(QUERIES["embedding_norm_stats"].fn(spark, sf_dir))
+    assert "Window" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "embedding#" not in line, line
