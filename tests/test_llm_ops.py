@@ -609,3 +609,90 @@ def test_shingle_tables_match_fold_specs(spark, sf_dir):
         assert fast_s == spec_s, f"string parity broke at n={n}"
     assert fast_h[100007] == spec_h[100007]  # positional dups retained
     assert len(fast_s[100007]) == 1  # strings distinct
+
+
+def test_ahash_banded_equals_quadratic(spark, sf_dir):
+    """The generic banded_hamming_pairs_plan is EXACT for the 32-bit
+    perceptual aHash too: the banded join returns the same (pair,
+    hamming) set as a quadratic bit_count(xor) filter over the same
+    signature table — the pigeonhole guarantee is bits-agnostic."""
+    import pyspark.sql.functions as F
+
+    from gmallrealtime02_spark.caching import materialized
+    from gmallrealtime02_spark.functions.multimodal import (
+        AHASH_BITS,
+        as_media_table,
+        media_ahash_table,
+    )
+
+    media = as_media_table(load_table(spark, sf_dir, "documents"))
+    sig = media_ahash_table(media).persist()
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash")))
+    quad = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    result, caches = S.banded_hamming_pairs_plan(
+        sig, AHASH_BITS, max_hamming=3, sig_col="ahash"
+    )
+    banded = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in materialized(result, *caches).collect()
+    }
+    sig.unpersist()
+    assert banded == quad and len(banded) > 0
+
+
+def _ahash_mirror(s: str, bits: int = 32) -> int:
+    """Pure-python mirror of functions.multimodal.ahash_of: blockwise
+    average-hash with floor(i*L/bits) boundaries and the cross-multiplied
+    integer mean comparison."""
+    cps = [ord(c) for c in s]
+    L = len(cps)
+    total = sum(cps)
+    sig = 0
+    for i in range(bits):
+        start, end = (i * L) // bits, ((i + 1) * L) // bits
+        if sum(cps[start:end]) * L > total * (end - start):
+            sig |= 1 << i
+    return sig
+
+
+def test_ahash_column_matches_python_mirror(spark):
+    """ahash_of evaluated through real Spark codegen equals the pure
+    arithmetic spec on adversarial payloads (empty, shorter than the
+    block count, constant, long mixed)."""
+    import pyspark.sql.functions as F
+
+    from gmallrealtime02_spark.functions.multimodal import (
+        as_media_table,
+        media_ahash_table,
+    )
+
+    texts = [
+        "",
+        "a",
+        "ab",
+        "z" * 31,
+        "z" * 32,
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+        "".join(chr(33 + (i * 7) % 90) for i in range(257)),
+        "x" * 64 + "y" * 64,
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.ahash
+        for r in media_ahash_table(as_media_table(df)).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _ahash_mirror(t), (i, t, got[i], _ahash_mirror(t))
