@@ -4014,3 +4014,65 @@ def cluster_top_terms(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("cid", "word", "cnt", "rnk")
     )
+
+
+_CBS_TARGET = 8  # expected keeps per cluster at the test scale
+_CBS_THRESHOLD = _CBS_TARGET * (1 << 32)  # vs a uniform 32-bit md5 draw
+
+# md5 hex prefix -> uniform 32-bit integer, as a DuckDB fold (Spark side
+# is conv(substr(md5, 1, 8), 16, 10)); the polynomial portable_hash is
+# too weak here — short numeric id-strings land in a tiny range and the
+# threshold rule would keep everything.
+_CBS_H32 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_filter(string_split(substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8), ''), c -> c != ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), (x, y) -> x * 16 + y)"
+)
+
+
+@register(
+    "cluster_balance_sample",
+    oracle=f"""
+    WITH {_kmeans_ctes(k=10, iters=3)},
+    assign AS (SELECT vec_id, cid FROM a3),
+    sizes AS (SELECT cid, count(*) AS n_c FROM assign GROUP BY cid)
+    SELECT a.vec_id, a.cid
+    FROM assign a JOIN sizes s ON a.cid = s.cid
+    WHERE {_CBS_H32} * s.n_c < {_CBS_THRESHOLD}
+    """,
+    tags=("sampling", "clustering", "training-data"),
+)
+def cluster_balance_sample(spark, sf_dir):
+    """Cluster-BALANCED corpus sampling — equal expected picks from every
+    k-means cluster regardless of cluster size (the cluster-mix step
+    SemDeDup-style pipelines run after semantic clustering, so dominant
+    modes don't drown rare ones; `cluster_top_terms` names the clusters,
+    this draws the mix).
+
+    Deliberately NOT `stratified_sample`'s exact-rank window: an exact
+    per-cluster top-k needs a per-cluster order statistic, and with
+    k≈10 groups over 10⁹ vectors each window partition is a single
+    reducer.  Here keep(v) ⇔ h32(v)·n_c < T·2³² — an
+    expectation-balanced integer cross-multiplied threshold (keep
+    probability T/n_c, no floats) over a uniform 32-bit md5 draw that
+    executes as a scan-side predicate: the only exchanges are the k-row
+    cluster-size aggregate (broadcast back) and none for the verdict
+    itself.  md5-keyed like `doc_hash_sample` (the polynomial
+    portable_hash is too weak on short numeric id-strings), so the draw
+    is reproducible across engines and cluster layouts and splittable
+    into disjoint folds.
+
+    Scale shape: the k-means assignment reuses its zero-exchange argmin
+    scan (broadcast centroid literals); sizes are k rows; the sample
+    filter never shuffles the corpus."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    assign = kmeans_assign(emb, k=10, iters=3).select("vec_id", "cid")
+    sizes = assign.groupBy("cid").agg(F.count("*").alias("n_c"))
+    h32 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        assign.join(F.broadcast(sizes), "cid")
+        .filter(h32 * F.col("n_c") < F.lit(_CBS_THRESHOLD))
+        .select("vec_id", "cid")
+    )

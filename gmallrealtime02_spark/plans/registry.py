@@ -313,6 +313,7 @@ _PRIORITY = [
     "media_dedup_phash",
     "source_jsd_matrix",
     "embedding_norm_stats",
+    "cluster_balance_sample",
 ]
 
 

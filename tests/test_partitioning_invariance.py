@@ -38,6 +38,7 @@ INVARIANCE_CRITICAL = [
     "media_dedup_phash",       # integer-only aHash + banded hamming
     "source_jsd_matrix",       # decimal-summed rounded KL terms + exact masses
     "embedding_norm_stats",    # array-order folds + exact percentiles
+    "cluster_balance_sample",  # integer threshold over md5 draw + exact kmeans
 ]
 
 

@@ -1351,3 +1351,14 @@ def test_embedding_norm_stats_scan_side_profile(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "embedding#" not in line, line
+
+
+def test_cluster_balance_sample_scan_side_filter(spark, sf_dir):
+    """cluster_balance_sample: the keep verdict is a scan-side predicate
+    over the zero-exchange kmeans assignment — no window (a per-cid rank
+    would single-reduce 1/k of the corpus), no pair product; the only
+    aggregation is the k-row cluster-size table broadcast back."""
+    plan = _executed_plan(QUERIES["cluster_balance_sample"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
