@@ -4076,3 +4076,68 @@ def cluster_balance_sample(spark, sf_dir):
         .filter(h32 * F.col("n_c") < F.lit(_CBS_THRESHOLD))
         .select("vec_id", "cid")
     )
+
+
+@register(
+    "ann_cosine_filtered",
+    oracle=f"""
+    SELECT qid, cid, cosine, rnk FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               {_cos_sql('q.embedding', 'c.embedding')} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id ASC
+               ) AS rnk
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 10 AND q.vec_id != c.vec_id AND q.label = c.label
+    ) WHERE rnk <= 5
+    """,
+    tags=("similarity", "ann", "filtered"),
+)
+def ann_cosine_filtered(spark, sf_dir):
+    """FILTERED vector search — top-5 cosine neighbors restricted to
+    candidates sharing the query's metadata label (the
+    predicate-plus-vector query every production vector store serves:
+    'nearest neighbors WHERE tenant/lang/split matches').  Done as
+    PRE-filtering: the label predicate applies before scoring, so
+    selectivity 1/|labels| cuts the scored candidates by the same
+    factor — the opposite of search-then-filter, which over-fetches
+    k/selectivity neighbors and still under-returns when a filter is
+    tight.
+
+    Scale shape: the 10-query block (embedding + label + norm)
+    broadcasts; candidates stream scan-side with norms folded once per
+    row below the join; the equality half of the join condition is a
+    hashable key, so at 10⁹ vectors the label predicate prunes at the
+    scan (or rides partition pruning when the table is label-
+    partitioned) rather than post-hoc on scored pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+        F.sqrt(S._dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
+    )
+    c = ensure_parallelism(emb).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("clabel"),
+        F.sqrt(S._dot(F.col("embedding"), F.col("embedding"))).alias("cn"),
+    )
+    dot = S._dot(F.col("qe"), F.col("ce"))
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("qid") != F.col("cid")) & (F.col("qlabel") == F.col("clabel")))
+        .select(
+            "qid",
+            "cid",
+            F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("cid").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 5
+    )

@@ -314,6 +314,7 @@ _PRIORITY = [
     "source_jsd_matrix",
     "embedding_norm_stats",
     "cluster_balance_sample",
+    "ann_cosine_filtered",
 ]
 
 

@@ -39,6 +39,7 @@ INVARIANCE_CRITICAL = [
     "source_jsd_matrix",       # decimal-summed rounded KL terms + exact masses
     "embedding_norm_stats",    # array-order folds + exact percentiles
     "cluster_balance_sample",  # integer threshold over md5 draw + exact kmeans
+    "ann_cosine_filtered",     # rounded fold cosines + cid tiebreak
 ]
 
 

@@ -1362,3 +1362,12 @@ def test_cluster_balance_sample_scan_side_filter(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ann_cosine_filtered_broadcast_prefilter(spark, sf_dir):
+    """ann_cosine_filtered: the query block broadcasts and the label
+    predicate rides the join (pre-filtering) — no cartesian product, no
+    single-partition exchange of the candidate side."""
+    plan = _executed_plan(QUERIES["ann_cosine_filtered"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
