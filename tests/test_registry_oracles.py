@@ -89,3 +89,36 @@ def test_driver_window_curation():
     # one remaining 50-slot rotation (round 6)
     deferred = set(qs) - verified - set(window)
     assert len(deferred) <= 50, sorted(deferred)
+
+
+def test_priority_list_matches_registry_exactly():
+    """Window-integrity guard: `registry._PRIORITY` is the scoring
+    surface (the driver checks its first-50 prefix), and `load_all()`
+    silently drops any name not in QUERIES — so a typo or a forgotten
+    entry would silently shrink or reorder the driver window.  Require
+    an exact bijection."""
+    from gmallrealtime02_spark.plans import registry as R
+
+    all_q = R.load_all()
+    missing = [n for n in R._PRIORITY if n not in R.QUERIES]
+    unlisted = [n for n in R.QUERIES if n not in R._PRIORITY]
+    dupes = [n for n in set(R._PRIORITY) if R._PRIORITY.count(n) > 1]
+    assert not missing, f"_PRIORITY names without a registration: {missing}"
+    assert not unlisted, f"registered queries missing from _PRIORITY: {unlisted}"
+    assert not dupes, f"duplicate _PRIORITY entries: {dupes}"
+    assert list(all_q) == R._PRIORITY
+
+
+def test_curation_funnel_monotone(spark, sf_dir):
+    """The funnel's stages are cumulative filters, so surviving docs and
+    tokens must be non-increasing stage over stage (any violation means
+    a stage predicate is not a refinement of the previous one)."""
+    from gmallrealtime02_spark.plans.registry import load_all
+
+    rows = sorted(
+        load_all()["curation_funnel"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.stage_ord,
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_docs <= prev.n_docs, (prev, cur)
+        assert cur.n_tokens <= prev.n_tokens, (prev, cur)
