@@ -4141,3 +4141,108 @@ def ann_cosine_filtered(spark, sf_dir):
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= 5
     )
+
+
+_RRF_K = 60  # the canonical reciprocal-rank-fusion constant
+
+_RRF_TEXT_CTES = """
+    words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+    dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n FROM documents),
+    w AS (
+        SELECT tf.doc_id, tf.word,
+               CAST(round(
+                   (tf.tf / CAST(dl.dl AS DOUBLE))
+                   * round(ln(CAST((SELECT n FROM n) AS DOUBLE) / df.df), 6),
+               6) AS DECIMAL(18,6)) AS w
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (word)
+    ),
+    q AS (SELECT word, w FROM w WHERE doc_id = 0),
+    tscored AS (
+        SELECT w.doc_id, CAST(sum(q.w * w.w) AS DOUBLE) AS score
+        FROM w JOIN q USING (word)
+        WHERE w.doc_id != 0
+        GROUP BY w.doc_id
+    ),
+    ttop AS (
+        SELECT doc_id, rnk FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+            FROM tscored
+        ) WHERE rnk <= 10
+    )
+"""
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH {_RRF_TEXT_CTES.strip()},
+    vtop AS (
+        SELECT cid AS doc_id, rnk FROM (
+            SELECT c.vec_id AS cid,
+                   ROW_NUMBER() OVER (
+                       ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC,
+                                c.vec_id ASC
+                   ) AS rnk
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id = 0 AND q.vec_id != c.vec_id
+        ) WHERE rnk <= 10
+    )
+    SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+           CAST(coalesce(t.rnk, 0) AS INTEGER) AS rnk_text,
+           CAST(coalesce(v.rnk, 0) AS INTEGER) AS rnk_vec,
+           round(
+               (CASE WHEN t.rnk IS NULL THEN 0.0
+                     ELSE 1.0 / ({_RRF_K} + t.rnk) END)
+               + (CASE WHEN v.rnk IS NULL THEN 0.0
+                       ELSE 1.0 / ({_RRF_K} + v.rnk) END), 6) AS rrf_score
+    FROM ttop t FULL OUTER JOIN vtop v ON t.doc_id = v.doc_id
+    """,
+    tags=("retrieval", "hybrid", "rrf", "similarity"),
+)
+def hybrid_search_rrf(spark, sf_dir):
+    """HYBRID retrieval for query document 0 — the sparse TF-IDF
+    ranking (`doc_similar_topk`'s plan) and the dense cosine ranking
+    (`ann_cosine_topk`'s scoring) fused by reciprocal-rank fusion,
+    score = Σ_legs 1/(k + rank) with the canonical k=60: the standard
+    modern search stack (lexical recall + semantic recall, fused
+    rank-side so neither leg's score scale matters).  Shares the
+    doc_id == vec_id convention with `bitext_mine`/`cluster_top_terms`.
+
+    Engine-exactness: both legs' ranks are integers produced by
+    already-deterministic rankings (quantized TF-IDF decimals;
+    fold-order rounded cosines, id tiebreaks), and the fusion is two
+    pinned-order double terms rounded at 1e-6 — nothing new to argue.
+    Absent legs fuse as 0 contribution and surface as rank 0 (not NULL:
+    a NULL int column round-trips as NaN-float differently per engine).
+
+    Scale shape: each leg keeps its own audited plan (term-selective
+    postings join; broadcast query vector with scan-side norms); the
+    fusion is a FULL OUTER join of two 10-row lists — constant work
+    regardless of corpus size."""
+    t_result, t_caches = _doc_similar_topk_plan(spark, sf_dir)
+    ttop = t_result.select("doc_id", F.col("rnk").alias("rnk_text"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    vtop = (
+        S.cosine_topk(emb, n_queries=1, k=10)
+        .select(F.col("cid").alias("doc_id"), F.col("rnk").alias("rnk_vec"))
+    )
+    fused = ttop.join(vtop, "doc_id", "full")
+    term_t = F.when(
+        F.col("rnk_text").isNull(), F.lit(0.0)
+    ).otherwise(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rnk_text")))
+    term_v = F.when(
+        F.col("rnk_vec").isNull(), F.lit(0.0)
+    ).otherwise(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rnk_vec")))
+    result = fused.select(
+        "doc_id",
+        F.coalesce(F.col("rnk_text"), F.lit(0)).cast("int").alias("rnk_text"),
+        F.coalesce(F.col("rnk_vec"), F.lit(0)).cast("int").alias("rnk_vec"),
+        F.round(term_t + term_v, 6).alias("rrf_score"),
+    )
+    return materialized(result, *t_caches)

@@ -315,6 +315,7 @@ _PRIORITY = [
     "embedding_norm_stats",
     "cluster_balance_sample",
     "ann_cosine_filtered",
+    "hybrid_search_rrf",
 ]
 
 

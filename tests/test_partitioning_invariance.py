@@ -40,6 +40,7 @@ INVARIANCE_CRITICAL = [
     "embedding_norm_stats",    # array-order folds + exact percentiles
     "cluster_balance_sample",  # integer threshold over md5 draw + exact kmeans
     "ann_cosine_filtered",     # rounded fold cosines + cid tiebreak
+    "hybrid_search_rrf",       # integer ranks from deterministic legs
 ]
 
 

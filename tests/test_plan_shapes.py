@@ -1371,3 +1371,11 @@ def test_ann_cosine_filtered_broadcast_prefilter(spark, sf_dir):
     plan = _executed_plan(QUERIES["ann_cosine_filtered"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_hybrid_search_rrf_no_product_fusion(spark, sf_dir):
+    """hybrid_search_rrf: both legs keep their audited shapes (no pair
+    product anywhere) and the fusion joins two top-10 lists — constant
+    work; nothing exchanges the corpus for the fusion itself."""
+    plan = _executed_plan(QUERIES["hybrid_search_rrf"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
