@@ -95,6 +95,10 @@ def register(
 #   round 6     — the 21 remaining never-verified rows (3 rows-only-by-
 #                 nature media/BLAS ops + low-salience analytics/behavior
 #                 singles listed right after the window below).
+#   round 7     — the round-5 late-wave additions at the tail of this
+#                 list (contamination_report … hybrid_search_rrf, ~25
+#                 names) — all locally full-hash oracled; rotate them
+#                 into the prefix once the r6 spillover goes green.
 _PRIORITY = [
     # ---- round-5 window (50): never-green rows first ----
     "inverted_index",
