@@ -19,7 +19,7 @@ from ..functions.multimodal import (
     AHASH_BITS,
     as_media_table,
     extract_features,
-    media_ahash_table,
+    media_ahash_table_np,
     resize_media,
     sample_frames,
 )
@@ -1087,7 +1087,7 @@ def media_dedup_phash(spark, sf_dir):
     media = as_media_table(
         ensure_parallelism(load_table(spark, sf_dir, "documents"))
     )
-    sig = media_ahash_table(media)
+    sig = media_ahash_table_np(media)
     result, caches = S.banded_hamming_pairs_plan(
         sig, AHASH_BITS, max_hamming=3, sig_col="ahash"
     )

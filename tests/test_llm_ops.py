@@ -696,3 +696,25 @@ def test_ahash_column_matches_python_mirror(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == _ahash_mirror(t), (i, t, got[i], _ahash_mirror(t))
+
+
+def test_ahash_kernel_matches_fold(spark, sf_dir):
+    """The numpy aHash kernel (hot path) is bit-identical to the
+    ahash_of fold (the executable spec) on the corpus AND on the
+    adversarial payload set."""
+    from gmallrealtime02_spark.functions.multimodal import (
+        as_media_table,
+        media_ahash_table,
+        media_ahash_table_np,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    adversarial = spark.createDataFrame(
+        [(10_000, ""), (10_001, "a"), (10_002, "z" * 31),
+         (10_003, "x" * 64 + "y" * 64)],
+        "doc_id long, text string",
+    )
+    both = as_media_table(docs.select("doc_id", "text").unionByName(adversarial))
+    fold = {r.doc_id: r.ahash for r in media_ahash_table(both).collect()}
+    kern = {r.doc_id: r.ahash for r in media_ahash_table_np(both).collect()}
+    assert fold == kern and len(fold) > 4
