@@ -33,6 +33,109 @@ def _sq_dist(a: Column, b: Column) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def nearest_centroid_table(
+    data: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Arrow-batched nearest-centroid assignment — BIT-IDENTICAL to the
+    Catalyst-fold spec (:func:`nearest_centroid_fold`, pinned by
+    tests/test_llm_ops.py::test_kmeans_kernel_matches_fold): each d2 is
+    an index-ordered float64 accumulation (``np.add.accumulate`` row-wise
+    == the fold's sequential ``acc + x``, and ``0.0 + d0 == d0``), and
+    ``np.argmin`` takes the FIRST minimum over centroids sorted by cid ==
+    the ``array_min``-over-``struct(d2, cid)`` lowest-cid tie-break.
+
+    Same rationale as similarity.lsh_keys / minhash_sig_table: Catalyst
+    higher-order folds are INTERPRETED (~0.6 µs per element-op), so the
+    k·dim fold per row — k-means' entire inner loop — dominated every
+    clustering consumer (kmeans_clusters, dedup_semantic, diversity/
+    cluster_balance sampling, cluster_top_terms); the kernel does the
+    identical FLOPs vectorized.  Output: (id, [keep_cols...,] cid, d2)
+    with the embedding column carried through only when listed in
+    ``keep_cols`` (Lloyd update iterations need it; the final assignment
+    does not)."""
+    from pyspark.sql import types as T
+
+    ordered = sorted(cents)  # cid-ascending ⇒ argmin-first == lowest-cid tie
+    in_fields = {f.name: f for f in data.schema.fields}
+    out_schema = T.StructType(
+        [
+            in_fields[id_col],
+            *(in_fields[c] for c in keep_cols),
+            T.StructField("cid", T.IntegerType(), False),
+            T.StructField("d2", T.DoubleType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side import
+        import pandas as pd  # noqa: PLC0415
+
+        C = [
+            (np.int32(cid), np.asarray(vec, dtype=np.float64))
+            for cid, vec in ordered
+        ]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            d2s = np.empty((len(C), len(pdf)), dtype=np.float64)
+            for j, (_cid, cvec) in enumerate(C):
+                diff = E - cvec
+                d2s[j] = np.add.accumulate(diff * diff, axis=1)[:, -1]
+            idx = np.argmin(d2s, axis=0)  # first min ⇒ lowest cid on ties
+            out = pdf[[id_col, *keep_cols]].copy()
+            out["cid"] = np.asarray([C[j][0] for j in range(len(C))])[idx]
+            out["d2"] = d2s[idx, np.arange(len(pdf))]
+            yield out
+
+    cols = [id_col, *keep_cols]
+    if emb_col not in cols:
+        cols.append(emb_col)
+    return data.select(*cols).mapInPandas(kernel, out_schema)
+
+
+def nearest_centroid_fold(
+    data: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Catalyst-fold formulation of :func:`nearest_centroid_table` — the
+    semantic spec the Arrow kernel must match bit-for-bit (centroid array
+    literal → transform → array_min over struct(d2, cid)).  Slow
+    (interpreted HOFs); kept for the parity gate, not used by registered
+    queries."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(x) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    dcs = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            _sq_dist(F.col(emb_col), c["cvec"]).alias("d2"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return data.select(
+        id_col, *keep_cols, emb_col, F.array_min(dcs).alias("m")
+    ).select(
+        id_col,
+        *keep_cols,
+        F.col("m.cid").alias("cid"),
+        F.col("m.d2").alias("d2"),
+    )
+
+
 def kmeans_assign(
     emb: DataFrame, k: int = 10, iters: int = 5, id_col: str = "vec_id"
 ) -> DataFrame:
@@ -61,8 +164,8 @@ def kmeans_fit(
     function of the data.  That also makes the whole algorithm
     reproducible in ANY engine (the DuckDB oracle unrolls these exact
     iterations — plans/llm_pipeline.py kmeans_clusters).
-    Each iteration: embed the k x dim centroids as an array literal in
-    the plan, assign every vector scan-side (zero exchanges — gated),
+    Each iteration: ship the k x dim centroids to the executors (kernel
+    closure), assign every vector scan-side (zero exchanges — gated),
     recompute centroids via posexplode + partial aggregation (the
     exchange carries k·dim rows per task, never the corpus), collect the
     k centroids to the driver for the next round."""
@@ -83,40 +186,25 @@ def kmeans_fit(
     try:
         assign = None
         for it in range(iters):
-            # Centroids as a k-element array LITERAL of (cid, cvec) structs:
-            # the argmin is a pure scan-side fold (transform → array_min),
-            # so assignment adds ZERO exchanges.  The earlier revision's
-            # crossJoin(broadcast) + groupBy(vec_id) re-shuffled the whole
-            # corpus (embeddings included) once per Lloyd iteration —
-            # Catalyst can't know vec_id is unique per partition, so the
-            # "map-side" claim was false in the physical plan.  array_min
-            # over struct(d2, cid) keeps the exact min(struct) tie-break:
-            # lowest distance, then lowest cid.
-            cent_arr = F.array(
-                *[
-                    F.struct(
-                        F.lit(cid).alias("cid"),
-                        F.array(*[F.lit(x) for x in vec]).alias("cvec"),
-                    )
-                    for cid, vec in cents
-                ]
+            # Assignment is scan-side and adds ZERO exchanges: the Arrow
+            # kernel (nearest_centroid_table) carries the k·dim centroids
+            # in its closure and argmins per Arrow batch — bit-identical
+            # to the centroid-array-literal → transform → array_min fold
+            # it replaced (kept as nearest_centroid_fold; parity-pinned),
+            # which Catalyst INTERPRETS at ~0.6 µs per element-op.  The
+            # even-earlier crossJoin(broadcast) + groupBy(vec_id)
+            # re-shuffled the full corpus — embeddings included — once
+            # per Lloyd iteration.  min(struct) tie-break preserved:
+            # lowest distance, then lowest cid.  The final iteration
+            # drops the embedding carry (its assignment feeds no update).
+            last = it == iters - 1
+            assign = nearest_centroid_table(
+                data,
+                cents,
+                id_col=id_col,
+                keep_cols=() if last else ("embedding",),
             )
-            dcs = F.transform(
-                cent_arr,
-                lambda c: F.struct(
-                    _sq_dist(F.col("embedding"), c["cvec"]).alias("d2"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-            assign = data.select(
-                id_col, "embedding", F.array_min(dcs).alias("m")
-            ).select(
-                id_col,
-                F.col("m.cid").alias("cid"),
-                F.col("m.d2").alias("d2"),
-                "embedding",
-            )
-            if it == iters - 1:
+            if last:
                 # the last iteration's recomputed centroids are never
                 # used (the returned assignment is against the previous
                 # round's centroids — same as the oracle's unroll, which
@@ -146,7 +234,7 @@ def kmeans_fit(
             # (dropping it would shrink k run-over-run)
             updated = {int(r.cid): [float(x) for x in r.cvec] for r in new_cents}
             cents = [(cid, updated.get(cid, vec)) for cid, vec in cents]
-        return assign.select(id_col, "cid", "d2"), cents
+        return assign, cents
     finally:
         data.unpersist()
 
@@ -251,6 +339,116 @@ def semantic_dedup(
 
 # --- Product quantization -------------------------------------------------
 
+
+def pq_assign_table(
+    data: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    subdim: int,
+    id_col: str = "vec_id",
+    e_col: str = "e",
+    keep_e: bool = True,
+) -> DataFrame:
+    """Arrow-batched PQ code assignment: for each of the ``len(books)``
+    contiguous subspaces, the nearest codebook centroid of the row's
+    subvector — all subspaces in ONE kernel pass (the fold formulation,
+    kept as :func:`pq_assign_fold` and parity-pinned, interprets
+    nsub·k·subdim HOF element-ops per row).  Bit-exactness contract as
+    :func:`nearest_centroid_table`: index-ordered float64 accumulation
+    per subvector distance, argmin-first == lowest-cid tie-break.
+    Output: (id, [e,] c0..c{nsub-1})."""
+    from pyspark.sql import types as T
+
+    nsub = len(books)
+    ordered = [sorted(b) for b in books]
+    in_fields = {f.name: f for f in data.schema.fields}
+    out_schema = T.StructType(
+        [
+            in_fields[id_col],
+            *([in_fields[e_col]] if keep_e else []),
+            *(
+                T.StructField(f"c{s}", T.IntegerType(), False)
+                for s in range(nsub)
+            ),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side import
+
+        B = [
+            (
+                np.asarray([cid for cid, _ in b], dtype=np.int32),
+                [np.asarray(vec, dtype=np.float64) for _, vec in b],
+            )
+            for b in ordered
+        ]
+        keep = [id_col, e_col] if keep_e else [id_col]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf[e_col].to_numpy()).astype(np.float64)
+            out = pdf[keep].copy()
+            for s in range(nsub):
+                Es = E[:, s * subdim : (s + 1) * subdim]
+                cids, cvecs = B[s]
+                d2s = np.empty((len(cvecs), len(pdf)), dtype=np.float64)
+                for j, cvec in enumerate(cvecs):
+                    diff = Es - cvec
+                    d2s[j] = np.add.accumulate(diff * diff, axis=1)[:, -1]
+                out[f"c{s}"] = cids[np.argmin(d2s, axis=0)]
+            yield out
+
+    cols = [id_col, e_col]
+    return data.select(*cols).mapInPandas(kernel, out_schema)
+
+
+def pq_assign_fold(
+    data: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    subdim: int,
+    id_col: str = "vec_id",
+    e_col: str = "e",
+) -> DataFrame:
+    """Catalyst-fold formulation of :func:`pq_assign_table` — the spec the
+    kernel must match bit-for-bit (per-subspace centroid array literal →
+    transform → array_min over struct(d2, cid)).  Interpreted HOFs; kept
+    for the parity gate only."""
+    nsub = len(books)
+    subs = data.select(
+        id_col,
+        e_col,
+        *[
+            F.slice(e_col, s * subdim + 1, subdim).alias(f"s{s}")
+            for s in range(nsub)
+        ],
+    )
+    assign_cols = []
+    for s in range(nsub):
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("cid"),
+                    F.array(*[F.lit(x) for x in vec]).alias("cvec"),
+                )
+                for cid, vec in books[s]
+            ]
+        )
+        sub_col = F.col(f"s{s}")
+
+        # closure factory, NOT a default-arg lambda: pyspark maps a
+        # 2-param lambda to (element, index), so `sc=` would receive
+        # the array INDEX
+        def _dcs_fn(sc):
+            return lambda c: F.struct(
+                _sq_dist(sc, c["cvec"]).alias("d2"),
+                c["cid"].alias("cid"),
+            )
+
+        dcs = F.transform(cent_arr, _dcs_fn(sub_col))
+        assign_cols.append(F.array_min(dcs)["cid"].alias(f"c{s}"))
+    return subs.select(id_col, e_col, *assign_cols)
+
+
 PQ_NSUB = 4  # subspaces
 PQ_SUBDIM = 16  # dims per subspace (4 x 16 = the 64-dim corpus)
 PQ_K = 16  # centroids per subspace codebook (4-bit codes)
@@ -305,40 +503,15 @@ def pq_fit(
         ]
         assign = None
         for it in range(iters):
-            subs = data.select(
-                id_col,
-                "e",
-                *[
-                    F.slice("e", s * subdim + 1, subdim).alias(f"s{s}")
-                    for s in range(nsub)
-                ],
+            # all nsub subspace argmins in ONE Arrow kernel pass —
+            # bit-identical to the pq_assign_fold HOF formulation
+            # (parity-pinned); the final iteration's codes need no
+            # embedding carry
+            last = it == iters - 1
+            assign = pq_assign_table(
+                data, books, subdim, id_col=id_col, keep_e=not last
             )
-            assign_cols = []
-            for s in range(nsub):
-                cent_arr = F.array(
-                    *[
-                        F.struct(
-                            F.lit(cid).alias("cid"),
-                            F.array(*[F.lit(x) for x in vec]).alias("cvec"),
-                        )
-                        for cid, vec in books[s]
-                    ]
-                )
-                sub_col = F.col(f"s{s}")
-
-                # closure factory, NOT a default-arg lambda: pyspark maps
-                # a 2-param lambda to (element, index), so `sc=` would
-                # receive the array INDEX
-                def _dcs_fn(sc):
-                    return lambda c: F.struct(
-                        _sq_dist(sc, c["cvec"]).alias("d2"),
-                        c["cid"].alias("cid"),
-                    )
-
-                dcs = F.transform(cent_arr, _dcs_fn(sub_col))
-                assign_cols.append(F.array_min(dcs)["cid"].alias(f"c{s}"))
-            assign = subs.select(id_col, "e", *assign_cols)
-            if it == iters - 1:
+            if last:
                 break
             cid_for_pos = F.element_at(
                 F.array(*[F.col(f"c{s}") for s in range(nsub)]),

@@ -459,6 +459,84 @@ def test_lsh_keys_kernel_matches_fold(spark, sf_dir):
     assert len(fast) == emb.count() * 16
 
 
+def test_kmeans_kernel_matches_fold(spark, sf_dir):
+    """The Arrow nearest-centroid kernel must be BIT-IDENTICAL to the
+    Catalyst array_min-over-struct fold spec — d2 included, since d2
+    feeds inertia descent and SemDeDup thresholds, and the kmeans/PQ
+    oracles unroll the fold's exact float64 accumulation order.
+    Centroids chosen adversarially: two IDENTICAL centroids force the
+    lowest-cid tie-break on every row."""
+    from gmallrealtime02_spark.functions.clustering import (
+        nearest_centroid_fold,
+        nearest_centroid_table,
+    )
+    from gmallrealtime02_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    data = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double"), 6)).alias(
+            "embedding"
+        ),
+    )
+    first = [
+        list(r.embedding)
+        for r in data.orderBy("vec_id").limit(3).select("embedding").collect()
+    ]
+    cents = [(0, first[0]), (1, first[1]), (2, first[1]), (3, first[2])]
+    fast = {
+        r.vec_id: (r.cid, r.d2)
+        for r in nearest_centroid_table(data, cents).collect()
+    }
+    spec = {
+        r.vec_id: (r.cid, r.d2)
+        for r in nearest_centroid_fold(data, cents).collect()
+    }
+    assert fast == spec
+    assert len(fast) == emb.count()
+    assert any(cid == 1 for cid, _ in fast.values())  # ties resolved low
+    assert not any(cid == 2 for cid, _ in fast.values())
+
+
+def test_pq_assign_kernel_matches_fold(spark, sf_dir):
+    """The fused PQ code-assignment kernel must emit the same c0..c3 as
+    the per-subspace Catalyst fold spec for every vector (codes feed ADC
+    scoring and the unrolled four-subspace-fit oracles)."""
+    from gmallrealtime02_spark.functions.clustering import (
+        PQ_SUBDIM,
+        pq_assign_fold,
+        pq_assign_table,
+    )
+    from gmallrealtime02_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    data = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double"), 6)).alias(
+            "e"
+        ),
+    )
+    first = data.orderBy("vec_id").limit(4).select("e").collect()
+    books = [
+        [
+            (cid, list(r.e[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]))
+            for cid, r in enumerate(first)
+        ]
+        for s in range(4)
+    ]
+    cols = ["c0", "c1", "c2", "c3"]
+    fast = {
+        r.vec_id: tuple(r[c] for c in cols)
+        for r in pq_assign_table(data, books, PQ_SUBDIM).collect()
+    }
+    spec = {
+        r.vec_id: tuple(r[c] for c in cols)
+        for r in pq_assign_fold(data, books, PQ_SUBDIM).collect()
+    }
+    assert fast == spec
+    assert len(fast) == emb.count()
+
+
 def test_mmr_rerank_properties(spark, sf_dir):
     """MMR semantics: 5 distinct picks per query; pick 1 IS the top-rel
     candidate; and scores are non-increasing from step 2 on (each round's

@@ -513,13 +513,13 @@ def test_doc_similar_topk_term_selective(spark, sf_dir):
 
 
 def test_kmeans_assignment_zero_exchange(spark, sf_dir):
-    """Lloyd assignment must be scan-side: centroids embed in the plan as
-    an array literal and the argmin is a transform/array_min fold, so the
-    assignment plan has NO join and NO corpus shuffle.  (The earlier
-    revision's crossJoin(broadcast) + groupBy(vec_id) re-shuffled the
-    full corpus — embeddings included — once per iteration.)  The only
-    Exchange allowed in the returned plan is ensure_parallelism's
-    one-time input spread that materializes the persisted corpus."""
+    """Lloyd assignment must be scan-side: centroids ride the Arrow
+    kernel's closure (nearest_centroid_table) so the assignment plan has
+    NO join and NO corpus shuffle.  (The earlier crossJoin(broadcast) +
+    groupBy(vec_id) revision re-shuffled the full corpus — embeddings
+    included — once per iteration.)  The only Exchange allowed in the
+    returned plan is ensure_parallelism's one-time input spread that
+    materializes the persisted corpus."""
     from gmallrealtime02_spark.functions.clustering import kmeans_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -528,7 +528,7 @@ def test_kmeans_assignment_zero_exchange(spark, sf_dir):
         plan = _executed_plan(df)
         assert "Join" not in plan, plan
         assert "hashpartitioning(vec_id" not in plan, plan
-        assert "array_min" in plan, plan
+        assert "MapInPandas" in plan, plan
     finally:
         spark.catalog.clearCache()
 
