@@ -254,6 +254,75 @@ def bench_sweep() -> None:
     )
 
 
+SCALE_CURVE_OPS = {
+    # op -> the input table whose row count is the op's work unit
+    "pricing_summary": "lineitem",
+    "dau_hourly": "events",
+    "sessionize": "events",
+    "doc_quality": "documents",
+    "dedup_minhash_lsh": "documents",
+}
+
+
+def bench_scale_curve() -> None:
+    """Scaling linearity check: time representative ops at sf0.001 /
+    sf0.01 / sf0.1 (100× input range) and report rows/s at each scale.
+    The question this answers is the 100 TB one: as input grows 10×,
+    does runtime grow ~10× (compute-bound, the plan scales) or ~1×
+    (fixed local-mode overhead still dominates — meaning the op has
+    headroom and its true per-row cost is even lower than the headline
+    suggests)?  An op whose time grows FASTER than input between 0.01
+    and 0.1 is super-linear — a scale bug the sweep's single-sf timings
+    cannot see.  Warm best-of-2 per (op, sf)."""
+    spark = get_spark(app_name="bench-scale")
+    queries = load_all()
+    sfs = [0.001, 0.01, 0.1]
+    out: dict[str, dict] = {}
+    for name, table in SCALE_CURVE_OPS.items():
+        fn = queries[name].fn
+        points = {}
+        for sf in sfs:
+            sf_dir = f"/root/testdata/sf{sf}"
+            n = spark.read.parquet(
+                os.path.join(sf_dir, f"{table}.parquet")
+            ).count()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            points[str(sf)] = {
+                "sec": round(best, 3),
+                "rows": n,
+                "rows_per_s": round(n / best, 1),
+            }
+        t_lo, t_hi = points["0.01"]["sec"], points["0.1"]["sec"]
+        n_lo, n_hi = points["0.01"]["rows"], points["0.1"]["rows"]
+        import math
+
+        # log-log slope over the top decade: 1.0 = perfectly linear in
+        # input, <1 = overhead-bound locally, >1 = super-linear (bad)
+        points["slope_0.01_to_0.1"] = round(
+            math.log(t_hi / t_lo) / math.log(n_hi / n_lo), 3
+        )
+        out[name] = points
+    print(
+        json.dumps(
+            {
+                "metric": "scale_curve",
+                "value": max(
+                    p["slope_0.01_to_0.1"] for p in out.values()
+                ),
+                "unit": "max_loglog_slope",
+                "queries": out,
+                "sf": -1.0,
+                "calibration_sec": _calibration(spark),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     import sys
 
@@ -261,5 +330,7 @@ if __name__ == "__main__":
         bench_streaming()
     elif "--sweep" in sys.argv[1:]:
         bench_sweep()
+    elif "--scale-curve" in sys.argv[1:]:
+        bench_scale_curve()
     else:
         main()
