@@ -323,6 +323,165 @@ def bench_scale_curve() -> None:
     )
 
 
+def bench_stress() -> None:
+    """Kernel throughput at synthetic 16-64× replication of sf0.1 —
+    the measurement --scale-curve shows the stock testdata is too small
+    for (every slope < 0.2 ⇒ overhead-bound).  Each input is replicated
+    in-memory with per-replica id remapping (documents get a per-replica
+    text suffix so shingle content varies; events get per-replica user
+    ids so window-partition SIZE stays constant while COUNT scales, the
+    real 100 TB shape).  Reports rows/s (and MB/s for text) per subject:
+    the Arrow text-scan kernels (quality features + lang id), the
+    minhash signature scan, the Lloyd assignment kernel, a
+    pricing-summary-shaped hash agg, and the sessionize window.  Warm
+    best-of-2; replicated inputs persisted so timings measure the
+    subject, not the replication."""
+    from pyspark.sql import functions as F
+
+    from gmallrealtime02_spark.functions import clustering as CL
+    from gmallrealtime02_spark.functions import similarity as S
+    from gmallrealtime02_spark.functions import text as TX
+    from gmallrealtime02_spark.sources.tables import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench-stress")
+    out: dict[str, dict] = {}
+
+    def timed(name, df_builder, rows, mb=None):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df_builder().write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = {"sec": round(best, 3), "rows": rows,
+                     "rows_per_s": round(rows / best, 1)}
+        if mb is not None:
+            out[name]["mb_per_s"] = round(mb / best, 1)
+
+    def replicate(df, n, id_exprs):
+        # explode inherits the source's split count (the testdata parquet is
+        # ONE row group), so spread the replicated rows across the cores —
+        # otherwise every scan subject measures a single task
+        reps = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
+        return df.select("*", reps).select(*id_exprs).repartition(64)
+
+    # --- text corpus ×64: ~320k docs ---
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count() * 64
+    mb = (docs.agg(F.sum("n_chars")).collect()[0][0] * 64) / 1e6
+    big_docs = replicate(
+        docs, 64,
+        [
+            (F.col("doc_id") * 64 + F.col("rep")).alias("doc_id"),
+            F.concat("text", F.lit(" r"), F.col("rep")).alias("text"),
+        ],
+    ).persist()
+    big_docs.count()
+    timed(
+        "text_scan_quality_langid",
+        lambda: big_docs.select(
+            "doc_id",
+            *[c.alias(n) for n, c in TX.quality_features(F.col("text")).items()],
+            TX.quality_score(F.col("text")).alias("quality"),
+            TX.lang_id(F.col("text")).alias("pred_lang"),
+        ),
+        n_docs, mb,
+    )
+    timed(
+        "minhash_signature_scan",
+        lambda: S.minhash_sig_table(big_docs, keep=("doc_id",)),
+        n_docs, mb,
+    )
+    big_docs.unpersist()
+
+    # --- embeddings ×64: ~128k vectors, Lloyd assignment kernel ---
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vec = emb.count() * 64
+    big_emb = replicate(
+        emb, 64,
+        [
+            (F.col("vec_id") * 64 + F.col("rep")).alias("vec_id"),
+            F.col("embedding"),
+        ],
+    ).persist()
+    big_emb.count()
+    cents = [
+        (int(i), [float(x) for x in r.embedding])
+        for i, r in enumerate(emb.orderBy("vec_id").limit(10).collect())
+    ]
+    timed(
+        "lloyd_assignment_kernel",
+        lambda: CL.nearest_centroid_table(big_emb, cents),
+        n_vec,
+    )
+    big_emb.unpersist()
+
+    # --- lineitem ×16: ~9.6M-row hash agg ---
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax",
+    )
+    n_li = li.count() * 16
+    big_li = replicate(li, 16, [F.col(c) for c in li.columns]).persist()
+    big_li.count()
+    timed(
+        "pricing_shaped_agg",
+        lambda: big_li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("n"),
+        ),
+        n_li,
+    )
+    big_li.unpersist()
+
+    # --- events ×64: ~6.4M-row sessionize window, constant partition size ---
+    ev = load_table(spark, sf_dir, "events")
+    n_ev = ev.count() * 64
+    big_ev = replicate(
+        ev, 64,
+        [
+            (F.col("event_id") * 64 + F.col("rep")).alias("event_id"),
+            (F.col("user_id") + F.col("rep") * 10_000_000).alias("user_id"),
+            F.col("ts"), F.col("event_type"),
+        ],
+    ).persist()
+    big_ev.count()
+
+    def session_window():
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        prev = F.lag("ts").over(w)
+        # timestamp_diff works on TIMESTAMP_NTZ; cast-to-long does not
+        gap_s = F.timestamp_diff("SECOND", prev, F.col("ts"))
+        is_new = F.when(prev.isNull() | (gap_s > 1800), 1).otherwise(0)
+        return big_ev.withColumn(
+            "session_seq",
+            F.sum(is_new).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+
+    timed("sessionize_window", session_window, n_ev)
+    big_ev.unpersist()
+
+    print(
+        json.dumps(
+            {
+                "metric": "stress_throughput",
+                "value": min(v["rows_per_s"] for v in out.values()),
+                "unit": "rows/s",
+                "queries": out,
+                "sf": 0.1,
+                "calibration_sec": _calibration(spark),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     import sys
 
@@ -332,5 +491,7 @@ if __name__ == "__main__":
         bench_sweep()
     elif "--scale-curve" in sys.argv[1:]:
         bench_scale_curve()
+    elif "--stress" in sys.argv[1:]:
+        bench_stress()
     else:
         main()
