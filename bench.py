@@ -377,8 +377,17 @@ def bench_stress() -> None:
         ],
     ).persist()
     big_docs.count()
+    profile_cols = (
+        "n_chars", "n_words", "avg_word_len", "stopword_ratio",
+        "punct_ratio", "type_token_ratio", "quality", "pred_lang",
+    )
     timed(
         "text_scan_quality_langid",
+        lambda: TX.text_profile_table(big_docs, ("doc_id",), profile_cols),
+        n_docs, mb,
+    )
+    timed(
+        "text_scan_catalyst_spec",
         lambda: big_docs.select(
             "doc_id",
             *[c.alias(n) for n, c in TX.quality_features(F.col("text")).items()],

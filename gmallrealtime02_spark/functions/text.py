@@ -254,3 +254,247 @@ def positional_fingerprint(text: Column) -> Column:
             lambda acc, x: (acc + x) % HASH_MOD,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow text-profile kernel — the 100 TB text-scan fast path
+# ---------------------------------------------------------------------------
+
+# Which Catalyst formulation above each kernel column must match
+# bit-for-bit (parity pinned in tests/test_llm_ops.py::
+# test_text_profile_kernel_matches_catalyst):
+#   n_chars/n_words/avg_word_len/stopword_ratio/punct_ratio/
+#   type_token_ratio/quality  -> quality_features / quality_score
+#   n_bpe_tokens              -> bpe_ish_token_count
+#   pred_lang                 -> lang_id
+#   ok_*                      -> gopher_rules
+#   gopher_ok                 -> AND of all gopher_rules
+#   text_md5                  -> F.md5(text.cast("binary"))
+TEXT_PROFILE_COLS = (
+    "n_chars",
+    "n_words",
+    "avg_word_len",
+    "stopword_ratio",
+    "punct_ratio",
+    "type_token_ratio",
+    "quality",
+    "n_bpe_tokens",
+    "pred_lang",
+    "ok_word_count",
+    "ok_avg_word_len",
+    "ok_symbol_ratio",
+    "ok_alpha_words",
+    "ok_stopwords",
+    "gopher_ok",
+    "text_md5",
+)
+
+
+def text_profile_table(
+    df, keep: tuple[str, ...], cols: tuple[str, ...], text_col: str = "text"
+):
+    """(keep..., cols...) via ONE Arrow-batched Python kernel over the
+    text column — bit-identical to the Catalyst expression trees above
+    (see TEXT_PROFILE_COLS for the column -> spec map; parity pinned in
+    tests/test_llm_ops.py).
+
+    Why this exists: the Catalyst formulation of quality features +
+    language ID is ~30 interpreted/regex expressions per document
+    (repeated splits survive codegen CSE, but regexp_extract_all
+    materializes every match and the 25 marker-filter lambdas dominate) —
+    measured 7 MB/s aggregate on 32 cores in ``bench.py --stress``, which
+    at 100 TB makes the quality scan THE corpus bottleneck.  This kernel
+    computes all features in one pass over each document (split once,
+    one translate for punctuation, one marker-dict sweep) at ~40-100x
+    the per-core throughput.  The Catalyst functions above remain the
+    semantic spec and serve ad-hoc single-feature use.
+
+    Exactness notes (same discipline as ``minhash_sig_table``):
+    - ratios divide int/int in IEEE doubles (identical on JVM/Python);
+    - 6-decimal rounding replicates Spark's HALF_UP on the double's
+      shortest decimal repr: ``Decimal(repr(x))`` == ``BigDecimal.
+      valueOf(double)`` digit-for-digit, so quantize(HALF_UP) matches
+      ``F.round(_, 6)`` bit-for-bit (Python/NumPy half-even would not);
+    - the composite quality score is exact integer micro-unit math;
+    - ``str.translate`` deletion of [a-zA-Z0-9 ] counts the same
+      codepoints as the Java regex on the BMP (the non-BMP caveat is
+      the same UTF-16 code-unit one documented on the minhash kernel);
+    - md5 of the UTF-8 encoding == ``F.md5(text.cast("binary"))``.
+
+    Assumes non-null text and (for the ratio columns) non-empty text —
+    the documents-corpus contract; the parity test runs the whole
+    fixture corpus through both formulations.
+    """
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    _types = {
+        "n_chars": T.IntegerType(),
+        "n_words": T.IntegerType(),
+        "avg_word_len": T.DoubleType(),
+        "stopword_ratio": T.DoubleType(),
+        "punct_ratio": T.DoubleType(),
+        "type_token_ratio": T.DoubleType(),
+        "quality": T.DoubleType(),
+        "n_bpe_tokens": T.IntegerType(),
+        "pred_lang": T.StringType(),
+        "ok_word_count": T.BooleanType(),
+        "ok_avg_word_len": T.BooleanType(),
+        "ok_symbol_ratio": T.BooleanType(),
+        "ok_alpha_words": T.BooleanType(),
+        "ok_stopwords": T.BooleanType(),
+        "gopher_ok": T.BooleanType(),
+        "text_md5": T.StringType(),
+    }
+    unknown = set(cols) - set(_types)
+    if unknown:
+        raise ValueError(f"unknown text-profile columns: {sorted(unknown)}")
+    out_schema = T.StructType(
+        [
+            *(in_fields[c] for c in keep),
+            *(T.StructField(c, _types[c], False) for c in cols),
+        ]
+    )
+
+    # plan-time constants shipped into the kernel closure
+    marker_langs: dict[str, tuple[str, ...]] = {}
+    for lang, ms in LANG_MARKERS.items():
+        for m in ms:
+            marker_langs.setdefault(m, ())
+            marker_langs[m] = (*marker_langs[m], lang)
+    lang_order = sorted(LANG_MARKERS)
+    en_markers = frozenset(LANG_MARKERS["en"])
+    want = tuple(cols)
+
+    def kernel(batches):
+        import hashlib  # noqa: PLC0415 — worker-side imports
+        import re as _re  # noqa: PLC0415
+        import string as _string  # noqa: PLC0415
+        from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+        # same alternation order/greediness in Python re and Java regex
+        bpe_re = _re.compile(BPE_ISH_TOKEN_RE)
+
+        six = Decimal("0.000001")
+        del_alnumsp = str.maketrans(
+            "", "", _string.ascii_letters + _string.digits + " "
+        )
+        alpha = frozenset(_string.ascii_letters)
+
+        def round6(x: float) -> int:
+            """micro-int k with k/1e6 == Spark round(x, 6) (HALF_UP on
+            the shortest decimal repr, exactly BigDecimal.valueOf)."""
+            return int(
+                Decimal(repr(x))
+                .quantize(six, rounding=ROUND_HALF_UP)
+                .scaleb(6)
+            )
+
+        need_quality = bool(
+            {
+                "avg_word_len",
+                "stopword_ratio",
+                "punct_ratio",
+                "type_token_ratio",
+                "quality",
+            }
+            & set(want)
+        )
+        need_punct = need_quality or "ok_symbol_ratio" in want or "gopher_ok" in want
+        need_lang = "pred_lang" in want
+        need_gopher = any(
+            c.startswith("ok_") or c == "gopher_ok" for c in want
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_cols: dict[str, list] = {c: [] for c in want}
+            for t in pdf[text_col]:
+                ws = t.split(" ")
+                n_chars = len(t)
+                n_words = len(ws)
+                n_punct = (
+                    len(t.translate(del_alnumsp)) if need_punct else 0
+                )
+                n_stop = sum(1 for w in ws if w in en_markers)
+                row: dict[str, object] = {}
+                if "n_chars" in want:
+                    row["n_chars"] = n_chars
+                if "n_words" in want:
+                    row["n_words"] = n_words
+                if need_quality:
+                    k_awl = round6((n_chars - (n_words - 1)) / n_words)
+                    k_stop = round6(n_stop / n_words)
+                    k_punct = round6(n_punct / n_chars) if n_chars else 0
+                    k_ttr = round6(len(set(ws)) / n_words)
+                    if "avg_word_len" in want:
+                        row["avg_word_len"] = float(
+                            Decimal(k_awl).scaleb(-6)
+                        )
+                    if "stopword_ratio" in want:
+                        row["stopword_ratio"] = float(
+                            Decimal(k_stop).scaleb(-6)
+                        )
+                    if "punct_ratio" in want:
+                        row["punct_ratio"] = float(
+                            Decimal(k_punct).scaleb(-6)
+                        )
+                    if "type_token_ratio" in want:
+                        row["type_token_ratio"] = float(
+                            Decimal(k_ttr).scaleb(-6)
+                        )
+                    if "quality" in want:
+                        micro = (
+                            4 * k_ttr
+                            + 3 * min(k_stop * 5, 1_000_000)
+                            + 3 * (1_000_000 - min(k_punct * 10, 1_000_000))
+                        )
+                        row["quality"] = micro / 10_000_000.0
+                if "n_bpe_tokens" in want:
+                    row["n_bpe_tokens"] = len(bpe_re.findall(t))
+                if need_lang:
+                    counts = dict.fromkeys(lang_order, 0)
+                    for w in ws:
+                        for lang in marker_langs.get(w, ()):
+                            counts[lang] += 1
+                    best_lang, best = "und", 0
+                    for lang in lang_order:
+                        if counts[lang] > best:
+                            best_lang, best = lang, counts[lang]
+                    row["pred_lang"] = best_lang
+                if need_gopher:
+                    avg_wl = (n_chars - (n_words - 1)) / n_words
+                    oks = {
+                        "ok_word_count": GOPHER_MIN_WORDS
+                        <= n_words
+                        <= GOPHER_MAX_WORDS,
+                        "ok_avg_word_len": GOPHER_MIN_AVG_WORD_LEN
+                        <= avg_wl
+                        <= GOPHER_MAX_AVG_WORD_LEN,
+                        "ok_symbol_ratio": n_punct / n_words
+                        <= GOPHER_MAX_SYMBOL_RATIO,
+                        "ok_alpha_words": sum(
+                            1 for w in ws if not alpha.isdisjoint(w)
+                        )
+                        / n_words
+                        >= GOPHER_MIN_ALPHA_WORD_RATIO,
+                        "ok_stopwords": n_stop >= GOPHER_MIN_STOPWORD_HITS,
+                    }
+                    for k, v in oks.items():
+                        if k in want:
+                            row[k] = v
+                    if "gopher_ok" in want:
+                        row["gopher_ok"] = all(oks.values())
+                if "text_md5" in want:
+                    row["text_md5"] = hashlib.md5(
+                        t.encode("utf-8")
+                    ).hexdigest()
+                for c in want:
+                    out_cols[c].append(row[c])
+            out = pdf[list(keep)].copy()
+            for c in want:
+                out[c] = out_cols[c]
+            yield out
+
+    return df.select(*keep, text_col).mapInPandas(kernel, out_schema)

@@ -606,9 +606,10 @@ _LANG_CASE = (
     tags=("text", "langid"),
 )
 def lang_id_q(spark, sf_dir):
-    """Marker-word language ID (argmax with alphabetical tie-break)."""
+    """Marker-word language ID (argmax with alphabetical tie-break) via
+    the Arrow text-profile kernel (parity-pinned to ``TX.lang_id``)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("pred_lang"))
+    return TX.text_profile_table(d, ("doc_id", "lang"), ("pred_lang",))
 
 
 @register(
@@ -636,13 +637,22 @@ def lang_id_q(spark, sf_dir):
     tags=("text", "quality"),
 )
 def doc_quality(spark, sf_dir):
-    """Quality features + composite score, all codegen'd column math."""
+    """Quality features + composite score via the Arrow text-profile
+    kernel (bit-identical to the Catalyst ``quality_features`` /
+    ``quality_score`` spec; parity pinned in tests/test_llm_ops.py)."""
     d = load_table(spark, sf_dir, "documents")
-    feats = TX.quality_features(F.col("text"))
-    return d.select(
-        "doc_id",
-        *[c.alias(n) for n, c in feats.items()],
-        TX.quality_score(F.col("text")).alias("quality"),
+    return TX.text_profile_table(
+        d,
+        ("doc_id",),
+        (
+            "n_chars",
+            "n_words",
+            "avg_word_len",
+            "stopword_ratio",
+            "punct_ratio",
+            "type_token_ratio",
+            "quality",
+        ),
     )
 
 
@@ -707,11 +717,15 @@ def domain_quality(spark, sf_dir):
     k/1e7, recovered exactly by the cast in both engines), so the mean
     is partitioning-invariant."""
     d = load_table(spark, sf_dir, "documents")
-    per_doc = d.select(
+    # per-doc features from ONE Arrow text-profile kernel pass
+    # (quality/n_chars/md5 parity-pinned to the Catalyst spec)
+    per_doc = TX.text_profile_table(
+        d, ("source",), ("quality", "n_chars", "text_md5")
+    ).select(
         "source",
-        TX.quality_score(F.col("text")).cast("decimal(18,7)").alias("quality"),
-        (F.length("text") < DOMAIN_SHORT_CHARS).cast("int").alias("short"),
-        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+        F.col("quality").cast("decimal(18,7)").alias("quality"),
+        (F.col("n_chars") < DOMAIN_SHORT_CHARS).cast("int").alias("short"),
+        F.col("text_md5").alias("text_hash"),
     )
     n = F.count("*")
     short_share = F.round(F.sum("short").cast("double") / n, 6)
@@ -741,13 +755,13 @@ def domain_quality(spark, sf_dir):
     tags=("text", "tokens"),
 )
 def token_stats(spark, sf_dir):
-    """Whitespace + regex-segmentation token counts."""
+    """Whitespace + regex-segmentation token counts via the Arrow
+    text-profile kernel (parity-pinned to ``TX.word_count`` /
+    ``TX.bpe_ish_token_count``)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        TX.word_count(F.col("text")).alias("n_words"),
-        TX.bpe_ish_token_count(F.col("text")).alias("n_tokens"),
-    )
+    return TX.text_profile_table(
+        d, ("doc_id",), ("n_words", "n_bpe_tokens")
+    ).withColumnRenamed("n_bpe_tokens", "n_tokens")
 
 
 @register(
@@ -815,15 +829,22 @@ def gopher_quality_filter(spark, sf_dir):
     alphabetic-word fraction, stopword floor) as per-doc booleans plus
     the conjunction.  Pure codegen'd column math — scan-parallel, zero
     shuffle; the booleans (exact int/int comparisons) hash-compare
-    safely where raw float features would not."""
+    safely where raw float features would not.  Computed by the Arrow
+    text-profile kernel (parity-pinned to ``TX.gopher_rules``)."""
     d = load_table(spark, sf_dir, "documents")
-    rules = TX.gopher_rules(F.col("text"))
-    keep = F.lit(True)
-    for c in rules.values():
-        keep = keep & c
-    return d.select(
-        "doc_id", *[c.alias(n) for n, c in rules.items()], keep.alias("keep")
+    prof = TX.text_profile_table(
+        d,
+        ("doc_id",),
+        (
+            "ok_word_count",
+            "ok_avg_word_len",
+            "ok_symbol_ratio",
+            "ok_alpha_words",
+            "ok_stopwords",
+            "gopher_ok",
+        ),
     )
+    return prof.withColumnRenamed("gopher_ok", "keep")
 
 
 @register(
@@ -1280,17 +1301,18 @@ def curation_pipeline(spark, sf_dir):
     scans, this pays one.  Plan-gated: <=2 exchanges, no pair product.
     """
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    text = F.col("text")
-    rules = TX.gopher_rules(text)
-    ok_quality = F.lit(True)
-    for c in rules.values():
-        ok_quality = ok_quality & c
-    flagged = d.select(
+    # all text-derived flags come from ONE Arrow text-profile kernel pass
+    # (parity-pinned to the gopher_rules / lang_id / md5 Catalyst spec);
+    # the doc_id-derived sample flag stays a codegen'd expression on top
+    prof = TX.text_profile_table(
+        d, ("doc_id",), ("text_md5", "n_words", "gopher_ok", "pred_lang")
+    )
+    flagged = prof.select(
         "doc_id",
-        F.md5(text.cast("binary")).alias("th"),
-        F.size(F.split(text, " ")).alias("n_tokens"),
-        ok_quality.alias("ok_quality"),
-        TX.lang_id(text).alias("pred_lang"),
+        F.col("text_md5").alias("th"),
+        F.col("n_words").alias("n_tokens"),
+        F.col("gopher_ok").alias("ok_quality"),
+        "pred_lang",
         (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8").alias(
             "in_sample"
         ),

@@ -796,3 +796,60 @@ def test_ahash_kernel_matches_fold(spark, sf_dir):
     fold = {r.doc_id: r.ahash for r in media_ahash_table(both).collect()}
     kern = {r.doc_id: r.ahash for r in media_ahash_table_np(both).collect()}
     assert fold == kern and len(fold) > 4
+
+
+def test_text_profile_kernel_matches_catalyst(spark, sf_dir):
+    """The Arrow text-profile kernel must be BIT-IDENTICAL to the
+    Catalyst quality_features/quality_score/lang_id/gopher_rules/md5
+    spec — doc_quality, lang_id, gopher_quality_filter,
+    curation_pipeline, and domain_quality all read it.  Exercised on
+    the real corpus plus edge docs (multi-space runs, marker-word
+    ties, punctuation soup, BMP non-ASCII)."""
+    from gmallrealtime02_spark.functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (200001, "a  b c"),              # empty word mid-doc
+            (200002, "the la de"),           # cross-language marker tie
+            (200003, "!!! ??? ;;; ###"),     # punctuation soup
+            (200004, "café naïve résumé"),  # BMP accents
+            (200005, "word"),                # single word
+            (200006, "la la la la la"),      # es/fr tie on every token
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edge)
+
+    feats = TX.quality_features(F.col("text"))
+    rules = TX.gopher_rules(F.col("text"))
+    gok = F.lit(True)
+    for c in rules.values():
+        gok = gok & c
+    spec = (
+        both.select(
+            "doc_id",
+            *[c.alias(n) for n, c in feats.items()],
+            TX.quality_score(F.col("text")).alias("quality"),
+            TX.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+            TX.lang_id(F.col("text")).alias("pred_lang"),
+            *[c.alias(n) for n, c in rules.items()],
+            gok.alias("gopher_ok"),
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    cols = tuple(c for c in spec.columns if c != "doc_id")
+    got = (
+        TX.text_profile_table(both, ("doc_id",), cols)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got, spec[got.columns], check_exact=True, check_dtype=False
+    )
