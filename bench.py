@@ -401,6 +401,15 @@ def bench_stress() -> None:
         lambda: S.minhash_sig_table(big_docs, keep=("doc_id",)),
         n_docs, mb,
     )
+    timed(
+        "pii_scrub_scan",
+        lambda: big_docs.select(
+            "doc_id",
+            TX.pii_scrub(F.col("text")).alias("clean_text"),
+            *[c.alias(n) for n, c in TX.pii_counts(F.col("text")).items()],
+        ),
+        n_docs, mb,
+    )
     big_docs.unpersist()
 
     # --- embeddings ×64: ~128k vectors, Lloyd assignment kernel ---
@@ -421,6 +430,11 @@ def bench_stress() -> None:
     timed(
         "lloyd_assignment_kernel",
         lambda: CL.nearest_centroid_table(big_emb, cents),
+        n_vec,
+    )
+    timed(
+        "lsh_keys_scan",
+        lambda: S.lsh_keys(big_emb, n_tables=8),
         n_vec,
     )
     big_emb.unpersist()

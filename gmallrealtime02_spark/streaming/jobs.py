@@ -641,6 +641,36 @@ def streaming_quality_filter(
     ).filter(F.col("logit") >= threshold)
 
 
+def streaming_curation_gate(docs: DataFrame) -> DataFrame:
+    """Rule-based curation on the INGEST stream — the Gopher-rules +
+    language-ID stages of ``plans.llm_pipeline.curation_pipeline`` run
+    at ingest time, so documents that would never survive curation are
+    dropped before they ever land in the corpus (the dedup stage is the
+    stateful half and lives in ``streaming_ingest_dedup``).
+
+    The per-document flags come from the SAME Arrow text-profile kernel
+    the batch pipeline uses (``functions.text.text_profile_table`` —
+    mapInPandas is stateless, so it runs unchanged on a streaming frame),
+    which makes stream and batch verdicts bit-identical by construction
+    (pinned in tests/test_streaming.py).  Emits
+    (doc_id, pred_lang, n_words, text_md5) for survivors — the md5 rides
+    along so the downstream stateful dedup never recomputes it.
+
+    Scale: embarrassingly parallel narrow map, no watermark or state; at
+    ingest rates the cost is the kernel's ~200k docs/s/32-core scan.
+    """
+    from ..functions.text import text_profile_table
+
+    prof = text_profile_table(
+        docs,
+        ("doc_id",),
+        ("text_md5", "n_words", "gopher_ok", "pred_lang"),
+    )
+    return prof.filter(
+        F.col("gopher_ok") & (F.col("pred_lang") == "en")
+    ).select("doc_id", "pred_lang", "n_words", "text_md5")
+
+
 def streaming_media_features(media_stream: DataFrame) -> DataFrame:
     """Media feature extraction on the INGEST stream — the multimodal
     twin of ``streaming_quality_filter``: every arriving binary payload

@@ -1357,3 +1357,59 @@ def test_streaming_bloom_decontamination_matches_batch(spark, tmp_path):
     assert by_id[1][1] == by_id[1][2]
     assert by_id[2][3] == 0  # disjoint doc: clean
     assert by_id[3][3] == 1  # near-copy of eval doc: over the 50% rule
+
+
+def test_streaming_curation_gate_matches_batch(spark, tmp_path):
+    """streaming_curation_gate: the Gopher-rules + language-ID curation
+    stages run at INGEST via the same Arrow text-profile kernel the
+    batch pipeline uses, so stream and batch verdicts are bit-identical
+    and failing docs never enter the corpus.  Keeper docs pass every
+    Gopher rule with pred_lang 'en'; droppers fail word count or
+    language."""
+    src = str(tmp_path / "gate_src")
+    keeper = " ".join(
+        ["the quick brown fox jumps over and lazy dogs chase of them is"]
+        * 5
+    )  # 60 words, all-alpha, mean len ~4, en markers every sentence
+    keeper2 = " ".join(["fine words keep the corpus and growing is good"] * 7)
+    short = "the and of"  # fails ok_word_count
+    french = " ".join(
+        ["les grands arbres verts des forets une belle riviere the and"]
+        * 6
+    )  # 60 words, passes gopher, fr markers (les/des/une=18) > en (12)
+    rows = [
+        (1, keeper, "en"),
+        (2, short, "en"),
+        (3, french, "fr"),
+        (4, keeper2, "en"),
+    ]
+    _write_batch(spark, src, rows[:2], schema=DOC_SCHEMA)
+    _write_batch(spark, src, rows[2:], schema=DOC_SCHEMA)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        SJ.streaming_curation_gate(stream)
+        .writeStream.format("memory")
+        .queryName("gate_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.doc_id, r.pred_lang, r.n_words, r.text_md5)
+            for r in spark.sql("SELECT * FROM gate_out").collect()
+        }
+    finally:
+        q.stop()
+    # batch twin: the same stateless function over the same rows
+    batch_df = spark.createDataFrame(rows, DOC_SCHEMA)
+    want = {
+        (r.doc_id, r.pred_lang, r.n_words, r.text_md5)
+        for r in SJ.streaming_curation_gate(batch_df).collect()
+    }
+    assert got == want
+    assert {r[0] for r in got} == {1, 4}
