@@ -853,3 +853,62 @@ def test_text_profile_kernel_matches_catalyst(spark, sf_dir):
     pd.testing.assert_frame_equal(
         got, spec[got.columns], check_exact=True, check_dtype=False
     )
+
+
+def test_text_profile_kernel_fuzz_parity(spark):
+    """Kernel-vs-Catalyst parity on 200 seeded-random texts stressing
+    the paths the corpus can't: marker-word pileups (language ties at
+    every count), punctuation-dense words, runs of spaces (empty
+    words), BMP non-ASCII, and word counts straddling every Gopher
+    threshold — especially the HALF_UP rounding path, where a single
+    ratio landing on a x.xxxxxx5 boundary would expose a
+    Decimal-vs-BigDecimal divergence.  Empty text stays out (kernel
+    contract: non-empty docs)."""
+    import random
+
+    import pandas as pd
+
+    from gmallrealtime02_spark.functions import text as TX
+
+    rng = random.Random(20260815)
+    markers = [m for ms in TX.LANG_MARKERS.values() for m in ms]
+    fillers = ["word", "tok", "x1", "zz", "éclair", "naïve", "a!b", "!!!",
+               "longerword", "mid-size", "7seven", "中文词"]
+    texts = []
+    for _ in range(200):
+        n_words = rng.choice([1, 2, 3, 49, 50, 51, 120])
+        words = [
+            rng.choice(markers) if rng.random() < 0.4 else rng.choice(fillers)
+            for _ in range(n_words)
+        ]
+        sep = " " * rng.randint(1, 2)
+        texts.append(sep.join(words))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    feats = TX.quality_features(F.col("text"))
+    rules = TX.gopher_rules(F.col("text"))
+    spec = (
+        docs.select(
+            "doc_id",
+            *[c.alias(n) for n, c in feats.items()],
+            TX.quality_score(F.col("text")).alias("quality"),
+            TX.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+            TX.lang_id(F.col("text")).alias("pred_lang"),
+            *[c.alias(n) for n, c in rules.items()],
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    cols = tuple(c for c in spec.columns if c != "doc_id")
+    got = (
+        TX.text_profile_table(docs, ("doc_id",), cols)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, spec[got.columns], check_exact=True, check_dtype=False
+    )
