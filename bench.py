@@ -495,7 +495,14 @@ def bench_stress() -> None:
         json.dumps(
             {
                 "metric": "stress_throughput",
-                "value": min(v["rows_per_s"] for v in out.values()),
+                # headline = slowest PRODUCTION subject; _spec entries are
+                # A/B references (the Catalyst formulation kept for
+                # comparison) and shouldn't drag the reported floor
+                "value": min(
+                    v["rows_per_s"]
+                    for k, v in out.items()
+                    if not k.endswith("_spec")
+                ),
                 "unit": "rows/s",
                 "queries": out,
                 "sf": 0.1,
