@@ -207,6 +207,45 @@ def bench_streaming() -> None:
         jobs["streaming_order_wide_rows_per_s"] = round(
             n_rows / (time.perf_counter() - t0), 1
         )
+
+        # --- streaming_curation_gate: stateless kernel scan at ingest ---
+        # the stock documents table is tiny (5k rows at sf0.1) and a
+        # 4-trigger run would measure trigger overhead, not the scan —
+        # replicate x32 with remapped ids (the --stress recipe)
+        from gmallrealtime02_spark.streaming.jobs import streaming_curation_gate
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        docs = docs.select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep"),
+        ).select(
+            (F.col("doc_id") * 32 + F.col("rep")).alias("doc_id"),
+            "text",
+            "lang",
+        )
+        d_src = os.path.join(work, "docs_src")
+        docs.repartition(N_MICRO_BATCHES).write.parquet(d_src)
+        n_rows = docs.count()
+        d_s = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", max(1, N_MICRO_BATCHES // 4))
+            .parquet(d_src)
+        )
+        q = (
+            streaming_curation_gate(d_s)
+            .writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", os.path.join(work, "gate_ckpt"))
+            .start()
+        )
+        t0 = time.perf_counter()
+        q.processAllAvailable()
+        q.stop()
+        jobs["streaming_curation_gate_rows_per_s"] = round(
+            n_rows / (time.perf_counter() - t0), 1
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
     print(
@@ -408,6 +447,13 @@ def bench_stress() -> None:
             TX.pii_scrub(F.col("text")).alias("clean_text"),
             *[c.alias(n) for n, c in TX.pii_counts(F.col("text")).items()],
         ),
+        n_docs, mb,
+    )
+    from gmallrealtime02_spark.functions import multimodal as MM
+
+    timed(
+        "media_ahash_scan",
+        lambda: MM.media_ahash_table_np(MM.as_media_table(big_docs)),
         n_docs, mb,
     )
     big_docs.unpersist()
