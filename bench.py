@@ -456,6 +456,19 @@ def bench_stress() -> None:
         lambda: MM.media_ahash_table_np(MM.as_media_table(big_docs)),
         n_docs, mb,
     )
+    from gmallrealtime02_spark.plans.corpus_tools import (
+        _learn_merges,
+        bpe_encode_table,
+    )
+
+    merges = _learn_merges(spark, sf_dir)  # train once on the stock corpus
+    timed(
+        "bpe_encode_scan",
+        lambda: bpe_encode_table(
+            big_docs.withColumn("n_chars", F.length("text")), merges
+        ),
+        n_docs, mb,
+    )
     big_docs.unpersist()
 
     # --- embeddings ×64: ~128k vectors, Lloyd assignment kernel ---

@@ -361,12 +361,100 @@ def bpe_encode(spark, sf_dir):
     zero-exchange corpus scan — each word is char-split and greedily
     folded per merge rank entirely inside whole-stage codegen, exactly
     how a production tokenizer ships its merge table to every worker.
-    Plan-gated: the encode stage contains no Exchange.
+    Plan-gated: the encode stage contains no Exchange.  Encoding runs
+    through the Arrow kernel (``bpe_encode_table``, parity-pinned to
+    the ``bpe_encode_plan`` fold spec).
     """
     merges = _learn_merges(spark, sf_dir)
-    return bpe_encode_plan(
+    return bpe_encode_table(
         ensure_parallelism(load_table(spark, sf_dir, "documents")), merges
     )
+
+
+def bpe_encode_table(d, merges, extra_cols=()):
+    """Arrow-kernel encode stage — bit-identical to ``bpe_encode_plan``
+    (the Catalyst spec, parity pinned in tests/test_corpus_tools.py)
+    and the at-scale form: the spec's per-word chain of N_MERGES
+    string-accumulating HOF folds is interpreted AND O(len²) in
+    allocations, the worst per-byte constant in the engine after the
+    pre-kernel quality scan.  The kernel applies the same greedy
+    left-to-right non-rematching merge passes with O(len) list folds
+    and MEMOIZES per distinct word within each Arrow batch — corpora
+    repeat words heavily, so most rows reduce to a dict hit.  Same
+    merge-rank order, same single-space joins, same substring(1, 120)
+    preview, and chars_per_token replicates Spark's HALF_UP round via
+    Decimal(repr(x)) (the text-profile kernel discipline); NULL when a
+    doc has zero tokens, exactly like the spec's unguarded F.when."""
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f for f in d.schema.fields}
+    extra = list(extra_cols)
+    out_schema = T.StructType(
+        [
+            in_fields["doc_id"],
+            T.StructField("n_tokens", T.IntegerType(), False),
+            T.StructField("enc_preview", T.StringType(), False),
+            *(in_fields[c] for c in extra),
+            T.StructField("chars_per_token", T.DoubleType(), True),
+        ]
+    )
+    pairs = [(pa, pb) for _, pa, pb, _ in merges]
+    in_cols = ["doc_id", "n_chars", *[c for c in extra if c != "n_chars"],
+               "text"]
+
+    def kernel(batches):
+        from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+        six = Decimal("0.000001")
+        cache: dict[str, tuple[str, int]] = {}
+
+        def enc_word(w: str) -> tuple[str, int]:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            toks = list(w)
+            for a, b in pairs:
+                out: list[str] = []
+                for x in toks:
+                    # merged tokens never re-match within the pass:
+                    # out[-1] must equal a EXACTLY (token-boundary test)
+                    if out and x == b and out[-1] == a:
+                        out[-1] = out[-1] + x
+                    else:
+                        out.append(x)
+                toks = out
+            res = (" ".join(toks), len(toks))
+            cache[w] = res
+            return res
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_toks, previews, cpts = [], [], []
+            for t, nc in zip(pdf["text"], pdf["n_chars"]):
+                enc_words = [enc_word(w) for w in t.split(" ") if w != ""]
+                n = sum(k for _, k in enc_words)
+                n_toks.append(n)
+                previews.append(" ".join(s for s, _ in enc_words)[:120])
+                cpts.append(
+                    float(
+                        Decimal(repr(int(nc) / n)).quantize(
+                            six, rounding=ROUND_HALF_UP
+                        )
+                    )
+                    if n > 0
+                    else None
+                )
+            out = pdf[["doc_id", *extra]].copy()
+            out["n_tokens"] = n_toks
+            out["enc_preview"] = previews
+            out["chars_per_token"] = cpts
+            yield out[
+                ["doc_id", "n_tokens", "enc_preview", *extra,
+                 "chars_per_token"]
+            ]
+
+    return d.select(*dict.fromkeys(in_cols)).mapInPandas(kernel, out_schema)
 
 
 def bpe_encode_plan(d, merges, extra_cols=()):
@@ -1031,7 +1119,7 @@ def bpe_compression_by_lang(spark, sf_dir):
     over exact integer char/token sums."""
     merges = _learn_merges(spark, sf_dir)
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    per_doc = bpe_encode_plan(d, merges, extra_cols=("lang", "n_chars"))
+    per_doc = bpe_encode_table(d, merges, extra_cols=("lang", "n_chars"))
     return (
         per_doc.groupBy("lang")
         .agg(

@@ -87,3 +87,46 @@ def test_winnowing_shared_run_shares_fingerprint_across_offsets(spark):
     fps = F.transform(F.array(shingle_hashes_fast(F.col("text"))), winnow_fps)[0]
     rows = {r.doc_id: set(r.fps) for r in docs.select("doc_id", fps.alias("fps")).collect()}
     assert rows[1] & rows[2], rows
+
+
+def test_bpe_encode_kernel_matches_fold(spark, sf_dir):
+    """The Arrow BPE-encode kernel must be BIT-IDENTICAL to the
+    bpe_encode_plan fold spec — bpe_encode and bpe_compression_by_lang
+    read it.  Exercised on the real corpus with the real learned merges
+    plus edge words (chained same-char merges where greedy
+    non-rematching matters, multi-space runs, all-space docs that hit
+    the NULL chars_per_token path, BMP accents)."""
+    import pandas as pd
+
+    from gmallrealtime02_spark.plans.corpus_tools import (
+        _learn_merges,
+        bpe_encode_plan,
+        bpe_encode_table,
+    )
+    from gmallrealtime02_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = _learn_merges(spark, sf_dir)
+
+    def norm(df):
+        return df.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    spec = norm(bpe_encode_plan(d, merges, extra_cols=("lang", "n_chars")))
+    got = norm(bpe_encode_table(d, merges, extra_cols=("lang", "n_chars")))
+    pd.testing.assert_frame_equal(got, spec, check_exact=True, check_dtype=False)
+
+    edge = spark.createDataFrame(
+        [
+            (1, "l l l l", 7, "en"),
+            (2, "  a  b ", 7, "en"),
+            (3, "lll llll", 8, "fr"),
+            (4, "café ll", 7, "de"),
+            (5, " ", 1, "en"),
+        ],
+        "doc_id long, text string, n_chars int, lang string",
+    )
+    em = [(1, "l", "l", 0), (2, "ll", "l", 0), (3, "a", "b", 0)]
+    s2 = norm(bpe_encode_plan(edge, em, extra_cols=("lang",)))
+    g2 = norm(bpe_encode_table(edge, em, extra_cols=("lang",)))
+    pd.testing.assert_frame_equal(g2, s2, check_exact=True, check_dtype=False)
+    assert list(s2.n_tokens) == [4, 2, 3, 5, 0]
