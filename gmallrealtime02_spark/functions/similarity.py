@@ -34,6 +34,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .numeric import ratio_micro
+
 from .text import HASH_MOD, char_codepoints, portable_hash
 
 N_SHINGLE = 3
@@ -522,13 +524,20 @@ def exact_jaccard_pairs_plan(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")),
-                6,
-            ).alias("jaccard"),
+            # exact integer micro rounding AND an exact-integer threshold
+            # (functions.numeric): jaccard is an exact int ratio, so both
+            # the 6-dp round and the >= cut are midpoint-unambiguous and
+            # identical in the oracle
+            ratio_micro(
+                F.col("inter"), F.col("na") + F.col("nb") - F.col("inter")
+            ).alias("jac_micro"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jac_micro") >= round(threshold * 1_000_000))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("jac_micro").cast("double") / 1000000).alias("jaccard"),
+        )
     )
     return result, (sh,)
 

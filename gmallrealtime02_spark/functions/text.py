@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .numeric import ratio_micro
+
 # Regex kept to portable character classes (identical semantics in Java
 # regex and RE2): words, numbers, or a single other non-space symbol.
 BPE_ISH_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
@@ -74,9 +76,15 @@ def punct_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit("[^a-zA-Z0-9 ]"), F.lit(0)))
 
 
-def quality_features(text: Column) -> dict[str, Column]:
-    """Deterministic quality signals: all integer counts + exact double
-    ratios (int/int division is bit-identical across engines)."""
+def quality_feature_micros(text: Column) -> dict[str, Column]:
+    """Exact micro-unit (1e-6) LONG integers of the four quality ratios,
+    rounded half-away in EXACT integer arithmetic (functions.numeric).
+    Why not ``F.round(ratio, 6)``: these are exact int/int ratios, and
+    round-on-double resolves decimal midpoints engine-dependently — a
+    doc with n_words = 2^a·5^b (640, 3200, ...) and an odd numerator
+    lands its ratio exactly on a NON-representable 5e-7-grid midpoint,
+    where Spark (HALF_UP on the shortest repr) and DuckDB (binary round)
+    disagree by 1e-6.  Integer half-away has no midpoint ambiguity."""
     n_chars = F.length(text)
     n_words = word_count(text)
     n_stop = stopword_hits(text, LANG_MARKERS["en"])
@@ -85,12 +93,25 @@ def quality_features(text: Column) -> dict[str, Column]:
     return {
         "n_chars": n_chars,
         "n_words": n_words,
-        "avg_word_len": F.round(
-            (n_chars - (n_words - 1)).cast("double") / n_words, 6
-        ),
-        "stopword_ratio": F.round(n_stop.cast("double") / n_words, 6),
-        "punct_ratio": F.round(n_punct.cast("double") / n_chars, 6),
-        "type_token_ratio": F.round(uniq_words.cast("double") / n_words, 6),
+        "awl_micro": ratio_micro(n_chars - (n_words - 1), n_words),
+        "stop_micro": ratio_micro(n_stop, n_words),
+        "punct_micro": ratio_micro(n_punct, n_chars),
+        "ttr_micro": ratio_micro(uniq_words, n_words),
+    }
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality signals: integer counts + the micro-exact
+    6-dp ratios of :func:`quality_feature_micros` emitted as doubles
+    (same exact integer divided by 1e6 on every engine)."""
+    m = quality_feature_micros(text)
+    return {
+        "n_chars": m["n_chars"],
+        "n_words": m["n_words"],
+        "avg_word_len": m["awl_micro"].cast("double") / 1000000,
+        "stopword_ratio": m["stop_micro"].cast("double") / 1000000,
+        "punct_ratio": m["punct_micro"].cast("double") / 1000000,
+        "type_token_ratio": m["ttr_micro"].cast("double") / 1000000,
     }
 
 
@@ -98,16 +119,13 @@ def quality_score(text: Column) -> Column:
     """Composite 0-1 quality score (higher = better): rewards lexical
     diversity and stopword presence, penalizes symbol soup.
 
-    Computed in exact integer micro-units (the input ratios are 6-decimal
-    rounded, so ×1e6 recovers exact integers) — float rounding at the
-    composition step is engine-dependent at halfway points, integer
-    arithmetic never is.
+    Computed in exact integer micro-units end-to-end — the inputs ARE
+    the micro integers (quality_feature_micros), so no float re-derive
+    and no engine-dependent halfway points anywhere in the path.
     """
-    f = quality_features(text)
+    m = quality_feature_micros(text)
     mill = F.lit(1_000_000).cast("long")
-    a = F.round(f["type_token_ratio"] * 1e6).cast("long")
-    b = F.round(f["stopword_ratio"] * 1e6).cast("long")
-    c = F.round(f["punct_ratio"] * 1e6).cast("long")
+    a, b, c = m["ttr_micro"], m["stop_micro"], m["punct_micro"]
     micro = 4 * a + 3 * F.least(b * 5, mill) + 3 * (mill - F.least(c * 10, mill))
     return micro.cast("double") / F.lit(10_000_000.0)
 
@@ -310,12 +328,12 @@ def text_profile_table(
     semantic spec and serve ad-hoc single-feature use.
 
     Exactness notes (same discipline as ``minhash_sig_table``):
-    - ratios divide int/int in IEEE doubles (identical on JVM/Python);
-    - 6-decimal rounding replicates Spark's HALF_UP on the double's
-      shortest decimal repr: ``Decimal(repr(x))`` == ``BigDecimal.
-      valueOf(double)`` digit-for-digit, so quantize(HALF_UP) matches
-      ``F.round(_, 6)`` bit-for-bit (Python/NumPy half-even would not);
-    - the composite quality score is exact integer micro-unit math;
+    - every 6-dp ratio rounds in EXACT integer micro-units (half-away,
+      the functions.numeric discipline) — identical to the Catalyst
+      spec's ratio_micro columns and to the DuckDB oracles, with no
+      engine-dependent decimal-midpoint resolution anywhere;
+    - the composite quality score is exact integer micro-unit math
+      over those same micro ints;
     - ``str.translate`` deletion of [a-zA-Z0-9 ] counts the same
       codepoints as the Java regex on the BMP (the non-BMP caveat is
       the same UTF-16 code-unit one documented on the minhash kernel);
@@ -370,25 +388,22 @@ def text_profile_table(
         import hashlib  # noqa: PLC0415 — worker-side imports
         import re as _re  # noqa: PLC0415
         import string as _string  # noqa: PLC0415
-        from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
-
         # same alternation order/greediness in Python re and Java regex
         bpe_re = _re.compile(BPE_ISH_TOKEN_RE)
 
-        six = Decimal("0.000001")
         del_alnumsp = str.maketrans(
             "", "", _string.ascii_letters + _string.digits + " "
         )
         alpha = frozenset(_string.ascii_letters)
 
-        def round6(x: float) -> int:
-            """micro-int k with k/1e6 == Spark round(x, 6) (HALF_UP on
-            the shortest decimal repr, exactly BigDecimal.valueOf)."""
-            return int(
-                Decimal(repr(x))
-                .quantize(six, rounding=ROUND_HALF_UP)
-                .scaleb(6)
-            )
+        def rm6(num: int, den: int) -> int:
+            """micro-int of the num/den ratio, half-away in EXACT int
+            arithmetic — identical to functions.numeric.py_ratio_micro
+            (inlined: num >= 0 here) and to the Catalyst spec's
+            ratio_micro column.  Replaces the earlier Decimal(repr)
+            HALF_UP on the double ratio, which (with the F.round spec)
+            diverged from DuckDB at non-representable grid midpoints."""
+            return (2 * num * 1_000_000 + den) // (2 * den)
 
         need_quality = bool(
             {
@@ -424,26 +439,18 @@ def text_profile_table(
                 if "n_words" in want:
                     row["n_words"] = n_words
                 if need_quality:
-                    k_awl = round6((n_chars - (n_words - 1)) / n_words)
-                    k_stop = round6(n_stop / n_words)
-                    k_punct = round6(n_punct / n_chars) if n_chars else 0
-                    k_ttr = round6(len(set(ws)) / n_words)
+                    k_awl = rm6(n_chars - (n_words - 1), n_words)
+                    k_stop = rm6(n_stop, n_words)
+                    k_punct = rm6(n_punct, n_chars) if n_chars else 0
+                    k_ttr = rm6(len(set(ws)), n_words)
                     if "avg_word_len" in want:
-                        row["avg_word_len"] = float(
-                            Decimal(k_awl).scaleb(-6)
-                        )
+                        row["avg_word_len"] = k_awl / 1e6
                     if "stopword_ratio" in want:
-                        row["stopword_ratio"] = float(
-                            Decimal(k_stop).scaleb(-6)
-                        )
+                        row["stopword_ratio"] = k_stop / 1e6
                     if "punct_ratio" in want:
-                        row["punct_ratio"] = float(
-                            Decimal(k_punct).scaleb(-6)
-                        )
+                        row["punct_ratio"] = k_punct / 1e6
                     if "type_token_ratio" in want:
-                        row["type_token_ratio"] = float(
-                            Decimal(k_ttr).scaleb(-6)
-                        )
+                        row["type_token_ratio"] = k_ttr / 1e6
                     if "quality" in want:
                         micro = (
                             4 * k_ttr

@@ -29,11 +29,19 @@ def dsum(col: str | Column, scale: int = 6) -> Column:
 
 
 def davg(col: str | Column, scale: int = 6, round_to: int = 6) -> Column:
-    """Deterministic average: exact decimal sum → double division → round."""
+    """Deterministic average: exact decimal sum, then the final rounding
+    in EXACT integer units (functions.numeric half-away) — the
+    decimal-sum/count ratio is exact, so ``F.round(double, 6)`` would
+    resolve decimal midpoints engine-dependently (shortest-repr HALF_UP
+    vs binary) at data scale."""
+    from ..functions.numeric import ratio_micro
+
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c), round_to
-    )
+    mul = 10**scale
+    unit = 10**round_to
+    s = F.sum(c.cast(f"decimal(18,{scale})"))
+    micro = ratio_micro(s * mul, F.count(c) * mul, scale=unit)
+    return micro.cast("double") / float(unit)
 
 
 def group_avg_ordered(events: DataFrame) -> DataFrame:

@@ -16,6 +16,7 @@ from ..operators.aggregates import (
 from ..operators.cdc import ods_split, route_topic
 from ..operators.windows import running_total, sessionize, user_event_seq
 from ..sources import load_table
+from ..functions.numeric import ratio_micro, ratio_micro_sql
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -25,10 +26,13 @@ from .registry import register
 
 @register(
     "agg_avg_ordered",
-    oracle="""
+    oracle=f"""
     SELECT event_type, count(*) AS ct,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6)
-               AS avg_value
+           CAST({ratio_micro_sql(
+               "CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+               " * 1000000 AS HUGEINT)",
+               "count(value) * 1000000",
+           )} AS DOUBLE) / 1000000 AS avg_value
     FROM events GROUP BY event_type
     """,
     tags=("A3",),
@@ -40,16 +44,22 @@ def agg_avg_ordered(spark, sf_dir):
 
 @register(
     "pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
            CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
                AS sum_disc_price,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                 / count(l_quantity), 6) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                 / count(l_extendedprice), 6) AS avg_price,
+           CAST({ratio_micro_sql(
+               "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))"
+               " AS DECIMAL(38,2)) * 100 AS HUGEINT)",
+               "count(l_quantity) * 100",
+           )} AS DOUBLE) / 1000000 AS avg_qty,
+           CAST({ratio_micro_sql(
+               "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))"
+               " AS DECIMAL(38,2)) * 100 AS HUGEINT)",
+               "count(l_extendedprice) * 100",
+           )} AS DOUBLE) / 1000000 AS avg_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -957,13 +967,16 @@ def grouping_sets_revenue(spark, sf_dir):
 
 @register(
     "promo_revenue",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('month', l_shipdate) AS ship_month,
-           round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
-                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-                        AS DOUBLE), 6) AS promo_pct
+           CAST({ratio_micro_sql(
+               "CAST(CAST(sum(CASE WHEN p_type = 'PROMO' "
+               "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) "
+               "ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) "
+               "* 1000000 AS HUGEINT) * 100",
+               "CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) "
+               "AS DECIMAL(18,6))) AS DECIMAL(38,6)) * 1000000 AS HUGEINT)",
+           )} AS DOUBLE) / 1000000 AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY date_trunc('month', l_shipdate)
     """,
@@ -983,8 +996,11 @@ def promo_revenue(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
-            F.round(
-                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+            (
+                ratio_micro(
+                    F.sum(promo) * 1000000 * 100, F.sum(rev) * 1000000
+                ).cast("double")
+                / 1000000
             ).alias("promo_pct")
         )
     )
@@ -1081,20 +1097,23 @@ def brand_type_supplier_counts(spark, sf_dir):
 
 @register(
     "nation_revenue_share",
-    oracle="""
+    oracle=f"""
     WITH nr AS (
       SELECT r_name AS region_name, n_name AS nation_name,
-             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-                  AS DOUBLE) AS revenue
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                 AS rev_d
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
       JOIN nation   ON c_nationkey = n_nationkey
       JOIN region   ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name)
-    SELECT region_name, nation_name, revenue,
-           round(revenue / sum(revenue) OVER (PARTITION BY region_name), 6)
-               AS region_share
+    SELECT region_name, nation_name, CAST(rev_d AS DOUBLE) AS revenue,
+           CAST({ratio_micro_sql(
+               "CAST(CAST(rev_d AS DECIMAL(38,6)) * 1000000 AS BIGINT)",
+               "CAST(CAST(sum(rev_d) OVER (PARTITION BY region_name) "
+               "AS DECIMAL(38,6)) * 1000000 AS BIGINT)",
+           )} AS DOUBLE) / 1000000 AS region_share
     FROM nr
     """,
     tags=("window", "A2"),
@@ -1121,31 +1140,47 @@ def nation_revenue_share(spark, sf_dir):
             F.col("n_name").alias("nation_name"),
         )
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
-                "revenue"
-            )
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("rev_d")
         )
     )
     w = Window.partitionBy("region_name")
-    return nr.withColumn(
-        "region_share", F.round(F.col("revenue") / F.sum("revenue").over(w), 6)
+    # share rounds in EXACT decimal micro-units (functions.numeric): the
+    # revenue ratio is exact-decimal/exact-decimal, so round(double, 6)
+    # is exposed to engine-divergent decimal midpoints
+    return nr.select(
+        "region_name",
+        "nation_name",
+        F.col("rev_d").cast("double").alias("revenue"),
+        (
+            ratio_micro(
+                F.col("rev_d") * 1000000, F.sum("rev_d").over(w) * 1000000
+            ).cast("double")
+            / 1000000
+        ).alias("region_share"),
     )
 
 
 @register(
     "priority_daily_moving_avg",
-    oracle="""
+    oracle=f"""
     WITH d AS (
       SELECT o_orderpriority, date_trunc('day', o_orderdate) AS order_day,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
       FROM orders GROUP BY 1, 2)
     SELECT o_orderpriority, order_day, day_total,
-           round(CAST(sum(CAST(day_total AS DECIMAL(18,2))) OVER (
-                     PARTITION BY o_orderpriority ORDER BY order_day
-                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
-                 / count(*) OVER (
-                     PARTITION BY o_orderpriority ORDER BY order_day
-                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg7
+           CAST({ratio_micro_sql(
+               "CAST(CAST(sum(CAST(day_total AS DECIMAL(18,2))) OVER ("
+               "PARTITION BY o_orderpriority ORDER BY order_day "
+               "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) "
+               "AS DECIMAL(38,2)) * 100 AS HUGEINT)",
+               "count(*) OVER ("
+               "PARTITION BY o_orderpriority ORDER BY order_day "
+               "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 100",
+           )} AS DOUBLE) / 1000000 AS avg7
     FROM d
     """,
     tags=("window", "frame"),
@@ -1173,11 +1208,11 @@ def priority_daily_moving_avg(spark, sf_dir):
     )
     return d.withColumn(
         "avg7",
-        F.round(
-            F.sum(F.col("day_total").cast("decimal(18,2)")).over(w).cast("double")
-            / F.count("*").over(w),
-            6,
-        ),
+        ratio_micro(
+            F.sum(F.col("day_total").cast("decimal(18,2)")).over(w) * 100,
+            F.count("*").over(w) * 100,
+        ).cast("double")
+        / 1000000,
     )
 
 

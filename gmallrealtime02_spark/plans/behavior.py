@@ -23,6 +23,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..caching import materialized
+from ..functions.numeric import ratio_micro, ratio_micro_sql
 from ..sources import load_table
 from ..sources.tables import ensure_parallelism
 from .registry import register
@@ -483,8 +484,10 @@ SKEW_TOP = 10
     ),
     t AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM k)
     SELECT user_id, cnt,
-           round(CAST(cnt AS DOUBLE) / t.total, 6) AS share,
-           round(CAST(cnt AS DOUBLE) * t.n_keys / t.total, 6) AS skew_factor
+           CAST({ratio_micro_sql("cnt", "t.total")} AS DOUBLE) / 1000000
+               AS share,
+           CAST({ratio_micro_sql("cnt * t.n_keys", "t.total")} AS DOUBLE)
+               / 1000000 AS skew_factor
     FROM k CROSS JOIN t
     ORDER BY cnt DESC, user_id ASC LIMIT {SKEW_TOP}
     """,
@@ -523,12 +526,15 @@ def _key_skew_profile_plan(spark, sf_dir):
         .select(
             "user_id",
             "cnt",
-            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias(
-                "share"
-            ),
-            F.round(
-                F.col("cnt").cast("double") * F.col("n_keys") / F.col("total"),
-                6,
+            (
+                ratio_micro(F.col("cnt"), F.col("total")).cast("double")
+                / 1000000
+            ).alias("share"),
+            (
+                ratio_micro(
+                    F.col("cnt") * F.col("n_keys"), F.col("total")
+                ).cast("double")
+                / 1000000
             ).alias("skew_factor"),
         )
         .orderBy(F.col("cnt").desc(), F.col("user_id").asc())
@@ -562,11 +568,13 @@ BASKET_TOP = 20
         ORDER BY pair_count DESC, part_a, part_b LIMIT {BASKET_TOP}
     )
     SELECT t.part_a, t.part_b, t.pair_count,
-           round(CAST(t.pair_count AS DOUBLE) / n.n_orders, 6) AS support,
-           round(CAST(t.pair_count AS DOUBLE) / ia.item_cnt, 6)
-               AS confidence_a_to_b,
-           round(CAST(t.pair_count AS DOUBLE) * n.n_orders
-                 / (ia.item_cnt * ib.item_cnt), 6) AS lift
+           CAST({ratio_micro_sql("t.pair_count", "n.n_orders")} AS DOUBLE)
+               / 1000000 AS support,
+           CAST({ratio_micro_sql("t.pair_count", "ia.item_cnt")} AS DOUBLE)
+               / 1000000 AS confidence_a_to_b,
+           CAST({ratio_micro_sql(
+               "t.pair_count * n.n_orders", "ia.item_cnt * ib.item_cnt")}
+                AS DOUBLE) / 1000000 AS lift
     FROM top t
     JOIN ic ia ON ia.l_partkey = t.part_a
     JOIN ic ib ON ib.l_partkey = t.part_b
@@ -627,17 +635,24 @@ def _basket_affinity_plan(spark, sf_dir):
             "part_a",
             "part_b",
             "pair_count",
-            F.round(
-                F.col("pair_count").cast("double") / F.col("n_orders"), 6
+            (
+                ratio_micro(F.col("pair_count"), F.col("n_orders")).cast(
+                    "double"
+                )
+                / 1000000
             ).alias("support"),
-            F.round(
-                F.col("pair_count").cast("double") / F.col("cnt_a"), 6
+            (
+                ratio_micro(F.col("pair_count"), F.col("cnt_a")).cast(
+                    "double"
+                )
+                / 1000000
             ).alias("confidence_a_to_b"),
-            F.round(
-                F.col("pair_count").cast("double")
-                * F.col("n_orders")
-                / (F.col("cnt_a") * F.col("cnt_b")),
-                6,
+            (
+                ratio_micro(
+                    F.col("pair_count") * F.col("n_orders"),
+                    F.col("cnt_a") * F.col("cnt_b"),
+                ).cast("double")
+                / 1000000
             ).alias("lift"),
         )
     )
@@ -651,7 +666,7 @@ def _basket_affinity_plan(spark, sf_dir):
 
 @register(
     "seasonality_profile",
-    oracle="""
+    oracle=f"""
     WITH d AS (
         SELECT event_type, strftime(ts, '%A') AS dow,
                count(*) AS n,
@@ -659,9 +674,11 @@ def _basket_affinity_plan(spark, sf_dir):
         FROM events GROUP BY event_type, dow
     )
     SELECT event_type, dow, n,
-           round(CAST(sv AS DOUBLE) / n, 6) AS avg_value,
-           round(CAST(n AS DOUBLE) /
-                 sum(n) OVER (PARTITION BY event_type), 6) AS share
+           CAST({ratio_micro_sql("CAST(sv * 100 AS BIGINT)", "100 * n")}
+                AS DOUBLE) / 1000000 AS avg_value,
+           CAST({ratio_micro_sql(
+               "n", "sum(n) OVER (PARTITION BY event_type)")}
+                AS DOUBLE) / 1000000 AS share
     FROM d
     """,
     tags=("seasonality", "time-series", "behavior"),
@@ -694,10 +711,16 @@ def seasonality_profile(spark, sf_dir):
         "event_type",
         "dow",
         "n",
-        F.round(F.col("sv").cast("double") / F.col("n"), 6).alias("avg_value"),
-        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias(
-            "share"
-        ),
+        (
+            ratio_micro(
+                (F.col("sv") * 100).cast("long"), F.col("n") * 100
+            ).cast("double")
+            / 1000000
+        ).alias("avg_value"),
+        (
+            ratio_micro(F.col("n"), F.sum("n").over(w)).cast("double")
+            / 1000000
+        ).alias("share"),
     )
 
 
@@ -807,7 +830,7 @@ def daily_trend(spark, sf_dir):
 
 @register(
     "ab_test_zscore",
-    oracle="""
+    oracle=f"""
     WITH u AS (
         SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
                max(CASE WHEN event_type = 'purchase' AND value >= 100
@@ -826,8 +849,12 @@ def daily_trend(spark, sf_dir):
                max(CASE WHEN variant = 1 THEN conversions END) AS c_b
         FROM v
     )
-    SELECT n_a, c_a, round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
-           n_b, c_b, round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+    SELECT n_a, c_a,
+           CAST({ratio_micro_sql("c_a", "n_a")} AS DOUBLE) / 1000000
+               AS rate_a,
+           n_b, c_b,
+           CAST({ratio_micro_sql("c_b", "n_b")} AS DOUBLE) / 1000000
+               AS rate_b,
            round((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
                  / nullif(sqrt(
                        (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
@@ -881,10 +908,10 @@ def ab_test_zscore(spark, sf_dir):
     return w.select(
         "n_a",
         "c_a",
-        F.round(ca.cast("double") / na, 6).alias("rate_a"),
+        (ratio_micro(ca, na).cast("double") / 1000000).alias("rate_a"),
         "n_b",
         "c_b",
-        F.round(cb.cast("double") / nb, 6).alias("rate_b"),
+        (ratio_micro(cb, nb).cast("double") / 1000000).alias("rate_b"),
         F.round(
             (cb.cast("double") / nb - ca.cast("double") / na)
             / F.nullif(se, F.lit(0.0)),

@@ -17,6 +17,7 @@ from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..functions.numeric import ratio_micro, ratio_micro_sql
 from ..functions.similarity import N_SHINGLE, _dot, shingle_hashes_fast
 from ..sources import load_table
 from ..sources.tables import ensure_parallelism
@@ -51,7 +52,8 @@ ch AS (
           FROM d GROUP BY source, chunk),
     tot AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source)
     SELECT g.source AS source, g.chunk AS chunk, g.n_docs AS n_docs,
-           round(CAST(g.n_docs AS DOUBLE) / tot.n_src, 6) AS doc_frac,
+           CAST({ratio_micro_sql("g.n_docs", "tot.n_src")} AS DOUBLE)
+               / 1000000 AS doc_frac,
            g.first_doc AS first_doc
     FROM g JOIN tot ON g.source = tot.source
     WHERE g.n_docs >= 2
@@ -97,7 +99,10 @@ def boilerplate_lines(spark, sf_dir):
         "source",
         "chunk",
         "n_docs",
-        F.round(F.col("n_docs").cast("double") / F.col("n_src"), 6).alias("doc_frac"),
+        (
+            ratio_micro(F.col("n_docs"), F.col("n_src")).cast("double")
+            / 1000000
+        ).alias("doc_frac"),
         "first_doc",
     )
 
@@ -265,8 +270,8 @@ def _bpe_encode_oracle_sql(n_merges: int) -> str:
         FROM enc
     )
     SELECT doc_id, n_tokens, enc_preview,
-           round(CAST(n_chars AS DOUBLE) / nullif(n_tokens, 0), 6)
-               AS chars_per_token
+           CAST({ratio_micro_sql("n_chars", "nullif(n_tokens, 0)")}
+                AS DOUBLE) / 1000000 AS chars_per_token
     FROM tok"""
 
 
@@ -382,9 +387,10 @@ def bpe_encode_table(d, merges, extra_cols=()):
     and MEMOIZES per distinct word within each Arrow batch — corpora
     repeat words heavily, so most rows reduce to a dict hit.  Same
     merge-rank order, same single-space joins, same substring(1, 120)
-    preview, and chars_per_token replicates Spark's HALF_UP round via
-    Decimal(repr(x)) (the text-profile kernel discipline); NULL when a
-    doc has zero tokens, exactly like the spec's unguarded F.when."""
+    preview, and chars_per_token rounds in exact integer micro-units
+    (the functions.numeric discipline, == the spec's ratio_micro
+    column); NULL when a doc has zero tokens, exactly like the spec's
+    unguarded F.when."""
     from pyspark.sql import types as T
 
     in_fields = {f.name: f for f in d.schema.fields}
@@ -403,9 +409,6 @@ def bpe_encode_table(d, merges, extra_cols=()):
                "text"]
 
     def kernel(batches):
-        from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
-
-        six = Decimal("0.000001")
         cache: dict[str, tuple[str, int]] = {}
 
         def enc_word(w: str) -> tuple[str, int]:
@@ -436,12 +439,10 @@ def bpe_encode_table(d, merges, extra_cols=()):
                 n = sum(k for _, k in enc_words)
                 n_toks.append(n)
                 previews.append(" ".join(s for s, _ in enc_words)[:120])
+                # exact integer micro rounding — functions.numeric
+                # discipline, == the spec's ratio_micro column
                 cpts.append(
-                    float(
-                        Decimal(repr(int(nc) / n)).quantize(
-                            six, rounding=ROUND_HALF_UP
-                        )
-                    )
+                    ((2 * int(nc) * 1_000_000 + n) // (2 * n)) / 1e6
                     if n > 0
                     else None
                 )
@@ -490,10 +491,11 @@ def bpe_encode_plan(d, merges, extra_cols=()):
         "n_tokens",
         "enc_preview",
         *extra_cols,
-        F.round(
-            F.col("n_chars").cast("double")
-            / F.when(F.col("n_tokens") > 0, F.col("n_tokens")),
-            6,
+        (
+            ratio_micro(
+                F.col("n_chars"), F.when(F.col("n_tokens") > 0, F.col("n_tokens"))
+            ).cast("double")
+            / 1000000
         ).alias("chars_per_token"),
     )
 
@@ -708,7 +710,8 @@ DF_CAP = 64  # discriminative-shingle cap: drop shingles in > DF_CAP docs
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
-           round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+           CAST({ratio_micro_sql("inter", "least(sa.sz, sb.sz)")} AS DOUBLE)
+               / 1000000 AS containment
     FROM g JOIN sizes sa ON g.doc_a = sa.doc_id
            JOIN sizes sb ON g.doc_b = sb.doc_id
     WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= {CONTAINMENT_T}
@@ -741,7 +744,17 @@ def minhash_containment(spark, sf_dir):
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(cont >= CONTAINMENT_T)
-        .select("doc_a", "doc_b", "inter", F.round(cont, 6).alias("containment"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            (
+                ratio_micro(F.col("inter"), F.least("sa", "sb")).cast(
+                    "double"
+                )
+                / 1000000
+            ).alias("containment"),
+        )
     )
 
 
@@ -1094,8 +1107,8 @@ def _bpe_lang_oracle_sql(n_merges: int) -> str:
     SELECT lang, count(*) AS docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           round(CAST(sum(n_chars) AS DOUBLE) / nullif(sum(n_tokens), 0), 6)
-               AS chars_per_token
+           CAST({ratio_micro_sql("sum(n_chars)", "nullif(sum(n_tokens), 0)")}
+                AS DOUBLE) / 1000000 AS chars_per_token
     FROM tok GROUP BY lang"""
 
 
@@ -1126,13 +1139,15 @@ def bpe_compression_by_lang(spark, sf_dir):
             F.count("*").alias("docs"),
             F.sum(F.col("n_chars")).cast("bigint").alias("total_chars"),
             F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
-            F.round(
-                F.sum(F.col("n_chars")).cast("double")
-                / F.when(
-                    F.sum(F.col("n_tokens").cast("bigint")) > 0,
-                    F.sum(F.col("n_tokens").cast("bigint")),
-                ),
-                6,
+            (
+                ratio_micro(
+                    F.sum(F.col("n_chars")).cast("bigint"),
+                    F.when(
+                        F.sum(F.col("n_tokens").cast("bigint")) > 0,
+                        F.sum(F.col("n_tokens").cast("bigint")),
+                    ),
+                ).cast("double")
+                / 1000000
             ).alias("chars_per_token"),
         )
     )
@@ -1144,9 +1159,25 @@ def bpe_compression_by_lang(spark, sf_dir):
 
 LN2 = 0.6931471805599453  # python-computed literal, injected into BOTH
 # engines (the lsh_tuning_curve discipline) so no cross-engine ln(2)
+LN2_NANO = 693147181  # round(LN2 * 1e9): ln2 as an exact nano-unit
+# integer, so the missing-mass terms and the final jsd assemble in EXACT
+# integer arithmetic on both engines (functions.numeric) — round(double,
+# 6) resolved decimal midpoints differently per engine: at sf0.1 three
+# fully-overlapping pairs hit jsd = kl/2 with kl an odd-last-digit exact
+# decimal, i.e. a 5e-7-grid midpoint (Spark HALF_UP 0.000501 vs DuckDB
+# binary-round 0.000500).  Magnitude bound: (ta−na)·LN2_NANO must stay
+# below 2^62, i.e. per-source token totals ≤ ~6.6e9; beyond that drop to
+# micro-precision or shard sources.
 
 _JSD_PA = "(CAST(a.n AS DOUBLE) / a.total)"
 _JSD_PB = "(CAST(b.n AS DOUBLE) / b.total)"
+_JSD_MMA = ratio_micro_sql(f"(ta - na) * {LN2_NANO}", "ta * 1000", scale=1)
+_JSD_MMB = ratio_micro_sql(f"(tb - nb) * {LN2_NANO}", "tb * 1000", scale=1)
+_JSD_FINAL = ratio_micro_sql(
+    f"CAST(kl * 1000000 AS BIGINT) + ({_JSD_MMA}) + ({_JSD_MMB})",
+    "2",
+    scale=1,
+)
 
 
 @register(
@@ -1170,9 +1201,7 @@ _JSD_PB = "(CAST(b.n AS DOUBLE) / b.total)"
         GROUP BY a.source, b.source
     )
     SELECT source_a, source_b, CAST(n_common AS BIGINT) AS n_common,
-           round(0.5 * (CAST(kl AS DOUBLE)
-                        + (1 - CAST(na AS DOUBLE) / ta) * {LN2}
-                        + (1 - CAST(nb AS DOUBLE) / tb) * {LN2}), 6) AS jsd
+           CAST({_JSD_FINAL} AS DOUBLE) / 1000000 AS jsd
     FROM pairs
     """,
     tags=("corpus", "mixing", "divergence"),
@@ -1191,8 +1220,12 @@ def source_jsd_matrix(spark, sf_dir):
     missing-mass closed form avoids per-pair outer joins — a word absent
     from the other source contributes exactly p·ln2, and Σp over the
     SHARED words is the exact integer ratio Σn/total, so the complement
-    (1−Σp)·ln2 uses only exact sums and the injected LN2 literal (no
-    cross-engine transcendental beyond the rounded terms).
+    (1−Σp)·ln2 uses only exact sums and the injected nano-integer ln2
+    (no cross-engine transcendental beyond the rounded terms).  The
+    missing-mass terms and the final halving assemble in EXACT integer
+    micro-units (functions.numeric half-away) — the former round(double,
+    6) hit engine-divergent 5e-7-grid midpoints at sf0.1 on pairs whose
+    shared words covered the full token mass (jsd = kl/2 exactly).
 
     Scale shape: one corpus scan → the persisted (source, word, n)
     count table (vocabulary-sized), which feeds the per-source totals
@@ -1239,18 +1272,24 @@ def source_jsd_matrix(spark, sf_dir):
             F.min("b.total").alias("tb"),
         )
     )
+    kl_micro = (F.col("kl") * 1000000).cast("long")
+    mm_a = ratio_micro(
+        (F.col("ta") - F.col("na")) * F.lit(LN2_NANO).cast("long"),
+        F.col("ta") * 1000,
+        scale=1,
+    )
+    mm_b = ratio_micro(
+        (F.col("tb") - F.col("nb")) * F.lit(LN2_NANO).cast("long"),
+        F.col("tb") * 1000,
+        scale=1,
+    )
+    jsd_micro = ratio_micro(
+        kl_micro + mm_a + mm_b, F.lit(2).cast("long"), scale=1
+    )
     result = pairs.select(
         "source_a",
         "source_b",
         "n_common",
-        F.round(
-            F.lit(0.5)
-            * (
-                F.col("kl").cast("double")
-                + (F.lit(1.0) - F.col("na").cast("double") / F.col("ta")) * F.lit(LN2)
-                + (F.lit(1.0) - F.col("nb").cast("double") / F.col("tb")) * F.lit(LN2)
-            ),
-            6,
-        ).alias("jsd"),
+        (jsd_micro.cast("double") / 1000000).alias("jsd"),
     )
     return materialized(result, wc)

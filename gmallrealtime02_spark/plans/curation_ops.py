@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..caching import materialized
 from ..functions import similarity as S
+from ..functions.numeric import ratio_micro, ratio_micro_sql
 from ..sources import load_table
 from ..sources.tables import ensure_parallelism
 from .registry import register
@@ -141,21 +142,23 @@ truth AS (
     SELECT doc_a, doc_b FROM inter
     JOIN sizes sa ON doc_a = sa.doc_id
     JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE CAST(ni AS DOUBLE) / (sa.n_sh + sb.n_sh - ni) >= 0.5
+    WHERE __RM_JAC__ >= 500000
 ),
 m AS (SELECT
     (SELECT count(*) FROM pairs) AS n_pred,
     (SELECT count(*) FROM truth) AS n_truth,
     (SELECT count(*) FROM pairs JOIN truth USING (doc_a, doc_b)) AS n_hit)
 SELECT n_pred, n_truth, n_hit,
-       round(CASE WHEN n_pred > 0
-                  THEN CAST(n_hit AS DOUBLE) / n_pred ELSE 0.0 END, 6)
+       CASE WHEN n_pred > 0
+            THEN CAST(__RM_PRED__ AS DOUBLE) / 1000000 ELSE 0.0 END
            AS precision,
-       round(CASE WHEN n_truth > 0
-                  THEN CAST(n_hit AS DOUBLE) / n_truth ELSE 0.0 END, 6)
+       CASE WHEN n_truth > 0
+            THEN CAST(__RM_TRUTH__ AS DOUBLE) / 1000000 ELSE 0.0 END
            AS recall
 FROM m
-"""
+""".replace("__RM_PRED__", ratio_micro_sql("n_hit", "n_pred")).replace(
+    "__RM_TRUTH__", ratio_micro_sql("n_hit", "n_truth")
+).replace("__RM_JAC__", ratio_micro_sql("ni", "sa.n_sh + sb.n_sh - ni"))
 
 
 @register(
@@ -198,20 +201,20 @@ def dedup_eval(spark, sf_dir):
         "n_pred",
         "n_truth",
         "n_hit",
-        F.round(
-            F.when(
-                F.col("n_pred") > 0,
-                F.col("n_hit").cast("double") / F.col("n_pred"),
-            ).otherwise(zero),
-            6,
-        ).alias("precision"),
-        F.round(
-            F.when(
-                F.col("n_truth") > 0,
-                F.col("n_hit").cast("double") / F.col("n_truth"),
-            ).otherwise(zero),
-            6,
-        ).alias("recall"),
+        F.when(
+            F.col("n_pred") > 0,
+            ratio_micro(F.col("n_hit"), F.col("n_pred")).cast("double")
+            / 1000000,
+        )
+        .otherwise(zero)
+        .alias("precision"),
+        F.when(
+            F.col("n_truth") > 0,
+            ratio_micro(F.col("n_hit"), F.col("n_truth")).cast("double")
+            / 1000000,
+        )
+        .otherwise(zero)
+        .alias("recall"),
     )
     return materialized(result, pred, truth, *pred_caches, *truth_caches)
 
@@ -410,9 +413,11 @@ def _classifier_oracle() -> str:
     SELECT count(*) AS n,
            round(any_value(w.w0), 6) AS w0, round(any_value(w.w1), 6) AS w1,
            round(any_value(w.w2), 6) AS w2, round(any_value(w.w3), 6) AS w3,
-           round(CAST(sum(CASE WHEN (({zf}) >= 0) = (y = 1.0)
-                               THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 6) AS accuracy
+           CAST({ratio_micro_sql(
+               "sum(CASE WHEN ((" + zf + ") >= 0) = (y = 1.0) "
+               "THEN 1 ELSE 0 END)",
+               "count(*)",
+           )} AS DOUBLE) / 1000000 AS accuracy
     FROM f, {prev} w"""
     )
 
@@ -541,9 +546,12 @@ def quality_classifier_train(spark, sf_dir):
     correct = F.when((zf >= 0) == (F.col("y") == 1.0), 1).otherwise(0)
     result = feats.agg(
         F.count("*").alias("n"),
-        F.round(F.sum(correct).cast("double") / F.count("*"), 6).alias(
-            "accuracy"
-        ),
+        (
+            ratio_micro(
+                F.sum(correct).cast("long"), F.count("*")
+            ).cast("double")
+            / 1000000
+        ).alias("accuracy"),
     ).select(
         "n",
         *[F.round(F.lit(w[j]), 6).alias(f"w{j}") for j in range(4)],
@@ -682,15 +690,20 @@ ENTROPY_LOW = 6.0  # bits; below = repetitive / machine-generated suspect
     cnt AS (SELECT doc_id, tri, count(*) AS c FROM tg GROUP BY 1, 2),
     agg AS (
         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
-               sum(CAST(round(c * log2(c), 6) AS DECIMAL(18,6))) AS s
+               CAST(sum(CAST(round(c * log2(c), 6) AS DECIMAL(18,6)))
+                    * 1000000 AS BIGINT) AS micro
         FROM cnt GROUP BY doc_id
+    ),
+    sel AS (
+        SELECT doc_id, n,
+               CAST(floor(log2(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                 - ((2 * micro + n) // (2 * n)) AS em
+        FROM agg
     )
     SELECT doc_id, n AS n_trigrams,
-           round(log2(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n, 6)
-               AS entropy,
-           (log2(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n
-               < {ENTROPY_LOW}) AS is_low_entropy
-    FROM agg
+           CAST(em AS DOUBLE) / 1000000 AS entropy,
+           em < {int(ENTROPY_LOW * 1_000_000)} AS is_low_entropy
+    FROM sel
     """,
     tags=("text", "quality", "entropy", "gibberish", "training-data"),
 )
@@ -711,7 +724,14 @@ def char_ngram_entropy(spark, sf_dir):
     Cross-engine exactness: per-trigram terms c·log2(c) are rounded to
     6 dp and summed as exact integer micro-units (the oracle sums the
     same terms as DECIMAL(18,6)) — order-invariant, so the kernel's
-    accumulation order cannot drift from DuckDB's."""
+    accumulation order cannot drift from DuckDB's.  The FINAL entropy is
+    also assembled in exact integer micro-bits — ``floor(log2(n)·1e6 +
+    0.5) − half_away(micro/n)`` (``functions.numeric`` discipline) —
+    because ``round(double, 6)`` resolves decimal midpoints differently
+    per engine: a power-of-two trigram count n makes the quotient land
+    EXACTLY on the 5e-7 grid (found at sf0.1: a 128-trigram doc read
+    6.344426 from the kernel's Python half-even round vs 6.344427 from
+    DuckDB's half-away)."""
     from pyspark.sql import types as T
 
     docs = load_table(spark, sf_dir, "documents")
@@ -742,9 +762,13 @@ def char_ngram_entropy(spark, sf_dir):
                     for c in counts.values()
                     if c > 1
                 )
-                ent = math.log2(n) - (micro / 1e6) / n
+                # exact integer micro-bits: no engine-dependent midpoint
+                # resolution in the final round (functions.numeric)
+                em = int(math.floor(math.log2(n) * 1e6 + 0.5)) - (
+                    (2 * micro + n) // (2 * n)
+                )
                 rows.append(
-                    (int(doc_id), n, round(ent, 6), ent < ENTROPY_LOW)
+                    (int(doc_id), n, em / 1e6, em < ENTROPY_LOW * 1e6)
                 )
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_trigrams", "entropy",
@@ -875,7 +899,7 @@ N_EPOCHS = 3
 
 @register(
     "corpus_datasheet",
-    oracle="""
+    oracle=f"""
     WITH a AS (
         SELECT count(*) AS n_docs,
                count(DISTINCT lang) AS n_langs,
@@ -887,9 +911,11 @@ N_EPOCHS = 3
         FROM documents
     )
     SELECT n_docs, n_langs, n_sources, n_tokens, n_chars,
-           round(CAST(n_en AS DOUBLE) / n_docs, 6) AS pct_en,
+           CAST({ratio_micro_sql("n_en", "n_docs")} AS DOUBLE) / 1000000
+               AS pct_en,
            n_docs - n_distinct_texts AS n_exact_dup_docs,
-           round(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS mean_tokens
+           CAST({ratio_micro_sql("n_tokens", "n_docs")} AS DOUBLE) / 1000000
+               AS mean_tokens
     FROM a
     """,
     tags=("training-data", "datasheet", "audit"),
@@ -900,9 +926,10 @@ def corpus_datasheet(spark, sf_dir):
     language / source counts, token and char totals, English share,
     exact-duplicate count, mean document length.
 
-    Engine-exactness: everything is exact int64 counts except the two
-    ratios, which divide in one pinned double order before a 6-dp
-    round.
+    Engine-exactness: everything is exact int64 counts; the two ratios
+    round in EXACT integer micro-units (functions.numeric half-away) —
+    round(double, 6) on an integer ratio hits engine-divergent decimal
+    midpoints.
 
     Scale shape: ONE corpus scan.  The three COUNT(DISTINCT)s plan as
     a single Expand (rows x4) feeding partial aggregates — the
@@ -928,15 +955,19 @@ def corpus_datasheet(spark, sf_dir):
         "n_sources",
         "n_tokens",
         "n_chars",
-        F.round(F.col("n_en").cast("double") / F.col("n_docs"), 6).alias(
-            "pct_en"
-        ),
+        (
+            ratio_micro(F.col("n_en").cast("long"), F.col("n_docs")).cast(
+                "double"
+            )
+            / 1000000
+        ).alias("pct_en"),
         (F.col("n_docs") - F.col("n_distinct_texts")).alias(
             "n_exact_dup_docs"
         ),
-        F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 6).alias(
-            "mean_tokens"
-        ),
+        (
+            ratio_micro(F.col("n_tokens"), F.col("n_docs")).cast("double")
+            / 1000000
+        ).alias("mean_tokens"),
     )
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..functions.numeric import ratio_micro, ratio_micro_sql
 from ..sources import load_table
 from ..sources.tables import ensure_parallelism
 from .registry import register
@@ -182,8 +183,10 @@ _EWMA_W_SQL = (
         FROM ud, unnest(generate_series(0, {EWMA_K - 1})) AS t(i)
     )
     SELECT user_id, strftime(day2, '%Y-%m-%d') AS dt,
-           round(CAST(sum(wv) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6)
-               AS ewma_value
+           CAST({ratio_micro_sql(
+               "CAST(CAST(sum(wv) AS DECIMAL(24,16)) * 128000000 AS BIGINT)",
+               "CAST(CAST(sum(w) AS DECIMAL(20,16)) * 128000000 AS BIGINT)",
+           )} AS DOUBLE) / 1000000 AS ewma_value
     FROM c GROUP BY 1, 2
     """,
     tags=("timeseries", "window", "decay"),
@@ -219,8 +222,19 @@ def ewma_daily_value(spark, sf_dir):
         .select(
             "user_id",
             F.date_format("day2", "yyyy-MM-dd").alias("dt"),
-            F.round(
-                F.col("swv").cast("double") / F.col("sw").cast("double"), 6
+            # the 2^-k weights integralize at x128, the 6-dp day sums at
+            # x1e6 — so both sides of the ratio become exact longs and
+            # the rounding is midpoint-exact (functions.numeric)
+            (
+                ratio_micro(
+                    (F.col("swv").cast("decimal(24,16)") * 128000000).cast(
+                        "long"
+                    ),
+                    (F.col("sw").cast("decimal(20,16)") * 128000000).cast(
+                        "long"
+                    ),
+                ).cast("double")
+                / 1000000
             ).alias("ewma_value"),
         )
     )
@@ -249,6 +263,11 @@ NGRAM_BUCKETS = 4096
 _PAIR_MUL = 1009
 _W_MUL = 2654435761  # Knuth multiplicative constant
 _W_MOD = 2001  # weights land in [-1000, 1000]
+
+# final score rounded in EXACT integer space (functions.numeric): the
+# sum_w/(1000·n) ratio is an exact integer ratio, so round(double, 6)
+# lands on engine-divergent decimal midpoints at corpus scale
+_score_micro_sql = ratio_micro_sql("sum_w", "1000 * n_bigrams")
 
 
 @register(
@@ -279,7 +298,7 @@ _W_MOD = 2001  # weights land in [-1000, 1000]
     )
     SELECT doc_id, n_bigrams,
            CASE WHEN n_bigrams > 0
-                THEN round(CAST(sum_w AS DOUBLE) / (1000.0 * n_bigrams), 6)
+                THEN CAST({_score_micro_sql} AS DOUBLE) / 1000000
                 ELSE 0.0 END AS score,
            CASE WHEN n_bigrams > 0 THEN sum_w > 0 ELSE FALSE END AS keep
     FROM s
@@ -304,7 +323,7 @@ def hashed_ngram_score(spark, sf_dir):
         n_bigrams.alias("n_bigrams"),
         F.when(
             n_bigrams > 0,
-            F.round(sum_w / (1000.0 * n_bigrams.cast("double")), 6),
+            ratio_micro(sum_w, n_bigrams * 1000).cast("double") / 1000000,
         )
         .otherwise(F.lit(0.0))
         .alias("score"),
@@ -322,8 +341,10 @@ array — bounded by design, unlike a vocab-sized table).
 
 Scale shape: ZERO exchange — hashing, lookup, and the dot product
 all run scan-side inside codegen via array folds; integer arithmetic
-end-to-end until the final division, so the score is bit-identical
-across engines and layouts.""".format(b=NGRAM_BUCKETS)
+end-to-end INCLUDING the final 6-dp rounding (exact half-away micro
+units, functions.numeric — round(double, 6) had engine-divergent
+midpoints at sf0.1), so the score is bit-identical across engines
+and layouts.""".format(b=NGRAM_BUCKETS)
 
 
 # ---------------------------------------------------------------------------
@@ -414,10 +435,12 @@ DQ_STATUSES = ("O", "F", "P")
                CAST(n AS DOUBLE) AS metric, n > 0 AS passed FROM m
         UNION ALL
         SELECT 'completeness_o_totalprice',
-               round(CAST(n_price AS DOUBLE) / n, 6), n_price = n FROM m
+               CAST({ratio_micro_sql("n_price", "n")} AS DOUBLE) / 1000000,
+               n_price = n FROM m
         UNION ALL
         SELECT 'uniqueness_o_orderkey',
-               round(CAST(n_keys AS DOUBLE) / n, 6), n_keys = n FROM m
+               CAST({ratio_micro_sql("n_keys", "n")} AS DOUBLE) / 1000000,
+               n_keys = n FROM m
         UNION ALL
         SELECT 'range_o_totalprice',
                CAST(range_viol AS DOUBLE), range_viol = 0 FROM m
@@ -498,12 +521,14 @@ def dq_checks(spark, sf_dir):
                 _chk("row_count_nonzero", F.col("n"), F.col("n") > 0),
                 _chk(
                     "completeness_o_totalprice",
-                    F.round(F.col("n_price").cast("double") / F.col("n"), 6),
+                    ratio_micro(F.col("n_price"), F.col("n")).cast("double")
+                    / 1000000,
                     F.col("n_price") == F.col("n"),
                 ),
                 _chk(
                     "uniqueness_o_orderkey",
-                    F.round(F.col("n_keys").cast("double") / F.col("n"), 6),
+                    ratio_micro(F.col("n_keys"), F.col("n")).cast("double")
+                    / 1000000,
                     F.col("n_keys") == F.col("n"),
                 ),
                 _chk(

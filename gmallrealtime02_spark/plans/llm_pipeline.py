@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions import similarity as S
 from ..functions import text as TX
+from ..functions.numeric import ratio_micro, ratio_micro_sql
 from ..functions.multimodal import (
     AHASH_BITS,
     as_media_table,
@@ -253,11 +254,12 @@ function by definition).""".format(n=CHUNK_WORDS)
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+           CAST({ratio_micro_sql("inter", "sa.n_sh + sb.n_sh - inter")}
+                AS DOUBLE) / 1000000 AS jaccard
     FROM inter
     JOIN sizes sa ON doc_a = sa.doc_id
     JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    WHERE {ratio_micro_sql("inter", "sa.n_sh + sb.n_sh - inter")} >= 500000
     """,
     tags=("dedup", "jaccard"),
 )
@@ -612,17 +614,26 @@ def lang_id_q(spark, sf_dir):
     return TX.text_profile_table(d, ("doc_id", "lang"), ("pred_lang",))
 
 
+
+# micro-exact 6-dp ratio snippets for the quality-feature oracles
+# (functions.numeric discipline — see quality_feature_micros): exact
+# integer half-away, no engine-dependent decimal-midpoint resolution
+_AWL_RM = ratio_micro_sql("n_chars - (n_words - 1)", "n_words")
+_STOP_RM = ratio_micro_sql("n_stop", "n_words")
+_PUNCT_RM = ratio_micro_sql("n_punct", "n_chars")
+_TTR_RM = ratio_micro_sql("uniq_words", "n_words")
+
 @register(
     "doc_quality",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, n_chars, n_words,
-           round(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS avg_word_len,
-           round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
-           round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
-           round(CAST(uniq_words AS DOUBLE) / n_words, 6) AS type_token_ratio,
-           CAST(4 * CAST(round(round(CAST(uniq_words AS DOUBLE) / n_words, 6) * 1e6) AS BIGINT)
-              + 3 * least(CAST(round(round(CAST(n_stop AS DOUBLE) / n_words, 6) * 1e6) AS BIGINT) * 5, 1000000)
-              + 3 * (1000000 - least(CAST(round(round(CAST(n_punct AS DOUBLE) / n_chars, 6) * 1e6) AS BIGINT) * 10, 1000000))
+           CAST({_AWL_RM} AS DOUBLE) / 1000000 AS avg_word_len,
+           CAST({_STOP_RM} AS DOUBLE) / 1000000 AS stopword_ratio,
+           CAST({_PUNCT_RM} AS DOUBLE) / 1000000 AS punct_ratio,
+           CAST({_TTR_RM} AS DOUBLE) / 1000000 AS type_token_ratio,
+           CAST(4 * ({_TTR_RM})
+              + 3 * least(({_STOP_RM}) * 5, 1000000)
+              + 3 * (1000000 - least(({_PUNCT_RM}) * 10, 1000000))
               AS DOUBLE) / 10000000.0 AS quality
     FROM (
         SELECT doc_id, length(text) AS n_chars,
@@ -658,10 +669,10 @@ def doc_quality(spark, sf_dir):
 
 # doc_quality's composite score as a DuckDB expression over the feature
 # columns of the subquery below (same rational k/1e7 both engines emit).
-_QUALITY_SCORE_SQL = """
-    CAST(4 * CAST(round(round(CAST(uniq_words AS DOUBLE) / n_words, 6) * 1e6) AS BIGINT)
-       + 3 * least(CAST(round(round(CAST(n_stop AS DOUBLE) / n_words, 6) * 1e6) AS BIGINT) * 5, 1000000)
-       + 3 * (1000000 - least(CAST(round(round(CAST(n_punct AS DOUBLE) / n_chars, 6) * 1e6) AS BIGINT) * 10, 1000000))
+_QUALITY_SCORE_SQL = f"""
+    CAST(4 * ({_TTR_RM})
+       + 3 * least(({_STOP_RM}) * 5, 1000000)
+       + 3 * (1000000 - least(({_PUNCT_RM}) * 10, 1000000))
        AS DOUBLE) / 10000000.0
 """
 
@@ -669,21 +680,32 @@ DOMAIN_SHORT_CHARS = 400  # a doc below this is "short" for domain stats
 DOMAIN_MAX_SHORT_SHARE = 0.70  # keep rule: short-doc share cap
 DOMAIN_MAX_DUP_SHARE = 0.20  # keep rule: exact-dup share cap
 
+# domain-quality ratios round in EXACT integer micro-units
+# (functions.numeric half-away): round(double, 6) on these exact
+# count/decimal ratios hits engine-divergent decimal midpoints at scale.
+# The keep-rule thresholds compare the SAME micro ints.
+_DQ_SHORT_CAP = round(DOMAIN_MAX_SHORT_SHARE * 1_000_000)
+_DQ_DUP_CAP = round(DOMAIN_MAX_DUP_SHARE * 1_000_000)
+_DQ_SS = ratio_micro_sql(
+    f"count(CASE WHEN n_chars < {DOMAIN_SHORT_CHARS} THEN 1 END)", "count(*)"
+)
+_DQ_DS = ratio_micro_sql("count(*) - count(DISTINCT text_hash)", "count(*)")
+_DQ_MEAN = ratio_micro_sql(
+    "CAST(sum(CAST(quality AS DECIMAL(18,7))) * 10000000 AS BIGINT)",
+    "10 * count(*)",
+    scale=1,
+)
+
 
 @register(
     "domain_quality",
     oracle=f"""
     SELECT source, count(*) AS n_docs,
-           round(CAST(sum(CAST(quality AS DECIMAL(18,7))) AS DOUBLE) / count(*), 6)
-               AS mean_quality,
-           round(CAST(count(CASE WHEN n_chars < {DOMAIN_SHORT_CHARS} THEN 1 END)
-                      AS DOUBLE) / count(*), 6) AS short_share,
-           round(CAST(count(*) - count(DISTINCT text_hash) AS DOUBLE) / count(*), 6)
-               AS dup_share,
-           round(CAST(count(CASE WHEN n_chars < {DOMAIN_SHORT_CHARS} THEN 1 END)
-                      AS DOUBLE) / count(*), 6) <= {DOMAIN_MAX_SHORT_SHARE}
-           AND round(CAST(count(*) - count(DISTINCT text_hash) AS DOUBLE)
-                     / count(*), 6) <= {DOMAIN_MAX_DUP_SHARE} AS keep
+           CAST({_DQ_MEAN} AS DOUBLE) / 1000000 AS mean_quality,
+           CAST({_DQ_SS} AS DOUBLE) / 1000000 AS short_share,
+           CAST({_DQ_DS} AS DOUBLE) / 1000000 AS dup_share,
+           {_DQ_SS} <= {_DQ_SHORT_CAP}
+           AND {_DQ_DS} <= {_DQ_DUP_CAP} AS keep
     FROM (
         SELECT source, length(text) AS n_chars, md5(text) AS text_hash,
                {_QUALITY_SCORE_SQL} AS quality
@@ -728,18 +750,18 @@ def domain_quality(spark, sf_dir):
         F.col("text_md5").alias("text_hash"),
     )
     n = F.count("*")
-    short_share = F.round(F.sum("short").cast("double") / n, 6)
-    dup_share = F.round(
-        (n - F.countDistinct("text_hash")).cast("double") / n, 6
+    mean_micro = ratio_micro(
+        (F.sum("quality") * 10000000).cast("long"), n * 10, scale=1
     )
+    short_micro = ratio_micro(F.sum("short").cast("long"), n)
+    dup_micro = ratio_micro(n - F.countDistinct("text_hash"), n)
     return per_doc.groupBy("source").agg(
         n.alias("n_docs"),
-        F.round(F.sum("quality").cast("double") / n, 6).alias("mean_quality"),
-        short_share.alias("short_share"),
-        dup_share.alias("dup_share"),
+        (mean_micro.cast("double") / 1000000).alias("mean_quality"),
+        (short_micro.cast("double") / 1000000).alias("short_share"),
+        (dup_micro.cast("double") / 1000000).alias("dup_share"),
         (
-            (short_share <= DOMAIN_MAX_SHORT_SHARE)
-            & (dup_share <= DOMAIN_MAX_DUP_SHARE)
+            (short_micro <= _DQ_SHORT_CAP) & (dup_micro <= _DQ_DUP_CAP)
         ).alias("keep"),
     )
 
@@ -884,11 +906,12 @@ def pii_scrub_q(spark, sf_dir):
 
 @register(
     "repetition_filter",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, n_bigrams, top_count,
-           round(CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams, 6)
-               AS dup_fraction,
-           round(CAST(top_count AS DOUBLE) / n_bigrams, 6) AS top_fraction,
+           CAST({ratio_micro_sql("n_bigrams - n_distinct", "n_bigrams")}
+                AS DOUBLE) / 1000000 AS dup_fraction,
+           CAST({ratio_micro_sql("top_count", "n_bigrams")} AS DOUBLE)
+               / 1000000 AS top_fraction,
            CAST(top_count AS DOUBLE) / n_bigrams > 0.1
                OR CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams > 0.3
                AS flagged
@@ -955,18 +978,23 @@ def repetition_filter(spark, sf_dir):
         "doc_id",
         n_bigrams.alias("n_bigrams"),
         top_count.alias("top_count"),
-        F.round(dup_f, 6).alias("dup_fraction"),
-        F.round(top_f, 6).alias("top_fraction"),
+        (
+            ratio_micro(n_bigrams - n_distinct, n_bigrams).cast("double")
+            / 1000000
+        ).alias("dup_fraction"),
+        (
+            ratio_micro(top_count, n_bigrams).cast("double") / 1000000
+        ).alias("top_fraction"),
         ((top_f > 0.1) | (dup_f > 0.3)).alias("flagged"),
     )
 
 
 @register(
     "source_mix",
-    oracle="""
+    oracle=f"""
     SELECT source, lang, n_docs, total_tokens,
-           round(CAST(total_tokens AS DOUBLE)
-                 / sum(total_tokens) OVER (), 6) AS token_share
+           CAST({ratio_micro_sql("total_tokens", "sum(total_tokens) OVER ()")}
+                AS DOUBLE) / 1000000 AS token_share
     FROM (
         SELECT source, lang, count(*) AS n_docs,
                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
@@ -991,12 +1019,13 @@ def source_mix(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum(ntok).cast("bigint").alias("total_tokens"),
     )
-    share = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(
-        Window.partitionBy()
+    share_micro = ratio_micro(
+        F.col("total_tokens"),
+        F.sum("total_tokens").over(Window.partitionBy()),
     )
     return g.select(
         "source", "lang", "n_docs", "total_tokens",
-        F.round(share, 6).alias("token_share"),
+        (share_micro.cast("double") / 1000000).alias("token_share"),
     )
 
 
@@ -1622,7 +1651,9 @@ TEMP_ALPHA = 0.3  # multilingual sampling temperature (XLM-R-style)
                    {TEMP_ALPHA}) AS pw
         FROM counts
     )
-    SELECT lang, n_docs, round(share, 6) AS raw_share,
+    SELECT lang, n_docs,
+           CAST({ratio_micro_sql("n_docs", "sum(n_docs) OVER ()")} AS DOUBLE)
+               / 1000000 AS raw_share,
            round(pw / sum(pw) OVER (), 6) AS temp_weight,
            round(pw / sum(pw) OVER () / share, 6) AS resample_factor
     FROM shares
@@ -1641,7 +1672,12 @@ def lang_rebalance(spark, sf_dir):
     return g.select(
         "lang",
         "n_docs",
-        F.round(share, 6).alias("raw_share"),
+        (
+            ratio_micro(F.col("n_docs"), F.sum("n_docs").over(w)).cast(
+                "double"
+            )
+            / 1000000
+        ).alias("raw_share"),
         F.round(weight, 6).alias("temp_weight"),
         F.round(weight / share, 6).alias("resample_factor"),
     )
@@ -3145,9 +3181,9 @@ hits AS (
     UNION ALL {_recall_row_sql('ivfpq', 'ivfpq', 'tl')}
 )
 SELECT method, hits, truth_n,
-       round(CAST(hits AS DOUBLE) / truth_n, 6) AS recall
+       CAST(__RM_RECALL__ AS DOUBLE) / 1000000 AS recall
 FROM hits
-"""
+""".replace("__RM_RECALL__", ratio_micro_sql("hits", "truth_n"))
 
 
 @register(
@@ -3216,8 +3252,9 @@ def ann_recall_eval(spark, sf_dir):
             F.lit(name).alias("method"),
             "hits",
             "truth_n",
-            F.round(
-                F.col("hits").cast("double") / F.col("truth_n"), 6
+            (
+                ratio_micro(F.col("hits"), F.col("truth_n")).cast("double")
+                / 1000000
             ).alias("recall"),
         )
         result = row if result is None else result.unionByName(row)
@@ -3648,7 +3685,11 @@ _BITEXT_KEYS = " UNION ALL ".join(
     )
     SELECT b.src_id, b.tgt_id, b.cosine,
            CAST(a.k AS BIGINT) AS n_cand,
-           round(b.cosine * a.k / CAST(a.s AS DOUBLE), 6) AS margin
+           CAST({ratio_micro_sql(
+               "CAST(CAST(b.cosine AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+               " * a.k",
+               "CAST(CAST(a.s AS DECIMAL(38,6)) * 1000000 AS BIGINT)",
+           )} AS DOUBLE) / 1000000 AS margin
     FROM top b JOIN agg a ON a.src_id = b.src_id
     WHERE b.rnk = 1
     """,
@@ -3742,8 +3783,17 @@ def bitext_mine(spark, sf_dir):
             "tgt_id",
             "cosine",
             F.col("k").alias("n_cand"),
-            F.round(
-                F.col("cosine") * F.col("k") / F.col("s").cast("double"), 6
+            # margin is (grid cosine)·k / (exact decimal sum) — an exact
+            # int ratio in micro units, rounded via functions.numeric
+            (
+                ratio_micro(
+                    (F.col("cosine").cast("decimal(18,6)") * 1000000).cast(
+                        "long"
+                    )
+                    * F.col("k"),
+                    (F.col("s") * 1000000).cast("long"),
+                ).cast("double")
+                / 1000000
             ).alias("margin"),
         )
     )
@@ -3757,7 +3807,7 @@ def bitext_mine(spark, sf_dir):
 
 @register(
     "doc_novelty",
-    oracle="""
+    oracle=f"""
     WITH sh AS (
         SELECT DISTINCT doc_id, shingle FROM (
             SELECT doc_id, unnest(list_transform(
@@ -3773,9 +3823,11 @@ def bitext_mine(spark, sf_dir):
     SELECT doc_id, count(*) AS n_spans,
            CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT)
                AS n_seen_before,
-           round(1.0 - CAST(sum(CASE WHEN first_doc < doc_id
-                                     THEN 1 ELSE 0 END) AS DOUBLE)
-                       / count(*), 6) AS novelty
+           CAST({ratio_micro_sql(
+               "count(*) - sum(CASE WHEN first_doc < doc_id "
+               "THEN 1 ELSE 0 END)",
+               "count(*)",
+           )} AS DOUBLE) / 1000000 AS novelty
     FROM sh JOIN mn USING (shingle)
     GROUP BY doc_id
     """,
@@ -3815,8 +3867,9 @@ def doc_novelty(spark, sf_dir):
         .agg(
             F.count("*").alias("n_spans"),
             seen.alias("n_seen_before"),
-            F.round(
-                F.lit(1.0) - seen.cast("double") / F.count("*"), 6
+            (
+                ratio_micro(F.count("*") - seen, F.count("*")).cast("double")
+                / 1000000
             ).alias("novelty"),
         )
     )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..caching import materialized
 from ..functions import text as TX
+from ..functions.numeric import ratio_micro, ratio_micro_sql
 from ..sources import load_table
 from .registry import register
 
@@ -797,7 +798,8 @@ w AS (
 ),
 d AS (SELECT sum(w_u) AS denom FROM w)
 SELECT source, docs,
-       round(CAST(w_u AS DOUBLE) / d.denom, 6) AS weight,
+       CAST({ratio_micro_sql("w_u", "d.denom")} AS DOUBLE) / 1000000
+           AS weight,
        (w_u * {TEMP_BUDGET_DOCS}) // d.denom AS planned_docs
 FROM w CROSS JOIN d
 """
@@ -843,7 +845,10 @@ def _temperature_mix_plan(spark, sf_dir):
     result = w.crossJoin(F.broadcast(denom)).select(
         "source",
         "docs",
-        F.round(F.col("w_u").cast("double") / F.col("denom"), 6).alias("weight"),
+        (
+            ratio_micro(F.col("w_u"), F.col("denom")).cast("double")
+            / 1000000
+        ).alias("weight"),
         F.expr(f"(w_u * {TEMP_BUDGET_DOCS}) div denom").alias("planned_docs"),
     )
     return result, [c]

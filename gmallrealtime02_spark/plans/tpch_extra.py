@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..operators.aggregates import dsum, top_k_global
 from ..sources import load_table
 from ..sources.tables import ensure_parallelism
+from ..functions.numeric import ratio_micro, ratio_micro_sql
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -128,11 +129,13 @@ def volume_shipping(spark, sf_dir):
 
 @register(
     "market_share",
-    oracle="""
+    oracle=f"""
     SELECT o_year,
-           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+           CAST({ratio_micro_sql(
+               "CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume "
+               "ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS BIGINT)",
+               "CAST(sum(volume) * 1000000 AS BIGINT)",
+           )} AS DOUBLE) / 1000000 AS mkt_share
     FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
                  CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
                  n2.n_name AS supp_nation
@@ -183,9 +186,14 @@ def market_share(spark, sf_dir):
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(F.sum(nat).cast("double") / F.sum(vol).cast("double"), 6).alias(
-                "mkt_share"
-            )
+            (
+                # exact-decimal micro rounding (functions.numeric): both
+                # sums stay DECIMAL through the helper, so the 100 TB
+                # magnitude bound is decimal-38, not int64
+                ratio_micro(F.sum(nat) * 1000000, F.sum(vol) * 1000000)
+                .cast("double")
+                / 1000000
+            ).alias("mkt_share")
         )
     )
 

@@ -18,6 +18,7 @@ from ..functions import similarity as S
 from ..functions import text as TX
 from ..operators.aggregates import dsum
 from ..sources import load_table
+from ..functions.numeric import ratio_micro, ratio_micro_sql
 from .registry import register
 
 PACK_BUDGET = 2048  # tokens per packed training sequence
@@ -177,8 +178,8 @@ def decontamination(spark, sf_dir):
     )
     SELECT t.doc_id, t.n_shingles,
            COALESCE(h.n_hits, 0) AS n_hits,
-           round(COALESCE(h.n_hits, 0) / CAST(t.n_shingles AS DOUBLE), 6)
-               AS overlap_frac,
+           CAST({ratio_micro_sql("COALESCE(h.n_hits, 0)", "t.n_shingles")}
+                AS DOUBLE) / 1000000 AS overlap_frac,
            COALESCE(h.n_hits, 0) > 0 AS contaminated
     FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
     """,
@@ -225,10 +226,12 @@ def contamination_report(spark, sf_dir):
             "doc_id",
             "n_shingles",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            F.round(
-                F.coalesce("n_hits", F.lit(0))
-                / F.col("n_shingles").cast("double"),
-                6,
+            (
+                ratio_micro(
+                    F.coalesce("n_hits", F.lit(0).cast("long")),
+                    F.col("n_shingles"),
+                ).cast("double")
+                / 1000000
             ).alias("overlap_frac"),
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
@@ -325,9 +328,12 @@ def weighted_sample(spark, sf_dir):
 
 @register(
     "value_moments",
-    oracle="""
+    oracle=f"""
     SELECT event_type, n,
-           round(CAST(s1 AS DOUBLE) / n, 6) AS mean_value,
+           CAST({ratio_micro_sql(
+               "CAST(CAST(s1 AS DECIMAL(38,6)) * 1000000 AS HUGEINT)",
+               "n * 1000000",
+           )} AS DOUBLE) / 1000000 AS mean_value,
            round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
                  / (n - 1), 6) AS var_value,
            round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
@@ -359,7 +365,10 @@ def value_moments(spark, sf_dir):
     return sums.select(
         "event_type",
         "n",
-        F.round(s1d / n, 6).alias("mean_value"),
+        (
+            ratio_micro(F.col("s1") * 1000000, n * 1000000).cast("double")
+            / 1000000
+        ).alias("mean_value"),
         F.round(var, 6).alias("var_value"),
         F.round(F.sqrt(var), 6).alias("std_value"),
     )
