@@ -35,27 +35,35 @@ from pyspark.sql import functions as F
 MICRO = 1_000_000
 
 
+_DEC = "decimal(38,0)"
+
+
 def _intdiv_pos(num: Column, den: Column) -> Column:
-    """Exact integer division of non-negative LONG columns.  ``num - num
-    % den`` is an exact multiple of ``den``; dividing two exact doubles
-    whose true quotient is an integer < 2^53 is correctly rounded, hence
-    exact — no floor-of-float boundary hazard."""
+    """Exact integer division of non-negative integer-valued DECIMAL
+    columns.  ``num - num % den`` is an exact multiple of ``den``
+    (decimal remainder is exact), and decimal division of an exact
+    multiple yields the exact integer quotient at any scale — unlike a
+    double division, which silently rounds once operands pass 2^53 (a
+    bug the fuzz parity test caught at |num| ~ 1e12)."""
     return ((num - num % den) / den).cast("long")
 
 
 def ratio_micro(num: Column, den: Column, scale: int = MICRO) -> Column:
     """``round_half_away(num/den * scale)`` as an exact LONG — num/den
-    LONG columns, den > 0.  With the default scale this is the micro-unit
-    integer of ``round(num/den, 6)``; the caller emits
-    ``ratio_micro(...).cast("double") / 1e6`` and the oracle emits the
-    twin :func:`ratio_micro_sql` — bit-identical doubles, no engine
-    midpoint resolution in the path.
+    integer-valued LONG or DECIMAL columns, den > 0.  With the default
+    scale this is the micro-unit integer of ``round(num/den, 6)``; the
+    caller emits ``ratio_micro(...).cast("double") / 1e6`` and the
+    oracle emits the twin :func:`ratio_micro_sql` — bit-identical
+    doubles, no engine midpoint resolution in the path.
 
-    Magnitude guard: ``2*|num|*scale`` must stay below 2^63; every
-    call-site ratio here is bounded (weight sums ≤ 1e9·scale, entropy
-    micro-sums ≤ 1e11·scale-at-1)."""
-    nummag = F.abs(num) * F.lit(scale).cast("long") * 2 + den
-    mag = _intdiv_pos(nummag, den * 2)
+    All arithmetic runs in DECIMAL(38,0) (exact to 38 digits), so the
+    magnitude bound is ``2*|num|*scale + den < 10^38`` — far past any
+    call site (the earlier int64/double formulation went inexact at
+    ``2*|num|*scale > 2^53``)."""
+    n0 = F.abs(num).cast(_DEC)
+    d0 = den.cast(_DEC)
+    nummag = n0 * F.lit(scale).cast(_DEC) * F.lit(2).cast(_DEC) + d0
+    mag = _intdiv_pos(nummag, d0 * F.lit(2).cast(_DEC))
     return F.when(num < 0, -mag).otherwise(mag)
 
 

@@ -90,3 +90,50 @@ def test_ratio_micro_scale_one(spark, duck):
     assert got == py
     assert py[0] == 2 and py[1] == -2  # 1.5 rounds away from zero
     assert py[3] == 1 and py[4] == -1  # 0.5 rounds away from zero
+
+
+def test_ratio_micro_fuzz_three_way(spark, duck):
+    """Hypothesis-style fuzz (deterministic seed, no hypothesis dep
+    needed for a pure-integer domain): random (num, den) across the
+    magnitudes the call sites produce — micro sums, counts, cent-scaled
+    decimals — plus forced near-midpoint constructions.  All three twins
+    must agree exactly."""
+    import random
+
+    rng = random.Random(20260815)
+    cases = []
+    for _ in range(400):
+        den = rng.randint(1, 10**12)
+        num = rng.randint(-(10**12), 10**12)
+        cases.append((num, den))
+    for _ in range(200):
+        # force exact/near midpoints: num/den*1e6 = k +- {0, 1} halves
+        den = rng.randint(1, 10**6) * 2
+        k = rng.randint(0, 10**6)
+        base = (2 * k + 1) * den  # num*2e6 == (2k+1)*den -> exact .5
+        if base % (2 * 10**6) == 0:
+            cases.append((base // (2 * 10**6), den))
+    rows = spark.createDataFrame(
+        [(i, n, d) for i, (n, d) in enumerate(cases)],
+        "i long, num long, den long",
+    )
+    got = {
+        r.i: r.m
+        for r in rows.select(
+            "i", ratio_micro(F.col("num"), F.col("den")).alias("m")
+        ).collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE _rmf(i BIGINT, num BIGINT, den BIGINT)")
+    duck.executemany(
+        "INSERT INTO _rmf VALUES (?, ?, ?)",
+        [(i, n, d) for i, (n, d) in enumerate(cases)],
+    )
+    want = dict(
+        duck.execute(
+            f"SELECT i, {ratio_micro_sql('num', 'den')} FROM _rmf"
+        ).fetchall()
+    )
+    duck.execute("DROP TABLE _rmf")
+    py = {i: py_ratio_micro(n, d) for i, (n, d) in enumerate(cases)}
+    assert got == {k: int(v) for k, v in want.items()}
+    assert got == py
