@@ -743,6 +743,9 @@ def minhash_containment(spark, sf_dir):
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
+        # raw-double cut first (matches the oracle's raw-ratio WHERE);
+        # the exact micro rounding then runs on survivors only — the
+        # decimal ops never touch the full candidate-pair set
         .filter(cont >= CONTAINMENT_T)
         .select(
             "doc_a",
