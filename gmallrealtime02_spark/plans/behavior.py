@@ -984,3 +984,84 @@ def time_to_convert(spark, sf_dir):
         F.round(F.percentile("delta_s", F.lit(0.9)), 6).alias("p90_s"),
         F.max("delta_s").cast("bigint").alias("max_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components on the co-view graph (first-class CC primitive)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "coview_components",
+    oracle="""
+    WITH RECURSIVE
+    ui AS (SELECT DISTINCT user_id,
+                  CAST(props->>'$.k' AS INTEGER) AS item
+           FROM events WHERE event_type = 'view'),
+    e AS (SELECT DISTINCT a.item AS lo, b.item AS hi
+          FROM ui a JOIN ui b
+            ON a.user_id = b.user_id AND a.item < b.item),
+    ed AS (SELECT lo AS src, hi AS dst FROM e
+           UNION SELECT hi, lo FROM e),
+    nodes AS (SELECT DISTINCT src AS item FROM ed),
+    reach(item, lbl) AS (
+        SELECT item, item FROM nodes
+        UNION
+        SELECT ed.src, r.lbl FROM reach r JOIN ed ON ed.dst = r.item
+    ),
+    comp AS (SELECT item, min(lbl) AS component FROM reach GROUP BY item),
+    sz AS (SELECT component, count(*) AS comp_size
+           FROM comp GROUP BY component)
+    SELECT c.item AS item, c.component AS component,
+           CAST(sz.comp_size AS BIGINT) AS comp_size
+    FROM comp c JOIN sz USING (component)
+    """,
+    tags=("graph", "components", "iterative", "dedup"),
+)
+def coview_components(spark, sf_dir):
+    """Connected components of the item co-view graph, surfaced as a
+    first-class query: each item with its component id (the minimum
+    reachable item id) and its component's size — the same
+    min-label-propagation primitive the dedup family uses internally
+    (``similarity.connected_components`` powers dedup_canonical /
+    dedup_keep_best / near_dup_cluster_sizes), here applied to the
+    behavioral graph where it segments the catalog into co-browse
+    clusters.
+
+    Engine-exactness: labels are min-ids — a pure function of the edge
+    set — so even the ITERATIVE fixpoint is hash-oracled: the DuckDB
+    side computes the same fixpoint as a recursive CTE (min reachable
+    label via transitive closure), the first recursive-CTE oracle in
+    the registry.
+
+    Scale shape: Spark iterates min-label propagation — one (vertex,
+    label) join + partial-agg min per round, O(component diameter)
+    rounds, lineage truncated per round via localCheckpoint — which is
+    the 100 TB shape (the oracle's transitive closure materializes
+    O(sum |C|^2) reach pairs and is oracle-only).  Per-user co-view
+    fan-out is bounded by the per-user distinct-item slice (same cap
+    note as coview_pagerank/triangle_count)."""
+    from ..functions.similarity import connected_components
+
+    e = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    ui = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .distinct()
+    )
+    b = ui.select(F.col("user_id").alias("uid"), F.col("item").alias("item_b"))
+    pairs = (
+        ui.join(b, (ui.user_id == b.uid) & (ui.item < b.item_b))
+        .select(F.col("item").alias("doc_a"), F.col("item_b").alias("doc_b"))
+        .distinct()
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("comp_size"))
+    return (
+        comp.select(F.col("doc_id").alias("item"), "component")
+        .join(F.broadcast(sizes), "component")
+        .select("item", "component", "comp_size")
+    )

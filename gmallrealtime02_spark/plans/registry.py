@@ -320,6 +320,7 @@ _PRIORITY = [
     "cluster_balance_sample",
     "ann_cosine_filtered",
     "hybrid_search_rrf",
+    "coview_components",
 ]
 
 

@@ -41,6 +41,7 @@ INVARIANCE_CRITICAL = [
     "cluster_balance_sample",  # integer threshold over md5 draw + exact kmeans
     "ann_cosine_filtered",     # rounded fold cosines + cid tiebreak
     "hybrid_search_rrf",       # integer ranks from deterministic legs
+    "coview_components",       # min-label fixpoint — pure edge-set function
 ]
 
 
