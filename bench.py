@@ -550,6 +550,43 @@ def bench_stress() -> None:
     timed("sessionize_window", session_window, n_ev)
     big_ev.unpersist()
 
+    # --- co-view connected components ×16: the iterative-fixpoint shape ---
+    # per-replica user AND item remap keeps component SIZE constant while
+    # component COUNT scales — the timing covers the full min-label
+    # propagation loop (joins + partial-agg mins + per-round
+    # localCheckpoints + the driver-side convergence probes), i.e. the
+    # end-to-end cost of the dedup family's clustering primitive at scale
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+    )
+    n_views = views.count() * 16
+    big_views = replicate(
+        views, 16,
+        [
+            (F.col("user_id") * 16 + F.col("rep")).alias("user_id"),
+            (F.col("item") * 16 + F.col("rep")).alias("item"),
+        ],
+    ).persist()
+    big_views.count()
+
+    def cc_fixpoint():
+        ui = big_views.distinct()
+        b = ui.select(
+            F.col("user_id").alias("uid"), F.col("item").alias("item_b")
+        )
+        pairs = (
+            ui.join(b, (ui.user_id == b.uid) & (ui.item < b.item_b))
+            .select(
+                F.col("item").alias("doc_a"), F.col("item_b").alias("doc_b")
+            )
+            .distinct()
+        )
+        return S.connected_components(pairs)
+
+    timed("coview_cc_fixpoint", cc_fixpoint, n_views)
+    big_views.unpersist()
+
     print(
         json.dumps(
             {
