@@ -183,7 +183,13 @@ def map_order_data(spark: SparkSession, sf_dir: str) -> str:
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("value"))
+        # exact decimal accumulation (the dsum discipline): a raw double
+        # sum is task-completion-order dependent and not run-reproducible
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value")
+        )
         .collect()
     )
     return json.dumps(

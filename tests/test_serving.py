@@ -126,7 +126,8 @@ def test_map_order_data_contract(spark, duck, sf_dir):
     sorted [{name, value}] of order revenue per customer nation."""
     out = json.loads(serving.map_order_data(spark, sf_dir))
     want = duck.execute("""
-        SELECT n_name, round(sum(o_totalprice), 2)
+        SELECT n_name,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         FROM orders JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name
