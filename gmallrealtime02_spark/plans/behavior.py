@@ -1065,3 +1065,99 @@ def coview_components(spark, sf_dir):
         .join(F.broadcast(sizes), "component")
         .select("item", "component", "comp_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-source BFS depth on the co-view graph
+# ---------------------------------------------------------------------------
+
+BFS_MAX_DEPTH = 64  # oracle recursion guard; >> any co-view diameter
+
+
+@register(
+    "coview_bfs_depth",
+    oracle=f"""
+    WITH RECURSIVE
+    ui AS (SELECT DISTINCT user_id,
+                  CAST(props->>'$.k' AS INTEGER) AS item
+           FROM events WHERE event_type = 'view'),
+    e AS (SELECT DISTINCT a.item AS lo, b.item AS hi
+          FROM ui a JOIN ui b
+            ON a.user_id = b.user_id AND a.item < b.item),
+    ed AS (SELECT lo AS src, hi AS dst FROM e
+           UNION SELECT hi, lo FROM e),
+    s AS (SELECT min(src) AS root FROM ed),
+    walk(item, d) AS (
+        SELECT root, 0 FROM s
+        UNION
+        SELECT ed.dst, w.d + 1
+        FROM walk w JOIN ed ON ed.src = w.item
+        WHERE w.d < {{BFS_MAX_DEPTH}}
+    )
+    SELECT item, CAST(min(d) AS BIGINT) AS depth
+    FROM walk GROUP BY item
+    """.format(BFS_MAX_DEPTH=BFS_MAX_DEPTH),
+    tags=("graph", "bfs", "iterative"),
+)
+def coview_bfs_depth(spark, sf_dir):
+    """Single-source BFS depth over the co-view graph from the minimum
+    item id — the graph-DISTANCE primitive beside
+    ``coview_components``'s reachability (recommendation radius, "how
+    many co-browse hops from the anchor product"), and the second
+    iterative fixpoint carrying a full hash oracle (DuckDB recursive
+    CTE: min depth over the depth-guarded walk closure).
+
+    Scale shape: classic frontier BFS — each round joins ONLY the
+    current frontier (not all visited nodes) against the edge table and
+    anti-joins the visited set, so a round's cost is O(frontier
+    out-degree); rounds = eccentricity of the root (tiny on co-view
+    graphs); lineage truncated per round via localCheckpoint, visited
+    set persisted.  The oracle's closure enumerates (item, depth ≤ cap)
+    pairs and is oracle-only — the Spark loop never materializes
+    superseded depths."""
+    e = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    ui = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .distinct()
+    )
+    b = ui.select(F.col("user_id").alias("uid"), F.col("item").alias("item_b"))
+    und = (
+        ui.join(b, (ui.user_id == b.uid) & (ui.item < b.item_b))
+        .select(F.col("item").alias("lo"), F.col("item_b").alias("hi"))
+        .distinct()
+    )
+    edges = (
+        und.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .unionByName(
+            und.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    root = edges.agg(F.min("src").alias("r")).collect()[0]["r"]
+    visited = (
+        spark.createDataFrame([(int(root), 0)], "item int, depth long")
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for depth in range(1, BFS_MAX_DEPTH + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("item").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("item"))
+            .distinct()
+            .join(visited.select("item"), "item", "left_anti")
+            .withColumn("depth", F.lit(depth).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    edges.unpersist()
+    return visited

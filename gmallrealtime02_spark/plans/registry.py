@@ -321,6 +321,7 @@ _PRIORITY = [
     "ann_cosine_filtered",
     "hybrid_search_rrf",
     "coview_components",
+    "coview_bfs_depth",
 ]
 
 

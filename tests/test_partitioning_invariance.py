@@ -42,6 +42,7 @@ INVARIANCE_CRITICAL = [
     "ann_cosine_filtered",     # rounded fold cosines + cid tiebreak
     "hybrid_search_rrf",       # integer ranks from deterministic legs
     "coview_components",       # min-label fixpoint — pure edge-set function
+    "coview_bfs_depth",        # frontier BFS — pure edge-set function
 ]
 
 
