@@ -246,6 +246,69 @@ def bench_streaming() -> None:
         jobs["streaming_curation_gate_rows_per_s"] = round(
             n_rows / (time.perf_counter() - t0), 1
         )
+
+        # --- round-5 kernel twins: same regression floor as the batch
+        # kernels.  All three reuse the ×32 document source above (media
+        # wraps it as binary payloads), so the numbers are comparable to
+        # the curation gate's.
+        from gmallrealtime02_spark.functions import similarity as S
+        from gmallrealtime02_spark.functions.multimodal import as_media_table
+        from gmallrealtime02_spark.plans.sketches import bloom_bitmap_words
+        from gmallrealtime02_spark.streaming.jobs import (
+            streaming_bloom_decontamination,
+            streaming_cms,
+            streaming_media_features,
+        )
+
+        def _run(name, out_df, mode, ckpt, rows):
+            qq = (
+                out_df.writeStream.outputMode(mode)
+                .format("noop")
+                .option("checkpointLocation", os.path.join(work, ckpt))
+                .start()
+            )
+            t0 = time.perf_counter()
+            qq.processAllAvailable()
+            qq.stop()
+            jobs[f"{name}_rows_per_s"] = round(
+                rows / (time.perf_counter() - t0), 1
+            )
+
+        def _doc_stream():
+            return (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", max(1, N_MICRO_BATCHES // 4))
+                .parquet(d_src)
+            )
+
+        # stateful per-shard count-min cells over the token stream
+        _run("streaming_cms", streaming_cms(_doc_stream()), "update",
+             "cms_ckpt", n_rows)
+
+        # eval-set Bloom bitmap (built offline from the stock corpus's
+        # first 50 docs) probed scan-side per arriving doc
+        ev = load_table(spark, sf_dir, "documents").limit(50)
+        ev_hashes = S.shingle_hash_table(ev, ("doc_id",), n=4).select(
+            F.explode(F.array_distinct("hs")).alias("h")
+        )
+        words = bloom_bitmap_words(ev_hashes)
+        _run(
+            "streaming_bloom_decontamination",
+            streaming_bloom_decontamination(_doc_stream(), words),
+            "append", "bloom_ckpt", n_rows,
+        )
+
+        # binary payload ingest: byte features + perceptual aHash
+        media = as_media_table(docs)
+        m_src = os.path.join(work, "media_src")
+        media.repartition(N_MICRO_BATCHES).write.parquet(m_src)
+        m_s = (
+            spark.readStream.schema(media.schema)
+            .option("maxFilesPerTrigger", max(1, N_MICRO_BATCHES // 4))
+            .parquet(m_src)
+        )
+        _run("streaming_media_features", streaming_media_features(m_s),
+             "append", "media_ckpt", n_rows)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     print(

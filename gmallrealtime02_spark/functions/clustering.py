@@ -544,7 +544,12 @@ def pq_fit(
                 for s in range(nsub)
             ]
         codes = assign.select(id_col, *[f"c{s}" for s in range(nsub)])
-        return codes.localCheckpoint(eager=True), books
+        # lazy checkpoint: lineage still truncates at first use, but the
+        # materializing job runs INSIDE the consumer's action (in
+        # parallel with its other stages) instead of blocking the driver
+        # here — fit-time drops by a full job at no semantic cost (the
+        # kernel assignment is deterministic either way)
+        return codes.localCheckpoint(eager=False), books
     finally:
         data.unpersist()
 

@@ -521,15 +521,18 @@ def exact_jaccard_pairs_plan(
     result = (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
-        # cheap double PREFILTER first: the exact cut is jac_micro >=
-        # t*1e6, i.e. ratio >= t - 5e-7; a raw-double compare against
-        # (t - 6e-7) can lose no true survivor (double error ~1e-16 <<
-        # 1e-7 guard), and it keeps the DECIMAL micro rounding off the
+        # cheap double PREFILTER first, derived from the exact integer
+        # cut itself (NOT from `threshold`, which may sit off the 1e-6
+        # grid): the exact cut is jac_micro >= cut with jac_micro =
+        # HALF_UP(ratio*1e6), so a ratio survives iff ratio >=
+        # (cut - 0.5)/1e6.  Compare against that bound minus a 1e-7
+        # guard (double error ~1e-16 << guard) — lossless for ANY
+        # threshold, and it keeps the DECIMAL micro rounding off the
         # full candidate-pair set — decimal ops run on survivors only
         .filter(
             F.col("inter").cast("double")
             / (F.col("na") + F.col("nb") - F.col("inter"))
-            >= threshold - 6e-7
+            >= (round(threshold * 1_000_000) - 0.5) / 1e6 - 1e-7
         )
         .select(
             "doc_a",

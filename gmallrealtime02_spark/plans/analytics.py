@@ -1110,9 +1110,9 @@ def brand_type_supplier_counts(spark, sf_dir):
       GROUP BY r_name, n_name)
     SELECT region_name, nation_name, CAST(rev_d AS DOUBLE) AS revenue,
            CAST({ratio_micro_sql(
-               "CAST(CAST(rev_d AS DECIMAL(38,6)) * 1000000 AS BIGINT)",
+               "CAST(CAST(rev_d AS DECIMAL(38,6)) * 1000000 AS HUGEINT)",
                "CAST(CAST(sum(rev_d) OVER (PARTITION BY region_name) "
-               "AS DECIMAL(38,6)) * 1000000 AS BIGINT)",
+               "AS DECIMAL(38,6)) * 1000000 AS HUGEINT)",
            )} AS DOUBLE) / 1000000 AS region_share
     FROM nr
     """,

@@ -1138,7 +1138,12 @@ def coview_bfs_depth(spark, sf_dir):
         .distinct()
         .persist()
     )
-    root = edges.agg(F.min("src").alias("r")).collect()[0]["r"]
+    root = edges.agg(F.min("src")).collect()[0][0]
+    if root is None:
+        # no user viewed 2+ distinct items -> empty edge set; the oracle's
+        # recursive CTE likewise yields no rows
+        edges.unpersist()
+        return spark.createDataFrame([], "item int, depth long")
     visited = (
         spark.createDataFrame([(int(root), 0)], "item int, depth long")
         .localCheckpoint(eager=True)

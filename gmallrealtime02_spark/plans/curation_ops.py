@@ -910,7 +910,9 @@ N_EPOCHS = 3
                count(DISTINCT md5(text)) AS n_distinct_texts
         FROM documents
     )
-    SELECT n_docs, n_langs, n_sources, n_tokens, n_chars,
+    SELECT n_docs, n_langs, n_sources,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars,
            CAST({ratio_micro_sql("n_en", "n_docs")} AS DOUBLE) / 1000000
                AS pct_en,
            n_docs - n_distinct_texts AS n_exact_dup_docs,

@@ -184,8 +184,8 @@ _EWMA_W_SQL = (
     )
     SELECT user_id, strftime(day2, '%Y-%m-%d') AS dt,
            CAST({ratio_micro_sql(
-               "CAST(CAST(sum(wv) AS DECIMAL(24,16)) * 128000000 AS BIGINT)",
-               "CAST(CAST(sum(w) AS DECIMAL(20,16)) * 128000000 AS BIGINT)",
+               "CAST(CAST(sum(wv) AS DECIMAL(24,16)) * 128000000 AS HUGEINT)",
+               "CAST(CAST(sum(w) AS DECIMAL(20,16)) * 128000000 AS HUGEINT)",
            )} AS DOUBLE) / 1000000 AS ewma_value
     FROM c GROUP BY 1, 2
     """,

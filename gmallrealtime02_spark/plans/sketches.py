@@ -676,7 +676,7 @@ r0 AS (SELECT n.item, {PR_SCALE} // nn.n AS rank_u
        FROM nodes n CROSS JOIN nn)"""
     + "".join(_pr_iter_sql(f"r{i}", f"r{i+1}") for i in range(PR_ITERS))
     + f"""
-SELECT item, rank_u AS rank_micro,
+SELECT item, CAST(rank_u AS BIGINT) AS rank_micro,
        CAST(rank_u AS DOUBLE) / {PR_SCALE} AS rank
 FROM r{PR_ITERS}
 """
@@ -800,7 +800,7 @@ d AS (SELECT sum(w_u) AS denom FROM w)
 SELECT source, docs,
        CAST({ratio_micro_sql("w_u", "d.denom")} AS DOUBLE) / 1000000
            AS weight,
-       (w_u * {TEMP_BUDGET_DOCS}) // d.denom AS planned_docs
+       CAST((w_u * {TEMP_BUDGET_DOCS}) // d.denom AS BIGINT) AS planned_docs
 FROM w CROSS JOIN d
 """
 

@@ -133,8 +133,8 @@ def volume_shipping(spark, sf_dir):
     SELECT o_year,
            CAST({ratio_micro_sql(
                "CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume "
-               "ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS BIGINT)",
-               "CAST(sum(volume) * 1000000 AS BIGINT)",
+               "ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS HUGEINT)",
+               "CAST(sum(volume) * 1000000 AS HUGEINT)",
            )} AS DOUBLE) / 1000000 AS mkt_share
     FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
                  CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
