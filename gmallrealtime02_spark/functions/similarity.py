@@ -1064,6 +1064,87 @@ def ann_lsh_topk_plan(
     return result, (base,)
 
 
+MULTIPROBE_TABLES = 4  # half of ann_lsh_topk's 8 — probes buy the recall back
+
+
+def ann_multiprobe_lsh_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_tables: int = MULTIPROBE_TABLES,
+    n_planes: int = PLANES_PER_TABLE,
+) -> DataFrame:
+    """Multi-probe LSH (Lv et al. 2007): instead of building more tables
+    for recall, each query ALSO probes the ``n_planes`` buckets one
+    sign-flip away from its own (the nearest-boundary perturbations).
+    Same hyperplanes as ``ann_lsh_topk`` but HALF the tables: the corpus
+    fan-out — the dominant index cost at 10⁹ vectors (rows × tables keys
+    shuffled and stored) — halves, while the probe set only grows on the
+    bounded query side.  This is the memory/recall dial production LSH
+    actually ships.  Deterministic end to end (integer-ring hyperplanes,
+    XOR probes, fold-ordered cosine rerank), so fully hash-oracled."""
+    result, caches = ann_multiprobe_lsh_topk_plan(
+        emb, n_queries, k, n_tables, n_planes
+    )
+    return materialized(result, *caches)
+
+
+def ann_multiprobe_lsh_topk_plan(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_tables: int = MULTIPROBE_TABLES,
+    n_planes: int = PLANES_PER_TABLE,
+) -> tuple[DataFrame, tuple[DataFrame, ...]]:
+    """Lazy (result, caches) pair — plan gates inspect this."""
+    base = ensure_parallelism(emb).select("vec_id", "embedding").persist()
+    table_keys = lsh_keys(base, n_tables)
+    # probe fan-out rides the BOUNDED query side only: base bucket plus
+    # one single-bit flip per plane, (1 + n_planes) keys per (query, table)
+    qk = table_keys.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        "tbl",
+        F.explode(
+            F.array(
+                F.col("bkt"),
+                *[
+                    F.col("bkt").bitwiseXOR(F.lit(1 << p))
+                    for p in range(n_planes)
+                ],
+            )
+        ).alias("bkt"),
+    )
+    cand = (
+        F.broadcast(qk)
+        .join(
+            table_keys.select(F.col("vec_id").alias("cid"), "tbl", "bkt"),
+            ["tbl", "bkt"],
+        )
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+    qv = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cv = base.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    dot = _dot(F.col("qe"), F.col("ce"))
+    qn = F.sqrt(_dot(F.col("qe"), F.col("qe")))
+    cn = F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    scored = (
+        cand.join(F.broadcast(qv), "qid")
+        .join(cv, "cid")
+        .select("qid", "cid", F.round(dot / (qn * cn), 6).alias("cosine"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    result = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+    return result, (base,)
+
+
 N_CELLS = 16
 N_PROBE = 4
 

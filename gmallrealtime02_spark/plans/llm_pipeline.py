@@ -453,6 +453,64 @@ def ann_lsh_topk_q(spark, sf_dir):
     return S.ann_lsh_topk(load_table(spark, sf_dir, "embeddings"), 10, 5)
 
 
+_MP_FLIPS = ", ".join(
+    f"xor(bkt, {1 << p})" for p in range(S.PLANES_PER_TABLE)
+)
+
+_MULTIPROBE_ORACLE = f"""
+    WITH keys AS (
+        {" UNION ALL ".join(
+            f"SELECT vec_id, {t} AS tbl, {_lsh_bucket_sql(t)} AS bkt"
+            f" FROM embeddings"
+            for t in range(S.MULTIPROBE_TABLES)
+        )}
+    ),
+    probes AS (
+        SELECT vec_id AS qid, tbl, unnest([bkt, {_MP_FLIPS}]) AS bkt
+        FROM keys WHERE vec_id < 10
+    ),
+    cand AS (
+        SELECT DISTINCT p.qid, k.vec_id AS cid
+        FROM probes p
+        JOIN keys k ON p.tbl = k.tbl AND p.bkt = k.bkt
+                   AND k.vec_id != p.qid
+    )
+    SELECT qid, cid, cosine, rnk FROM (
+        SELECT c.qid, c.cid,
+               {_cos_sql('qe.embedding', 'ce.embedding')} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.qid
+                   ORDER BY {_cos_sql('qe.embedding', 'ce.embedding')} DESC,
+                            c.cid ASC
+               ) AS rnk
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.qid
+        JOIN embeddings ce ON ce.vec_id = c.cid
+    ) WHERE rnk <= 5
+    """
+
+
+@register(
+    "ann_multiprobe_lsh",
+    # Deterministic like the whole ladder: same integer-ring hyperplanes
+    # as ann_lsh_topk, XOR bit-flip probes, fold-ordered cosine rerank —
+    # the oracle unrolls the 4 tables and the 5-bucket probe set per
+    # query, so even this approximate index is hash-exact cross-engine.
+    oracle=_MULTIPROBE_ORACLE,
+    tags=("similarity", "ann", "lsh", "multiprobe"),
+)
+def ann_multiprobe_lsh_q(spark, sf_dir):
+    """Multi-probe LSH top-5 (Lv et al. 2007): HALF of ann_lsh_topk's
+    tables, with each query also probing the n_planes single-sign-flip
+    neighbor buckets.  The corpus-side fan-out — rows × tables keys, the
+    index cost that dominates at 10⁹ vectors — halves; the extra probes
+    ride only the bounded query side.  Recall vs the 8-table single-probe
+    index is gated in pytest."""
+    return S.ann_multiprobe_lsh_topk(
+        load_table(spark, sf_dir, "embeddings"), 10, 5
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     # The LSH pruning is DETERMINISTIC (integer-arithmetic hyperplanes,
@@ -664,6 +722,209 @@ def doc_quality(spark, sf_dir):
             "type_token_ratio",
             "quality",
         ),
+    )
+
+
+@register(
+    "lang_confusion_matrix",
+    oracle=f"""
+    WITH pred AS (
+        SELECT doc_id, lang, {_LANG_CASE} AS pred_lang FROM (
+            SELECT doc_id, lang,
+                   {', '.join(f'{_marker_sql(lang)} AS s_{lang}' for lang in sorted(TX.LANG_MARKERS))}
+            FROM documents
+        )
+    ),
+    cm AS (
+        SELECT lang, pred_lang, count(*) AS n_docs
+        FROM pred GROUP BY lang, pred_lang
+    )
+    SELECT lang, pred_lang, n_docs,
+           CAST({ratio_micro_sql(
+               "n_docs", "sum(n_docs) OVER (PARTITION BY lang)"
+           )} AS DOUBLE) / 1000000 AS share
+    FROM cm
+    """,
+    tags=("text", "langid", "eval"),
+)
+def lang_confusion_matrix(spark, sf_dir):
+    """Language-ID error analysis: (labeled lang × predicted lang) doc
+    counts plus each cell's share of its true-lang row — the confusion
+    matrix an eval harness reads before trusting ``lang_id``'s verdicts
+    in a curation gate (which languages leak into which).
+
+    Scale shape: the prediction is the one-pass Arrow text-profile
+    kernel; the matrix is a partial-agg groupBy whose exchange carries
+    ≤ |langs|² rows, and the per-row share window runs on that tiny
+    frame.  Exact integer micro share (functions.numeric)."""
+    d = load_table(spark, sf_dir, "documents")
+    prof = TX.text_profile_table(d, ("doc_id", "lang"), ("pred_lang",))
+    cm = prof.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("lang")
+    return cm.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        (
+            ratio_micro(F.col("n_docs"), F.sum("n_docs").over(w)).cast(
+                "double"
+            )
+            / 1000000
+        ).alias("share"),
+    )
+
+
+_QP_QUALITY_SQL = f"""
+        SELECT doc_id, source,
+               CAST(4 * ({_TTR_RM})
+                  + 3 * least(({_STOP_RM}) * 5, 1000000)
+                  + 3 * (1000000 - least(({_PUNCT_RM}) * 10, 1000000))
+                  AS DOUBLE) / 10000000.0 AS quality
+        FROM (
+            SELECT doc_id, source, length(text) AS n_chars,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_filter(string_split(text, ' '),
+                       w -> list_contains(['the', 'a', 'of', 'and', 'is'], w)))
+                       AS n_stop,
+                   len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+                   len(list_distinct(string_split(text, ' '))) AS uniq_words
+            FROM documents
+        )
+"""
+
+
+@register(
+    "quality_percentile_by_source",
+    oracle=f"""
+    WITH q AS ({_QP_QUALITY_SQL}),
+    r AS (
+        SELECT doc_id, source, quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY quality, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM q
+    )
+    SELECT doc_id, source, quality,
+           CASE WHEN n > 1
+                THEN CAST({ratio_micro_sql("rn - 1", "n - 1")} AS DOUBLE)
+                     / 1000000
+                ELSE 0.0 END AS pct
+    FROM r
+    """,
+    tags=("text", "quality", "calibration"),
+)
+def quality_percentile_by_source(spark, sf_dir):
+    """Per-source quality percentile (rank−1)/(n−1) — the calibration
+    step before a GLOBAL quality threshold: raw scores aren't comparable
+    across sources (a mid-tier web page outscores a top-tier forum
+    post), so curation pipelines threshold on the within-source
+    percentile instead.  Deterministic total order (quality, doc_id) and
+    exact integer micro ratio, so the percentile is hash-exact.
+
+    Scale shape: quality comes from the one-pass Arrow kernel; the rank
+    needs ONE exchange keyed by source.  At 100 TB a skewed source makes
+    a single-partition sort the bottleneck — the production form is the
+    classic two-pass distributed rank (per-partition counts, broadcast
+    prefix offsets), same result, which this op's semantics (and oracle)
+    already pin."""
+    d = load_table(spark, sf_dir, "documents")
+    prof = TX.text_profile_table(d, ("doc_id", "source"), ("quality",))
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    n = F.count("*").over(Window.partitionBy("source"))
+    rn = F.row_number().over(w)
+    return prof.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.when(
+            n > 1,
+            ratio_micro(rn - 1, n - 1).cast("double") / 1000000,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-based) decontamination
+# ---------------------------------------------------------------------------
+
+SEM_DECON_MICRO = 350_000  # cosine >= 0.35 vs any eval vector => leaked
+_SEM_ENC_SQL = (
+    "(CAST(CAST({cos} AS DECIMAL(18,6)) * 1000000 AS BIGINT) + 1000000)"
+    " * 16 + (15 - q.vec_id)"
+)
+
+
+@register(
+    "semantic_decontamination",
+    oracle=f"""
+    WITH p AS (
+        SELECT c.vec_id,
+               {_SEM_ENC_SQL.format(
+                   cos=_cos_sql('q.embedding', 'c.embedding'))} AS enc
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10
+    ),
+    b AS (SELECT vec_id, max(enc) AS enc FROM p GROUP BY vec_id)
+    SELECT vec_id,
+           CAST(15 - enc % 16 AS BIGINT) AS eval_id,
+           CAST((enc // 16) - 1000000 AS DOUBLE) / 1000000 AS cosine,
+           CAST(CASE WHEN (enc // 16) - 1000000 >= {SEM_DECON_MICRO}
+                     THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM b
+    """,
+    tags=("training-data", "decontamination", "embedding"),
+)
+def semantic_decontamination(spark, sf_dir):
+    """Embedding-based eval-set decontamination — the semantic sibling of
+    the n-gram ``decontamination``/``bloom_decontamination`` pair:
+    paraphrased benchmark leakage shares no 4-grams but DOES sit next to
+    the eval item in embedding space, so production decontamination
+    (GPT-3 appendix C lineage) runs both.  For every corpus vector
+    (vec_id ≥ 10), the nearest eval vector (the bounded vec_id < 10
+    block, the ANN ladder's query convention), its cosine, and the
+    ≥ 0.35 contamination flag.
+
+    Engine-exactness: the per-corpus-row argmax folds through ONE
+    integer — enc = (cosine_micro + 1e6)·16 + (15 − eval_id) — so
+    max(enc) picks the highest cosine with the smallest-eval-id
+    tie-break in any engine and any aggregation order; the decode is
+    non-negative floor division (no truncate-vs-floor divergence).
+
+    Scale shape: the eval block broadcasts (eval sets are ~10³-10⁴ rows;
+    the corpus side never shuffles its vectors), the argmax is a
+    map-side partial aggregate, and the exchange carries one (vec_id,
+    enc) row per corpus vector.  At 10⁹ corpus vectors the same op runs
+    on LSH/IVF candidates first (ann_* tiers), identical semantics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(S._dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
+    )
+    c = ensure_parallelism(emb.filter(F.col("vec_id") >= 10)).select(
+        "vec_id",
+        F.col("embedding").alias("ce"),
+        F.sqrt(S._dot(F.col("embedding"), F.col("embedding"))).alias("cn"),
+    )
+    cos = F.round(
+        S._dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6
+    )
+    micro = (cos.cast("decimal(18,6)") * 1000000).cast("long")
+    enc = (micro + 1000000) * 16 + (15 - F.col("qid"))
+    best = (
+        c.join(F.broadcast(q))
+        .select("vec_id", enc.alias("enc"))
+        .groupBy("vec_id")
+        .agg(F.max("enc").alias("enc"))
+    )
+    dec_micro = F.expr("enc div 16") - 1000000
+    return best.select(
+        "vec_id",
+        (15 - F.col("enc") % 16).alias("eval_id"),
+        (dec_micro.cast("double") / 1000000).alias("cosine"),
+        (dec_micro >= SEM_DECON_MICRO).cast("int").alias("contaminated"),
     )
 
 

@@ -302,6 +302,13 @@ _PRIORITY = [
     "sequence_packing",
     "decontamination",
     "value_moments",
+    # ---- round-6 additions (multi-probe LSH, semantic decontamination,
+    # lang-ID eval, per-source quality calibration) — locally full-hash
+    # oracled; round-7 window candidates ----
+    "ann_multiprobe_lsh",
+    "semantic_decontamination",
+    "lang_confusion_matrix",
+    "quality_percentile_by_source",
 ]
 
 

@@ -615,6 +615,52 @@ def streaming_bloom_decontamination(
     )
 
 
+def streaming_semantic_decontamination(
+    vectors: DataFrame,
+    eval_vecs: list[tuple[int, list[float]]],
+    threshold_micro: int | None = None,
+) -> DataFrame:
+    """Embedding-based decontamination at INGEST — the semantic leg next
+    to ``streaming_bloom_decontamination``'s n-gram probe: the (small,
+    offline-collected) eval-set vectors ride into the plan as array
+    literals and every arriving vector's nearest-eval cosine is computed
+    SCAN-SIDE: one fold per eval vector, argmax folded through the batch
+    op's single-integer encoding (``plans.llm_pipeline.
+    semantic_decontamination`` — enc = (cosine_micro + 1e6)·16 +
+    (15 − eval_id)) via ``greatest``, so stream and batch verdicts are
+    bit-identical by construction (pinned in tests/test_streaming.py).
+
+    Stateless narrow map: no explode, no aggregation, no watermark — the
+    whole argmax lives inside the row, and the plan size is
+    O(n_eval · dim) literals (the 'model as plan constant' layout; at
+    eval sets beyond broadcast size the batch LSH-candidate form takes
+    over).  Emits (vec_id, eval_id, cosine, contaminated) per arriving
+    vector."""
+    from ..functions.similarity import _dot
+    from ..plans.llm_pipeline import SEM_DECON_MICRO
+
+    if threshold_micro is None:
+        threshold_micro = SEM_DECON_MICRO
+    cn = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    encs = []
+    for qid, qv in eval_vecs:
+        qlit = F.lit(qv).cast("array<float>")
+        # norms/cosine via the SAME expression trees as the batch op —
+        # Catalyst constant-folds the eval-side norm, bit-identically
+        qn = F.sqrt(_dot(qlit, qlit))
+        cos = F.round(_dot(qlit, F.col("embedding")) / (qn * cn), 6)
+        micro = (cos.cast("decimal(18,6)") * 1000000).cast("long")
+        encs.append((micro + 1000000) * 16 + F.lit(15 - qid).cast("long"))
+    t = vectors.select("vec_id", F.greatest(*encs).alias("enc"))
+    dec_micro = F.expr("enc div 16") - 1000000
+    return t.select(
+        "vec_id",
+        (15 - F.col("enc") % 16).alias("eval_id"),
+        (dec_micro.cast("double") / 1000000).alias("cosine"),
+        (dec_micro >= threshold_micro).cast("int").alias("contaminated"),
+    )
+
+
 def streaming_quality_filter(
     docs: DataFrame, weights, threshold: float = 0.0
 ) -> DataFrame:

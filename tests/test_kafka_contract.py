@@ -147,3 +147,61 @@ def test_to_kafka_frame_topic_column_contract(spark):
     by_key = {r.key: json.loads(r.value) for r in out}
     assert by_key["1"] == {"id": 1, "type": "insert"}
     assert by_key["2"] == {"id": 2, "type": "update"}
+
+
+def test_live_broker_roundtrip(spark, tmp_path):
+    """Opt-in end-to-end round-trip against a REAL broker (reference
+    util/MyKafkaUtil.scala:17-55 + MyKafkaSender.scala:12-40): produce a
+    routed batch through the K1/K2 sink options, consume it back through
+    the S1/S2 source options, and assert the records and their dynamic
+    topic routing survive the wire.
+
+    The sandbox ships no broker and no spark-sql-kafka jar, so this test
+    SKIPS unless ``SPARK_GRAFT_KAFKA_BROKERS`` is set (e.g.
+    ``localhost:9092`` for a local redpanda/kafka) — everything else
+    about S1/S2/K1/K2 is pinned by the contract tests above."""
+    import os
+    import socket
+    import uuid
+
+    import pytest
+
+    brokers = os.environ.get("SPARK_GRAFT_KAFKA_BROKERS")
+    if not brokers:
+        pytest.skip("no broker: set SPARK_GRAFT_KAFKA_BROKERS to opt in")
+    host, _, port = brokers.partition(",")[0].partition(":")
+    try:
+        socket.create_connection((host, int(port or 9092)), timeout=5).close()
+    except OSError as ex:
+        pytest.skip(f"broker {brokers} unreachable: {ex}")
+
+    topic = f"gmall_e2e_{uuid.uuid4().hex[:8]}"
+    df = spark.createDataFrame(
+        [(1, "insert", topic), (2, "update", topic)],
+        "id long, type string, topic string",
+    )
+    routed = to_kafka_frame(df, key_col="id")
+    try:
+        # batch write exercises the SAME producer option set the
+        # streaming writer builds (kafka_sink_options)
+        writer = routed.write.format("kafka")
+        for k, v in kafka_sink_options(brokers).items():
+            writer = writer.option(k, v)
+        writer.save()
+
+        reader = spark.read.format("kafka")
+        for k, v in kafka_source_options(
+            brokers, [topic], "gmall_e2e", starting_offsets="earliest"
+        ).items():
+            if k == "kafka.group.id":
+                continue  # batch reads manage their own group
+            reader = reader.option(k, v)
+        got = project_kafka_frame(reader.load()).collect()
+    except Exception as ex:  # missing spark-sql-kafka jar
+        if "Failed to find data source: kafka" in str(ex):
+            pytest.skip("spark-sql-kafka package not on the classpath")
+        raise
+    by_key = {r.key: json.loads(r.value) for r in got}
+    assert by_key["1"] == {"id": 1, "type": "insert"}
+    assert by_key["2"] == {"id": 2, "type": "update"}
+    assert {r.topic for r in got} == {topic}

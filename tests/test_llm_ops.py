@@ -21,6 +21,26 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert recall >= 0.6, f"LSH recall {recall} below floor"
 
 
+def test_ann_multiprobe_recall_beats_single_probe_at_half_tables(spark, sf_dir):
+    """Multi-probe's whole claim (Lv et al. 2007): with HALF the tables,
+    bit-flip probing recovers at least the recall of a single-probe index
+    over the same 4 tables — i.e. the probes pay for the halved corpus
+    fan-out.  Also pin an absolute floor vs brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {(r.qid, r.cid) for r in S.cosine_topk(emb, 10, 5).collect()}
+    single4 = {
+        (r.qid, r.cid)
+        for r in S.ann_lsh_topk(emb, 10, 5, n_tables=4).collect()
+    }
+    multi = {
+        (r.qid, r.cid) for r in S.ann_multiprobe_lsh_topk(emb, 10, 5).collect()
+    }
+    r_single = len(single4 & brute) / len(brute)
+    r_multi = len(multi & brute) / len(brute)
+    assert r_multi >= r_single, (r_multi, r_single)
+    assert r_multi >= 0.6, f"multi-probe recall {r_multi} below floor"
+
+
 def test_ann_ivf_recall(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     brute = {(r.qid, r.cid) for r in S.cosine_topk(emb, 10, 5).collect()}

@@ -1379,3 +1379,35 @@ def test_hybrid_search_rrf_no_product_fusion(spark, sf_dir):
     work; nothing exchanges the corpus for the fusion itself."""
     plan = _executed_plan(QUERIES["hybrid_search_rrf"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ann_multiprobe_probe_fanout_stays_on_query_side(spark, sf_dir):
+    """ann_multiprobe_lsh: the 5-bucket probe explode rides the BOUNDED
+    query side and broadcasts into the corpus key table (BroadcastHashJoin
+    on (tbl, bkt)); no pair product, and the corpus fan-out is 4 tables
+    (half of ann_lsh_topk's), which is the op's entire point."""
+    from gmallrealtime02_spark.functions import similarity as S
+    from gmallrealtime02_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    result, caches = S.ann_multiprobe_lsh_topk_plan(emb, 10, 5)
+    plan = _strip_cached_subplans(_executed_plan(result))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for c in caches:
+        c.unpersist()
+
+
+def test_semantic_decontamination_argmax_is_partial_agg(spark, sf_dir):
+    """semantic_decontamination: the eval block broadcasts (corpus
+    vectors never shuffle), and the per-corpus-row argmax folds through
+    the single integer encoding as a map-side partial max — the exchange
+    carries one row per corpus vector, no window over the pair stream."""
+    from gmallrealtime02_spark.plans.registry import QUERIES
+
+    plan = _executed_plan(
+        QUERIES["semantic_decontamination"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_max" in plan, plan
+    assert "Window" not in plan, plan

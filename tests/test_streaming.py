@@ -1413,3 +1413,64 @@ def test_streaming_curation_gate_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert {r[0] for r in got} == {1, 4}
+
+
+def test_streaming_semantic_decontamination_matches_batch(spark, tmp_path):
+    """streaming_semantic_decontamination: the eval vectors ride as plan
+    literals and the scan-side greatest() argmax decodes to EXACTLY the
+    batch op's (eval_id, cosine, contaminated) on the same rows; an
+    exact eval-copy vector flags contaminated (cos=1), an orthogonal one
+    does not."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "sem_src")
+    vec_schema = "vec_id long, embedding array<float>"
+    eval_rows = [
+        (0, [1.0, 0.0, 0.0, 0.25]),
+        (1, [0.0, 1.0, 0.0, 0.5]),
+    ]
+    eval_vecs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in spark.createDataFrame(eval_rows, vec_schema).collect()
+    ]
+    rows1 = [
+        (10, [1.0, 0.0, 0.0, 0.25]),   # exact copy of eval 0
+        (11, [0.0, 0.0, 1.0, 0.0]),    # orthogonal to eval 0, weak vs eval 1
+    ]
+    rows2 = [
+        (12, [0.0, 1.0, 0.0, 0.5]),    # exact copy of eval 1
+        (13, [-1.0, -1.0, -1.0, -1.0]),
+    ]
+    _write_batch(spark, src, rows1, schema=vec_schema)
+    _write_batch(spark, src, rows2, schema=vec_schema)
+    stream = (
+        spark.readStream.schema(vec_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        SJ.streaming_semantic_decontamination(stream, eval_vecs)
+        .writeStream.format("memory")
+        .queryName("sem_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.vec_id, r.eval_id, r.cosine, r.contaminated)
+            for r in spark.sql("SELECT * FROM sem_out").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.vec_id, r.eval_id, r.cosine, r.contaminated)
+        for r in SJ.streaming_semantic_decontamination(
+            spark.read.schema(vec_schema).parquet(src + "/*"), eval_vecs
+        ).collect()
+    }
+    assert got == batch
+    by_id = {t[0]: t for t in got}
+    assert by_id[10] == (10, 0, 1.0, 1)
+    assert by_id[12] == (12, 1, 1.0, 1)
+    assert by_id[13][3] == 0
