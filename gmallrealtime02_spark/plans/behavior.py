@@ -1166,3 +1166,100 @@ def coview_bfs_depth(spark, sf_dir):
         frontier = nxt
     edges.unpersist()
     return visited
+
+
+COVIEW_SIM_MAX_USER_ITEMS = 32  # heavy-user gate: power users view
+# everything and contribute O(items²) pairs of pure noise — the standard
+# co-occurrence-mining cap (mirrored exactly in the oracle, so the gate
+# is part of the op's semantics, not a sampling shortcut)
+COVIEW_SIM_MIN_CO = 2  # pairs must co-occur for 2+ users to surface
+
+
+@register(
+    "coview_item_similarity",
+    oracle=f"""
+    WITH ui0 AS (
+        SELECT DISTINCT user_id, CAST(props->>'$.k' AS INTEGER) AS item
+        FROM events WHERE event_type = 'view'
+    ),
+    uc AS (SELECT user_id FROM ui0 GROUP BY user_id
+           HAVING count(*) <= {COVIEW_SIM_MAX_USER_ITEMS}),
+    ui AS (SELECT ui0.user_id, ui0.item FROM ui0 JOIN uc USING (user_id)),
+    co AS (
+        SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+        FROM ui a JOIN ui b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2
+    ),
+    deg AS (SELECT item, count(*) AS n_u FROM ui GROUP BY item)
+    SELECT item_a, item_b, n_co,
+           da.n_u AS users_a, db.n_u AS users_b,
+           CAST({ratio_micro_sql(
+               "n_co", "da.n_u + db.n_u - n_co"
+           )} AS DOUBLE) / 1000000 AS jaccard
+    FROM co
+    JOIN deg da ON da.item = co.item_a
+    JOIN deg db ON db.item = co.item_b
+    WHERE n_co >= {COVIEW_SIM_MIN_CO}
+    """,
+    tags=("graph", "recommendation", "similarity"),
+)
+def coview_item_similarity(spark, sf_dir):
+    """Item-item co-view Jaccard — the classic item-based collaborative-
+    filtering similarity ("viewers of A also viewed B") over the same
+    user→item view relation the coview graph family mines: for every
+    item pair co-viewed by ≥ 2 users, |users(a) ∩ users(b)| /
+    |users(a) ∪ users(b)| in exact integer micro units.
+
+    Scale shape: the pair fan-out is the per-user self-join — quadratic
+    in PER-USER list size, which is why the heavy-user gate (≤ 32
+    distinct items, the standard co-occurrence cap, enforced identically
+    in the oracle) bounds it at 32²/2 pairs per user; the pair counts
+    and item degrees are partial aggregates, and the degree joins key on
+    items (shuffle joins — item degree tables at 10⁹ items exceed
+    broadcast).  No item-level cross product ever forms."""
+    e = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    ui0 = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .distinct()
+    )
+    uc = (
+        ui0.groupBy("user_id")
+        .agg(F.count("*").alias("n_items"))
+        .filter(F.col("n_items") <= COVIEW_SIM_MAX_USER_ITEMS)
+        .select("user_id")
+    )
+    ui = ui0.join(uc, "user_id").persist()
+    b = ui.select(F.col("user_id").alias("uid"), F.col("item").alias("item_b"))
+    co = (
+        ui.join(b, (ui.user_id == b.uid) & (ui.item < b.item_b))
+        .groupBy(F.col("item").alias("item_a"), "item_b")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= COVIEW_SIM_MIN_CO)
+    )
+    deg = ui.groupBy("item").agg(F.count("*").alias("n_u"))
+    da = deg.select(F.col("item").alias("item_a"), F.col("n_u").alias("users_a"))
+    db = deg.select(F.col("item").alias("item_b"), F.col("n_u").alias("users_b"))
+    result = (
+        co.join(da, "item_a")
+        .join(db, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_co",
+            "users_a",
+            "users_b",
+            (
+                ratio_micro(
+                    F.col("n_co"),
+                    F.col("users_a") + F.col("users_b") - F.col("n_co"),
+                ).cast("double")
+                / 1000000
+            ).alias("jaccard"),
+        )
+    )
+    return materialized(result, ui)

@@ -1156,6 +1156,88 @@ def bpe_compression_by_lang(spark, sf_dir):
     )
 
 
+def _bpe_fertility_oracle_sql(n_merges: int) -> str:
+    """DuckDB mirror of ``tokenizer_fertility_by_lang``: learn the merges
+    via the shared CTE chain, re-encode, then aggregate nonempty words
+    and BPE tokens per lang with exact integer sums."""
+    enc = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for k in range(1, n_merges + 1):
+        enc = (
+            f"ltrim(list_reduce(list_prepend('', string_split({enc}, ' ')), "
+            f"(acc, x) -> acc || CASE WHEN ends_with(acc, ' ' || b{k}.pa) "
+            f"AND x = b{k}.pb THEN x ELSE ' ' || x END))"
+        )
+    crosses = " ".join(f"CROSS JOIN b{k}" for k in range(1, n_merges + 1))
+    return f"""{_bpe_ctes(n_merges)},
+    enc AS (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '), w0 -> w0 != ''))
+                   AS n_words,
+               list_transform(
+                   list_filter(string_split(text, ' '), w0 -> w0 != ''),
+                   w -> {enc}) AS encw
+        FROM documents {crosses}
+    ),
+    tok AS (
+        SELECT lang, n_words,
+               CAST(coalesce(list_sum(list_transform(
+                   encw, s -> len(string_split(s, ' ')))), 0) AS BIGINT)
+                   AS n_tokens
+        FROM enc
+    )
+    SELECT lang, count(*) AS docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST({ratio_micro_sql("sum(n_tokens)", "nullif(sum(n_words), 0)")}
+                AS DOUBLE) / 1000000 AS fertility
+    FROM tok GROUP BY lang"""
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=_bpe_fertility_oracle_sql(N_MERGES),
+    tags=("tokenizer", "bpe", "multilingual", "fairness"),
+)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility (BPE tokens per word) per language under the
+    shared learned vocabulary — the OTHER standard multilingual
+    tokenizer-fairness metric next to ``bpe_compression_by_lang``'s
+    chars-per-token: fertility is what sets each language's effective
+    context length and per-word training cost (a fertility-2 language
+    sees half the text in the same sequence budget).
+
+    Scale shape: identical to ``bpe_encode`` — one corpus exchange for
+    training, merges ship as literals, encoding is the zero-exchange
+    memoized Arrow kernel; the fertility rollup is a |languages|-key
+    partial aggregate over exact integer word/token sums."""
+    merges = _learn_merges(spark, sf_dir)
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    n_words = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    )
+    per_doc = bpe_encode_table(
+        d.withColumn("n_words", n_words),
+        merges,
+        extra_cols=("lang", "n_words"),
+    )
+    tok = F.sum(F.col("n_tokens").cast("bigint"))
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("n_words").cast("bigint")).alias("total_words"),
+        tok.alias("total_tokens"),
+        (
+            ratio_micro(
+                tok,
+                F.when(
+                    F.sum(F.col("n_words").cast("bigint")) > 0,
+                    F.sum(F.col("n_words").cast("bigint")),
+                ),
+            ).cast("double")
+            / 1000000
+        ).alias("fertility"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Source-divergence matrix (mixing/curation diagnostics)
 # ---------------------------------------------------------------------------

@@ -309,6 +309,9 @@ _PRIORITY = [
     "semantic_decontamination",
     "lang_confusion_matrix",
     "quality_percentile_by_source",
+    "tokenizer_fertility_by_lang",
+    "pack_efficiency_report",
+    "coview_item_similarity",
 ]
 
 

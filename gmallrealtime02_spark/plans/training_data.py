@@ -114,6 +114,76 @@ Deterministic (no first-fit heuristic state), one exchange on
 )
 
 
+@register(
+    "pack_efficiency_report",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, doc_id % {PACK_SHARDS} AS shard,
+               len(string_split(text, ' ')) AS ntok
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, shard, ntok,
+               CAST(coalesce(sum(ntok) OVER (
+                   PARTITION BY lang, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS prior
+        FROM c0
+    ),
+    b AS (
+        SELECT lang, shard, ntok, prior,
+               unnest(generate_series(prior // {PACK_BUDGET},
+                   (prior + greatest(ntok, 1) - 1) // {PACK_BUDGET})) AS bin
+        FROM c
+    ),
+    bins AS (
+        SELECT lang, shard, bin,
+               CAST(sum(least((bin + 1) * {PACK_BUDGET}, prior + ntok)
+                        - greatest(bin * {PACK_BUDGET}, prior)) AS BIGINT)
+                   AS bin_tokens
+        FROM b GROUP BY 1, 2, 3
+    )
+    SELECT lang, count(*) AS n_bins,
+           CAST(sum(bin_tokens) AS BIGINT) AS packed_tokens,
+           CAST(count(*) * {PACK_BUDGET} AS BIGINT) AS capacity,
+           CAST(count(*) * {PACK_BUDGET} - sum(bin_tokens) AS BIGINT)
+               AS padding_tokens,
+           CAST({ratio_micro_sql(
+               "sum(bin_tokens)", f"count(*) * {PACK_BUDGET}"
+           )} AS DOUBLE) / 1000000 AS fill_ratio
+    FROM bins GROUP BY lang
+    """.replace("FROM c0", "FROM t"),
+    tags=("training-data", "packing", "eval"),
+)
+def pack_efficiency_report(spark, sf_dir):
+    """Packing-efficiency readout over ``sequence_packing``'s bins — the
+    number a training-infra team actually watches: per language, bin
+    count, packed tokens, capacity (bins × budget), padding waste, and
+    the fill ratio.  By construction every non-final bin of a (lang,
+    shard) stream is exactly full, so padding = shards × (budget −
+    final-bin fill) and the report quantifies the shard-count/padding
+    trade (more shards ⇒ more parallel fill streams ⇒ more partial final
+    bins).
+
+    Scale shape: the bins frame costs what sequence_packing costs (one
+    (lang, shard) exchange); the report is a |languages|-key partial
+    aggregate on top.  Exact integer micro fill ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    bins = pack_bins(d.select("doc_id", "lang", ntok.alias("ntok")))
+    cap = F.count("*") * PACK_BUDGET
+    toks = F.sum("bin_tokens").cast("bigint")
+    return bins.groupBy("lang").agg(
+        F.count("*").alias("n_bins"),
+        toks.alias("packed_tokens"),
+        cap.cast("bigint").alias("capacity"),
+        (cap - F.sum("bin_tokens")).cast("bigint").alias("padding_tokens"),
+        (
+            ratio_micro(toks, cap.cast("bigint")).cast("double") / 1000000
+        ).alias("fill_ratio"),
+    )
+
+
 _SH4 = """
     SELECT doc_id, unnest(list_distinct(list_transform(
         generate_series(0, len(string_split(text, ' ')) - 4),

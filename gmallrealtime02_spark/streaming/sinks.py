@@ -102,3 +102,73 @@ def to_kafka_frame(df: DataFrame, topic_col: str = "topic", key_col: str | None 
     if key_col:
         cols.insert(1, F.col(key_col).cast("string").alias("key"))
     return df.select(*cols)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict[str, tuple[int, int]]:
+    """Small-file compaction for the append sink's parquet layout — the
+    maintenance job every streaming-parquet table at 100 TB needs:
+    ``make_append_sink`` writes one file set PER MICRO-BATCH, so a
+    day-partition ingested in 1000 triggers holds 1000s of KB-sized
+    files and every downstream scan pays 1000 file-open/footer costs.
+
+    Per partition directory (or the root for unpartitioned tables):
+    if it holds >= ``min_files`` parquet files, rewrite it to
+    ceil(bytes / target_bytes) files via coalesce and atomically swap
+    (tmp write -> rename live to .old -> rename tmp live -> drop .old,
+    the ``upsert_batch`` exposure discipline).  Returns
+    {partition_rel_path: (files_before, files_after)} for the audit log.
+
+    Scale notes: compaction is per-partition and embarrassingly parallel
+    across partitions (run one job per partition or a driver loop like
+    this one); coalesce (not repartition) avoids a shuffle — input files
+    are merely concatenated split-wise; target_bytes uses on-disk size as
+    the proxy the way table services (Delta OPTIMIZE, Iceberg rewrite)
+    do.  Readers never see a partial state: the swap is two renames."""
+    import math
+
+    results: dict[str, tuple[int, int]] = {}
+    if partition_by:
+        # enumerate leaf partition dirs (hive-style key=value nesting)
+        leaves: list[str] = []
+
+        def walk(d: str, depth: int) -> None:
+            if depth == len(partition_by):
+                leaves.append(d)
+                return
+            for name in sorted(os.listdir(d)):
+                sub = os.path.join(d, name)
+                if os.path.isdir(sub) and name.startswith(
+                    partition_by[depth] + "="
+                ):
+                    walk(sub, depth + 1)
+
+        walk(path, 0)
+    else:
+        leaves = [path]
+    for leaf in leaves:
+        files = [
+            f
+            for f in os.listdir(leaf)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        if len(files) < min_files:
+            continue
+        total = sum(os.path.getsize(os.path.join(leaf, f)) for f in files)
+        n_out = max(1, math.ceil(total / target_bytes))
+        if n_out >= len(files):
+            continue
+        df = spark.read.parquet(leaf)
+        tmp = f"{leaf}.compact-{uuid.uuid4().hex}"
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+        old = f"{leaf}.old-{uuid.uuid4().hex}"
+        os.rename(leaf, old)
+        os.rename(tmp, leaf)
+        shutil.rmtree(old, ignore_errors=True)
+        results[os.path.relpath(leaf, path)] = (len(files), n_out)
+    return results
