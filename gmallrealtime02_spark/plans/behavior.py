@@ -1263,3 +1263,105 @@ def coview_item_similarity(spark, sf_dir):
         )
     )
     return materialized(result, ui)
+
+
+@register(
+    "coview_clustering_coefficient",
+    oracle=f"""
+    WITH ui AS (SELECT DISTINCT user_id,
+                       CAST(props->>'$.k' AS INTEGER) AS item
+                FROM events WHERE event_type = 'view'),
+    e AS (SELECT DISTINCT a.item AS lo, b.item AS hi
+          FROM ui a JOIN ui b
+            ON a.user_id = b.user_id AND a.item < b.item),
+    tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+            FROM e e1
+            JOIN e e2 ON e2.lo = e1.hi
+            JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+    tx AS (SELECT item, count(*) AS n_triangles FROM (
+               SELECT a AS item FROM tri UNION ALL
+               SELECT b FROM tri UNION ALL
+               SELECT c FROM tri) GROUP BY item),
+    deg AS (SELECT item, count(*) AS degree FROM (
+                SELECT lo AS item FROM e UNION ALL SELECT hi FROM e)
+            GROUP BY item)
+    SELECT d.item, d.degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN CAST({ratio_micro_sql(
+                    "2 * coalesce(t.n_triangles, 0)",
+                    "d.degree * (d.degree - 1)",
+                )} AS DOUBLE) / 1000000
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg d LEFT JOIN tx t ON t.item = d.item
+    """,
+    tags=("graph", "triangle", "clustering-coefficient"),
+)
+def coview_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient per co-view item — the normalized
+    form of ``triangle_count``'s raw participation: cc(v) = 2·T(v) /
+    (deg(v)·(deg(v)−1)), the community-density score that separates
+    items inside tight co-browse cliques (accessories of one product
+    line) from hub items that bridge unrelated neighborhoods (cc → 0 as
+    degree grows without closure).  All nodes are reported; degree-1
+    nodes get cc = 0.
+
+    Scale shape: reuses triangle_count's canonical-orientation wedge
+    join (one edge cache feeds wedges, the closing probe, AND the degree
+    count — edges are scanned, never rebuilt); degrees and triangle
+    participation are partial aggregates keyed by item; the cc ratio is
+    exact integer micro.  Same heavy-user upstream-cap note as the rest
+    of the coview family."""
+    e = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    ui = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .distinct()
+    )
+    b = ui.select(F.col("user_id").alias("uid"), F.col("item").alias("item_b"))
+    edges = (
+        ui.join(b, (ui.user_id == b.uid) & (ui.item < b.item_b))
+        .select(F.col("item").alias("lo"), F.col("item_b").alias("hi"))
+        .distinct()
+        .persist()
+    )
+    e1 = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = edges.select(F.col("lo").alias("b2"), F.col("hi").alias("c"))
+    wedges = e1.join(e2, e1.b == e2.b2).select("a", "b", "c")
+    closing = edges.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = wedges.join(closing, ["a", "c"])
+    tx = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("lo").alias("item"))
+        .unionByName(edges.select(F.col("hi").alias("item")))
+        .groupBy("item")
+        .agg(F.count("*").alias("degree"))
+    )
+    result = (
+        deg.join(tx, "item", "left")
+        .select(
+            "item",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                ratio_micro(
+                    2 * F.coalesce(F.col("n_triangles"), F.lit(0)),
+                    F.col("degree") * (F.col("degree") - 1),
+                ).cast("double")
+                / 1000000,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+    return materialized(result, edges)

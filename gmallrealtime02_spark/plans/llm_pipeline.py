@@ -2142,6 +2142,154 @@ def _doc_lm_perplexity_plan(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Perplexity-driven domain reweighting (DoReMi-flavored, exact arithmetic)
+# ---------------------------------------------------------------------------
+
+PPLMIX_FLOOR_MICRO = 10_000  # +0.01-nat floor: every domain keeps mass
+
+
+@register(
+    "perplexity_mix",
+    oracle=f"""
+    WITH bg AS (
+        SELECT source, lang, unnest(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 1),
+            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        )) AS bg
+        FROM documents
+    ),
+    c12 AS (SELECT lang, bg, count(*) AS c12 FROM bg GROUP BY lang, bg),
+    c1 AS (
+        SELECT lang, split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+        FROM c12 GROUP BY lang, w1
+    ),
+    v AS (
+        SELECT lang, count(DISTINCT split_part(bg, ' ', 2)) AS v
+        FROM c12 GROUP BY lang
+    ),
+    lm AS (
+        SELECT c12.lang, c12.bg,
+               CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE) AS p
+        FROM c12
+        JOIN c1 ON c12.lang = c1.lang AND split_part(c12.bg, ' ', 1) = c1.w1
+        JOIN v ON c12.lang = v.lang
+    ),
+    scored AS (
+        SELECT bg.source, count(*) AS n_bigrams,
+               sum(CAST(round(-ln(lm.p), 6) AS DECIMAL(18,6))) AS nll
+        FROM bg JOIN lm ON bg.lang = lm.lang AND bg.bg = lm.bg
+        GROUP BY bg.source
+    ),
+    src AS (
+        SELECT source, n_bigrams,
+               CAST((2 * CAST(nll * 1000000 AS BIGINT) + n_bigrams)
+                    // (2 * n_bigrams) AS BIGINT) AS mean_nll_u
+        FROM scored
+    ),
+    ex AS (
+        SELECT source, n_bigrams, mean_nll_u,
+               mean_nll_u - min(mean_nll_u) OVER ()
+                   + {PPLMIX_FLOOR_MICRO} AS excess_u
+        FROM src
+    )
+    SELECT source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(mean_nll_u AS DOUBLE) / 1000000 AS mean_nll,
+           CAST(excess_u AS BIGINT) AS excess_u,
+           CAST({ratio_micro_sql("excess_u", "sum(excess_u) OVER ()")}
+                AS DOUBLE) / 1000000 AS weight
+    FROM ex
+    """,
+    tags=("training-data", "mixing", "language-model", "doremi"),
+)
+def perplexity_mix(spark, sf_dir):
+    """Perplexity-driven domain reweighting — the DoReMi family's core
+    move (Xie et al. 2023: upweight domains the model finds HARD) in a
+    self-contained single-pass form: score every source's bigrams under
+    the corpus-trained per-language add-1 LM (``doc_lm_perplexity``'s
+    tables), take each source's exact mean NLL, and weight each source
+    by its excess over the easiest source (+0.01-nat floor so no domain
+    starves), normalized to a mixture.  Complements the count-based
+    mixes (``temperature_mix`` flattens by size; this reweights by
+    difficulty).
+
+    Engine-exactness: mean NLL via the (2a+n) div (2n) integer half-up
+    on exact DECIMAL sums; excess and the final weight are pure integer
+    micro ratios — no exp/softmax in the output path (a softmax's
+    cross-engine exp is exactly the class functions/numeric.py exists to
+    avoid; excess-proportional is the same monotone ordering).
+
+    Scale shape: identical corpus cost to ``doc_lm_perplexity`` (one
+    bigram explode, one (lang, bigram) LM aggregation, one scoring
+    join) — then |sources|-row windows.  The per-source rollup replaces
+    the per-doc one, so the exchange after scoring carries source keys,
+    not doc keys."""
+    d = load_table(spark, sf_dir, "documents")
+    ws_d = ensure_parallelism(
+        d.select("doc_id", "lang", "source", F.split("text", " ").alias("ws"))
+    )
+    bg = ws_d.select(
+        "source",
+        "lang",
+        F.explode(TX.word_bigrams_of(F.col("ws"))).alias("bg"),
+    ).persist()
+    c12 = bg.groupBy("lang", "bg").agg(F.count("*").alias("c12")).persist()
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    c1 = c12.groupBy("lang", w1.alias("w1")).agg(F.sum("c12").alias("c1"))
+    v = (
+        c12.select("lang", F.substring_index(F.col("bg"), " ", -1).alias("w2"))
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count("*").alias("v"))
+    )
+    lm = (
+        c12.withColumn("w1", w1)
+        .join(c1, ["lang", "w1"])
+        .join(F.broadcast(v), "lang")
+        .select(
+            "lang",
+            "bg",
+            (
+                (F.col("c12") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("p"),
+        )
+    )
+    nll_term = F.round(-F.log(F.col("p")), 6).cast("decimal(18,6)")
+    src = (
+        bg.join(lm, ["lang", "bg"])
+        .groupBy("source")
+        .agg(F.count("*").alias("n_bigrams"), F.sum(nll_term).alias("nll"))
+        .select(
+            "source",
+            "n_bigrams",
+            F.expr(
+                "CAST((2 * CAST(nll * 1000000 AS BIGINT) + n_bigrams)"
+                " div (2 * n_bigrams) AS BIGINT)"
+            ).alias("mean_nll_u"),
+        )
+    )
+    wall = Window.partitionBy()
+    excess = (
+        F.col("mean_nll_u")
+        - F.min("mean_nll_u").over(wall)
+        + PPLMIX_FLOOR_MICRO
+    )
+    result = src.withColumn("excess_u", excess).select(
+        "source",
+        "n_bigrams",
+        (F.col("mean_nll_u").cast("double") / 1000000).alias("mean_nll"),
+        "excess_u",
+        (
+            ratio_micro(F.col("excess_u"), F.sum("excess_u").over(wall)).cast(
+                "double"
+            )
+            / 1000000
+        ).alias("weight"),
+    )
+    return materialized(result, bg, c12)
+
+
+# ---------------------------------------------------------------------------
 # Collocations, inverted index, quality-ranked canonical dedup
 # ---------------------------------------------------------------------------
 

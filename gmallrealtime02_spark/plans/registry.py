@@ -312,6 +312,8 @@ _PRIORITY = [
     "tokenizer_fertility_by_lang",
     "pack_efficiency_report",
     "coview_item_similarity",
+    "coview_clustering_coefficient",
+    "perplexity_mix",
 ]
 
 

@@ -43,6 +43,11 @@ INVARIANCE_CRITICAL = [
     "hybrid_search_rrf",       # integer ranks from deterministic legs
     "coview_components",       # min-label fixpoint — pure edge-set function
     "coview_bfs_depth",        # frontier BFS — pure edge-set function
+    "ann_multiprobe_lsh",      # deterministic XOR probes + rounded cosines
+    "semantic_decontamination",  # single-integer argmax encoding
+    "perplexity_mix",          # decimal NLL sums + integer excess weights
+    "coview_clustering_coefficient",  # integer-only triangle/degree ratio
+    "quality_percentile_by_source",   # total order + integer micro rank
 ]
 
 

