@@ -1409,3 +1409,62 @@ def record_linkage(spark, sf_dir):
             "is_match"
         ),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    tr AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           CAST({ratio_micro_sql(
+               "n", "sum(n) OVER (PARTITION BY prev_type)"
+           )} AS DOUBLE) / 1000000 AS p_next
+    FROM tr
+    """,
+    tags=("behavior", "window", "markov"),
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    for every (previous event type → next event type) pair, the
+    transition count and conditional probability P(next | prev) — the
+    foundation of Markov attribution, next-action prediction, and
+    journey anomaly detection (a spike in view→error says more than
+    error counts alone).
+
+    Scale shape: ONE user-keyed exchange for the lag window (the same
+    exchange shape sessionize/user_event_seq already pay), then a
+    partial-agg groupBy whose exchange carries ≤ |event_types|² rows;
+    the row-normalizing window runs on that tiny frame.  Exact integer
+    micro probabilities (functions.numeric)."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import ensure_parallelism
+
+    e = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    tr = seq.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    wrow = Window.partitionBy("prev_type")
+    return tr.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            ratio_micro(F.col("n"), F.sum("n").over(wrow)).cast("double")
+            / 1000000
+        ).alias("p_next"),
+    )

@@ -629,6 +629,102 @@ def ann_ivf_topk_q(spark, sf_dir):
     return S.ann_ivf_topk(load_table(spark, sf_dir, "embeddings"), 10, 5)
 
 
+IVFK_CELLS = 16
+IVFK_ITERS = 2
+IVFK_PROBE = 4
+
+_IVFK_DIST = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len(v.e)), "
+    "j -> (v.e[j] - c.cvec[j]) * (v.e[j] - c.cvec[j]))), (x, y) -> x + y)"
+)
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    # The whole pipeline is engine-reproducible — the coarse quantizer
+    # inherits kmeans_fit's determinism contract (first-k init,
+    # 1e-6-quantized inputs, DECIMAL-exact centroid sums, cid
+    # tie-breaks), probing ranks cells by the same fold-ordered L2, and
+    # the rerank is the ladder's rounded cosine — so the oracle unrolls
+    # the 2 Lloyd iterations AND the probe/rerank in one SQL query.
+    oracle=None,  # set below: needs _kmeans_ctes, defined later in module
+    tags=("similarity", "ann", "ivf", "clustering"),
+)
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF with a TRAINED coarse quantizer — the production form
+    ``ann_ivf_topk``'s docstring promises (its first-16 'centroids' are
+    the probe/prune mechanics demo; real IVF k-means them so cells track
+    the data distribution): k=16 Lloyd cells (2 iterations), every
+    corpus vector assigned to its nearest cell, each query probing its 4
+    nearest cells by centroid L2, exact cosine rerank over the pruned
+    candidates.
+
+    Scale shape: training costs what kmeans_clusters costs (scan-side
+    Arrow argmin per iteration, k·dim exchange rows, k-row driver
+    pulls); the probe set is (n_queries × n_probe) rows broadcast into
+    the cell-keyed assignment — at 10⁹ vectors the assignment table is
+    written partitioned BY cell so a probe reads n_probe/n_cells of the
+    data with partition pruning; candidates never exceed the probed
+    cells' population."""
+    from ..functions.clustering import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, cents = kmeans_fit(emb, k=IVFK_CELLS, iters=IVFK_ITERS)
+    cents_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+        "cell int, cvec array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double"), 6)
+        ).alias("e"),
+    )
+    d2c = CL._sq_dist(F.col("e"), F.col("cvec"))
+    wc = Window.partitionBy("qid").orderBy(
+        F.col("d2c").asc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents_df))
+        .select("qid", "cell", d2c.alias("d2c"))
+        .withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= IVFK_PROBE)
+        .select("qid", "cell")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(
+            assign.select(
+                F.col("vec_id").alias("cid"), F.col("cid").alias("cell")
+            ),
+            "cell",
+        )
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+    )
+    qv = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cv = ensure_parallelism(emb).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    dot = S._dot(F.col("qe"), F.col("ce"))
+    qn = F.sqrt(S._dot(F.col("qe"), F.col("qe")))
+    cn = F.sqrt(S._dot(F.col("ce"), F.col("ce")))
+    scored = (
+        cand.join(F.broadcast(qv), "qid")
+        .join(cv, "cid")
+        .select("qid", "cid", F.round(dot / (qn * cn), 6).alias("cosine"))
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("cid").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(wq)).filter(
+        F.col("rnk") <= 5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -1786,6 +1882,40 @@ def _kmeans_ctes(
             f" ) n ON n.cid = p.cid)"
         )
     return ",\n".join(ctes)
+
+
+# ann_ivf_kmeans_topk registers before _kmeans_ctes exists in module
+# order; attach its oracle here (same late-bind pattern as
+# curation_ops._register_dedup_eval_oracle).
+from .registry import QUERIES as _Q_IVFK  # noqa: E402
+
+_Q_IVFK["ann_ivf_kmeans_topk"].oracle = f"""
+    WITH {_kmeans_ctes(IVFK_CELLS, IVFK_ITERS, prefix="ivk_")},
+    probes AS (
+        SELECT qid, cell FROM (
+            SELECT v.vec_id AS qid, c.cid AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_IVFK_DIST} ASC, c.cid ASC) AS crnk
+            FROM ivk_v v CROSS JOIN ivk_c{IVFK_ITERS - 1} c
+            WHERE v.vec_id < 10
+        ) WHERE crnk <= {IVFK_PROBE}
+    ),
+    cand AS (
+        SELECT p.qid, a.vec_id AS cid
+        FROM probes p JOIN ivk_a{IVFK_ITERS} a ON a.cid = p.cell
+        WHERE a.vec_id != p.qid
+    )
+    SELECT qid, cid, cosine, rnk FROM (
+        SELECT c.qid, c.cid,
+               {_cos_sql('qe.embedding', 'ce.embedding')} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY c.qid
+                   ORDER BY {_cos_sql('qe.embedding', 'ce.embedding')} DESC,
+                            c.cid ASC) AS rnk
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.qid
+        JOIN embeddings ce ON ce.vec_id = c.cid
+    ) WHERE rnk <= 5
+    """
 
 
 def _kmeans_oracle_sql(k: int, iters: int) -> str:

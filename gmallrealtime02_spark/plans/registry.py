@@ -314,6 +314,8 @@ _PRIORITY = [
     "coview_item_similarity",
     "coview_clustering_coefficient",
     "perplexity_mix",
+    "event_transition_matrix",
+    "ann_ivf_kmeans_topk",
 ]
 
 

@@ -932,3 +932,19 @@ def test_text_profile_kernel_fuzz_parity(spark):
     pd.testing.assert_frame_equal(
         got, spec[got.columns], check_exact=True, check_dtype=False
     )
+
+
+def test_ann_ivf_kmeans_recall(spark, sf_dir):
+    """Trained-quantizer IVF holds the same recall floor as the first-16
+    demo quantizer — cells that track the data distribution must not be
+    WORSE than arbitrary ones at equal probe count."""
+    from gmallrealtime02_spark.plans.registry import load_all
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {(r.qid, r.cid) for r in S.cosine_topk(emb, 10, 5).collect()}
+    approx = {
+        (r.qid, r.cid)
+        for r in load_all()["ann_ivf_kmeans_topk"].fn(spark, sf_dir).collect()
+    }
+    recall = len(approx & brute) / len(brute)
+    assert recall >= 0.5, f"IVF-kmeans recall {recall} below floor"

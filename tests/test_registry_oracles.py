@@ -109,6 +109,8 @@ _ROUND6_ADDITIONS = {
     "coview_item_similarity",
     "coview_clustering_coefficient",
     "perplexity_mix",
+    "event_transition_matrix",
+    "ann_ivf_kmeans_topk",
 }
 
 
