@@ -629,6 +629,110 @@ def ann_ivf_topk_q(spark, sf_dir):
     return S.ann_ivf_topk(load_table(spark, sf_dir, "embeddings"), 10, 5)
 
 
+MRL_DIMS = (16, 32, 64)  # prefix lengths; 64 = the full corpus dim
+
+_MRL_RANKED = f"""
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               {", ".join(
+                   f"ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+                   f"{_cos_sql(f'q.embedding[1:{d}]', f'c.embedding[1:{d}]')}"
+                   f" DESC, c.vec_id ASC) AS rn{d}"
+                   for d in MRL_DIMS
+               )}
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id < 10 AND q.vec_id != c.vec_id
+"""
+
+
+@register(
+    "ann_dim_truncation_eval",
+    # Deterministic throughout (index-ordered folds over embedding
+    # PREFIXES, rounded cosines, cid tie-breaks), so even this eval of a
+    # representation choice is hash-oracled: the SQL re-ranks at every
+    # prefix length and must land on identical hit counts.
+    oracle=f"""
+    WITH ranked AS ({_MRL_RANKED}),
+    hits AS (
+        {" UNION ALL ".join(
+            f"SELECT {d} AS dims, "
+            f"(SELECT count(*) FROM ranked WHERE rn{d} <= 5 AND "
+            f"rn{MRL_DIMS[-1]} <= 5) AS hits, "
+            f"(SELECT count(*) FROM ranked WHERE rn{MRL_DIMS[-1]} <= 5) "
+            f"AS truth_n"
+            for d in MRL_DIMS
+        )}
+    )
+    SELECT CAST(dims AS INT) AS dims, hits, truth_n,
+           CAST({ratio_micro_sql("hits", "truth_n")} AS DOUBLE) / 1000000
+               AS recall
+    FROM hits
+    """,
+    tags=("similarity", "ann", "eval", "matryoshka"),
+)
+def ann_dim_truncation_eval(spark, sf_dir):
+    """Recall@5 under embedding-prefix truncation — the Matryoshka
+    (Kusupati et al. 2022) serving decision: how much of the full-dim
+    neighbor structure survives at 16 or 32 of 64 dims, i.e. can the ANN
+    index store a 4× smaller vector?  For each prefix length, brute
+    top-5 by truncated cosine scored against the full-dim truth; the
+    full-dim row (recall 1.0) rides along as the identity check.
+
+    Scale shape: ONE pair scan computes every prefix's cosine (the
+    shorter folds are strict prefixes of the longer — no extra corpus
+    passes), and all three rank windows reuse the one qid exchange (the
+    ann_recall_eval shared-baseline layout); hit counting runs on the
+    ≤ 3·k·n_queries surviving rows.  Like every recall eval here,
+    production runs this on a bounded probe set, not the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = ensure_parallelism(emb).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cols = []
+    for d in MRL_DIMS:
+        qs_, cs_ = F.slice("qe", 1, d), F.slice("ce", 1, d)
+        cos = F.round(
+            S._dot(qs_, cs_)
+            / (F.sqrt(S._dot(qs_, qs_)) * F.sqrt(S._dot(cs_, cs_))),
+            6,
+        )
+        cols.append(cos.alias(f"cos{d}"))
+    pair = F.broadcast(q).join(c, F.col("qid") != F.col("cid")).select(
+        "qid", "cid", *cols
+    )
+    ranked = pair
+    for d in MRL_DIMS:
+        w = Window.partitionBy("qid").orderBy(
+            F.col(f"cos{d}").desc(), F.col("cid").asc()
+        )
+        ranked = ranked.withColumn(f"rn{d}", F.row_number().over(w))
+    full = MRL_DIMS[-1]
+    ranked = ranked.filter(
+        " or ".join(f"rn{d} <= 5" for d in MRL_DIMS)
+    ).persist()
+    result = None
+    for d in MRL_DIMS:
+        hits = ranked.filter(
+            (F.col(f"rn{d}") <= 5) & (F.col(f"rn{full}") <= 5)
+        ).agg(F.count("*").alias("hits"))
+        tn = ranked.filter(F.col(f"rn{full}") <= 5).agg(
+            F.count("*").alias("truth_n")
+        )
+        row = hits.crossJoin(tn).select(
+            F.lit(d).cast("int").alias("dims"),
+            "hits",
+            "truth_n",
+            (
+                ratio_micro(F.col("hits"), F.col("truth_n")).cast("double")
+                / 1000000
+            ).alias("recall"),
+        )
+        result = row if result is None else result.unionByName(row)
+    return materialized(result, ranked)
+
+
 IVFK_CELLS = 16
 IVFK_ITERS = 2
 IVFK_PROBE = 4
@@ -2397,26 +2501,33 @@ def perplexity_mix(spark, sf_dir):
                 " div (2 * n_bigrams) AS BIGINT)"
             ).alias("mean_nll_u"),
         )
+        .persist()
     )
-    wall = Window.partitionBy()
-    excess = (
-        F.col("mean_nll_u")
-        - F.min("mean_nll_u").over(wall)
-        + PPLMIX_FLOOR_MICRO
+    # min/denominator as a broadcast one-row scalar (the temperature_mix
+    # layout) rather than an unpartitioned window — a global window
+    # single-partitions its input, which reads as a scale anti-pattern
+    # even on this |sources|-row frame; Σexcess folds from Σmean, n, min
+    scal = src.agg(
+        F.min("mean_nll_u").alias("mn"),
+        F.sum("mean_nll_u").alias("sm"),
+        F.count("*").alias("n_src"),
     )
-    result = src.withColumn("excess_u", excess).select(
+    denom = (
+        F.col("sm")
+        - F.col("n_src") * F.col("mn")
+        + F.col("n_src") * PPLMIX_FLOOR_MICRO
+    )
+    excess = F.col("mean_nll_u") - F.col("mn") + PPLMIX_FLOOR_MICRO
+    result = src.crossJoin(F.broadcast(scal)).select(
         "source",
         "n_bigrams",
         (F.col("mean_nll_u").cast("double") / 1000000).alias("mean_nll"),
-        "excess_u",
+        excess.alias("excess_u"),
         (
-            ratio_micro(F.col("excess_u"), F.sum("excess_u").over(wall)).cast(
-                "double"
-            )
-            / 1000000
+            ratio_micro(excess, denom).cast("double") / 1000000
         ).alias("weight"),
     )
-    return materialized(result, bg, c12)
+    return materialized(result, bg, c12, src)
 
 
 # ---------------------------------------------------------------------------

@@ -316,6 +316,7 @@ _PRIORITY = [
     "perplexity_mix",
     "event_transition_matrix",
     "ann_ivf_kmeans_topk",
+    "ann_dim_truncation_eval",
 ]
 
 

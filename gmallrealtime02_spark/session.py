@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # NOT set: spark.sql.parquet.aggregatePushdown — it only engages
+        # through the DSv2 parquet source (useV1SourceList exclusion),
+        # which would re-shape every FileScan the plan gates pin, for a
+        # win limited to bare MIN/MAX/COUNT scans; measured a no-op here.
         # Driver testdata is written with TIMESTAMP(NANOS), which the
         # vectorized reader rejects; read as long and normalize at load
         # (sources.tables.load_table) to microsecond timestamps, matching

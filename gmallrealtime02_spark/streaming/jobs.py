@@ -256,6 +256,65 @@ def stateful_day_scoped_dedup(
     )
 
 
+def streaming_event_transitions(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``plans.analytics.event_transition_matrix``'s
+    lag stage: per-user (prev_type → next_type) transition rows on the
+    INGEST stream, with the user's LAST event carried in keyed state so
+    transitions that straddle a micro-batch boundary are emitted exactly
+    once (a per-batch window lag silently drops every boundary
+    transition — the classic streaming-sessionization bug).
+
+    State per user is one (ts, event_id, event_type) triple — O(users),
+    constant per key, the smallest useful stateful shape; at scale the
+    state store shards by user across executors.  Downstream the
+    transition rows aggregate to the SAME matrix the batch op computes
+    (equivalence pinned in tests/test_streaming.py on event-time-ordered
+    batches, the suite's stateful-fixture convention)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def transitions(key, pdfs, state):
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if not rows:
+            return
+        batch = pd.concat(rows, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        if state.exists:
+            last_ns, last_eid, last_type = state.get
+        else:
+            last_type = None
+        out = []
+        for r in batch.itertuples(index=False):
+            if last_type is not None:
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "prev_type": last_type,
+                        "next_type": r.event_type,
+                        "event_id": r.event_id,
+                    }
+                )
+            last_type = r.event_type
+        tail = batch.iloc[-1]
+        state.update(
+            (int(pd.Timestamp(tail["ts"]).value), int(tail["event_id"]),
+             str(tail["event_type"]))
+        )
+        if out:
+            yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        transitions,
+        outputStructType=(
+            "user_id long, prev_type string, next_type string, event_id long"
+        ),
+        stateStructType="last_ns long, last_event_id long, last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_hourly_counts(
     events: DataFrame, watermark: str = DEFAULT_WATERMARK
 ) -> DataFrame:

@@ -1425,18 +1425,20 @@ def test_coview_item_similarity_no_pair_product(spark, sf_dir):
 
 
 def test_perplexity_mix_single_corpus_pass(spark, sf_dir):
-    """perplexity_mix: the exploded bigram table and the (lang, bigram)
-    counts both persist — LM tables re-aggregate c12 and the scoring
-    join re-reads the cached explode, so the corpus text is scanned
-    exactly once; no pair product; the excess/weight windows run on the
-    |sources|-row frame."""
+    """perplexity_mix: the per-source NLL table persists and feeds both
+    the output select and the min/denominator scalar (each an
+    InMemoryTableScan of src; the bigram/count caches live inside src's
+    stored build plan), the scalar attaches as a broadcast one-row
+    frame, and no global window single-partitions anything — the corpus
+    text is scanned exactly once."""
     from gmallrealtime02_spark.plans.registry import QUERIES
 
     plan = _strip_cached_subplans(
         _executed_plan(QUERIES["perplexity_mix"].fn(spark, sf_dir))
     )
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "Window" not in plan, plan
 
 
 def test_coview_clustering_coefficient_reuses_edge_cache(spark, sf_dir):

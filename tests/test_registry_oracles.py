@@ -111,6 +111,7 @@ _ROUND6_ADDITIONS = {
     "perplexity_mix",
     "event_transition_matrix",
     "ann_ivf_kmeans_topk",
+    "ann_dim_truncation_eval",
 }
 
 

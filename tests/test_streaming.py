@@ -1474,3 +1474,68 @@ def test_streaming_semantic_decontamination_matches_batch(spark, tmp_path):
     assert by_id[10] == (10, 0, 1.0, 1)
     assert by_id[12] == (12, 1, 1.0, 1)
     assert by_id[13][3] == 0
+
+
+def test_streaming_event_transitions_matches_batch_lag(spark, tmp_path):
+    """streaming_event_transitions: per-user transitions over two
+    micro-batches equal the batch lag-window result on the union —
+    INCLUDING the transition that straddles the batch boundary, which is
+    exactly what the keyed last-event state exists to preserve."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    src = str(tmp_path / "trans_src")
+    ev_schema = "event_id long, user_id long, ts timestamp, event_type string"
+    rows1 = [
+        (1, 7, "2024-01-01 10:00:00", "view"),
+        (2, 7, "2024-01-01 10:01:00", "cart"),
+        (3, 9, "2024-01-01 10:00:30", "view"),
+    ]
+    rows2 = [
+        (4, 7, "2024-01-01 10:02:00", "purchase"),  # boundary transition
+        (5, 9, "2024-01-01 10:03:00", "error"),     # boundary transition
+        (6, 9, "2024-01-01 10:04:00", "view"),
+    ]
+    to_rows = lambda rs: [
+        (eid, uid, __import__("datetime").datetime.fromisoformat(ts), et)
+        for eid, uid, ts, et in rs
+    ]
+    _write_batch(spark, src, to_rows(rows1), schema=ev_schema)
+    _write_batch(spark, src, to_rows(rows2), schema=ev_schema)
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        SJ.streaming_event_transitions(stream)
+        .writeStream.format("memory")
+        .queryName("trans_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.prev_type, r.next_type, r.event_id)
+            for r in spark.sql("SELECT * FROM trans_out").collect()
+        }
+    finally:
+        q.stop()
+    batch = spark.read.schema(ev_schema).parquet(src + "/*")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r.user_id, r.prev_type, r.next_type, r.event_id)
+        for r in batch.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+            "event_id",
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .collect()
+    }
+    assert got == want
+    # the two boundary-straddling transitions are present
+    assert (7, "cart", "purchase", 4) in got
+    assert (9, "view", "error", 5) in got
