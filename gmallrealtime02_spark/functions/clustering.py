@@ -145,7 +145,53 @@ def kmeans_assign(
     return assign
 
 
+# Session-scoped fit memo (the pq_fit pattern): the fit is a pure
+# function of (input plan, k, iters) — first-k init, quantized inputs,
+# decimal-exact sums — so the five consumers that k-means the same
+# corpus (kmeans_clusters, dedup_semantic, cluster_top_terms,
+# cluster_balance_sample, diversity_sample, IVF-kmeans) repeat identical
+# blocking Lloyd driver jobs for identical results.  Keyed by Spark
+# application + the input's semanticHash + params; the assignment rides
+# as a LAZY localCheckpoint so a memo hit costs nothing until an action
+# touches it.  Bounded FIFO — distinct (corpus, k, iters) combos per
+# session are a handful.
+_KMEANS_MEMO: dict = {}
+_KMEANS_MEMO_MAX = 8
+
+
+def _kmeans_memo_key(emb: DataFrame, k: int, iters: int, id_col: str):
+    try:
+        return (
+            emb.sparkSession.sparkContext.applicationId,
+            emb.semanticHash(),
+            k,
+            iters,
+            id_col,
+        )
+    except Exception:
+        return None
+
+
 def kmeans_fit(
+    emb: DataFrame, k: int = 10, iters: int = 5, id_col: str = "vec_id"
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    key = _kmeans_memo_key(emb, k, iters, id_col)
+    hit = _KMEANS_MEMO.get(key) if key is not None else None
+    if hit is not None:
+        return hit
+    assign, cents = _kmeans_fit_impl(emb, k, iters, id_col)
+    if key is not None:
+        # lazy checkpoint: materializes inside the first consumer's
+        # action (lineage truncated there), so later memo hits read the
+        # stored assignment instead of re-running Lloyd
+        assign = assign.localCheckpoint(eager=False)
+        if len(_KMEANS_MEMO) >= _KMEANS_MEMO_MAX:
+            _KMEANS_MEMO.pop(next(iter(_KMEANS_MEMO)))
+        _KMEANS_MEMO[key] = (assign, cents)
+    return assign, cents
+
+
+def _kmeans_fit_impl(
     emb: DataFrame, k: int = 10, iters: int = 5, id_col: str = "vec_id"
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Lloyd's k-means over an embedding column; returns the assignment
@@ -237,6 +283,9 @@ def kmeans_fit(
         return assign, cents
     finally:
         data.unpersist()
+
+
+kmeans_fit.__doc__ = _kmeans_fit_impl.__doc__
 
 
 def kmeans_inertia_per_iter(

@@ -108,3 +108,27 @@ def test_release_pending_survives_stopped_caches(spark):
     cache.unpersist()  # already gone — drain must not raise
     release_pending()
     assert not caching._PENDING
+
+
+def test_kmeans_fit_session_memo(spark, sf_dir):
+    """kmeans_fit memo: a repeat call with the same (input plan, k,
+    iters) returns the SAME checkpointed assignment and codebook (no
+    second Lloyd run), a different k misses, and values are unchanged
+    by the memo (the fit is a pure function of its key)."""
+    from gmallrealtime02_spark.functions import clustering as CL
+    from gmallrealtime02_spark.sources import load_table
+
+    CL._KMEANS_MEMO.clear()
+    emb = load_table(spark, sf_dir, "embeddings")
+    a1, c1 = CL.kmeans_fit(emb, k=4, iters=2)
+    a2, c2 = CL.kmeans_fit(emb, k=4, iters=2)
+    assert a2 is a1 and c2 is c1  # memo hit, no re-fit
+    a3, c3 = CL.kmeans_fit(emb, k=5, iters=2)
+    assert a3 is not a1  # different key -> fresh fit
+    # memoized values match a fresh un-memoized fit
+    fresh, fresh_c = CL._kmeans_fit_impl(emb, 4, 2, "vec_id")
+    got = sorted((r.vec_id, r.cid) for r in a1.collect())
+    want = sorted((r.vec_id, r.cid) for r in fresh.collect())
+    assert got == want
+    assert c1 == fresh_c
+    CL._KMEANS_MEMO.clear()

@@ -520,10 +520,13 @@ def test_kmeans_assignment_zero_exchange(spark, sf_dir):
     included — once per iteration.)  The only Exchange allowed in the
     returned plan is ensure_parallelism's one-time input spread that
     materializes the persisted corpus."""
-    from gmallrealtime02_spark.functions.clustering import kmeans_assign
+    # inspect the fit IMPL: the memoized wrapper (kmeans_fit) returns a
+    # checkpointed-RDD scan on a repeat call, which hides the plan this
+    # gate exists to pin
+    from gmallrealtime02_spark.functions.clustering import _kmeans_fit_impl
 
     emb = load_table(spark, sf_dir, "embeddings")
-    df = kmeans_assign(emb, k=4, iters=2)
+    df, _ = _kmeans_fit_impl(emb, 4, 2, "vec_id")
     try:
         plan = _executed_plan(df)
         assert "Join" not in plan, plan
