@@ -85,3 +85,19 @@ def py_ratio_micro(num: int, den: int, scale: int = MICRO) -> int:
     """Python twin for Arrow kernels (exact int arithmetic, den > 0)."""
     mag = (2 * abs(num) * scale + den) // (2 * den)
     return -mag if num < 0 else mag
+
+
+def ratio_micro_spark_sql(num: str, den: str, scale: int = MICRO) -> str:
+    """Spark-SQL TEXT twin of :func:`ratio_micro` for queries written
+    through the ``spark.sql`` surface — ``num``/``den`` integral SQL
+    expressions, den > 0.  Spark's ``div`` truncates toward zero (DuckDB
+    ``//`` floors), so like the Column form the division runs on the
+    NON-NEGATIVE magnitude where the two agree; all arithmetic in
+    DECIMAL(38,0).  Parity with the other three forms is pinned in
+    tests/test_numeric.py."""
+    n0 = f"CAST(abs({num}) AS DECIMAL(38,0))"
+    d0 = f"CAST(({den}) AS DECIMAL(38,0))"
+    return (
+        f"(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END) * "
+        f"CAST((2 * {n0} * {scale} + {d0}) div (2 * {d0}) AS BIGINT)"
+    )

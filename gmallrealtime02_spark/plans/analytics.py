@@ -1468,3 +1468,69 @@ def event_transition_matrix(spark, sf_dir):
             / 1000000
         ).alias("p_next"),
     )
+
+
+@register(
+    "monthly_revenue_sql",
+    oracle=f"""
+    WITH m AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    w AS (
+        SELECT month, rev,
+               lag(rev) OVER (ORDER BY month) AS prev
+        FROM m
+    )
+    SELECT month, CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev - prev AS DOUBLE) AS delta,
+           CASE WHEN prev IS NOT NULL THEN
+               CAST({ratio_micro_sql(
+                   "CAST((rev - prev) * 100 AS BIGINT)",
+                   "CAST(prev * 100 AS BIGINT)",
+               )} AS DOUBLE) / 10000
+           END AS pct_change
+    FROM w
+    """,
+    tags=("sql-surface", "window", "timeseries"),
+)
+def monthly_revenue_sql(spark, sf_dir):
+    """Monthly revenue with month-over-month delta and % change,
+    expressed ENTIRELY through the ``spark.sql`` surface over the
+    registered temp views (``sources.register_views``) — the proof that
+    the SQL API is first-class next to the DataFrame plans: same
+    Catalyst pipeline, same pushdown/AQE, same exact-decimal and
+    engine-exact-rounding discipline (``ratio_micro_spark_sql``, the
+    SQL-text twin of functions.numeric, parity-pinned four ways).
+
+    Scale shape: one month-keyed partial aggregate; the lag window runs
+    on the |months|-row frame (single-partition there is fine — months
+    are bounded — but a multi-decade fact would key the window by year).
+    pct_change is exact integer micro over CENTS, null for the first
+    month (den > 0 contract)."""
+    from ..functions.numeric import ratio_micro_spark_sql
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    pct = ratio_micro_spark_sql(
+        "CAST((rev - prev) * 100 AS BIGINT)", "CAST(prev * 100 AS BIGINT)"
+    )
+    return spark.sql(f"""
+        WITH m AS (
+            SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY 1
+        ),
+        w AS (
+            SELECT month, rev,
+                   lag(rev) OVER (ORDER BY month) AS prev
+            FROM m
+        )
+        SELECT month, CAST(rev AS DOUBLE) AS revenue,
+               CAST(rev - prev AS DOUBLE) AS delta,
+               CASE WHEN prev IS NOT NULL THEN
+                   CAST({pct} AS DOUBLE) / 10000
+               END AS pct_change
+        FROM w
+    """)

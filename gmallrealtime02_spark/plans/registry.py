@@ -317,6 +317,7 @@ _PRIORITY = [
     "event_transition_matrix",
     "ann_ivf_kmeans_topk",
     "ann_dim_truncation_eval",
+    "monthly_revenue_sql",
 ]
 
 

@@ -137,3 +137,38 @@ def test_ratio_micro_fuzz_three_way(spark, duck):
     py = {i: py_ratio_micro(n, d) for i, (n, d) in enumerate(cases)}
     assert got == {k: int(v) for k, v in want.items()}
     assert got == py
+
+
+def test_ratio_micro_spark_sql_form_parity(spark):
+    """The Spark-SQL TEXT twin (for queries written through the
+    spark.sql surface) matches the Column form and the Python reference
+    bit-for-bit across signs, midpoints, and the 2^53+ magnitudes that
+    broke the old int64/double formulation."""
+    from pyspark.sql import functions as F
+
+    from gmallrealtime02_spark.functions.numeric import (
+        py_ratio_micro,
+        ratio_micro,
+        ratio_micro_spark_sql,
+    )
+
+    rows = [
+        (n, d)
+        for n in [-1000001, -5, -3, -1, 0, 1, 3, 5, 1000001]
+        for d in [1, 2, 3, 7, 2000000]
+    ]
+    rows += [
+        (2**53 + 1, 10**12),
+        (10**12 + 1, 10**12),
+        (-(10**12 + 1), 10**12),
+        (10**12, 2 * 10**12),
+    ]
+    df = spark.createDataFrame(rows, "n long, d long")
+    out = df.select(
+        "n",
+        "d",
+        ratio_micro(F.col("n"), F.col("d")).alias("col_form"),
+        F.expr(ratio_micro_spark_sql("n", "d")).alias("sql_form"),
+    ).collect()
+    for r in out:
+        assert r.col_form == r.sql_form == py_ratio_micro(r.n, r.d), r

@@ -112,6 +112,7 @@ _ROUND6_ADDITIONS = {
     "event_transition_matrix",
     "ann_ivf_kmeans_topk",
     "ann_dim_truncation_eval",
+    "monthly_revenue_sql",
 }
 
 
