@@ -5059,3 +5059,14 @@ def hybrid_search_rrf(spark, sf_dir):
         F.round(term_t + term_v, 6).alias("rrf_score"),
     )
     return materialized(result, *t_caches)
+
+
+# dedup_eval's oracle is composed from this module's generated minhash
+# CTEs (frozen-permutation constants live here).  Register it as soon as
+# both modules exist so the registry's STATIC state matches the prose —
+# len([q for q in QUERIES.values() if q.oracle]) is correct right after
+# import, not only after load_all().  Import-order safe: curation_ops
+# imports this module only lazily (inside the function below).
+from . import curation_ops as _CUR  # noqa: E402
+
+_CUR._register_dedup_eval_oracle()

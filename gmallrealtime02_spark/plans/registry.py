@@ -86,24 +86,86 @@ def register(
 #                 red on oracle-side DuckDB HUGEINT→float64 renders
 #                 (values identical; BIGINT casts added round 6), and 2
 #                 slots burned on rows-only-by-nature approx ops.
-#   round 6     — (current window) finish full-registry verification:
-#                 the 2 re-casts first, then ALL 39 remaining oracled
-#                 never-green rows (r5 late wave + r4 low-salience
-#                 analytics singles), then 9 re-verify slots for queries
-#                 whose oracle or plan changed this round (bitext_mine
-#                 margin guard, market_share/nation_revenue_share/
-#                 ewma_daily_value HUGEINT headroom, jaccard prefilter)
-#                 and the headline bench four.  The 5 rows-only-by-nature
-#                 ops (engine-internal HLL++/t-digest, BLAS summation,
-#                 binary media stubs) are EXCLUDED from the window — they
-#                 can never hash-match and their deterministic siblings
-#                 are already green; pytest pins them instead.
+#   round 6     — closing wave: the 2 re-casts, all 39 remaining oracled
+#                 never-green rows, 9 re-verify slots: 50/50 green
+#                 (CORRECTNESS_r06.json) — every oracled query that
+#                 existed before round 6 now has a green driver row.
+#   round 7     — (current window) the 13 round-6 additions lead (their
+#                 first driver exposure — green rows here complete
+#                 full-registry driver verification), then 37 staleness-
+#                 rotation slots re-verifying the OLDEST green rows (the
+#                 r2/r3-era §2-coverage prefix, four rounds of commits
+#                 old) so the evidence stays rolling.  Rows-only-by-
+#                 nature ops stay excluded from the window permanently —
+#                 they can never hash-match; pytest pins them.
 _PRIORITY = [
-    # ---- round-6 window (50) ----
-    # re-verify: the two r5 reds (oracle BIGINT casts fixed this round)
+    # ---- round-7 window (50) ----
+    # round-6 additions, first driver exposure (registry order)
+    "ann_multiprobe_lsh",
+    "semantic_decontamination",
+    "lang_confusion_matrix",
+    "quality_percentile_by_source",
+    "tokenizer_fertility_by_lang",
+    "pack_efficiency_report",
+    "coview_item_similarity",
+    "coview_clustering_coefficient",
+    "perplexity_mix",
+    "event_transition_matrix",
+    "ann_ivf_kmeans_topk",
+    "ann_dim_truncation_eval",
+    "monthly_revenue_sql",
+    # staleness rotation: oldest driver-green rows (r2/r3 era, §2 prefix)
+    "dau_mids",
+    "dau_hourly",
+    "dau_total",
+    "dau_today_yesterday",
+    "order_enrich",
+    "user_tier_bucket",
+    "scd2_history",
+    "agg_avg_ordered",
+    "distinct_users_daily",
+    "json_extract_props",
+    "cdc_splitter",
+    "topic_route",
+    "start_event_route",
+    "word_explode",
+    "urgent_orders_topk",
+    "order_page",
+    "customers_no_orders",
+    "customers_with_orders",
+    "dedup_exact",
+    "dedup_canonical",
+    "dedup_paragraphs_global",
+    "intra_doc_dedup",
+    "simhash_signatures",
+    "simhash_pairs",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "lang_id",
+    "doc_quality",
+    "token_stats",
+    "doc_fingerprint",
+    "doc_top_terms",
+    "gopher_quality_filter",
+    "pii_scrub",
+    "repetition_filter",
+    "dedup_keep_list",
+    "doc_hash_sample",
+    "token_count_histogram",
+    # ---- post-window ----
+    # remaining r3-era rows: round-8 staleness-rotation candidates
+    "training_mix",
+    "source_mix",
+    "media_features",
+    "kmeans_clusters",
+    "embedding_quantization",
+    "sequence_packing",
+    "decontamination",
+    "value_moments",
+    # driver-verified r04–r06 (hash-green), or rows-only by nature
+    # (no oracle possible; pytest pins them)
     "temperature_mix",
     "coview_pagerank",
-    # r5-addition wave — locally hash-oracled, never driver-verified
     "contamination_report",
     "mmr_rerank",
     "char_ngram_entropy",
@@ -128,8 +190,6 @@ _PRIORITY = [
     "hybrid_search_rrf",
     "coview_components",
     "coview_bfs_depth",
-    # r4 analytics/behavior singles — locally hash-oracled, never
-    # driver-verified
     "interval_error_purchase_join",
     "zorder_layout",
     "gap_fill",
@@ -145,19 +205,15 @@ _PRIORITY = [
     "time_to_convert",
     "unpivot_event_counts",
     "quantity_price_corr",
-    # re-verify: oracle or plan text changed this round
     "bitext_mine",
     "market_share",
     "nation_revenue_share",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    # re-verify: headline bench queries, re-pin on HEAD
     "pricing_summary",
     "detail_snowflake",
     "order_wide",
     "revenue_by_nation",
-    # ---- post-window: driver-verified in r03/r04/r05 (hash-green), or
-    # rows-only by nature (no oracle possible; pytest pins them) ----
     "inverted_index",
     "top_events_per_user",
     "purchasers_also_viewers",
@@ -257,67 +313,6 @@ _PRIORITY = [
     "ccnet_quality_buckets",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "dau_mids",
-    "dau_hourly",
-    "dau_total",
-    "dau_today_yesterday",
-    "order_enrich",
-    "user_tier_bucket",
-    "scd2_history",
-    "agg_avg_ordered",
-    "distinct_users_daily",
-    "json_extract_props",
-    "cdc_splitter",
-    "topic_route",
-    "start_event_route",
-    "word_explode",
-    "urgent_orders_topk",
-    "order_page",
-    "customers_no_orders",
-    "customers_with_orders",
-    "dedup_exact",
-    "dedup_canonical",
-    "dedup_paragraphs_global",
-    "intra_doc_dedup",
-    "simhash_signatures",
-    "simhash_pairs",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "lang_id",
-    "doc_quality",
-    "token_stats",
-    "doc_fingerprint",
-    "doc_top_terms",
-    "gopher_quality_filter",
-    "pii_scrub",
-    "repetition_filter",
-    "dedup_keep_list",
-    "doc_hash_sample",
-    "token_count_histogram",
-    "training_mix",
-    "source_mix",
-    "media_features",
-    "kmeans_clusters",
-    "embedding_quantization",
-    "sequence_packing",
-    "decontamination",
-    "value_moments",
-    # ---- round-6 additions (multi-probe LSH, semantic decontamination,
-    # lang-ID eval, per-source quality calibration) — locally full-hash
-    # oracled; round-7 window candidates ----
-    "ann_multiprobe_lsh",
-    "semantic_decontamination",
-    "lang_confusion_matrix",
-    "quality_percentile_by_source",
-    "tokenizer_fertility_by_lang",
-    "pack_efficiency_report",
-    "coview_item_similarity",
-    "coview_clustering_coefficient",
-    "perplexity_mix",
-    "event_transition_matrix",
-    "ann_ivf_kmeans_topk",
-    "ann_dim_truncation_eval",
-    "monthly_revenue_sql",
 ]
 
 
@@ -337,9 +332,9 @@ def load_all() -> dict[str, Query]:
     )
 
     try:
+        # importing llm_pipeline also registers dedup_eval's composed
+        # oracle (see the end of llm_pipeline.py)
         from . import llm_pipeline  # noqa: F401
-
-        curation_ops._register_dedup_eval_oracle()
     except ImportError:
         pass
     ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}

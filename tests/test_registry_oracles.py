@@ -55,48 +55,38 @@ def test_entry_smoke(spark):
 def test_driver_window_curation():
     """The driver checks a fixed-size PREFIX of queries() (observed: first
     50).  The window ROTATES across rounds so every oracled query earns a
-    driver-verified row (registry.py rotation ledger).  Round-6 window
-    invariants: the two r5 reds (oracle BIGINT casts fixed this round)
-    lead, EVERY slot carries a full value-hash oracle (the 5
-    rows-only-by-nature ops are excluded from the window for good —
-    they can never hash-match and their deterministic siblings are
-    already green), all never-green oracled rows from rounds 4-5 hold a
-    slot, and the only previously-verified names in the window are the 9
-    designated re-verify slots (changed oracles/plans + the headline
-    four)."""
+    driver-verified row (registry.py rotation ledger).  Round-7 window
+    invariants: the 13 round-6 additions LEAD (their first driver
+    exposure — green rows complete full-registry verification), EVERY
+    slot carries a full value-hash oracle (the 5 rows-only-by-nature ops
+    are excluded from the window for good), every oracled query that has
+    never been driver-green holds a slot, and the remaining 37 slots are
+    staleness rotation: queries whose last green row is the OLDEST
+    (the r2/r3-era §2-coverage prefix)."""
     import json
     import os
 
     here = os.path.dirname(__file__)
     qs = load_all()
     window = list(qs)[:50]
-    assert window[:2] == ["temperature_mix", "coview_pagerank"], window[:2]
+    assert set(window[:13]) == _ROUND6_ADDITIONS, window[:13]
     # every window slot is hash-gradable
     rows_only = {n for n in window if qs[n].oracle is None}
     assert not rows_only, rows_only
-    # every never-green oracled row holds a slot
+    # every never-driver-green oracled row holds a slot
     green = set()
-    for r in range(1, 6):
+    for r in range(1, 7):
         d = json.load(
             open(os.path.join(here, "..", f"CORRECTNESS_r0{r}.json"))
         )
         green |= {n for n, v in d.items() if v.get("hash_match")}
-    never_green = {
-        n
-        for n in qs
-        if n not in green and qs[n].oracle is not None
-        # round-6 additions rotate in next round
-        and n not in _ROUND6_ADDITIONS
-    }
+    never_green = {n for n in qs if n not in green and qs[n].oracle is not None}
     assert never_green <= set(window), never_green - set(window)
-    # the re-verify slots are exactly the designated 9
-    reverify = set(window) & green
-    assert reverify == {
-        "bitext_mine", "market_share", "nation_revenue_share",
-        "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "pricing_summary", "detail_snowflake", "order_wide",
-        "revenue_by_nation",
-    }, reverify
+    # the rotation slots re-verify only already-green rows (nothing red
+    # or unknown sneaks in without being flagged as first-exposure)
+    rotation = set(window) - _ROUND6_ADDITIONS
+    assert rotation <= green, rotation - green
+    assert len(rotation) == 37, len(rotation)
 
 
 _ROUND6_ADDITIONS = {
