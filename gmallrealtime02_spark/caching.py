@@ -45,11 +45,20 @@ plus a registered wrapper that calls ``materialized``.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame
 
 _PENDING: list[tuple[int, DataFrame]] = []
 _GEN: int = 0
+# Queue/generation mutations are lock-guarded: ann_recall_eval (and any
+# future orchestration) runs query builds on a driver thread pool, so
+# concurrent materialized() exits would otherwise interleave their
+# pop/extend sequences.  The worst interleaving is a premature unpersist
+# (a recompute, never a wrong answer), but the protocol is cheap to make
+# actually safe.  Unpersist calls happen OUTSIDE the lock — they are
+# py4j round-trips and must not serialize unrelated query builds.
+_LOCK = threading.RLock()
 
 
 def begin_query() -> None:
@@ -58,7 +67,22 @@ def begin_query() -> None:
     the registry wrapper on entry to every registered query fn and by
     foreachBatch sinks at each batch start."""
     global _GEN
-    _GEN += 1
+    with _LOCK:
+        _GEN += 1
+
+
+def queue_release(*caches: DataFrame) -> None:
+    """Queue caches for deferred release WITHOUT wrapping a result.
+
+    For fit helpers (kmeans_fit, pq_fit) whose returned lazy
+    localCheckpoint materializes inside the first consumer's action: an
+    immediate unpersist on fit exit would drop the very cache that
+    materialization wants to read, recomputing the whole fit lineage.
+    Queued under the current generation, the cache survives until a
+    LATER query's ``materialized()`` exit — by which time the first
+    consumer has run (the harnesses execute every query they build)."""
+    with _LOCK:
+        _PENDING.extend((_GEN, c) for c in caches)
 
 
 def release_pending() -> None:
@@ -67,8 +91,10 @@ def release_pending() -> None:
     Safe to call at any time (session teardown, between tests): a
     still-referenced cache just loses storage reuse, never correctness.
     """
-    while _PENDING:
-        _, c = _PENDING.pop()
+    with _LOCK:
+        drained = list(_PENDING)
+        _PENDING.clear()
+    for _, c in drained:
         try:
             c.unpersist()
         except Exception:
@@ -96,17 +122,24 @@ def materialized(result: DataFrame, *caches: DataFrame) -> DataFrame:
             keep.add(c.semanticHash())
         except Exception:
             pass
-    survivors: list[tuple[int, DataFrame]] = []
-    while _PENDING:
-        gen, c = _PENDING.pop()
-        if gen == _GEN:
-            survivors.append((gen, c))  # same query build: never drain
-            continue
+    to_drop: list[DataFrame] = []
+    with _LOCK:
+        survivors: list[tuple[int, DataFrame]] = []
+        while _PENDING:
+            gen, c = _PENDING.pop()
+            if gen == _GEN:
+                survivors.append((gen, c))  # same query build: never drain
+                continue
+            try:
+                if c.semanticHash() not in keep:
+                    to_drop.append(c)
+            except Exception:
+                pass
+        _PENDING.extend(survivors)
+        _PENDING.extend((_GEN, c) for c in caches)
+    for c in to_drop:
         try:
-            if c.semanticHash() not in keep:
-                c.unpersist()
+            c.unpersist()
         except Exception:
             pass
-    _PENDING.extend(survivors)
-    _PENDING.extend((_GEN, c) for c in caches)
     return result

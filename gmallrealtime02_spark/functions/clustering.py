@@ -18,6 +18,8 @@ ops — no reference analogue; BASELINE.json ``north_star``).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -151,19 +153,38 @@ def kmeans_assign(
 # corpus (kmeans_clusters, dedup_semantic, cluster_top_terms,
 # cluster_balance_sample, diversity_sample, IVF-kmeans) repeat identical
 # blocking Lloyd driver jobs for identical results.  Keyed by Spark
-# application + the input's semanticHash + params; the assignment rides
-# as a LAZY localCheckpoint so a memo hit costs nothing until an action
-# touches it.  Bounded FIFO — distinct (corpus, k, iters) combos per
-# session are a handful.
+# application + the input's FULL canonicalized plan tree + params (not
+# the 32-bit semanticHash — a plan hash can collide across distinct
+# plans and would then silently serve the wrong fit); the assignment
+# rides as a LAZY localCheckpoint so a memo hit costs nothing until an
+# action touches it.  Bounded FIFO — distinct (corpus, k, iters) combos
+# per session are a handful; evicted entries merely drop the handle (the
+# checkpoint blocks are freed by the ContextCleaner once the evicted
+# DataFrame is GC'd).
+#
+# IMMUTABLE-INPUT ASSUMPTION: the plan tree identifies the DATA only
+# while the files under the scanned path are unchanged — rewriting the
+# parquet at the same path within one Spark application would serve a
+# stale fit (the same staleness Spark's own CacheManager has).  The
+# harness inputs (/root/testdata) are immutable, and a production
+# deployment should key fits by snapshot id instead.
+#
+# Get/put is lock-guarded: ann_recall_eval runs fit consumers on a
+# driver thread pool, and an unguarded check-then-set could double-run
+# a fit (waste) or publish a half-built entry.
 _KMEANS_MEMO: dict = {}
 _KMEANS_MEMO_MAX = 8
+_KMEANS_MEMO_LOCK = threading.RLock()
 
 
 def _kmeans_memo_key(emb: DataFrame, k: int, iters: int, id_col: str):
     try:
+        plan = (
+            emb._jdf.queryExecution().analyzed().canonicalized().toString()
+        )
         return (
             emb.sparkSession.sparkContext.applicationId,
-            emb.semanticHash(),
+            plan,
             k,
             iters,
             id_col,
@@ -176,18 +197,26 @@ def kmeans_fit(
     emb: DataFrame, k: int = 10, iters: int = 5, id_col: str = "vec_id"
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     key = _kmeans_memo_key(emb, k, iters, id_col)
-    hit = _KMEANS_MEMO.get(key) if key is not None else None
-    if hit is not None:
-        return hit
+    if key is not None:
+        with _KMEANS_MEMO_LOCK:
+            hit = _KMEANS_MEMO.get(key)
+        if hit is not None:
+            return hit
     assign, cents = _kmeans_fit_impl(emb, k, iters, id_col)
     if key is not None:
         # lazy checkpoint: materializes inside the first consumer's
         # action (lineage truncated there), so later memo hits read the
         # stored assignment instead of re-running Lloyd
         assign = assign.localCheckpoint(eager=False)
-        if len(_KMEANS_MEMO) >= _KMEANS_MEMO_MAX:
-            _KMEANS_MEMO.pop(next(iter(_KMEANS_MEMO)))
-        _KMEANS_MEMO[key] = (assign, cents)
+        with _KMEANS_MEMO_LOCK:
+            if key not in _KMEANS_MEMO:
+                if len(_KMEANS_MEMO) >= _KMEANS_MEMO_MAX:
+                    _KMEANS_MEMO.pop(next(iter(_KMEANS_MEMO)))
+                _KMEANS_MEMO[key] = (assign, cents)
+            else:
+                # a racing thread published first; serve its entry so
+                # every consumer shares one checkpoint
+                assign, cents = _KMEANS_MEMO[key]
     return assign, cents
 
 
@@ -280,9 +309,23 @@ def _kmeans_fit_impl(
             # (dropping it would shrink k run-over-run)
             updated = {int(r.cid): [float(x) for x in r.cvec] for r in new_cents}
             cents = [(cid, updated.get(cid, vec)) for cid, vec in cents]
-        return assign, cents
-    finally:
+    except BaseException:
         data.unpersist()
+        raise
+    # DEFERRED release (caching.queue_release), not an immediate
+    # unpersist: the caller wraps `assign` in a LAZY localCheckpoint that
+    # only materializes inside the first consumer's action — dropping the
+    # corpus cache here would force that materialization to recompute the
+    # whole Lloyd lineage uncached.  The queue drains at a later query
+    # boundary, after the first consumer has executed.  NOTE: the lazy
+    # localCheckpoint trade assumes local mode (or ephemeral fits) — on a
+    # real cluster a lost executor makes truncated-lineage checkpoint
+    # blocks unrecoverable; production deployments should persist fits to
+    # a table instead (the memo docstring's snapshot-id design).
+    from ..caching import queue_release
+
+    queue_release(data)
+    return assign, cents
 
 
 kmeans_fit.__doc__ = _kmeans_fit_impl.__doc__
@@ -598,9 +641,16 @@ def pq_fit(
         # parallel with its other stages) instead of blocking the driver
         # here — fit-time drops by a full job at no semantic cost (the
         # kernel assignment is deterministic either way)
-        return codes.localCheckpoint(eager=False), books
-    finally:
+        codes = codes.localCheckpoint(eager=False)
+    except BaseException:
         data.unpersist()
+        raise
+    # deferred release so the first consumer's checkpoint materialization
+    # reads the corpus cache (see _kmeans_fit_impl's exit note)
+    from ..caching import queue_release
+
+    queue_release(data)
+    return codes, books
 
 
 QUANT_LEVELS = 255  # int8 code range 0..255

@@ -10,6 +10,8 @@ DuckDB SQL reproduces every signature bit-for-bit.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -3533,14 +3535,22 @@ from ..functions.clustering import (  # noqa: E402
 # (the bench/driver runs one sf at a time).  codes is a lazy
 # localCheckpoint so a memo hit costs nothing until an action touches it.
 _PQ_FIT_MEMO: dict = {}
+# single-flight lock: ann_recall_eval's thread pool submits the fit on
+# one worker while other workers build tiers — an unguarded
+# clear-then-set could drop a racing thread's fresh entry or serve a
+# half-published one.  Holding the lock across the fit is fine: every
+# thread that needs the fit must wait for it anyway, and threads that
+# don't never take this lock.
+_PQ_FIT_LOCK = threading.RLock()
 
 
 def _pq_fit_session(spark, sf_dir, emb):
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _PQ_FIT_MEMO.get(key)
-    if hit is None:
-        _PQ_FIT_MEMO.clear()
-        hit = _PQ_FIT_MEMO[key] = pq_fit(emb)
+    with _PQ_FIT_LOCK:
+        hit = _PQ_FIT_MEMO.get(key)
+        if hit is None:
+            _PQ_FIT_MEMO.clear()
+            hit = _PQ_FIT_MEMO[key] = pq_fit(emb)
     return hit
 
 _PQ_DIST = (

@@ -17,6 +17,7 @@ are thin: ``to_kafka_frame`` shapes (topic, key, value); the actual
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -119,17 +120,33 @@ def compact_partitions(
 
     Per partition directory (or the root for unpartitioned tables):
     if it holds >= ``min_files`` parquet files, rewrite it to
-    ceil(bytes / target_bytes) files via coalesce and atomically swap
-    (tmp write -> rename live to .old -> rename tmp live -> drop .old,
-    the ``upsert_batch`` exposure discipline).  Returns
-    {partition_rel_path: (files_before, files_after)} for the audit log.
+    ceil(bytes / target_bytes) files via coalesce and swap
+    (tmp write -> rename live to .old -> rename tmp live -> drop .old).
+    Returns {partition_rel_path: (files_before, files_after)} for the
+    audit log.
+
+    CONCURRENCY CONTRACT: the swap is two renames, NOT atomic — between
+    them the partition directory briefly does not exist, so compaction
+    requires EXCLUSIVE access to the leaf being rewritten (pause readers
+    of that partition, or compact only cold partitions — the normal
+    table-maintenance discipline for raw filesystem layouts; true
+    read-during-compact needs a manifest/metadata layer like Delta or
+    Iceberg, which this deliberately does not reinvent).
+
+    CRASH SAFETY: before the first rename a ``.compact-marker`` JSON is
+    written next to the leaf recording {leaf, old, tmp}; if the process
+    dies mid-swap, :func:`recover_compactions` replays the marker
+    (restores the live data from whichever of old/tmp is complete) — no
+    state is ever stranded under an undiscoverable name.  If the second
+    rename fails in-process, the original directory is renamed back
+    immediately.
 
     Scale notes: compaction is per-partition and embarrassingly parallel
     across partitions (run one job per partition or a driver loop like
     this one); coalesce (not repartition) avoids a shuffle — input files
     are merely concatenated split-wise; target_bytes uses on-disk size as
     the proxy the way table services (Delta OPTIMIZE, Iceberg rewrite)
-    do.  Readers never see a partial state: the swap is two renames."""
+    do."""
     import math
 
     results: dict[str, tuple[int, int]] = {}
@@ -167,8 +184,53 @@ def compact_partitions(
         tmp = f"{leaf}.compact-{uuid.uuid4().hex}"
         df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
         old = f"{leaf}.old-{uuid.uuid4().hex}"
+        marker = f"{leaf}.compact-marker"
+        with open(marker, "w") as fh:
+            json.dump({"leaf": leaf, "old": old, "tmp": tmp}, fh)
         os.rename(leaf, old)
-        os.rename(tmp, leaf)
+        try:
+            os.rename(tmp, leaf)
+        except BaseException:
+            os.rename(old, leaf)  # roll the live data back
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.remove(marker)
+            raise
         shutil.rmtree(old, ignore_errors=True)
+        os.remove(marker)
         results[os.path.relpath(leaf, path)] = (len(files), n_out)
     return results
+
+
+def recover_compactions(path: str) -> list[str]:
+    """Replay interrupted :func:`compact_partitions` swaps under ``path``.
+
+    For every stranded ``.compact-marker``: if the live leaf is missing,
+    restore it — prefer the original (``old``, always complete once the
+    marker exists) and fall back to the compacted ``tmp``; then drop the
+    leftover side and the marker.  Idempotent — safe to run on every
+    maintenance-job startup.  Returns the recovered leaf paths."""
+    recovered: list[str] = []
+    # the root's own marker sits NEXT TO path (leaf == path for
+    # unpartitioned tables), outside the walk below
+    markers = [f"{path}.compact-marker"]
+    for dirpath, _dirs, files in os.walk(path):
+        markers.extend(
+            os.path.join(dirpath, n)
+            for n in files
+            if n.endswith(".compact-marker")
+        )
+    for marker in markers:
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                st = json.load(fh)
+            leaf, old, tmp = st["leaf"], st["old"], st["tmp"]
+            if not os.path.exists(leaf):
+                if os.path.exists(old):
+                    os.rename(old, leaf)  # original data wins
+                elif os.path.exists(tmp):
+                    os.rename(tmp, leaf)  # crash after old was dropped
+                recovered.append(leaf)
+            for leftover in (old, tmp):
+                shutil.rmtree(leftover, ignore_errors=True)
+            os.remove(marker)
+    return recovered

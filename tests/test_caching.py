@@ -132,3 +132,63 @@ def test_kmeans_fit_session_memo(spark, sf_dir):
     assert got == want
     assert c1 == fresh_c
     CL._KMEANS_MEMO.clear()
+
+
+def test_fit_corpus_cache_deferred_until_next_query(spark, sf_dir):
+    """kmeans_fit queues its Lloyd corpus cache for DEFERRED release
+    (caching.queue_release) instead of unpersisting on exit, so the lazy
+    localCheckpoint's first materialization reuses the cache; the queue
+    drains at the next query boundary's materialized() exit."""
+    from gmallrealtime02_spark.functions import clustering as CL
+    from gmallrealtime02_spark.sources import load_table
+
+    release_pending()
+    CL._KMEANS_MEMO.clear()
+    emb = load_table(spark, sf_dir, "embeddings")
+    begin_query()
+    a, _ = CL.kmeans_fit(emb, k=4, iters=2)
+    assert caching._PENDING, "fit must queue its corpus cache"
+    queued = [c for _, c in caching._PENDING]
+    assert any(_is_cached(c) for c in queued)
+    a.count()  # first consumer: checkpoint materializes against the cache
+    begin_query()
+    materialized(spark.range(1))
+    assert all(not _is_cached(c) for c in queued), "drained at next query"
+    CL._KMEANS_MEMO.clear()
+    release_pending()
+
+
+def test_kmeans_memo_key_is_full_plan_not_hash(spark, sf_dir):
+    """The memo key embeds the full canonicalized plan tree (collision-
+    proof), and semantically identical plans written differently still
+    share one entry."""
+    from gmallrealtime02_spark.functions import clustering as CL
+    from gmallrealtime02_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k1 = CL._kmeans_memo_key(emb, 4, 2, "vec_id")
+    k2 = CL._kmeans_memo_key(emb.select(emb.columns), 4, 2, "vec_id")
+    assert k1 is not None
+    assert isinstance(k1[1], str) and "\n" in k1[1]  # a plan tree, not a hash
+    assert k1 == k2  # canonicalization unifies trivially-rewritten plans
+
+
+def test_caching_protocol_is_thread_safe(spark):
+    """Concurrent materialized() exits from a driver thread pool must not
+    corrupt the pending queue (the ann_recall_eval orchestration shape)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    release_pending()
+    begin_query()
+
+    def one(i):
+        cache = spark.range(1000 + i).persist()
+        out = materialized(cache.groupBy((F.col("id") % 7).alias("k")).count(), cache)
+        return out.count()
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        assert list(ex.map(one, range(16))) == [7] * 16
+    # queue intact: every entry is a (gen, DataFrame) pair
+    assert all(isinstance(g, int) for g, _ in caching._PENDING)
+    release_pending()
+    assert not caching._PENDING
