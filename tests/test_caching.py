@@ -192,3 +192,18 @@ def test_caching_protocol_is_thread_safe(spark):
     assert all(isinstance(g, int) for g, _ in caching._PENDING)
     release_pending()
     assert not caching._PENDING
+
+
+def test_bpe_merges_session_memo(spark, sf_dir):
+    """_learn_merges memo: a repeat call with the same (app, sf_dir)
+    returns the SAME list without re-running the vocab-scale training
+    passes, and memoized values match a fresh un-memoized run."""
+    from gmallrealtime02_spark.plans import corpus_tools as CT
+
+    CT._MERGES_MEMO.clear()
+    m1 = CT._learn_merges(spark, sf_dir)
+    m2 = CT._learn_merges(spark, sf_dir)
+    assert m2 is m1  # memo hit
+    fresh = CT._learn_merges_impl(spark, sf_dir)
+    assert m1 == fresh
+    CT._MERGES_MEMO.clear()
