@@ -159,8 +159,105 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
 
 DECODED_SCHEMA = (
     "doc_id long, media_type string, width int, height int, mode string, "
-    "n_pixels long, mean_luma double, pixel_digest string"
+    "n_pixels long, sum_luma long, mean_luma double, pixel_digest string"
 )
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python uncompressed-BMP codec (the no-Pillow fallback)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(width: int, height: int, luma: bytes) -> bytes:
+    """Build a 24-bit uncompressed bottom-up BMP whose pixels are the
+    grayscale ``luma`` bytes replicated to B=G=R (row-major, top-left
+    first; must hold exactly width*height bytes).  Deterministic fixture
+    generator for the decode tests and the BMP-roundtrip queries — gray
+    (v,v,v) converts back to luma exactly v under the ITU-R 601-2
+    formula, so encode→decode round-trips bit-exact."""
+    import struct
+
+    if len(luma) != width * height:
+        raise ValueError("luma must hold width*height bytes")
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        row = luma[y * width : (y + 1) * width]
+        rows.append(b"".join(bytes((v, v, v)) for v in row) + pad)
+    pixel_data = b"".join(rows)
+    offset = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", offset + len(pixel_data), 0, 0, offset
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data),
+        2835, 2835, 0, 0,
+    )
+    return header + pixel_data
+
+
+def bmp_pixels(b: bytes) -> tuple[int, int, bytes] | None:
+    """Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER or larger DIB,
+    BI_RGB, bottom-up or top-down) into (width, height, luma bytes in
+    row-major top-left order).  Returns None for anything else — like
+    ``pillow_decoder``, an undecodable payload must pass through as a
+    null row, never kill a 10⁶-row partition.
+
+    Luma uses Pillow's exact RGB→L integer formula
+    ``(r*19595 + g*38470 + b*7471 + 0x8000) >> 16`` (ITU-R 601-2 scaled
+    to 2^16), so where Pillow IS available the two decoders agree
+    bit-for-bit on 24-bit BMPs (parity-pinned in pytest)."""
+    import struct
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    offset = struct.unpack_from("<I", b, 10)[0]
+    dib = struct.unpack_from("<I", b, 14)[0]
+    if dib < 40:  # BITMAPCOREHEADER etc. — out of scope
+        return None
+    width, height = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    if offset + stride * height > len(b):
+        return None  # truncated payload
+    out = bytearray(width * height)
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        base = offset + src_y * stride
+        for x in range(width):
+            bb = b[base + 3 * x]
+            gg = b[base + 3 * x + 1]
+            rr = b[base + 3 * x + 2]
+            out[y * width + x] = (
+                rr * 19595 + gg * 38470 + bb * 7471 + 0x8000
+            ) >> 16
+    return width, height, bytes(out)
+
+
+def bmp_decoder(b: bytes) -> dict | None:
+    """Pure-Python decode of uncompressed 24-bit BMPs → the same
+    grayscale feature dict as :func:`pillow_decoder` (mode reported as
+    "RGB", what Pillow reports for a 24-bit BMP).  The default decoder
+    when Pillow is absent: one real, verifiable format with zero
+    dependencies — compressed formats still need a codec library."""
+    parsed = bmp_pixels(bytes(b))
+    if parsed is None:
+        return None
+    width, height, px = parsed
+    n = len(px)
+    return {
+        "width": width,
+        "height": height,
+        "mode": "RGB",
+        "n_pixels": n,
+        "sum_luma": sum(px),
+        "mean_luma": round(sum(px) / n, 6) if n else 0.0,
+        "pixel_digest": hashlib.md5(px).hexdigest(),
+    }
 
 
 def pillow_decoder(b: bytes) -> dict | None:
@@ -182,6 +279,7 @@ def pillow_decoder(b: bytes) -> dict | None:
                 "height": gray.height,
                 "mode": im.mode,
                 "n_pixels": n,
+                "sum_luma": sum(px),
                 "mean_luma": round(sum(px) / n, 6) if n else 0.0,
                 "pixel_digest": hashlib.md5(px).hexdigest(),
             }
@@ -197,20 +295,18 @@ def decode_media(media: DataFrame, decoder=None) -> DataFrame:
 
     ``decoder`` is ``bytes -> dict | None`` (None = undecodable row,
     emitted with null features).  Defaults to the Pillow image decoder
-    when Pillow is importable; otherwise raises ``NotImplementedError``
-    (this environment ships no codec library — the decoder slot, batch
-    shape, and schema are real and tested via an injected decoder)."""
+    when Pillow is importable, else to the pure-Python
+    :func:`bmp_decoder` (uncompressed 24-bit BMPs only; the two agree
+    bit-for-bit on that format, parity-pinned in pytest where Pillow
+    exists).  Compressed formats without Pillow decode as null rows —
+    pass ``decoder=`` explicitly to plug in a real codec."""
     if decoder is None:
         try:
             import PIL  # noqa: F401
 
             decoder = pillow_decoder
-        except ImportError as exc:
-            raise NotImplementedError(
-                "media decode requires an image/audio codec library (e.g. "
-                "Pillow); none is available in this environment — pass "
-                "decoder= explicitly to use a custom codec"
-            ) from exc
+        except ImportError:
+            decoder = bmp_decoder
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         null_row = {
@@ -218,6 +314,7 @@ def decode_media(media: DataFrame, decoder=None) -> DataFrame:
             "height": None,
             "mode": None,
             "n_pixels": None,
+            "sum_luma": None,
             "mean_luma": None,
             "pixel_digest": None,
         }
@@ -229,11 +326,150 @@ def decode_media(media: DataFrame, decoder=None) -> DataFrame:
             out.insert(0, "doc_id", pdf["doc_id"].values)
             out.insert(1, "media_type", pdf["media_type"].values)
             out["n_pixels"] = out["n_pixels"].astype("Int64")
+            out["sum_luma"] = out["sum_luma"].astype("Int64")
             out["width"] = out["width"].astype("Int32")
             out["height"] = out["height"].astype("Int32")
             yield out
 
     return media.mapInPandas(op, schema=DECODED_SCHEMA)
+
+
+BMP_W = 8
+BMP_H = 8
+
+
+def as_bmp_media_table(
+    docs: DataFrame,
+    width: int = BMP_W,
+    height: int = BMP_H,
+    text_col: str = "text",
+) -> DataFrame:
+    """Synthesize a REAL image table: each document's first
+    ``width*height`` codepoints (clamped to 255, zero-padded) become the
+    grayscale pixels of an uncompressed 24-bit BMP.  Gives the
+    decode/resize/scanline operators an actually-decodable format whose
+    expected features are analytically recomputable from the text —
+    which is what makes the decode path hash-ORACLED: the DuckDB oracle
+    applies the same clamp/pad fold over codepoints, no BMP parser
+    needed (gray (v,v,v) → luma v exactly, see :func:`encode_bmp`)."""
+    n = width * height
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                luma = bytes(min(ord(c), 255) for c in t[:n]).ljust(n, b"\x00")
+                payloads.append(encode_bmp(width, height, luma))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": payloads,
+                    "media_type": "image/bmp",
+                    "n_bytes": pd.Series(
+                        [len(p) for p in payloads], dtype="int64"
+                    ),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        op, schema=MEDIA_SCHEMA
+    )
+
+
+RESIZE_PX_SCHEMA = (
+    "doc_id long, src_width int, src_height int, width int, height int, "
+    "thumb binary, sum_thumb long, thumb_digest string"
+)
+
+
+def resize_pixels(
+    media: DataFrame, width: int = 4, height: int = 4, pixels=bmp_pixels
+) -> DataFrame:
+    """REAL image resize (vs :func:`resize_media`'s byte-stride
+    stand-in): decode the payload's luma plane (default: the pure-Python
+    BMP parser) and nearest-neighbor resample to ``width x height`` —
+    target (x, y) reads source (floor(x·sw/w), floor(y·sh/h)), the
+    standard NN mapping.  Undecodable rows emit null features.  Same
+    1→1 Arrow ``mapInPandas`` shape; the binary payload never shuffles —
+    only thumbnails (w·h bytes) continue downstream."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sw_l, sh_l, th_l, sums, digs = [], [], [], [], []
+            for b in pdf["content"]:
+                parsed = pixels(bytes(b))
+                if parsed is None:
+                    sw_l.append(None); sh_l.append(None)
+                    th_l.append(None); sums.append(None); digs.append(None)
+                    continue
+                sw, sh, px = parsed
+                thumb = bytes(
+                    px[(y * sh // height) * sw + (x * sw // width)]
+                    for y in range(height)
+                    for x in range(width)
+                )
+                sw_l.append(sw); sh_l.append(sh)
+                th_l.append(thumb)
+                sums.append(sum(thumb))
+                digs.append(hashlib.md5(thumb).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_width": pd.Series(sw_l, dtype="Int32"),
+                    "src_height": pd.Series(sh_l, dtype="Int32"),
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "thumb": th_l,
+                    "sum_thumb": pd.Series(sums, dtype="Int64"),
+                    "thumb_digest": digs,
+                }
+            )
+
+    return media.mapInPandas(op, schema=RESIZE_PX_SCHEMA)
+
+
+SCANLINE_SCHEMA = (
+    "doc_id long, row_idx int, scanline binary, sum_row long, "
+    "row_digest string"
+)
+
+
+def sample_scanlines(
+    media: DataFrame, every_n: int = 4, pixels=bmp_pixels
+) -> DataFrame:
+    """Decoded 1→N fan-out over REAL pixels (vs :func:`sample_frames`'s
+    byte-frame stand-in): every ``every_n``-th ROW of the decoded luma
+    plane becomes its own output row — the frame-sampling batch shape
+    applied to the one decodable format this sandbox can verify.
+    Undecodable payloads contribute no rows.  Sampling is scan-side;
+    only the sampled scanlines (1/every_n of the pixels) move."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lines, sums, digs = [], [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
+                parsed = pixels(bytes(b))
+                if parsed is None:
+                    continue
+                w, h, px = parsed
+                for y in range(0, h, every_n):
+                    row = px[y * w : (y + 1) * w]
+                    ids.append(doc_id)
+                    idxs.append(y)
+                    lines.append(row)
+                    sums.append(sum(row))
+                    digs.append(hashlib.md5(row).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "row_idx": pd.Series(idxs, dtype="int32"),
+                    "scanline": lines,
+                    "sum_row": pd.Series(sums, dtype="int64"),
+                    "row_digest": digs,
+                }
+            )
+
+    return media.mapInPandas(op, schema=SCANLINE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -20,11 +20,18 @@ from ..functions import text as TX
 from ..functions.numeric import ratio_micro, ratio_micro_sql
 from ..functions.multimodal import (
     AHASH_BITS,
+    BMP_H,
+    BMP_W,
+    as_bmp_media_table,
     as_media_table,
+    bmp_decoder,
+    decode_media,
     extract_features,
     media_ahash_table_np,
     resize_media,
+    resize_pixels,
     sample_frames,
+    sample_scanlines,
 )
 from ..caching import materialized
 from ..sources import load_table
@@ -1538,6 +1545,105 @@ def media_frames(spark, sf_dir):
     media = as_media_table(load_table(spark, sf_dir, "documents"))
     return sample_frames(media, every_n=4).select(
         "doc_id", "frame_idx", "frame_digest"
+    )
+
+
+# Shared oracle fragment: the clamped/padded grayscale pixel list the BMP
+# synthesis (functions/multimodal.as_bmp_media_table) encodes — first
+# BMP_W*BMP_H codepoints clamped to 255, zero-padded.  Out-of-range list
+# indexes are NULL in DuckDB, so coalesce(.., 0) IS the zero-padding.
+_BMP_CP = (
+    "list_transform(list_filter(string_split(text, ''), c -> c != ''), "
+    "c -> CAST(ascii(c) AS BIGINT))"
+)
+
+
+@register(
+    "media_bmp_decode",
+    oracle=f"""
+    SELECT doc_id, {BMP_W} AS width, {BMP_H} AS height,
+           CAST({BMP_W * BMP_H} AS BIGINT) AS n_pixels,
+           CAST(coalesce(list_sum(list_transform(
+                list_slice({_BMP_CP}, 1, {BMP_W * BMP_H}),
+                c -> least(c, 255))), 0) AS BIGINT) AS sum_luma
+    FROM documents
+    """,
+    tags=("multimodal", "decode"),
+)
+def media_bmp_decode(spark, sf_dir):
+    """REAL image decode, hash-oracled: each document's first 64
+    codepoints become the pixels of an uncompressed 24-bit BMP
+    (as_bmp_media_table), the pure-Python ``bmp_decoder`` parses the
+    actual file format back (headers, bottom-up rows, stride padding,
+    ITU-R 601-2 luma), and the oracle recomputes width/height/n_pixels/
+    sum_luma analytically from the text — no BMP parser on the DuckDB
+    side, because gray (v,v,v) converts to luma exactly v.
+
+    Scale shape: synthesis + decode are one zero-exchange Arrow scan;
+    only the small typed feature columns continue (the payload never
+    shuffles).  The decoder is pinned bit-compatible with Pillow's
+    RGB→L on this format, so a codec upgrade cannot silently change
+    results."""
+    media = as_bmp_media_table(load_table(spark, sf_dir, "documents"))
+    return decode_media(media, decoder=bmp_decoder).select(
+        "doc_id", "width", "height", "n_pixels", "sum_luma"
+    )
+
+
+@register(
+    "media_resize_decoded",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id, {_BMP_CP} AS cp FROM documents
+    )
+    SELECT doc_id, {BMP_W} AS src_width, {BMP_H} AS src_height,
+           4 AS width, 4 AS height,
+           CAST(coalesce(list_sum(list_transform(
+                generate_series(0, 15),
+                i -> least(coalesce(cp[(i // 4) * {2 * BMP_W} + (i % 4) * 2
+                                       + 1], 0), 255))), 0) AS BIGINT)
+               AS sum_thumb
+    FROM px
+    """,
+    tags=("multimodal", "resize", "decode"),
+)
+def media_resize_decoded(spark, sf_dir):
+    """REAL nearest-neighbor resize over decoded pixels, hash-oracled:
+    decode the synthesized 8x8 BMP, NN-resample the luma plane to 4x4
+    (target (x, y) reads source (2x, 2y)), and verify the thumbnail's
+    exact pixel sum against the oracle's direct codepoint fold — the
+    decoded counterpart of ``media_resize``'s byte-stride plumbing.
+
+    Scale shape: one zero-exchange Arrow scan; thumbnails are w·h bytes,
+    the only payload that moves downstream."""
+    media = as_bmp_media_table(load_table(spark, sf_dir, "documents"))
+    return resize_pixels(media, 4, 4).select(
+        "doc_id", "src_width", "src_height", "width", "height", "sum_thumb"
+    )
+
+
+@register(
+    "media_scanlines",
+    oracle=f"""
+    SELECT doc_id, y AS row_idx,
+           CAST(coalesce(list_sum(list_transform(
+                generate_series(1, {BMP_W}),
+                i -> least(coalesce(cp[y * {BMP_W} + i], 0), 255))), 0)
+                AS BIGINT) AS sum_row
+    FROM (SELECT doc_id, {_BMP_CP} AS cp FROM documents)
+    CROSS JOIN (VALUES (0), (4)) t(y)
+    """,
+    tags=("multimodal", "frames", "decode"),
+)
+def media_scanlines(spark, sf_dir):
+    """Decoded 1→N fan-out over REAL pixels, hash-oracled: every 4th ROW
+    of the decoded 8x8 luma plane becomes its own output row (rows 0 and
+    4) with its exact pixel sum — the frame-sampling batch shape
+    (``media_frames``) applied to the verifiable format, with the oracle
+    folding the same codepoint rows directly."""
+    media = as_bmp_media_table(load_table(spark, sf_dir, "documents"))
+    return sample_scanlines(media, every_n=4).select(
+        "doc_id", "row_idx", "sum_row"
     )
 
 

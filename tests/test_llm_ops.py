@@ -131,22 +131,25 @@ def test_sample_frames_fanout(spark, sf_dir):
         assert first == raw[:FRAME_SIZE]
 
 
-def test_decode_media_stub_without_codec(spark, sf_dir):
-    """With no codec library installed and no injected decoder, the
-    integration point raises (honest stub)."""
-    import pytest
+def test_decode_media_default_works_without_codec(spark, sf_dir):
+    """Without Pillow, decode_media's DEFAULT decoder is the pure-Python
+    BMP fallback: real BMP payloads decode, non-BMP payloads (raw text
+    bytes here) pass through as null-featured rows."""
+    from gmallrealtime02_spark.functions.multimodal import (
+        as_bmp_media_table,
+        decode_media,
+    )
 
-    from gmallrealtime02_spark.functions.multimodal import decode_media
-
-    try:
-        import PIL  # noqa: F401
-
-        pytest.skip("Pillow present: default decoder exists")
-    except ImportError:
-        pass
-    docs = load_table(spark, sf_dir, "documents").limit(1)
-    with pytest.raises(NotImplementedError):
-        decode_media(as_media_table(docs))
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    # non-image payloads: null rows, not NotImplementedError / task death
+    out = decode_media(as_media_table(docs)).collect()
+    assert len(out) == 5 and all(r.width is None for r in out)
+    # real (synthesized) BMPs decode end to end with the default decoder
+    dec = decode_media(as_bmp_media_table(docs)).collect()
+    assert len(dec) == 5
+    for r in dec:
+        assert (r.width, r.height, r.n_pixels, r.mode) == (8, 8, 64, "RGB")
+        assert r.sum_luma is not None and r.pixel_digest is not None
 
 
 def test_decode_media_injected_decoder_plumbing(spark, sf_dir):
@@ -164,6 +167,7 @@ def test_decode_media_injected_decoder_plumbing(spark, sf_dir):
             "height": len(b) // 4,
             "mode": "L",
             "n_pixels": len(b),
+            "sum_luma": sum(b),
             "mean_luma": round(sum(b) / len(b), 6) if b else 0.0,
             "pixel_digest": __import__("hashlib").md5(b).hexdigest(),
         }

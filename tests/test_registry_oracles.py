@@ -82,11 +82,21 @@ def test_driver_window_curation():
         green |= {n for n, v in d.items() if v.get("hash_match")}
     never_green = {n for n in qs if n not in green and qs[n].oracle is not None}
     assert never_green <= set(window), never_green - set(window)
+    # the round-7 in-round additions sit right behind the r6 block,
+    # flagged as first exposure like every new query
+    assert set(window[13:16]) == _ROUND7_ADDITIONS, window[13:16]
     # the rotation slots re-verify only already-green rows (nothing red
     # or unknown sneaks in without being flagged as first-exposure)
-    rotation = set(window) - _ROUND6_ADDITIONS
+    rotation = set(window) - _ROUND6_ADDITIONS - _ROUND7_ADDITIONS
     assert rotation <= green, rotation - green
-    assert len(rotation) == 37, len(rotation)
+    assert len(rotation) == 34, len(rotation)
+
+
+_ROUND7_ADDITIONS = {
+    "media_bmp_decode",
+    "media_resize_decoded",
+    "media_scanlines",
+}
 
 
 _ROUND6_ADDITIONS = {
