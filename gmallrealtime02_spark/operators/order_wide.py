@@ -39,6 +39,13 @@ def order_wide(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     # detail_seq) aggregation skip its exchange — one shuffle total, with
     # the join and partial agg running on all cores
     lineitem = ensure_parallelism(lineitem, by=("l_orderkey", "l_linenumber"))
+    return _wide_from(orders, lineitem)
+
+
+def _wide_from(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The join+merge+dedup core, agnostic to how the inputs were
+    clustered (repartition in :func:`order_wide`, disk bucketing in
+    :func:`bucketed_order_wide`)."""
     joined = lineitem.join(
         orders, lineitem.l_orderkey == orders.o_orderkey, "inner"
     )
@@ -68,3 +75,51 @@ def order_wide(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         keys=["order_id", "detail_seq"],
         order_by=["sku_id", "sku_price", "sku_num", "final_detail_amount"],
     )
+
+
+def bucketed_order_wide(
+    spark,
+    sf_dir: str,
+    path: str,
+    n_buckets: int = 8,
+    tag: str = "demo",
+) -> tuple[DataFrame, "callable"]:
+    """Proof of the module docstring's 100 TB claim: write BOTH facts
+    bucketed by the order key (``bucketBy`` + ``sortBy`` external tables
+    under ``path``), re-run the SAME join+dedup core, and the fact⋈fact
+    exchange disappears — each bucket pair joins in place, and the
+    bucket partitioning (a hash partitioning on the order key) also
+    satisfies the (order_id, detail_seq) dedup clustering, so the WHOLE
+    plan is exchange-free (gated in tests/test_plan_shapes.py with
+    broadcast disabled so the zero is the bucketing's, not a
+    small-table accident).
+
+    This is the write-once/join-forever layout: at 100 TB both fact
+    tables pay one clustering write, then every order-keyed join, dedup,
+    and rollup reads co-located buckets with zero shuffle.  Returns
+    (result DataFrame, cleanup fn dropping the two catalog tables)."""
+    from ..sources import load_table
+
+    o_tbl, l_tbl = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.bucketBy(n_buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{path}/{o_tbl}")
+        .mode("overwrite")
+        .saveAsTable(o_tbl)
+    )
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .write.bucketBy(n_buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{path}/{l_tbl}")
+        .mode("overwrite")
+        .saveAsTable(l_tbl)
+    )
+
+    def cleanup() -> None:
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {l_tbl}")
+
+    return _wide_from(spark.table(o_tbl), spark.table(l_tbl)), cleanup

@@ -1458,3 +1458,39 @@ def test_coview_clustering_coefficient_reuses_edge_cache(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan, plan
     assert plan.count("InMemoryTableScan") >= 4, plan
+
+
+def test_bucketed_order_wide_zero_exchange(spark, sf_dir, tmp_path):
+    """The order_wide docstring's 100 TB claim, proven: with both facts
+    written bucketed by the order key, the SAME join+dedup plan contains
+    ZERO exchanges — the join reads co-located buckets and the bucket
+    hash partitioning satisfies the dedup's clustering too.  Broadcast
+    is disabled so the zero is the bucketing's doing, and the result is
+    row-identical to the shuffling order_wide."""
+    from gmallrealtime02_spark.operators.order_wide import (
+        bucketed_order_wide,
+    )
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df, cleanup = bucketed_order_wide(
+            spark, sf_dir, str(tmp_path), n_buckets=8, tag="gate"
+        )
+        try:
+            plan = _executed_plan(df)
+            assert _exchanges(plan) == 0, plan
+            assert "SortMergeJoin" in plan, plan  # a real fact-fact join
+            got = sorted(
+                (r.order_id, r.detail_seq, r.sku_id, r.final_detail_amount)
+                for r in df.collect()
+            )
+        finally:
+            cleanup()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    want = sorted(
+        (r.order_id, r.detail_seq, r.sku_id, r.final_detail_amount)
+        for r in QUERIES["order_wide"].fn(spark, sf_dir).collect()
+    )
+    assert got == want
