@@ -1,0 +1,230 @@
+"""Snapshot-isolated parquet table via a versioned manifest — the
+metadata layer raw directory listings cannot give.
+
+``compact_partitions`` (sinks.py) documents its honest limitation: a
+rename-swap over a live directory needs exclusive access, because a
+directory listing is not a transaction.  This module is the design-level
+fix, the Iceberg/Delta idea at 1% of the size:
+
+- data files are IMMUTABLE parquet, written once, never renamed;
+- the table state is a manifest (``_manifests/v{N}.json``) listing
+  exactly the live files;
+- a commit publishes the next manifest with an atomic
+  ``os.link`` (hard-link create fails if the target exists — the
+  compare-and-swap that makes concurrent committers safe: the loser
+  reloads and retries on top of the winner);
+- readers resolve the highest published version and read ONLY its
+  files.  A compaction, append, or replace in flight is invisible until
+  its manifest lands, and a crash mid-commit leaves nothing but orphan
+  data files for ``vacuum`` — the live table is untouched, no recovery
+  step, no marker replay.
+
+Why this is the 100 TB layout: at scale "the directory" is an object
+store with eventually-consistent listings and no atomic rename of
+directories; every real table service (Delta, Iceberg, Hudi) therefore
+commits through a single small metadata object exactly like this.  The
+manifest here is one JSON per version (fine for O(10^4) files per
+table); beyond that, Iceberg splits manifests hierarchically — same
+protocol, one more level.
+
+Reference parity note: this replaces the reference's "write to
+ClickHouse and let MergeTree compact" intent (SURVEY §2.2 K7,
+``DwsOrderWideApp.scala`` sink comments) with an in-engine table service.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first (caught internally;
+    surfaces only after ``max_retries`` rebases)."""
+
+
+class ManifestTable:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "_manifests")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- version resolution -------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        out = []
+        for n in os.listdir(self.manifest_dir):
+            if n.startswith("v") and n.endswith(".json"):
+                try:
+                    out.append(int(n[1:-5]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def current_version(self) -> int:
+        """Highest published version; 0 = empty table (no manifest)."""
+        vs = self._versions()
+        return vs[-1] if vs else 0
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{version}.json")
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return {"version": 0, "files": [], "op": "empty"}
+        with open(self._manifest_path(v)) as fh:
+            return json.load(fh)
+
+    def files(self, version: int | None = None) -> list[str]:
+        return [
+            os.path.join(self.data_dir, f)
+            for f in self.manifest(version)["files"]
+        ]
+
+    # -- data-file writes (immutable; invisible until committed) ------------
+
+    def _write_data(self, df: DataFrame, coalesce: int | None = None) -> list[str]:
+        tmp = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+        (df.coalesce(coalesce) if coalesce else df).write.parquet(tmp)
+        out = []
+        for n in sorted(os.listdir(tmp)):
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                final = f"{uuid.uuid4().hex}.parquet"
+                os.rename(os.path.join(tmp, n), os.path.join(self.data_dir, final))
+                out.append(final)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        return out
+
+    # -- the commit protocol -------------------------------------------------
+
+    def _commit(self, make_manifest, max_retries: int = 16) -> dict:
+        """Optimistic CAS loop: build the next manifest against the
+        current snapshot, publish via exclusive hard-link create, rebase
+        and retry on conflict.  ``make_manifest(base: dict) -> dict``
+        must be a pure function of the base snapshot (append recomputes
+        its file union, compact re-reads the new live set, ...)."""
+        for _ in range(max_retries):
+            base = self.manifest()
+            nxt = make_manifest(base)
+            nxt["version"] = base["version"] + 1
+            nxt["parent"] = base["version"]
+            tmp = os.path.join(
+                self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json"
+            )
+            with open(tmp, "w") as fh:
+                json.dump(nxt, fh)
+            try:
+                os.link(tmp, self._manifest_path(nxt["version"]))
+                return nxt
+            except FileExistsError:
+                continue  # lost the race: rebase on the winner's snapshot
+            finally:
+                os.remove(tmp)
+        raise CommitConflict(f"lost {max_retries} commit races under {self.root}")
+
+    # -- table operations ----------------------------------------------------
+
+    def append(self, df: DataFrame) -> dict:
+        """Add ``df``'s rows.  Concurrent appends both land (the loser
+        rebases its file ADDITION onto the winner's file list)."""
+        new = self._write_data(df)
+
+        def mk(base: dict) -> dict:
+            return {"files": base["files"] + new, "op": "append"}
+
+        return self._commit(mk)
+
+    def replace(self, df: DataFrame) -> dict:
+        new = self._write_data(df)
+
+        def mk(base: dict) -> dict:
+            return {"files": new, "op": "replace"}
+
+        return self._commit(mk)
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 2,
+    ) -> dict | None:
+        """Rewrite the live file set into ceil(bytes/target) files and
+        publish the swap as one manifest commit — READERS NEED NO
+        COORDINATION (the compact_partitions exclusive-access contract
+        dissolves at this layer): a reader on vN keeps reading vN's
+        immutable files; the rewrite only retires them from v(N+1).
+        Returns the new manifest, or None if under-fragmented.
+
+        If an append lands between our snapshot read and our commit, the
+        CAS rebase re-unions: compacted(old snapshot) + files added
+        since — nothing is lost, nothing blocks."""
+        import math
+
+        snap = self.manifest()
+        if len(snap["files"]) < min_files:
+            return None
+        live = [os.path.join(self.data_dir, f) for f in snap["files"]]
+        total = sum(os.path.getsize(p) for p in live)
+        n_out = max(1, math.ceil(total / target_bytes))
+        if n_out >= len(snap["files"]):
+            return None
+        compacted = self._write_data(
+            spark.read.parquet(*live), coalesce=n_out
+        )
+        snap_set = set(snap["files"])
+
+        def mk(base: dict) -> dict:
+            added_since = [f for f in base["files"] if f not in snap_set]
+            return {"files": compacted + added_since, "op": "compact"}
+
+        return self._commit(mk)
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        fs = self.files(version)
+        if not fs:
+            raise FileNotFoundError(f"empty manifest table at {self.root}")
+        return spark.read.parquet(*fs)
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete data files referenced by NO retained manifest, plus
+        manifests older than the newest ``keep_versions``.  Time-travel
+        readers of retained versions are unaffected; run with a horizon
+        longer than any reader's job (the standard vacuum contract)."""
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        vs = self._versions()
+        keep = vs[-keep_versions:] if vs else []
+        live: set[str] = set()
+        for v in keep:
+            live |= set(self.manifest(v)["files"])
+        removed = []
+        for n in os.listdir(self.data_dir):
+            if n.endswith(".parquet") and n not in live:
+                os.remove(os.path.join(self.data_dir, n))
+                removed.append(n)
+        for v in vs[: -keep_versions]:
+            os.remove(self._manifest_path(v))
+        return removed
+
+
+def make_manifest_append_sink(table: ManifestTable):
+    """foreachBatch sink: each micro-batch commits ONE manifest version,
+    so downstream readers see exact batch boundaries, never a torn
+    batch — the atomic-visibility guarantee the raw append sink
+    (``make_append_sink``) cannot give over a plain directory."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..caching import begin_query
+
+        begin_query()
+        table.append(batch_df)
+
+    return sink

@@ -129,9 +129,11 @@ def compact_partitions(
     them the partition directory briefly does not exist, so compaction
     requires EXCLUSIVE access to the leaf being rewritten (pause readers
     of that partition, or compact only cold partitions — the normal
-    table-maintenance discipline for raw filesystem layouts; true
-    read-during-compact needs a manifest/metadata layer like Delta or
-    Iceberg, which this deliberately does not reinvent).
+    table-maintenance discipline for raw filesystem layouts).  For
+    read-during-compact without coordination use
+    ``streaming.manifest.ManifestTable`` — its compact() commits through
+    a versioned manifest, so concurrent readers keep their snapshot's
+    immutable files and never need this contract.
 
     CRASH SAFETY: before the first rename a ``.compact-marker`` JSON is
     written next to the leaf recording {leaf, old, tmp}; if the process

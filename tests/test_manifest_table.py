@@ -1,0 +1,164 @@
+"""ManifestTable: snapshot isolation, CAS commits, reader-safe
+compaction (the design-level answer to compact_partitions' documented
+exclusive-access limitation), vacuum, and the streaming batch-atomic
+sink."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmallrealtime02_spark.sources import load_table
+from gmallrealtime02_spark.streaming.manifest import (
+    CommitConflict,
+    ManifestTable,
+    make_manifest_append_sink,
+)
+
+
+def _ids(df) -> list[int]:
+    return sorted(r.event_id for r in df.select("event_id").collect())
+
+
+def _events(spark, sf_dir, lo, hi):
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+def test_append_read_roundtrip_and_versions(spark, sf_dir, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    assert t.current_version() == 0
+    with pytest.raises(FileNotFoundError):
+        t.read(spark)
+    t.append(_events(spark, sf_dir, 0, 100))
+    t.append(_events(spark, sf_dir, 100, 250))
+    assert t.current_version() == 2
+    want = _ids(_events(spark, sf_dir, 0, 250))
+    assert _ids(t.read(spark)) == want
+    # time travel: v1 still reads exactly the first append
+    assert _ids(t.read(spark, version=1)) == _ids(_events(spark, sf_dir, 0, 100))
+
+
+def test_compaction_is_reader_safe(spark, sf_dir, tmp_path):
+    """A reader that resolved the pre-compact version keeps its files
+    (immutable, not yet vacuumed) while the live table swaps — no
+    exclusive-access requirement, no partial state ever visible."""
+    t = ManifestTable(str(tmp_path / "t"))
+    for lo in range(0, 800, 100):  # 8 commits -> 8+ small files
+        t.append(_events(spark, sf_dir, lo, lo + 100))
+    v_before = t.current_version()
+    old_reader = t.read(spark, version=v_before)  # lazy plan pins old files
+    want = _ids(_events(spark, sf_dir, 0, 800))
+    m = t.compact(spark, target_bytes=1 << 30)
+    assert m is not None and m["op"] == "compact"
+    assert len(m["files"]) == 1  # 1 GiB target at this size -> single file
+    assert _ids(t.read(spark)) == want  # live table: same rows, fewer files
+    assert _ids(old_reader) == want  # concurrent old-version reader: intact
+    # under-fragmented: a second compact is a no-op
+    assert t.compact(spark, target_bytes=1 << 30) is None
+
+
+def test_compact_rebases_over_concurrent_append(spark, sf_dir, tmp_path):
+    """An append landing between compact's snapshot and its commit is
+    NOT lost: the CAS rebase unions compacted(old) + files added since."""
+    t = ManifestTable(str(tmp_path / "t"))
+    for lo in range(0, 300, 100):
+        t.append(_events(spark, sf_dir, lo, lo + 100))
+    orig_commit = t._commit
+    raced = {"done": False}
+
+    def racing_commit(mk, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            t2 = ManifestTable(t.root)  # a concurrent writer
+            t2.append(_events(spark, sf_dir, 300, 400))
+        return orig_commit(mk, **kw)
+
+    t._commit = racing_commit
+    m = t.compact(spark, target_bytes=1 << 30)
+    t._commit = orig_commit
+    assert m is not None
+    assert _ids(t.read(spark)) == _ids(_events(spark, sf_dir, 0, 400))
+
+
+def test_crash_mid_commit_leaves_table_untouched(spark, sf_dir, tmp_path):
+    """Data files written but no manifest published (a crash before the
+    CAS) are invisible to readers and reaped by vacuum as orphans."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_events(spark, sf_dir, 0, 100))
+    want = _ids(t.read(spark))
+    # simulate: a writer died after _write_data, before _commit
+    t._write_data(_events(spark, sf_dir, 100, 200))
+    assert _ids(t.read(spark)) == want  # invisible
+    removed = t.vacuum(keep_versions=1)
+    assert removed  # the orphans are reaped
+    assert _ids(t.read(spark)) == want
+
+
+def test_vacuum_retention(spark, sf_dir, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    for lo in range(0, 300, 100):
+        t.append(_events(spark, sf_dir, lo, lo + 100))
+    t.compact(spark, target_bytes=1 << 30)
+    n_files_before = len(os.listdir(t.data_dir))
+    removed = t.vacuum(keep_versions=1)
+    assert removed and len(os.listdir(t.data_dir)) < n_files_before
+    # only the newest manifest survives; the table still reads fully
+    assert t._versions() == [t.current_version()]
+    assert _ids(t.read(spark)) == _ids(_events(spark, sf_dir, 0, 300))
+    with pytest.raises(ValueError):
+        t.vacuum(keep_versions=0)
+
+
+def test_concurrent_appends_both_land(spark, sf_dir, tmp_path):
+    """Two writers racing to the same version: the CAS makes the loser
+    rebase — both appends survive in the final manifest chain."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = ManifestTable(str(tmp_path / "t"))
+    a = _events(spark, sf_dir, 0, 100).collect()
+    b = _events(spark, sf_dir, 100, 200).collect()
+    schema = "event_id long, user_id long, event_type string, value double"
+
+    def write(rows):
+        ManifestTable(t.root).append(spark.createDataFrame(rows, schema))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(write, [a, b]))
+    assert t.current_version() == 2
+    assert _ids(t.read(spark)) == _ids(_events(spark, sf_dir, 0, 200))
+
+
+def test_commit_conflict_surfaces_after_retries(spark, sf_dir, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_events(spark, sf_dir, 0, 50))
+
+    def mk(base):
+        # adversarial: publish the next version out from under every try
+        nxt = base["version"] + 1
+        with open(t._manifest_path(nxt), "w") as fh:
+            json.dump({"version": nxt, "files": base["files"], "op": "x"}, fh)
+        return {"files": base["files"], "op": "loser"}
+
+    with pytest.raises(CommitConflict):
+        t._commit(mk, max_retries=3)
+
+
+def test_streaming_sink_commits_one_version_per_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch manifest sink: every micro-batch is one atomic
+    commit, so a downstream reader sees exact batch boundaries."""
+    t = ManifestTable(str(tmp_path / "t"))
+    sink = make_manifest_append_sink(t)
+    batches = [_events(spark, sf_dir, lo, lo + 100) for lo in (0, 100, 200)]
+    for i, b in enumerate(batches):
+        sink(b, i)
+    assert t.current_version() == 3
+    assert _ids(t.read(spark)) == _ids(_events(spark, sf_dir, 0, 300))
+    for v in (1, 2, 3):
+        assert len(_ids(t.read(spark, version=v))) == 100 * v
