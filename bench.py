@@ -309,6 +309,31 @@ def bench_streaming() -> None:
         )
         _run("streaming_media_features", streaming_media_features(m_s),
              "append", "media_ckpt", n_rows)
+
+        # --- manifest-table sink: one ATOMIC commit per micro-batch ---
+        # end-to-end includes the per-batch parquet write + manifest CAS,
+        # i.e. the full price of batch-boundary snapshot isolation over
+        # the same ×32 document stream the other subjects consume
+        from gmallrealtime02_spark.streaming.manifest import (
+            ManifestTable,
+            make_manifest_append_sink,
+        )
+
+        mt = ManifestTable(os.path.join(work, "manifest_tbl"))
+        qm = (
+            _doc_stream()
+            .writeStream.foreachBatch(make_manifest_append_sink(mt))
+            .option(
+                "checkpointLocation", os.path.join(work, "manifest_ckpt")
+            )
+            .start()
+        )
+        t0 = time.perf_counter()
+        qm.processAllAvailable()
+        qm.stop()
+        jobs["streaming_manifest_sink_rows_per_s"] = round(
+            n_rows / (time.perf_counter() - t0), 1
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
     print(
