@@ -142,11 +142,14 @@ class ManifestTable:
 
         return self._commit(mk)
 
-    def replace(self, df: DataFrame) -> dict:
+    def replace(self, df: DataFrame, extra: dict | None = None) -> dict:
+        """Swap the full file set.  ``extra`` merges additional metadata
+        into the manifest (e.g. a continuous aggregate's
+        ``source_version`` watermark)."""
         new = self._write_data(df)
 
         def mk(base: dict) -> dict:
-            return {"files": new, "op": "replace"}
+            return {"files": new, "op": "replace", **(extra or {})}
 
         return self._commit(mk)
 

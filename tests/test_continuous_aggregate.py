@@ -1,0 +1,124 @@
+"""ContinuousAggregate: incremental refresh scans only appended files,
+merged partials equal a full recompute, non-append source ops force the
+full fallback, and non-decomposable aggs are rejected."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmallrealtime02_spark.sources import load_table
+from gmallrealtime02_spark.streaming.manifest import ManifestTable
+from gmallrealtime02_spark.streaming.rollup import ContinuousAggregate
+
+
+def _events(spark, sf_dir, lo, hi):
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+        )
+    )
+
+
+def _ca(spark, tmp_path):
+    src = ManifestTable(str(tmp_path / "src"))
+    ca = ContinuousAggregate(
+        src,
+        str(tmp_path / "rollup"),
+        group_cols=["dt", "event_type"],
+        aggs={
+            "n": ("count", "*"),
+            "total": ("sum", "value"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+        },
+    )
+    return src, ca
+
+
+def _expected(spark, df):
+    return {
+        (r.dt, r.event_type): (r.n, round(r.total, 6), r.vmin, r.vmax)
+        for r in df.groupBy("dt", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+
+
+def _got(spark, ca):
+    return {
+        (r.dt, r.event_type): (r.n, round(r.total, 6), r.vmin, r.vmax)
+        for r in ca.read(spark).collect()
+    }
+
+
+def test_incremental_refresh_matches_full_recompute(spark, sf_dir, tmp_path):
+    src, ca = _ca(spark, tmp_path)
+    src.append(_events(spark, sf_dir, 0, 300))
+    r1 = ca.refresh(spark)
+    assert r1["mode"] == "full"  # first materialization
+    assert _got(spark, ca) == _expected(spark, _events(spark, sf_dir, 0, 300))
+
+    src.append(_events(spark, sf_dir, 300, 500))
+    src.append(_events(spark, sf_dir, 500, 600))
+    r2 = ca.refresh(spark)
+    assert r2["mode"] == "incremental"
+    # only the two appended commits' files were scanned — O(new data)
+    assert r2["files_scanned"] < len(src.files())
+    assert _got(spark, ca) == _expected(spark, _events(spark, sf_dir, 0, 600))
+
+    # nothing new -> noop, watermark already current
+    assert ca.refresh(spark)["mode"] == "noop"
+
+
+def test_compaction_forces_full_fallback(spark, sf_dir, tmp_path):
+    """A compact rewrites the source's file set, so the version diff no
+    longer enumerates additions — refresh detects the non-append op from
+    the manifest chain and recomputes, never double-counts."""
+    src, ca = _ca(spark, tmp_path)
+    for lo in range(0, 400, 100):
+        src.append(_events(spark, sf_dir, lo, lo + 100))
+    ca.refresh(spark)
+    src.compact(spark, target_bytes=1 << 30)
+    src.append(_events(spark, sf_dir, 400, 500))
+    r = ca.refresh(spark)
+    assert r["mode"] == "full"
+    assert _got(spark, ca) == _expected(spark, _events(spark, sf_dir, 0, 500))
+    # and the chain is clean again afterwards: next append is incremental
+    src.append(_events(spark, sf_dir, 500, 550))
+    assert ca.refresh(spark)["mode"] == "incremental"
+    assert _got(spark, ca) == _expected(spark, _events(spark, sf_dir, 0, 550))
+
+
+def test_rollup_readers_get_snapshot_isolation(spark, sf_dir, tmp_path):
+    """A reader holding the pre-refresh rollup version keeps it while a
+    refresh replaces the live rollup (the ManifestTable guarantee,
+    inherited for free)."""
+    src, ca = _ca(spark, tmp_path)
+    src.append(_events(spark, sf_dir, 0, 200))
+    ca.refresh(spark)
+    v = ca.rollup.current_version()
+    old = ca.rollup.read(spark, version=v)
+    old_rows = old.count()
+    src.append(_events(spark, sf_dir, 200, 400))
+    ca.refresh(spark)
+    assert ca.rollup.current_version() > v
+    assert old.count() == old_rows  # old snapshot intact
+
+
+def test_non_decomposable_agg_rejected(tmp_path):
+    src = ManifestTable(str(tmp_path / "src"))
+    with pytest.raises(ValueError, match="decomposable"):
+        ContinuousAggregate(
+            src, str(tmp_path / "r"), ["dt"], {"a": ("avg", "value")}
+        )
