@@ -196,6 +196,40 @@ class ManifestTable:
             raise FileNotFoundError(f"empty manifest table at {self.root}")
         return spark.read.parquet(*fs)
 
+    def appended_files(self, since: int, until: int) -> list[str] | None:
+        """Data files added by versions (since, until] — the CDC read
+        every incremental consumer (continuous aggregates, downstream
+        syncs) wants: scan O(new data), not O(table).  Returns None if
+        any step in the range is not an append (compact/replace rewrote
+        the file set, so 'added files' is no longer meaningful — the
+        consumer must fall back to a full read; detected from the
+        recorded per-version ``op``, never guessed)."""
+        new: list[str] = []
+        for v in range(since + 1, until + 1):
+            m = self.manifest(v)
+            if m.get("op") != "append":
+                return None
+            prev = set(self.manifest(v - 1)["files"]) if v > 1 else set()
+            new.extend(f for f in m["files"] if f not in prev)
+        return new
+
+    def read_appended(
+        self, spark: SparkSession, since: int, until: int | None = None
+    ) -> DataFrame | None:
+        """Rows added by versions (since, until] as a DataFrame, or None
+        when the range contains a non-append commit (see
+        :meth:`appended_files`).  An empty range reads as an empty
+        DataFrame of the table's schema."""
+        until = self.current_version() if until is None else until
+        fs = self.appended_files(since, until)
+        if fs is None:
+            return None
+        if not fs:
+            return self.read(spark, until).limit(0)
+        return spark.read.parquet(
+            *[os.path.join(self.data_dir, f) for f in fs]
+        )
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files referenced by NO retained manifest, plus
         manifests older than the newest ``keep_versions``.  Time-travel

@@ -96,19 +96,6 @@ class ContinuousAggregate:
             return 0
         return self.rollup.manifest().get("source_version", 0)
 
-    def _appends_since(self, since: int, now: int) -> list[str] | None:
-        """Data files added by versions (since, now], or None if any
-        step was not an append (compact/replace rewrote the file set —
-        the partial-merge premise is gone)."""
-        new: list[str] = []
-        for v in range(since + 1, now + 1):
-            m = self.source.manifest(v)
-            if m.get("op") != "append":
-                return None
-            prev = set(self.source.manifest(v - 1)["files"]) if v > 1 else set()
-            new.extend(f for f in m["files"] if f not in prev)
-        return new
-
     def refresh(self, spark: SparkSession) -> dict:
         """Bring the rollup up to the source's current version.  Returns
         {"mode": "noop" | "incremental" | "full", "source_version": N,
@@ -117,7 +104,9 @@ class ContinuousAggregate:
         since = self.reflected_version()
         if now == since:
             return {"mode": "noop", "source_version": now, "files_scanned": 0}
-        new_files = self._appends_since(since, now) if since else None
+        new_files = (
+            self.source.appended_files(since, now) if since else None
+        )
         if since and new_files:
             import os
 
@@ -137,3 +126,24 @@ class ContinuousAggregate:
 
     def read(self, spark: SparkSession) -> DataFrame:
         return self.rollup.read(spark)
+
+
+def make_rollup_maintenance_sink(
+    source: ManifestTable, aggregate: ContinuousAggregate
+):
+    """foreachBatch sink that keeps raw table AND rollup current: commit
+    the micro-batch to the source manifest (one atomic version), then
+    refresh the aggregate — which reads exactly that one commit's files
+    (O(batch), the version diff).  Both tables expose snapshot-isolated
+    reads at every point, so a dashboard polling the rollup never sees a
+    torn batch — the engine-native replacement for the reference's
+    publisher-over-ES polling stack (SURVEY §2.2 K3/K4 + dw-chart)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..caching import begin_query
+
+        begin_query()
+        source.append(batch_df)
+        aggregate.refresh(batch_df.sparkSession)
+
+    return sink

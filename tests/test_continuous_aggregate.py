@@ -122,3 +122,22 @@ def test_non_decomposable_agg_rejected(tmp_path):
         ContinuousAggregate(
             src, str(tmp_path / "r"), ["dt"], {"a": ("avg", "value")}
         )
+
+
+def test_rollup_maintenance_sink_per_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch maintenance sink: each micro-batch lands as one
+    source commit plus one O(batch) incremental refresh; the rollup
+    equals a full recompute after every batch."""
+    from gmallrealtime02_spark.streaming.rollup import (
+        make_rollup_maintenance_sink,
+    )
+
+    src, ca = _ca(spark, tmp_path)
+    sink = make_rollup_maintenance_sink(src, ca)
+    for i, lo in enumerate((0, 200, 400)):
+        sink(_events(spark, sf_dir, lo, lo + 200), i)
+        assert _got(spark, ca) == _expected(
+            spark, _events(spark, sf_dir, 0, lo + 200)
+        )
+    # batches 2 and 3 refreshed incrementally (batch 1 is the initial full)
+    assert ca.reflected_version() == src.current_version() == 3

@@ -162,3 +162,20 @@ def test_streaming_sink_commits_one_version_per_batch(spark, sf_dir, tmp_path):
     assert _ids(t.read(spark)) == _ids(_events(spark, sf_dir, 0, 300))
     for v in (1, 2, 3):
         assert len(_ids(t.read(spark, version=v))) == 100 * v
+
+
+def test_read_appended_cdc(spark, sf_dir, tmp_path):
+    """appended_files/read_appended: the CDC read — rows added between
+    two versions, O(new data); None when a non-append commit breaks the
+    premise; empty range -> empty frame of the table schema."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_events(spark, sf_dir, 0, 100))
+    t.append(_events(spark, sf_dir, 100, 250))
+    got = t.read_appended(spark, since=1)
+    assert _ids(got) == _ids(_events(spark, sf_dir, 100, 250))
+    assert _ids(t.read_appended(spark, since=0)) == _ids(
+        _events(spark, sf_dir, 0, 250)
+    )
+    assert t.read_appended(spark, since=2).count() == 0  # empty range
+    t.compact(spark, target_bytes=1 << 30)
+    assert t.read_appended(spark, since=1) is None  # non-append in range
