@@ -249,6 +249,11 @@ class ManifestTable:
                 removed.append(n)
         for v in vs[: -keep_versions]:
             os.remove(self._manifest_path(v))
+        # stale .tmp-* manifests (a crash between link and remove) are
+        # never referenced — reap them too
+        for n in os.listdir(self.manifest_dir):
+            if n.startswith(".tmp-"):
+                os.remove(os.path.join(self.manifest_dir, n))
         return removed
 
 

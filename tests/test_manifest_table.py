@@ -179,3 +179,35 @@ def test_read_appended_cdc(spark, sf_dir, tmp_path):
     assert t.read_appended(spark, since=2).count() == 0  # empty range
     t.compact(spark, target_bytes=1 << 30)
     assert t.read_appended(spark, since=1) is None  # non-append in range
+
+
+def test_many_writer_cas_storm(spark, sf_dir, tmp_path):
+    """8 writers × racing appends: every commit lands exactly once (the
+    CAS total order), no rows lost, version count == commit count."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = ManifestTable(str(tmp_path / "t"))
+    schema = "event_id long, user_id long, event_type string, value double"
+    chunks = [
+        _events(spark, sf_dir, lo, lo + 50).collect()
+        for lo in range(0, 400, 50)
+    ]
+
+    def write(rows):
+        ManifestTable(t.root).append(spark.createDataFrame(rows, schema))
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(write, chunks))
+    assert t.current_version() == 8
+    assert _ids(t.read(spark)) == _ids(_events(spark, sf_dir, 0, 400))
+
+
+def test_vacuum_reaps_stale_tmp_manifests(spark, sf_dir, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_events(spark, sf_dir, 0, 50))
+    stale = os.path.join(t.manifest_dir, ".tmp-deadbeef.json")
+    with open(stale, "w") as fh:
+        fh.write("{}")
+    t.vacuum(keep_versions=1)
+    assert not os.path.exists(stale)
+    assert _ids(t.read(spark)) == _ids(_events(spark, sf_dir, 0, 50))
