@@ -92,13 +92,14 @@ def register(
 #                 existed before round 6 now has a green driver row.
 #   round 7     — (current window) the 13 round-6 additions lead (their
 #                 first driver exposure — green rows here complete
-#                 full-registry driver verification), then the 3 round-7
-#                 additions (the oracled BMP decode path), then 34
-#                 staleness-rotation slots re-verifying the OLDEST green
-#                 rows (the r2/r3-era §2-coverage prefix, four rounds of
-#                 commits old) so the evidence stays rolling.  Rows-only-
-#                 by-nature ops stay excluded from the window permanently
-#                 — they can never hash-match; pytest pins them.
+#                 full-registry driver verification), then the 4 round-7
+#                 additions (the oracled BMP decode path + the
+#                 manifest/rollup table-service e2e), then 33 staleness-
+#                 rotation slots re-verifying the OLDEST green rows (the
+#                 r2/r3-era §2-coverage prefix, four rounds of commits
+#                 old) so the evidence stays rolling.  Rows-only-by-
+#                 nature ops stay excluded from the window permanently —
+#                 they can never hash-match; pytest pins them.
 _PRIORITY = [
     # ---- round-7 window (50) ----
     # round-6 additions, first driver exposure (registry order)
@@ -117,10 +118,11 @@ _PRIORITY = [
     "monthly_revenue_sql",
     # round-7 additions, first driver exposure: the BMP decode path
     # (pure-Python fallback codec; the oracles recompute decoded stats
-    # analytically from text codepoints)
+    # analytically from text codepoints) + the table-service e2e
     "media_bmp_decode",
     "media_resize_decoded",
     "media_scanlines",
+    "manifest_rollup_e2e",
     # staleness rotation: oldest driver-green rows (r2/r3 era, §2 prefix)
     "dau_mids",
     "dau_hourly",
@@ -155,9 +157,9 @@ _PRIORITY = [
     "doc_top_terms",
     "gopher_quality_filter",
     "pii_scrub",
-    "repetition_filter",
     # ---- post-window ----
     # remaining r3-era rows: round-8 staleness-rotation candidates
+    "repetition_filter",
     "dedup_keep_list",
     "doc_hash_sample",
     "token_count_histogram",

@@ -342,3 +342,80 @@ def scd2_pit_join(spark, sf_dir):
         F.col("cur.state_since").alias("state_since"),
         F.col("cur.state_version").alias("state_version"),
     )
+
+
+@register(
+    "manifest_rollup_e2e",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           COUNT(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS sum_users,
+           min(value) AS vmin, max(value) AS vmax
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("table-service", "manifest", "rollup", "maintenance"),
+)
+def manifest_rollup_e2e(spark, sf_dir):
+    """End-to-end table-service exercise, hash-oracled: the events fact
+    lands in a ManifestTable over FOUR separate commits, gets compacted
+    mid-stream (a live file-set swap with zero reader coordination),
+    and a ContinuousAggregate refreshes THREE times — an initial full
+    materialization, a post-compact full fallback, and a final
+    incremental merge of exactly one commit's files.  The resulting
+    rollup must be value-hash identical to the one-shot aggregate the
+    oracle computes straight off the parquet — proving that snapshot
+    commits, CAS rebases, compaction, and partial-aggregate merges are
+    all row-exact, not just plausible.  Aggregates chosen engine-exact:
+    COUNT, BIGINT sum of an integer column, MIN/MAX of the double (no
+    order-dependent float accumulation).
+
+    Scale shape: each refresh reads O(new files) via the manifest
+    version diff (the incremental step is gated to scan exactly one
+    commit here); the compact is one coalesce rewrite + one metadata
+    commit.  Working state lives in a fresh temp dir per call — at
+    production scale the table root is the object-store prefix."""
+    import tempfile
+
+    from ..streaming.manifest import ManifestTable
+    from ..streaming.rollup import ContinuousAggregate
+
+    root = tempfile.mkdtemp(prefix="manifest_rollup_e2e_")
+    src = ManifestTable(f"{root}/src")
+    ca = ContinuousAggregate(
+        src,
+        f"{root}/rollup",
+        group_cols=["dt", "event_type"],
+        aggs={
+            "n": ("count", "*"),
+            "sum_users": ("sum", "user_id"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+        },
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+        "event_type",
+        "user_id",
+        "value",
+        (F.crc32(F.col("event_id").cast("string")) % 4).alias("slice"),
+    )
+    for part in (0, 1):
+        src.append(ev.filter(F.col("slice") == part).drop("slice"))
+    r1 = ca.refresh(spark)
+    assert r1["mode"] == "full"  # initial materialization
+    src.compact(spark, target_bytes=1 << 30)
+    src.append(ev.filter(F.col("slice") == 2).drop("slice"))
+    r2 = ca.refresh(spark)
+    assert r2["mode"] == "full"  # compact in range -> honest fallback
+    src.append(ev.filter(F.col("slice") == 3).drop("slice"))
+    r3 = ca.refresh(spark)
+    assert r3["mode"] == "incremental"  # exactly one commit's files
+    return ca.read(spark).select(
+        "dt",
+        "event_type",
+        "n",
+        F.col("sum_users").cast("bigint").alias("sum_users"),
+        "vmin",
+        "vmax",
+    )

@@ -84,18 +84,19 @@ def test_driver_window_curation():
     assert never_green <= set(window), never_green - set(window)
     # the round-7 in-round additions sit right behind the r6 block,
     # flagged as first exposure like every new query
-    assert set(window[13:16]) == _ROUND7_ADDITIONS, window[13:16]
+    assert set(window[13:17]) == _ROUND7_ADDITIONS, window[13:17]
     # the rotation slots re-verify only already-green rows (nothing red
     # or unknown sneaks in without being flagged as first-exposure)
     rotation = set(window) - _ROUND6_ADDITIONS - _ROUND7_ADDITIONS
     assert rotation <= green, rotation - green
-    assert len(rotation) == 34, len(rotation)
+    assert len(rotation) == 33, len(rotation)
 
 
 _ROUND7_ADDITIONS = {
     "media_bmp_decode",
     "media_resize_decoded",
     "media_scanlines",
+    "manifest_rollup_e2e",
 }
 
 
