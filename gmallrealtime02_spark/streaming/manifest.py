@@ -46,11 +46,36 @@ class CommitConflict(RuntimeError):
     surfaces only after ``max_retries`` rebases)."""
 
 
+def _jsonable(v):
+    """Footer statistics value → JSON-storable, order-preserving form
+    (ISO strings for temporals; None = unusable, drop the stat)."""
+    import datetime
+
+    if isinstance(v, bool):
+        return None  # min/max pruning on booleans is pointless
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
 class ManifestTable:
-    def __init__(self, root: str) -> None:
+    def __init__(self, root: str, stats_cols: list[str] | None = None) -> None:
+        """``stats_cols``: columns whose per-file min/max are recorded in
+        the manifest at write time (straight from the parquet footers,
+        zero extra scans) — what :meth:`read_pruned` skips files with.
+        The Iceberg idea: at 100 TB the difference between a usable
+        table and a full scan per query is exactly this metadata."""
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.manifest_dir = os.path.join(root, "_manifests")
+        self.stats_cols = list(stats_cols or [])
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
 
@@ -89,7 +114,9 @@ class ManifestTable:
 
     # -- data-file writes (immutable; invisible until committed) ------------
 
-    def _write_data(self, df: DataFrame, coalesce: int | None = None) -> list[str]:
+    def _write_data(
+        self, df: DataFrame, coalesce: int | None = None
+    ) -> tuple[list[str], dict]:
         tmp = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
         (df.coalesce(coalesce) if coalesce else df).write.parquet(tmp)
         out = []
@@ -101,6 +128,44 @@ class ManifestTable:
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+        stats = {
+            f: st
+            for f in out
+            if (st := self._file_stats(os.path.join(self.data_dir, f)))
+        }
+        return out, stats
+
+    def _file_stats(self, path: str) -> dict:
+        """Per-file min/max for ``stats_cols``, read straight from the
+        parquet footer (row-group statistics — zero data scanned).
+        Timestamps/dates are stored as ISO strings (order-preserving);
+        columns whose footer lacks min/max are simply omitted, which
+        :meth:`pruned_files` treats as must-scan."""
+        if not self.stats_cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        out = {}
+        for col in self.stats_cols:
+            if col not in idx:
+                continue
+            lo = hi = None
+            ok = md.num_row_groups > 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = _jsonable(st.min), _jsonable(st.max)
+                if mn is None or mx is None:
+                    ok = False
+                    break
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if ok and lo is not None:
+                out[col] = [lo, hi]
         return out
 
     # -- the commit protocol -------------------------------------------------
@@ -135,10 +200,14 @@ class ManifestTable:
     def append(self, df: DataFrame) -> dict:
         """Add ``df``'s rows.  Concurrent appends both land (the loser
         rebases its file ADDITION onto the winner's file list)."""
-        new = self._write_data(df)
+        new, stats = self._write_data(df)
 
         def mk(base: dict) -> dict:
-            return {"files": base["files"] + new, "op": "append"}
+            return {
+                "files": base["files"] + new,
+                "op": "append",
+                "stats": {**base.get("stats", {}), **stats},
+            }
 
         return self._commit(mk)
 
@@ -146,10 +215,15 @@ class ManifestTable:
         """Swap the full file set.  ``extra`` merges additional metadata
         into the manifest (e.g. a continuous aggregate's
         ``source_version`` watermark)."""
-        new = self._write_data(df)
+        new, stats = self._write_data(df)
 
         def mk(base: dict) -> dict:
-            return {"files": new, "op": "replace", **(extra or {})}
+            return {
+                "files": new,
+                "op": "replace",
+                "stats": stats,
+                **(extra or {}),
+            }
 
         return self._commit(mk)
 
@@ -179,14 +253,22 @@ class ManifestTable:
         n_out = max(1, math.ceil(total / target_bytes))
         if n_out >= len(snap["files"]):
             return None
-        compacted = self._write_data(
+        compacted, cstats = self._write_data(
             spark.read.parquet(*live), coalesce=n_out
         )
         snap_set = set(snap["files"])
 
         def mk(base: dict) -> dict:
             added_since = [f for f in base["files"] if f not in snap_set]
-            return {"files": compacted + added_since, "op": "compact"}
+            base_stats = base.get("stats", {})
+            return {
+                "files": compacted + added_since,
+                "op": "compact",
+                "stats": {
+                    **cstats,
+                    **{f: base_stats[f] for f in added_since if f in base_stats},
+                },
+            }
 
         return self._commit(mk)
 
@@ -195,6 +277,56 @@ class ManifestTable:
         if not fs:
             raise FileNotFoundError(f"empty manifest table at {self.root}")
         return spark.read.parquet(*fs)
+
+    def pruned_files(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> list[str]:
+        """Live files whose footer [min, max] for ``col`` overlaps
+        [lo, hi] — metadata-only file skipping, the manifest-level
+        analogue of partition pruning.  Files without recorded stats are
+        conservatively kept (correctness never depends on stats).
+        Temporal stats are ISO strings: pass string bounds for those."""
+        m = self.manifest(version)
+        stats = m.get("stats", {})
+        keep = []
+        for f in m["files"]:
+            st = stats.get(f, {}).get(col)
+            if st is not None:
+                fmin, fmax = st
+                if (lo is not None and fmax < lo) or (
+                    hi is not None and fmin > hi
+                ):
+                    continue
+            keep.append(f)
+        return keep
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Range read that opens ONLY stat-overlapping files, then applies
+        the residual predicate (stats prune files; the filter keeps the
+        semantics exact whatever the stats said).  At 100 TB this is the
+        read path: a day-keyed query over a dt-stats table touches the
+        day's files, not the table."""
+        fs = self.pruned_files(col, lo, hi, version)
+        if not fs:
+            df = self.read(spark, version).limit(0)
+        else:
+            df = spark.read.parquet(
+                *[os.path.join(self.data_dir, f) for f in fs]
+            )
+        from pyspark.sql import functions as F
+
+        if lo is not None:
+            df = df.filter(F.col(col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(col) <= hi)
+        return df
 
     def appended_files(self, since: int, until: int) -> list[str] | None:
         """Data files added by versions (since, until] — the CDC read

@@ -211,3 +211,38 @@ def test_vacuum_reaps_stale_tmp_manifests(spark, sf_dir, tmp_path):
     t.vacuum(keep_versions=1)
     assert not os.path.exists(stale)
     assert _ids(t.read(spark)) == _ids(_events(spark, sf_dir, 0, 50))
+
+
+def test_stats_pruned_read(spark, sf_dir, tmp_path):
+    """Footer min/max stats recorded at write time prune files at read
+    time: a range read over day-sliced commits opens only the matching
+    commits' files, with results identical to the full-scan filter —
+    and stats survive compaction (recomputed for the rewritten files)."""
+    t = ManifestTable(str(tmp_path / "t"), stats_cols=["event_id", "event_type"])
+    for lo in range(0, 400, 100):
+        t.append(_events(spark, sf_dir, lo, lo + 100).coalesce(1))
+    # prune on the id range: only commit #2's single file overlaps
+    fs = t.pruned_files("event_id", lo=120, hi=180)
+    assert len(fs) == 1, fs
+    got = _ids(t.read_pruned(spark, "event_id", lo=120, hi=180))
+    want = _ids(_events(spark, sf_dir, 120, 181))
+    assert got == want
+    # non-overlapping range -> zero files, empty result, schema intact
+    assert t.pruned_files("event_id", lo=10_000_000) == []
+    empty = t.read_pruned(spark, "event_id", lo=10_000_000)
+    assert empty.count() == 0 and "event_type" in empty.columns
+    # a column without recorded stats is conservatively unpruned
+    assert len(t.pruned_files("user_id", lo=0, hi=1)) == 4
+    # compaction recomputes stats for the rewritten file set
+    t.compact(spark, target_bytes=1 << 30)
+    assert len(t.pruned_files("event_id", lo=120, hi=180)) == 1  # the 1 big file
+    got2 = _ids(t.read_pruned(spark, "event_id", lo=120, hi=180))
+    assert got2 == want
+    # string-typed stats prune too (byte/utf8 footer min-max)
+    types = sorted(
+        r.event_type
+        for r in t.read(spark).select("event_type").distinct().collect()
+    )
+    hi_t = types[0]
+    only = t.read_pruned(spark, "event_type", lo=hi_t, hi=hi_t)
+    assert only.select("event_type").distinct().count() == 1
