@@ -141,3 +141,38 @@ def test_rollup_maintenance_sink_per_batch(spark, sf_dir, tmp_path):
         )
     # batches 2 and 3 refreshed incrementally (batch 1 is the initial full)
     assert ca.reflected_version() == src.current_version() == 3
+
+
+def test_rollup_maintenance_sink_via_writestream(spark, sf_dir, tmp_path):
+    """Real Structured Streaming end-to-end: a file-source stream driven
+    through writeStream.foreachBatch(make_rollup_maintenance_sink) —
+    after processAllAvailable the raw ManifestTable holds every row
+    once, the rollup equals the batch aggregate, and version count
+    equals trigger count (one atomic commit per micro-batch)."""
+    from gmallrealtime02_spark.streaming.rollup import (
+        make_rollup_maintenance_sink,
+    )
+
+    events = _events(spark, sf_dir, 0, 600)
+    src_dir = str(tmp_path / "stream_src")
+    # 3 files + maxFilesPerTrigger=1 -> exactly 3 micro-batches
+    events.repartition(3).write.parquet(src_dir)
+    src, ca = _ca(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(make_rollup_maintenance_sink(src, ca))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert src.current_version() == 3  # one commit per trigger
+    assert ca.reflected_version() == 3
+    assert src.read(spark).count() == events.count()
+    assert _got(spark, ca) == _expected(spark, events)
