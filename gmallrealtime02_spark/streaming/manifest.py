@@ -170,15 +170,20 @@ class ManifestTable:
 
     # -- the commit protocol -------------------------------------------------
 
-    def _commit(self, make_manifest, max_retries: int = 16) -> dict:
+    def _commit(self, make_manifest, max_retries: int = 16) -> dict | None:
         """Optimistic CAS loop: build the next manifest against the
         current snapshot, publish via exclusive hard-link create, rebase
-        and retry on conflict.  ``make_manifest(base: dict) -> dict``
-        must be a pure function of the base snapshot (append recomputes
-        its file union, compact re-reads the new live set, ...)."""
+        and retry on conflict.  ``make_manifest(base: dict) -> dict |
+        None`` must be a pure function of the base snapshot (append
+        recomputes its file union, compact re-reads the new live set,
+        ...); returning None declines the commit (idempotent-txn replay)
+        — checked against the freshest base INSIDE the loop, so the
+        decision is race-safe."""
         for _ in range(max_retries):
             base = self.manifest()
             nxt = make_manifest(base)
+            if nxt is None:
+                return None  # make_manifest declined (e.g. replayed txn)
             nxt["version"] = base["version"] + 1
             nxt["parent"] = base["version"]
             tmp = os.path.join(
@@ -197,19 +202,43 @@ class ManifestTable:
 
     # -- table operations ----------------------------------------------------
 
-    def append(self, df: DataFrame) -> dict:
+    def append(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> dict | None:
         """Add ``df``'s rows.  Concurrent appends both land (the loser
-        rebases its file ADDITION onto the winner's file list)."""
+        rebases its file ADDITION onto the winner's file list).
+
+        ``txn=(app_id, version)`` makes the append IDEMPOTENT per app:
+        the manifest records the highest committed version per app_id,
+        and an append whose version is <= that is declined (returns
+        None, staged files cleaned up) — the Delta txnAppId/txnVersion
+        pattern that turns an at-least-once foreachBatch replay into
+        exactly-once table contents.  The check runs against the
+        freshest snapshot inside the CAS loop, so two replayed attempts
+        racing each other still commit exactly once."""
         new, stats = self._write_data(df)
 
-        def mk(base: dict) -> dict:
-            return {
+        def mk(base: dict) -> dict | None:
+            txns = dict(base.get("txn", {}))
+            if txn is not None:
+                seen = txns.get(txn[0])
+                if seen is not None and txn[1] <= seen:
+                    return None  # replayed batch: already committed
+                txns[txn[0]] = txn[1]
+            m = {
                 "files": base["files"] + new,
                 "op": "append",
                 "stats": {**base.get("stats", {}), **stats},
             }
+            if txns:
+                m["txn"] = txns
+            return m
 
-        return self._commit(mk)
+        res = self._commit(mk)
+        if res is None:
+            for f in new:  # staged for a replay that never commits
+                os.remove(os.path.join(self.data_dir, f))
+        return res
 
     def replace(self, df: DataFrame, extra: dict | None = None) -> dict:
         """Swap the full file set.  ``extra`` merges additional metadata
@@ -218,12 +247,18 @@ class ManifestTable:
         new, stats = self._write_data(df)
 
         def mk(base: dict) -> dict:
-            return {
+            m = {
                 "files": new,
                 "op": "replace",
                 "stats": stats,
                 **(extra or {}),
             }
+            if base.get("txn"):
+                # replacing CONTENT must not erase sink idempotence
+                # state — a stream replay after a replace would
+                # otherwise double-commit
+                m.setdefault("txn", base["txn"])
+            return m
 
         return self._commit(mk)
 
@@ -261,7 +296,7 @@ class ManifestTable:
         def mk(base: dict) -> dict:
             added_since = [f for f in base["files"] if f not in snap_set]
             base_stats = base.get("stats", {})
-            return {
+            m = {
                 "files": compacted + added_since,
                 "op": "compact",
                 "stats": {
@@ -269,6 +304,9 @@ class ManifestTable:
                     **{f: base_stats[f] for f in added_since if f in base_stats},
                 },
             }
+            if base.get("txn"):
+                m["txn"] = base["txn"]  # maintenance never resets txns
+            return m
 
         return self._commit(mk)
 
@@ -389,16 +427,23 @@ class ManifestTable:
         return removed
 
 
-def make_manifest_append_sink(table: ManifestTable):
+def make_manifest_append_sink(table: ManifestTable, app_id: str = "stream"):
     """foreachBatch sink: each micro-batch commits ONE manifest version,
     so downstream readers see exact batch boundaries, never a torn
     batch — the atomic-visibility guarantee the raw append sink
-    (``make_append_sink``) cannot give over a plain directory."""
+    (``make_append_sink``) cannot give over a plain directory.
+
+    EXACTLY-ONCE table contents: foreachBatch is at-least-once (a
+    post-commit pre-checkpoint crash replays the batch), so each commit
+    carries ``txn=(app_id, batch_id)`` and a replayed batch_id is
+    declined idempotently — checkpoint replay becomes a no-op instead
+    of duplicate rows.  Distinct streams into one table need distinct
+    ``app_id``s (per-app watermarks are independent)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..caching import begin_query
 
         begin_query()
-        table.append(batch_df)
+        table.append(batch_df, txn=(app_id, int(batch_id)))
 
     return sink

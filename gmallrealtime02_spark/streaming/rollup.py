@@ -129,7 +129,9 @@ class ContinuousAggregate:
 
 
 def make_rollup_maintenance_sink(
-    source: ManifestTable, aggregate: ContinuousAggregate
+    source: ManifestTable,
+    aggregate: ContinuousAggregate,
+    app_id: str = "rollup-stream",
 ):
     """foreachBatch sink that keeps raw table AND rollup current: commit
     the micro-batch to the source manifest (one atomic version), then
@@ -143,7 +145,11 @@ def make_rollup_maintenance_sink(
         from ..caching import begin_query
 
         begin_query()
-        source.append(batch_df)
+        # idempotent per batch_id (manifest txn watermark): a checkpoint
+        # replay declines the append, and refresh() then no-ops too (the
+        # rollup's source_version is already current) — restart-safe end
+        # to end
+        source.append(batch_df, txn=(app_id, int(batch_id)))
         aggregate.refresh(batch_df.sparkSession)
 
     return sink

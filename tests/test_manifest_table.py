@@ -246,3 +246,66 @@ def test_stats_pruned_read(spark, sf_dir, tmp_path):
     hi_t = types[0]
     only = t.read_pruned(spark, "event_type", lo=hi_t, hi=hi_t)
     assert only.select("event_type").distinct().count() == 1
+
+
+def test_txn_idempotent_appends_exactly_once(spark, sf_dir, tmp_path):
+    """The Delta txnAppId/txnVersion pattern: a replayed (app, batch_id)
+    append is declined — rows land exactly once, staged orphans are
+    cleaned, the version counter does not advance — while other apps'
+    appends are unaffected, and maintenance ops preserve the watermark."""
+    t = ManifestTable(str(tmp_path / "t"))
+    b0 = _events(spark, sf_dir, 0, 100)
+    b1 = _events(spark, sf_dir, 100, 200)
+    assert t.append(b0, txn=("app", 0)) is not None
+    assert t.append(b1, txn=("app", 1)) is not None
+    want = _ids(_events(spark, sf_dir, 0, 200))
+    # restart replays batches 0 and 1: both declined
+    assert t.append(b0, txn=("app", 0)) is None
+    assert t.append(b1, txn=("app", 1)) is None
+    assert t.current_version() == 2
+    assert _ids(t.read(spark)) == want
+    # no orphan data files left by the declined replays
+    live = set(t.manifest()["files"])
+    assert {n for n in os.listdir(t.data_dir) if n.endswith(".parquet")} == live
+    # a different app_id has its own watermark
+    assert t.append(_events(spark, sf_dir, 200, 250), txn=("other", 0)) is not None
+    # compaction preserves the txn state: replay still declined after it
+    t.compact(spark, target_bytes=1 << 30)
+    assert t.append(b1, txn=("app", 1)) is None
+    assert _ids(t.read(spark)) == _ids(_events(spark, sf_dir, 0, 250))
+
+
+def test_rollup_sink_restart_replay_is_exactly_once(spark, sf_dir, tmp_path):
+    """Simulated restart: the maintenance sink re-runs batches 1-2 after
+    0-1 were committed (foreachBatch at-least-once) — the final table
+    and rollup hold every batch exactly once."""
+    from gmallrealtime02_spark.streaming.rollup import (
+        make_rollup_maintenance_sink,
+    )
+    from tests.test_continuous_aggregate import _ca, _expected, _got
+
+    src, ca = _ca(spark, tmp_path)
+    sink = make_rollup_maintenance_sink(src, ca)
+    batches = [_events_full(spark, sf_dir, lo, lo + 200) for lo in (0, 200, 400)]
+    sink(batches[0], 0)
+    sink(batches[1], 1)
+    # crash before checkpoint write; restart replays batch 1, then 2
+    sink(batches[1], 1)
+    sink(batches[2], 2)
+    assert src.read(spark).count() == sum(b.count() for b in batches)
+    assert _got(spark, ca) == _expected(
+        spark, _events_full(spark, sf_dir, 0, 600)
+    )
+
+
+def _events_full(spark, sf_dir, lo, hi):
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+        )
+    )
