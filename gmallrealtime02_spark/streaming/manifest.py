@@ -46,6 +46,31 @@ class CommitConflict(RuntimeError):
     surfaces only after ``max_retries`` rebases)."""
 
 
+def _merge_schema(base_json: dict | None, new_schema) -> dict:
+    """Additive schema evolution: the stored table schema grows by the
+    fields a commit introduces; same-name fields must keep their type
+    (a silent type change corrupts old files' reads — refuse instead).
+    Returns the merged StructType as jsonValue for the manifest."""
+    from pyspark.sql.types import StructType
+
+    if base_json is None:
+        return new_schema.jsonValue()
+    base = StructType.fromJson(base_json)
+    by_name = {f.name: f for f in base.fields}
+    merged = list(base.fields)
+    for f in new_schema.fields:
+        old = by_name.get(f.name)
+        if old is None:
+            merged.append(f)
+        elif old.dataType != f.dataType:
+            raise TypeError(
+                f"schema evolution conflict on '{f.name}': table has "
+                f"{old.dataType.simpleString()}, commit has "
+                f"{f.dataType.simpleString()} — additive evolution only"
+            )
+    return StructType(merged).jsonValue()
+
+
 def _jsonable(v):
     """Footer statistics value → JSON-storable, order-preserving form
     (ISO strings for temporals; None = unusable, drop the stat)."""
@@ -217,6 +242,7 @@ class ManifestTable:
         freshest snapshot inside the CAS loop, so two replayed attempts
         racing each other still commit exactly once."""
         new, stats = self._write_data(df)
+        df_schema = df.schema
 
         def mk(base: dict) -> dict | None:
             txns = dict(base.get("txn", {}))
@@ -229,6 +255,7 @@ class ManifestTable:
                 "files": base["files"] + new,
                 "op": "append",
                 "stats": {**base.get("stats", {}), **stats},
+                "schema": _merge_schema(base.get("schema"), df_schema),
             }
             if txns:
                 m["txn"] = txns
@@ -246,11 +273,16 @@ class ManifestTable:
         ``source_version`` watermark)."""
         new, stats = self._write_data(df)
 
+        df_schema = df.schema
+
         def mk(base: dict) -> dict:
             m = {
                 "files": new,
                 "op": "replace",
                 "stats": stats,
+                # replace resets content AND schema (no old files remain
+                # to stay readable)
+                "schema": df_schema.jsonValue(),
                 **(extra or {}),
             }
             if base.get("txn"):
@@ -288,8 +320,10 @@ class ManifestTable:
         n_out = max(1, math.ceil(total / target_bytes))
         if n_out >= len(snap["files"]):
             return None
+        # read with the recorded schema: compacting an evolved table
+        # must not let one old file's local schema drop newer columns
         compacted, cstats = self._write_data(
-            spark.read.parquet(*live), coalesce=n_out
+            self._read_files(spark, live, snap["version"]), coalesce=n_out
         )
         snap_set = set(snap["files"])
 
@@ -306,6 +340,8 @@ class ManifestTable:
             }
             if base.get("txn"):
                 m["txn"] = base["txn"]  # maintenance never resets txns
+            if base.get("schema") is not None:
+                m["schema"] = base["schema"]  # rewrite keeps the evolved shape
             return m
 
         return self._commit(mk)
@@ -314,7 +350,21 @@ class ManifestTable:
         fs = self.files(version)
         if not fs:
             raise FileNotFoundError(f"empty manifest table at {self.root}")
-        return spark.read.parquet(*fs)
+        return self._read_files(spark, fs, version)
+
+    def _read_files(
+        self, spark: SparkSession, paths: list[str], version: int | None
+    ) -> DataFrame:
+        """Read with the manifest's recorded (evolution-merged) schema —
+        files written before a column existed surface it as NULL, and no
+        file's local schema decides the table's shape.  Manifests from
+        before schema tracking fall back to parquet inference."""
+        sch = self.manifest(version).get("schema")
+        if sch is None:
+            return spark.read.parquet(*paths)
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(sch)).parquet(*paths)
 
     def pruned_files(
         self, col: str, lo=None, hi=None, version: int | None = None
@@ -355,8 +405,10 @@ class ManifestTable:
         if not fs:
             df = self.read(spark, version).limit(0)
         else:
-            df = spark.read.parquet(
-                *[os.path.join(self.data_dir, f) for f in fs]
+            df = self._read_files(
+                spark,
+                [os.path.join(self.data_dir, f) for f in fs],
+                version,
             )
         from pyspark.sql import functions as F
 
@@ -396,8 +448,8 @@ class ManifestTable:
             return None
         if not fs:
             return self.read(spark, until).limit(0)
-        return spark.read.parquet(
-            *[os.path.join(self.data_dir, f) for f in fs]
+        return self._read_files(
+            spark, [os.path.join(self.data_dir, f) for f in fs], until
         )
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:

@@ -309,3 +309,38 @@ def _events_full(spark, sf_dir, lo, hi):
             F.date_format("ts", "yyyy-MM-dd").alias("dt"),
         )
     )
+
+
+def test_schema_evolution_additive(spark, sf_dir, tmp_path):
+    """Appending a frame with a new column evolves the table schema:
+    reads surface the column (NULL for pre-evolution rows), compaction
+    preserves the evolved shape, and a same-name type change is refused
+    instead of silently corrupting old files' reads."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_events(spark, sf_dir, 0, 100))
+    evolved = _events(spark, sf_dir, 100, 200).withColumn(
+        "source", F.lit("mobile")
+    )
+    t.append(evolved)
+    df = t.read(spark)
+    assert "source" in df.columns
+    assert df.count() == df.where("event_id IS NOT NULL").count()
+    nulls = df.where(F.col("source").isNull()).count()
+    tagged = df.where(F.col("source") == "mobile").count()
+    assert (nulls, tagged) == (100, 100)  # old rows NULL, new rows tagged
+    # pruned and CDC reads see the evolved schema too
+    assert "source" in t.read_pruned(spark, "event_id", lo=0).columns
+    assert "source" in t.read_appended(spark, since=1).columns
+    # compaction keeps the evolved shape
+    t.compact(spark, target_bytes=1 << 30)
+    after = t.read(spark)
+    assert "source" in after.columns
+    assert after.where(F.col("source") == "mobile").count() == 100
+    # type conflict: refused
+    import pytest as _pytest
+
+    bad = _events(spark, sf_dir, 200, 210).withColumn(
+        "source", F.lit(7).cast("int")
+    )
+    with _pytest.raises(TypeError, match="evolution conflict"):
+        t.append(bad)
