@@ -452,6 +452,38 @@ class ManifestTable:
             spark, [os.path.join(self.data_dir, f) for f in fs], until
         )
 
+    def history(self) -> list[dict]:
+        """Audit log across retained versions (the DESCRIBE HISTORY
+        analogue): one row per manifest with op, file count, total
+        bytes, and what changed vs the parent — metadata-only except
+        the per-file size stat, read from the local filesystem."""
+        out = []
+        for v in self._versions():
+            m = self.manifest(v)
+            files = m["files"]
+            prev = (
+                set(self.manifest(v - 1)["files"])
+                if v > 1 and os.path.exists(self._manifest_path(v - 1))
+                else set()
+            )
+            sizes = [
+                os.path.getsize(os.path.join(self.data_dir, f))
+                for f in files
+                if os.path.exists(os.path.join(self.data_dir, f))
+            ]
+            out.append(
+                {
+                    "version": v,
+                    "op": m.get("op"),
+                    "n_files": len(files),
+                    "bytes": sum(sizes),
+                    "added_files": len([f for f in files if f not in prev]),
+                    "removed_files": len(prev - set(files)),
+                    "txn": m.get("txn", {}),
+                }
+            )
+        return out
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files referenced by NO retained manifest, plus
         manifests older than the newest ``keep_versions``.  Time-travel

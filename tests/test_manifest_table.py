@@ -344,3 +344,19 @@ def test_schema_evolution_additive(spark, sf_dir, tmp_path):
     )
     with _pytest.raises(TypeError, match="evolution conflict"):
         t.append(bad)
+
+
+def test_history_audit_log(spark, sf_dir, tmp_path):
+    """history(): one audit row per retained version with op, file
+    deltas, and txn watermarks — append/compact shapes both visible."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_events(spark, sf_dir, 0, 100), txn=("s", 0))
+    t.append(_events(spark, sf_dir, 100, 200), txn=("s", 1))
+    t.compact(spark, target_bytes=1 << 30)
+    h = t.history()
+    assert [r["version"] for r in h] == [1, 2, 3]
+    assert [r["op"] for r in h] == ["append", "append", "compact"]
+    assert h[1]["added_files"] > 0 and h[1]["removed_files"] == 0
+    assert h[2]["removed_files"] > 0  # the compaction retired files
+    assert h[2]["n_files"] == 1 and h[2]["bytes"] > 0
+    assert h[2]["txn"] == {"s": 1}  # watermark carried through compact
