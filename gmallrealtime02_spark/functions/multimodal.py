@@ -3,9 +3,13 @@
 Media is modeled as opaque ``binary`` content columns + a typed metadata
 struct.  The Spark-side machinery — schema, partition-preserving
 ``mapInPandas`` with Arrow batches, deterministic feature extraction — is
-real and tested; the actual codec step is STUBBED (image/audio libraries
-are not available in this environment) behind ``decode_media``, which
-raises ``NotImplementedError`` unless a decoder is importable.
+real and tested, and so is the decode path for self-contained formats:
+``decode_media`` uses in-repo pure-Python codecs (``bmp_decoder`` for
+uncompressed 24-bit BMP, ``png_decoder`` for non-interlaced 8-bit
+PNG via stdlib zlib) by default, upgrading to Pillow when it is
+importable (bit-parity between the two is pinned in tests).  Payloads
+in formats no available codec handles decode to NULL rows — a data
+outcome, never a task failure.
 
 At 100 TB: media rows are large, so the operators use ``mapInPandas``
 (streaming Arrow batches, bounded memory) rather than ``applyInPandas``

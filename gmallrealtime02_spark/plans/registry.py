@@ -72,7 +72,8 @@ def register(
 # checks a fixed-size PREFIX of queries() (exactly the first 50), so
 # ordering is scoring surface.  The window ROTATES across rounds so every
 # oracled query eventually earns a driver-verified row; pytest's oracle
-# gate still covers all 112 queries every run, so out-of-window queries
+# gate still covers the ENTIRE registry every run (don't hand-count it
+# here — `len(all_queries())` is the number), so out-of-window queries
 # keep full-hash evidence locally.
 #
 # Rotation ledger:

@@ -373,49 +373,62 @@ def manifest_rollup_e2e(spark, sf_dir):
     Scale shape: each refresh reads O(new files) via the manifest
     version diff (the incremental step is gated to scan exactly one
     commit here); the compact is one coalesce rewrite + one metadata
-    commit.  Working state lives in a fresh temp dir per call — at
-    production scale the table root is the object-store prefix."""
+    commit.  Working state lives in a fresh temp dir per call,
+    materialized into the result and removed before returning (sweeps
+    and benches re-run this query; leaking a multi-copy parquet
+    workspace per invocation adds up) — at production scale the table
+    root is the object-store prefix and lives forever."""
+    import shutil
     import tempfile
 
     from ..streaming.manifest import ManifestTable
     from ..streaming.rollup import ContinuousAggregate
 
     root = tempfile.mkdtemp(prefix="manifest_rollup_e2e_")
-    src = ManifestTable(f"{root}/src")
-    ca = ContinuousAggregate(
-        src,
-        f"{root}/rollup",
-        group_cols=["dt", "event_type"],
-        aggs={
-            "n": ("count", "*"),
-            "sum_users": ("sum", "user_id"),
-            "vmin": ("min", "value"),
-            "vmax": ("max", "value"),
-        },
-    )
-    ev = load_table(spark, sf_dir, "events").select(
-        F.date_format("ts", "yyyy-MM-dd").alias("dt"),
-        "event_type",
-        "user_id",
-        "value",
-        (F.crc32(F.col("event_id").cast("string")) % 4).alias("slice"),
-    )
-    for part in (0, 1):
-        src.append(ev.filter(F.col("slice") == part).drop("slice"))
-    r1 = ca.refresh(spark)
-    assert r1["mode"] == "full"  # initial materialization
-    src.compact(spark, target_bytes=1 << 30)
-    src.append(ev.filter(F.col("slice") == 2).drop("slice"))
-    r2 = ca.refresh(spark)
-    assert r2["mode"] == "full"  # compact in range -> honest fallback
-    src.append(ev.filter(F.col("slice") == 3).drop("slice"))
-    r3 = ca.refresh(spark)
-    assert r3["mode"] == "incremental"  # exactly one commit's files
-    return ca.read(spark).select(
-        "dt",
-        "event_type",
-        "n",
-        F.col("sum_users").cast("bigint").alias("sum_users"),
-        "vmin",
-        "vmax",
-    )
+    try:
+        src = ManifestTable(f"{root}/src")
+        ca = ContinuousAggregate(
+            src,
+            f"{root}/rollup",
+            group_cols=["dt", "event_type"],
+            aggs={
+                "n": ("count", "*"),
+                "sum_users": ("sum", "user_id"),
+                "vmin": ("min", "value"),
+                "vmax": ("max", "value"),
+            },
+        )
+        ev = load_table(spark, sf_dir, "events").select(
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+            "event_type",
+            "user_id",
+            "value",
+            (F.crc32(F.col("event_id").cast("string")) % 4).alias("slice"),
+        )
+        for part in (0, 1):
+            src.append(ev.filter(F.col("slice") == part).drop("slice"))
+        r1 = ca.refresh(spark)
+        if r1["mode"] != "full":  # initial materialization
+            raise RuntimeError(f"expected full initial refresh, got {r1}")
+        src.compact(spark, target_bytes=1 << 30)
+        src.append(ev.filter(F.col("slice") == 2).drop("slice"))
+        r2 = ca.refresh(spark)
+        if r2["mode"] != "full":  # compact in range -> honest fallback
+            raise RuntimeError(f"expected full fallback refresh, got {r2}")
+        src.append(ev.filter(F.col("slice") == 3).drop("slice"))
+        r3 = ca.refresh(spark)
+        if r3["mode"] != "incremental":  # exactly one commit's files
+            raise RuntimeError(f"expected incremental refresh, got {r3}")
+        out = ca.read(spark).select(
+            "dt",
+            "event_type",
+            "n",
+            F.col("sum_users").cast("bigint").alias("sum_users"),
+            "vmin",
+            "vmax",
+        )
+        # materialize before the workspace disappears (the rollup is one
+        # row per (dt, event_type) — bounded, never the fact table)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -309,7 +309,12 @@ class ManifestTable:
 
         If an append lands between our snapshot read and our commit, the
         CAS rebase re-unions: compacted(old snapshot) + files added
-        since — nothing is lost, nothing blocks."""
+        since — nothing is lost, nothing blocks.  If the snapshot itself
+        was REWRITTEN under us (a concurrent replace() or a second
+        compact() won the race), the rebase declines instead of
+        publishing compacted(stale snapshot) over the winner's file set
+        — returns None with the staged rewrite cleaned up; re-run
+        against the new snapshot."""
         import math
 
         snap = self.manifest()
@@ -327,7 +332,14 @@ class ManifestTable:
         )
         snap_set = set(snap["files"])
 
-        def mk(base: dict) -> dict:
+        def mk(base: dict) -> dict | None:
+            if not snap_set <= set(base["files"]):
+                # our snapshot's files are no longer all live: a
+                # replace/compact rewrote the table while we rewrote the
+                # stale snapshot — publishing would resurrect replaced
+                # rows (or duplicate the winner's).  Decline; the caller
+                # re-runs compaction against the new snapshot.
+                return None
             added_since = [f for f in base["files"] if f not in snap_set]
             base_stats = base.get("stats", {})
             m = {
@@ -344,7 +356,11 @@ class ManifestTable:
                 m["schema"] = base["schema"]  # rewrite keeps the evolved shape
             return m
 
-        return self._commit(mk)
+        res = self._commit(mk)
+        if res is None:
+            for f in compacted:  # staged rewrite of a dead snapshot
+                os.remove(os.path.join(self.data_dir, f))
+        return res
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         fs = self.files(version)
@@ -425,7 +441,18 @@ class ManifestTable:
         any step in the range is not an append (compact/replace rewrote
         the file set, so 'added files' is no longer meaningful — the
         consumer must fall back to a full read; detected from the
-        recorded per-version ``op``, never guessed)."""
+        recorded per-version ``op``, never guessed).  A range reaching
+        below the vacuum-retained horizon (manifests deleted) likewise
+        returns None — never raises — so consumers always have the
+        full-recompute fallback."""
+        have = set(self._versions())
+        # every manifest in (since, until] plus each predecessor (down
+        # to since, exclusive — version 0 is the implicit empty table)
+        # must still be retained for 'added files' to be reconstructible
+        if any(
+            v not in have for v in range(max(since, 1), until + 1)
+        ):
+            return None
         new: list[str] = []
         for v in range(since + 1, until + 1):
             m = self.manifest(v)
@@ -484,11 +511,23 @@ class ManifestTable:
             )
         return out
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, retention_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete data files referenced by NO retained manifest, plus
         manifests older than the newest ``keep_versions``.  Time-travel
-        readers of retained versions are unaffected; run with a horizon
-        longer than any reader's job (the standard vacuum contract)."""
+        readers of retained versions are unaffected.
+
+        ``retention_seconds`` (Delta's VACUUM retention): unreferenced
+        files younger than the horizon are KEPT, because an in-flight
+        append/compact stages its data files before its manifest CAS —
+        deleting them would let the subsequent commit publish a manifest
+        referencing missing files (table corruption).  Run with a
+        horizon longer than any writer's staging window and any
+        time-travel reader's job; 0 is only safe when no writer is
+        concurrently in flight (tests, single-writer maintenance)."""
+        import time
+
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
         vs = self._versions()
@@ -496,18 +535,31 @@ class ManifestTable:
         live: set[str] = set()
         for v in keep:
             live |= set(self.manifest(v)["files"])
+        horizon = time.time() - retention_seconds
         removed = []
         for n in os.listdir(self.data_dir):
             if n.endswith(".parquet") and n not in live:
-                os.remove(os.path.join(self.data_dir, n))
+                p = os.path.join(self.data_dir, n)
+                try:
+                    if os.path.getmtime(p) > horizon:
+                        continue  # possibly staged by an in-flight commit
+                    os.remove(p)
+                except FileNotFoundError:
+                    continue  # a racing vacuum/decline already removed it
                 removed.append(n)
         for v in vs[: -keep_versions]:
             os.remove(self._manifest_path(v))
         # stale .tmp-* manifests (a crash between link and remove) are
-        # never referenced — reap them too
+        # never referenced — reap them too, behind the same horizon (a
+        # healthy in-flight commit holds its .tmp for milliseconds)
         for n in os.listdir(self.manifest_dir):
             if n.startswith(".tmp-"):
-                os.remove(os.path.join(self.manifest_dir, n))
+                p = os.path.join(self.manifest_dir, n)
+                try:
+                    if os.path.getmtime(p) <= horizon:
+                        os.remove(p)
+                except FileNotFoundError:
+                    continue
         return removed
 
 
