@@ -696,6 +696,100 @@ def bench_stress() -> None:
     )
 
 
+def bench_rollup_scaling() -> None:
+    """Empirical gate on ContinuousAggregate.refresh()'s O(new data)
+    claim (streaming/rollup.py): grow the source ManifestTable 1x -> 4x
+    -> 16x by appends, and at EACH size time one refresh absorbing a
+    CONSTANT-size append (one full events copy).  If the incremental
+    path is real, refresh cost tracks the append — flat in table size —
+    while a raw-directory rollup would rescan the table (16x).  Prints
+    per-size refresh seconds, the files each refresh actually scanned,
+    and the t(16x)/t(1x) flatness ratio."""
+    import shutil
+    import tempfile
+
+    from gmallrealtime02_spark.streaming.manifest import ManifestTable
+    from gmallrealtime02_spark.streaming.rollup import ContinuousAggregate
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="bench-rollup-scaling")
+    from pyspark.sql import functions as F
+
+    unit = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+            "event_type",
+            "user_id",
+            "value",
+        )
+    )
+    unit_rows = unit.count()
+    root = tempfile.mkdtemp(prefix="bench_rollup_scaling_")
+    out: dict[str, dict] = {}
+    try:
+        src = ManifestTable(f"{root}/src")
+        ca = ContinuousAggregate(
+            src,
+            f"{root}/rollup",
+            group_cols=["dt", "event_type"],
+            aggs={
+                "n": ("count", "*"),
+                "sum_users": ("sum", "user_id"),
+                "vmin": ("min", "value"),
+                "vmax": ("max", "value"),
+            },
+        )
+        size = 0  # units currently in the table
+        for target in (1, 4, 16):
+            while size < target:
+                src.append(unit)
+                size += 1
+            ca.refresh(spark)  # set the watermark (untimed)
+            # best-of-2 constant-size increments: the first incremental
+            # refresh ever pays merge-plan codegen; the min is the
+            # steady-state cost a per-micro-batch rollup would see
+            best, scanned = float("inf"), None
+            for _ in range(2):
+                src.append(unit)
+                size += 1
+                t0 = time.perf_counter()
+                r = ca.refresh(spark)
+                best = min(best, time.perf_counter() - t0)
+                if r["mode"] != "incremental":
+                    raise RuntimeError(
+                        f"expected incremental refresh at {target}x: {r}"
+                    )
+                scanned = r.get("files_scanned")
+            out[f"{target}x"] = {
+                "refresh_sec": round(best, 3),
+                "files_scanned": scanned,
+                "table_units": target,
+            }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    flatness = round(
+        out["16x"]["refresh_sec"] / max(out["1x"]["refresh_sec"], 1e-9), 3
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "rollup_refresh_flatness",
+                # ~1.0 = refresh cost flat in table size (O(new data));
+                # a raw-directory rollup would read ~16.0 here
+                "value": flatness,
+                "unit": "t16x_over_t1x",
+                "queries": out,
+                "unit_rows": unit_rows,
+                "sf": sf,
+                "calibration_sec": _calibration(spark),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     import sys
 
@@ -707,5 +801,7 @@ if __name__ == "__main__":
         bench_scale_curve()
     elif "--stress" in sys.argv[1:]:
         bench_stress()
+    elif "--rollup-scaling" in sys.argv[1:]:
+        bench_rollup_scaling()
     else:
         main()

@@ -264,6 +264,175 @@ def bmp_decoder(b: bytes) -> dict | None:
     }
 
 
+def encode_png(width: int, height: int, luma: bytes) -> bytes:
+    """Build an 8-bit grayscale non-interlaced PNG (filter 0 per row,
+    stdlib zlib) from row-major ``luma`` bytes — the compressed-format
+    counterpart of :func:`encode_bmp`, same analytic-oracle property:
+    gray pixel v decodes back to luma exactly v."""
+    import struct
+    import zlib
+
+    if len(luma) != width * height:
+        raise ValueError("luma must hold width*height bytes")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + luma[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
+    """Parse a non-interlaced 8-bit grayscale (color type 0) or truecolor
+    (color type 2) PNG into (width, height, luma bytes row-major) — a
+    REAL decoder for a REAL compressed format with zero dependencies:
+    chunk walk with length checks, zlib inflate of the concatenated
+    IDAT stream, and all five scanline filters (None/Sub/Up/Average/
+    Paeth) undone per the spec.  Truecolor converts to luma with the
+    same ITU-R 601-2 integer formula as the BMP path, so Pillow (where
+    it ships) agrees bit-for-bit.  Returns None for anything else —
+    interlaced, paletted, 16-bit, truncated, or corrupt payloads pass
+    through as null rows, never a task failure."""
+    import struct
+    import zlib
+
+    b = bytes(b)
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    width = height = ctype = None
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(b):
+            (ln,) = struct.unpack_from(">I", b, pos)
+            tag = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + ln]
+            if len(data) < ln:
+                return None  # truncated chunk
+            pos += 12 + ln
+            if tag == b"IHDR":
+                (width, height, depth, ctype, comp, filt, inter) = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+                if (
+                    depth != 8
+                    or ctype not in (0, 2)
+                    or comp != 0
+                    or filt != 0
+                    or inter != 0
+                ):
+                    return None
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+        if width is None or width <= 0 or height <= 0 or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+    except (struct.error, zlib.error):
+        return None
+    nch = 1 if ctype == 0 else 3
+    stride = width * nch
+    if len(raw) != (stride + 1) * height:
+        return None
+    prev = bytearray(stride)
+    planes = bytearray()
+    pos = 0
+    for _y in range(height):
+        ftype = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(nch, stride):
+                row[i] = (row[i] + row[i - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = row[i - nch] if i >= nch else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - nch] if i >= nch else 0
+                c = prev[i - nch] if i >= nch else 0
+                up = prev[i]
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None  # invalid filter type
+        planes += row
+        prev = row
+    if nch == 1:
+        return width, height, bytes(planes)
+    luma = bytearray(width * height)
+    for j in range(width * height):
+        rr, gg, bb = planes[3 * j], planes[3 * j + 1], planes[3 * j + 2]
+        luma[j] = (rr * 19595 + gg * 38470 + bb * 7471 + 0x8000) >> 16
+    return width, height, bytes(luma)
+
+
+def png_decoder(b: bytes) -> dict | None:
+    """Pure-Python decode of non-interlaced 8-bit PNGs → the same
+    grayscale feature dict as :func:`pillow_decoder` (mode "L" for
+    grayscale, "RGB" for truecolor — what Pillow reports)."""
+    b = bytes(b)
+    parsed = png_pixels(b)
+    if parsed is None:
+        return None
+    width, height, px = parsed
+    n = len(px)
+    return {
+        "width": width,
+        "height": height,
+        # IHDR color type sits at fixed offset 25 (validated above)
+        "mode": "L" if b[25] == 0 else "RGB",
+        "n_pixels": n,
+        "sum_luma": sum(px),
+        "mean_luma": round(sum(px) / n, 6) if n else 0.0,
+        "pixel_digest": hashlib.md5(px).hexdigest(),
+    }
+
+
+def media_pixels(b: bytes) -> tuple[int, int, bytes] | None:
+    """Magic-byte dispatch over the pure-Python codecs: BMP or PNG →
+    (width, height, luma); anything else → None.  The ``pixels=`` slot
+    for resize/scanline operators over mixed-format media columns."""
+    b = bytes(b)
+    if b[:2] == b"BM":
+        return bmp_pixels(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_pixels(b)
+    return None
+
+
+def pure_decoder(b: bytes) -> dict | None:
+    """Magic-byte dispatch over the pure-Python decoders (BMP + PNG) —
+    the no-Pillow default for :func:`decode_media`.  Formats without an
+    in-repo codec decode as null rows."""
+    b = bytes(b)
+    if b[:2] == b"BM":
+        return bmp_decoder(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decoder(b)
+    return None
+
+
 def pillow_decoder(b: bytes) -> dict | None:
     """Pillow-backed image decode → grayscale pixel features.  Returns
     None for payloads Pillow cannot open (non-image media rows pass
@@ -300,17 +469,18 @@ def decode_media(media: DataFrame, decoder=None) -> DataFrame:
     ``decoder`` is ``bytes -> dict | None`` (None = undecodable row,
     emitted with null features).  Defaults to the Pillow image decoder
     when Pillow is importable, else to the pure-Python
-    :func:`bmp_decoder` (uncompressed 24-bit BMPs only; the two agree
-    bit-for-bit on that format, parity-pinned in pytest where Pillow
-    exists).  Compressed formats without Pillow decode as null rows —
-    pass ``decoder=`` explicitly to plug in a real codec."""
+    :func:`pure_decoder` (uncompressed 24-bit BMP + non-interlaced
+    8-bit PNG; parity with Pillow is bit-exact on both formats,
+    parity-pinned in pytest where Pillow exists).  Other formats
+    without Pillow decode as null rows — pass ``decoder=`` explicitly
+    to plug in a codec."""
     if decoder is None:
         try:
             import PIL  # noqa: F401
 
             decoder = pillow_decoder
         except ImportError:
-            decoder = bmp_decoder
+            decoder = pure_decoder
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         null_row = {
@@ -369,6 +539,41 @@ def as_bmp_media_table(
                     "doc_id": pdf["doc_id"],
                     "content": payloads,
                     "media_type": "image/bmp",
+                    "n_bytes": pd.Series(
+                        [len(p) for p in payloads], dtype="int64"
+                    ),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        op, schema=MEDIA_SCHEMA
+    )
+
+
+def as_png_media_table(
+    docs: DataFrame,
+    width: int = BMP_W,
+    height: int = BMP_H,
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`as_bmp_media_table`'s compressed twin: the same clamped/
+    zero-padded codepoint pixels, DEFLATE-compressed into a real 8-bit
+    grayscale PNG.  The decode oracle is identical — the compression is
+    lossless, so the analytic codepoint fold still predicts every
+    decoded statistic exactly."""
+    n = width * height
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                luma = bytes(min(ord(c), 255) for c in t[:n]).ljust(n, b"\x00")
+                payloads.append(encode_png(width, height, luma))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": payloads,
+                    "media_type": "image/png",
                     "n_bytes": pd.Series(
                         [len(p) for p in payloads], dtype="int64"
                     ),

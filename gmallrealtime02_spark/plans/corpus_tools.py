@@ -996,16 +996,13 @@ def zorder_layout(spark, sf_dir):
     )
     a = (F.col("user_id") % (1 << Z_BITS)).alias("a")
     b = (hour_idx % (1 << Z_BITS)).alias("b")
+    from ..functions.layout import morton_key
+
     d = e.select("event_id", a, b)
-    zkey = None
-    for k in range(Z_BITS):
-        term = F.shiftleft(F.shiftright("a", k).bitwiseAND(F.lit(1)), 2 * k) + (
-            F.shiftleft(F.shiftright("b", k).bitwiseAND(F.lit(1)), 2 * k + 1)
-        )
-        zkey = term if zkey is None else zkey + term
+    zkey = morton_key(F.col("a"), F.col("b"), Z_BITS)
     return d.select(
         "event_id",
-        zkey.cast("long").alias("zkey"),
+        zkey.alias("zkey"),
         F.shiftright(zkey, Z_BUCKET_SHIFT).cast("long").alias("zbucket"),
     )
 

@@ -91,7 +91,7 @@ def register(
 #                 never-green rows, 9 re-verify slots: 50/50 green
 #                 (CORRECTNESS_r06.json) — every oracled query that
 #                 existed before round 6 now has a green driver row.
-#   round 7     — (current window) the 13 round-6 additions lead (their
+#   round 7     — the 13 round-6 additions lead (their
 #                 first driver exposure — green rows here complete
 #                 full-registry driver verification), then the 4 round-7
 #                 additions (the oracled BMP decode path + the
@@ -101,9 +101,74 @@ def register(
 #                 old) so the evidence stays rolling.  Rows-only-by-
 #                 nature ops stay excluded from the window permanently —
 #                 they can never hash-match; pytest pins them.
+#   round 8     — (current window) the 7 round-8 additions lead (first
+#                 driver exposure: the table-service K7 write path —
+#                 order_wide landed through manifest append+upsert —
+#                 the pruned/evolved read paths, the range-DELETE
+#                 retention primitive, and the pure-Python PNG decode
+#                 twin), then 43 staleness slots: the 3 rows whose only
+#                 green is r1, the r3-era dozen, and 28 of the r4
+#                 TPC-H/window/setops wave — stalest evidence first,
+#                 computed from the CORRECTNESS files.
 _PRIORITY = [
-    # ---- round-7 window (50) ----
-    # round-6 additions, first driver exposure (registry order)
+    # ---- round-8 window (50) ----
+    # round-8 additions, first driver exposure
+    "order_wide_manifest",
+    "manifest_prune_scan",
+    "manifest_schema_evolution",
+    "manifest_retention_delete",
+    "manifest_time_travel",
+    "manifest_zorder_prune",
+    "media_png_decode",
+    # staleness rotation: stalest green rows first (3x r1, 12x r3, 31x r4)
+    "small_quantity_revenue",
+    "banded_revenue",
+    "idle_customer_balance",
+    "repetition_filter",
+    "dedup_keep_list",
+    "doc_hash_sample",
+    "token_count_histogram",
+    "training_mix",
+    "source_mix",
+    "media_features",
+    "kmeans_clusters",
+    "embedding_quantization",
+    "sequence_packing",
+    "decontamination",
+    "value_moments",
+    "top_customers",
+    "promo_revenue",
+    "order_priority_late",
+    "min_cost_supplier",
+    "brand_type_supplier_counts",
+    "forecast_revenue",
+    "volume_shipping",
+    "product_profit",
+    "returned_item_customers",
+    "late_shipment_priority",
+    "order_count_distribution",
+    "top_supplier",
+    "excess_stock_suppliers",
+    "late_supplier_blame",
+    "large_order_customers",
+    "important_stock_value",
+    "sessionize",
+    "running_total",
+    "user_event_seq",
+    "asof_prev_view",
+    "priority_daily_moving_avg",
+    "supplier_balance_quartiles",
+    "pivot_event_counts",
+    "revenue_rollup",
+    "revenue_cube",
+    "purchasers_without_errors",
+    "price_band_join",
+    "value_percentiles",
+    # ---- post-window (ordering here is not scoring surface): all
+    # remaining green rows + rows-only-by-nature ops (pytest-pinned) ----
+    "dau_retention",
+    "event_funnel",
+    "pack_sequences_text",
     "ann_multiprobe_lsh",
     "semantic_decontamination",
     "lang_confusion_matrix",
@@ -117,14 +182,10 @@ _PRIORITY = [
     "ann_ivf_kmeans_topk",
     "ann_dim_truncation_eval",
     "monthly_revenue_sql",
-    # round-7 additions, first driver exposure: the BMP decode path
-    # (pure-Python fallback codec; the oracles recompute decoded stats
-    # analytically from text codepoints) + the table-service e2e
     "media_bmp_decode",
     "media_resize_decoded",
     "media_scanlines",
     "manifest_rollup_e2e",
-    # staleness rotation: oldest driver-green rows (r2/r3 era, §2 prefix)
     "dau_mids",
     "dau_hourly",
     "dau_total",
@@ -158,22 +219,6 @@ _PRIORITY = [
     "doc_top_terms",
     "gopher_quality_filter",
     "pii_scrub",
-    # ---- post-window ----
-    # remaining r3-era rows: round-8 staleness-rotation candidates
-    "repetition_filter",
-    "dedup_keep_list",
-    "doc_hash_sample",
-    "token_count_histogram",
-    "training_mix",
-    "source_mix",
-    "media_features",
-    "kmeans_clusters",
-    "embedding_quantization",
-    "sequence_packing",
-    "decontamination",
-    "value_moments",
-    # driver-verified r04–r06 (hash-green), or rows-only by nature
-    # (no oracle possible; pytest pins them)
     "temperature_mix",
     "coview_pagerank",
     "contamination_report",
@@ -274,40 +319,6 @@ _PRIORITY = [
     "ann_cosine_topk_np",
     "media_resize",
     "media_frames",
-    "small_quantity_revenue",
-    "banded_revenue",
-    "idle_customer_balance",
-    "top_customers",
-    "promo_revenue",
-    "order_priority_late",
-    "min_cost_supplier",
-    "brand_type_supplier_counts",
-    "forecast_revenue",
-    "volume_shipping",
-    "product_profit",
-    "returned_item_customers",
-    "late_shipment_priority",
-    "order_count_distribution",
-    "top_supplier",
-    "excess_stock_suppliers",
-    "late_supplier_blame",
-    "large_order_customers",
-    "important_stock_value",
-    "sessionize",
-    "running_total",
-    "user_event_seq",
-    "asof_prev_view",
-    "priority_daily_moving_avg",
-    "supplier_balance_quartiles",
-    "pivot_event_counts",
-    "revenue_rollup",
-    "revenue_cube",
-    "purchasers_without_errors",
-    "price_band_join",
-    "value_percentiles",
-    "dau_retention",
-    "event_funnel",
-    "pack_sequences_text",
     "dedup_semantic",
     "dedup_keep_best",
     "dedup_incremental",

@@ -153,9 +153,7 @@ def detail_snowflake(spark, sf_dir):
     )
 
 
-@register(
-    "order_wide",
-    oracle="""
+_ORDER_WIDE_ORACLE = """
     SELECT order_id, detail_seq, sku_id, sku_price, sku_num, user_id,
            order_status, final_total_amount, dt, final_detail_amount
     FROM (
@@ -174,7 +172,12 @@ def detail_snowflake(spark, sf_dir):
                ) AS rn
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ) WHERE rn = 1
-    """,
+    """
+
+
+@register(
+    "order_wide",
+    oracle=_ORDER_WIDE_ORACLE,
     tags=("J4", "J5", "A5"),
 )
 def order_wide_q(spark, sf_dir):
@@ -430,5 +433,329 @@ def manifest_rollup_e2e(spark, sf_dir):
         # materialize before the workspace disappears (the rollup is one
         # row per (dt, event_type) — bounded, never the fact table)
         return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _materialized(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Pin a workspace-backed result into the session before the temp
+    workspace is removed (bounded: used only for sf-scale query results,
+    never a 100 TB table — production tables keep their root)."""
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
+@register(
+    "order_wide_manifest",
+    oracle=_ORDER_WIDE_ORACLE,
+    tags=("K7", "J4", "J5", "table-service", "manifest", "upsert"),
+)
+def order_wide_manifest(spark, sf_dir):
+    """The order_wide fact landed through the warehouse's manifest sink
+    path and read back via a snapshot — hash-matched against the same
+    oracle as the directly-computed ``order_wide``.
+
+    Exercises the K7 write path end-to-end the way the streaming jobs
+    now use it (``streaming/jobs.py`` routes DAU/dim/ODS sinks through
+    ``ManifestTable``): slice 0 lands as an append; slice 1 lands FIRST
+    with a corrupted amount (a stale upstream batch), then an upsert of
+    the corrected slice 1 + new slice 2 must retire exactly the stale
+    rows — keyed MERGE, touched-files-only, one atomic commit.  The
+    final snapshot hash-matching the one-shot oracle proves the landed
+    table is row-identical to never having gone through the sink at
+    all.  Reference: DwsOrderWideApp.scala:129 (ClickHouse sink intent),
+    MyEsUtil.scala:87-91 (doc-id overwrite)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.manifest import ManifestTable
+
+    ow = _order_wide(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    ).withColumn(
+        "slice",
+        F.crc32(
+            F.concat_ws("|", F.col("order_id"), F.col("detail_seq"))
+        )
+        % 3,
+    )
+    root = tempfile.mkdtemp(prefix="order_wide_manifest_")
+    try:
+        t = ManifestTable(root, stats_cols=["order_id"])
+        t.append(ow.filter(F.col("slice") == 0).drop("slice"))
+        stale = (
+            ow.filter(F.col("slice") == 1)
+            .drop("slice")
+            .withColumn("final_detail_amount", F.lit(-1.0))
+        )
+        t.append(stale)
+        correction = ow.filter(F.col("slice").isin(1, 2)).drop("slice")
+        t.upsert(spark, correction, keys=["order_id", "detail_seq"])
+        got = t.read(spark)
+        if got.filter(F.col("final_detail_amount") == -1.0).count() != 0:
+            raise RuntimeError("upsert failed to retire the stale rows")
+        return _materialized(spark, got)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "manifest_prune_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id >= (SELECT (MAX(event_id) + 1) // 4 FROM events)
+      AND event_id <  (SELECT 2 * ((MAX(event_id) + 1) // 4) FROM events)
+    """,
+    tags=("table-service", "manifest", "pruning"),
+)
+def manifest_prune_scan(spark, sf_dir):
+    """Footer-stats file skipping, hash-proven: events land in a
+    ManifestTable as four stat-tight, key-range-disjoint commits; a
+    quartile-range ``read_pruned`` must (a) OPEN strictly fewer files
+    than the table holds — raised as an error otherwise, the scale
+    property is part of the contract — and (b) return rows value-hash
+    identical to the oracle's full-scan filter, proving every skipped
+    file really contained no matches.  At 100 TB this is the difference
+    between a day-keyed query touching the day's files and touching the
+    table (``streaming/manifest.py:read_pruned``)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.manifest import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    mx = ev.agg(F.max("event_id")).first()[0]
+    q = (int(mx) + 1) // 4
+    root = tempfile.mkdtemp(prefix="manifest_prune_scan_")
+    try:
+        t = ManifestTable(root, stats_cols=["event_id"])
+        for i in range(4):
+            lo_b, hi_b = i * q, (i + 1) * q if i < 3 else int(mx) + 1
+            t.append(
+                ev.filter(
+                    (F.col("event_id") >= lo_b) & (F.col("event_id") < hi_b)
+                ).coalesce(1)
+            )
+        n_live = len(t.manifest()["files"])
+        n_pruned = len(t.pruned_files("event_id", q, 2 * q - 1))
+        if n_pruned >= n_live:
+            raise RuntimeError(
+                f"pruning skipped nothing ({n_pruned}/{n_live} files opened)"
+            )
+        got = t.read_pruned(spark, "event_id", lo=q, hi=2 * q - 1)
+        return _materialized(spark, got)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "manifest_schema_evolution",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name,
+           CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END AS segment
+    FROM customer
+    """,
+    tags=("table-service", "manifest", "schema-evolution"),
+)
+def manifest_schema_evolution(spark, sf_dir):
+    """Additive schema evolution through the manifest's recorded-schema
+    read path, hash-proven: even-keyed customers commit BEFORE the
+    ``segment`` column exists, odd-keyed customers commit after; the
+    snapshot read surfaces ``segment`` for every row — NULL for
+    pre-evolution files (never a schema error, never a dropped column)
+    — exactly matching the oracle's CASE reconstruction.  The property
+    that lets a 100 TB table grow columns without rewriting history
+    (``streaming/manifest.py:_merge_schema`` / ``_read_files``)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    evolved = c.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    root = tempfile.mkdtemp(prefix="manifest_schema_evolution_")
+    try:
+        t = ManifestTable(root)
+        t.append(base)
+        t.append(evolved)
+        return _materialized(spark, t.read(spark))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "manifest_retention_delete",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE NOT (event_id >= (SELECT (MAX(event_id) + 1) // 4 FROM events)
+           AND event_id <  (SELECT 2 * ((MAX(event_id) + 1) // 4) FROM events))
+    """,
+    tags=("table-service", "manifest", "delete", "retention"),
+)
+def manifest_retention_delete(spark, sf_dir):
+    """Range DELETE through the manifest layer, hash-proven: events land
+    as four stat-tight commits (same layout as ``manifest_prune_scan``),
+    the second quartile is deleted via ``ManifestTable.delete_range`` —
+    touched-files-only (files outside the range must survive BY NAME,
+    raised as an error otherwise: the retention delete on a day-keyed
+    100 TB table must rewrite the day, not the table) — and the final
+    snapshot must hash-match the oracle's complement filter, proving the
+    delete removed exactly the range and nothing else.  The op records
+    as non-append, so incremental consumers take their full-recompute
+    fallback (``streaming/manifest.py:delete_range``)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.manifest import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    mx = ev.agg(F.max("event_id")).first()[0]
+    q = (int(mx) + 1) // 4
+    root = tempfile.mkdtemp(prefix="manifest_retention_delete_")
+    try:
+        t = ManifestTable(root, stats_cols=["event_id"])
+        for i in range(4):
+            lo_b, hi_b = i * q, (i + 1) * q if i < 3 else int(mx) + 1
+            t.append(
+                ev.filter(
+                    (F.col("event_id") >= lo_b) & (F.col("event_id") < hi_b)
+                ).coalesce(1)
+            )
+        before = set(t.manifest()["files"])
+        m = t.delete_range(spark, "event_id", lo=q, hi=2 * q - 1)
+        if m is None or m["op"] != "delete":
+            raise RuntimeError(f"delete_range did not commit: {m}")
+        survivors = set(m["files"]) & before
+        if len(survivors) != 3:
+            raise RuntimeError(
+                f"delete rewrote untouched files ({len(survivors)}/3 carried)"
+            )
+        return _materialized(spark, t.read(spark))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "manifest_time_travel",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name, 1 AS as_of_version
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey AS id, c_name AS name, 2 AS as_of_version
+    FROM customer
+    """,
+    tags=("table-service", "manifest", "time-travel"),
+)
+def manifest_time_travel(spark, sf_dir):
+    """Snapshot isolation as a query, hash-proven: even-keyed customers
+    commit as v1, odd-keyed as v2; reading BOTH versions of the same
+    table in one result must show v1 = exactly the first commit (the
+    later commit invisible to it) and v2 = the union — the time-travel
+    contract (``read(version=)``) that lets an auditor reproduce any
+    historical result and a long-running job keep a consistent snapshot
+    while writers advance the table (``streaming/manifest.py:read``)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.manifest import ManifestTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    root = tempfile.mkdtemp(prefix="manifest_time_travel_")
+    try:
+        t = ManifestTable(root)
+        t.append(c.filter(F.col("id") % 2 == 0))
+        t.append(c.filter(F.col("id") % 2 == 1))
+        v1 = t.read(spark, version=1).withColumn(
+            "as_of_version", F.lit(1)
+        )
+        v2 = t.read(spark, version=2).withColumn(
+            "as_of_version", F.lit(2)
+        )
+        return _materialized(spark, v1.unionByName(v2))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "manifest_zorder_prune",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id >= (SELECT (MAX(user_id) + 1) // 4 FROM events)
+      AND user_id <  (SELECT 2 * ((MAX(user_id) + 1) // 4) FROM events)
+    """,
+    tags=("table-service", "manifest", "zorder", "pruning"),
+)
+def manifest_zorder_prune(spark, sf_dir):
+    """Z-ORDERED layout + manifest stats = MULTI-dimensional file
+    skipping, hash-proven: events are clustered by the Morton interleave
+    of (user_id, hour-index) (``functions/layout.zorder_by`` — each data
+    file covers a contiguous z-range, i.e. a bounded rectangle union of
+    the plane), landed in ONE manifest commit with min/max recorded on
+    BOTH raw columns, and a quartile range read on ``user_id`` must (a)
+    skip files — AND the orthogonal ``hour_idx`` dimension must skip
+    files too, both raised as errors otherwise, because a single-column
+    sort can only ever prune its own column — and (b) hash-match the
+    oracle's full-scan filter.  Delta OPTIMIZE ZORDER's property,
+    reproduced from first principles on the manifest layer.
+
+    Scale shape: the layout job's one shuffle is its own
+    repartitionByRange write; the key is closed-form shift/mask
+    arithmetic inside codegen (no UDF); reads touch the overlapping
+    rectangle's files, not the table."""
+    import shutil
+    import tempfile
+
+    from ..functions.layout import zorder_by
+    from ..streaming.manifest import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.timestamp_diff(
+            "HOUR",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            F.col("ts"),
+        ).alias("hour_idx"),
+    )
+    mu = int(ev.agg(F.max("user_id")).first()[0])
+    q = (mu + 1) // 4
+    root = tempfile.mkdtemp(prefix="manifest_zorder_prune_")
+    try:
+        t = ManifestTable(root, stats_cols=["user_id", "hour_idx"])
+        t.append(zorder_by(ev, "user_id", "hour_idx", n_files=16))
+        n_live = len(t.manifest()["files"])
+        n_user = len(t.pruned_files("user_id", q, 2 * q - 1))
+        if n_user >= n_live:
+            raise RuntimeError(
+                f"user_id pruning skipped nothing ({n_user}/{n_live})"
+            )
+        # the orthogonal dimension must prune off the SAME layout
+        hmax = int(ev.agg(F.max("hour_idx")).first()[0])
+        n_hour = len(t.pruned_files("hour_idx", 0, hmax // 4))
+        if n_hour >= n_live:
+            raise RuntimeError(
+                f"hour_idx pruning skipped nothing ({n_hour}/{n_live})"
+            )
+        got = t.read_pruned(spark, "user_id", lo=q, hi=2 * q - 1).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        return _materialized(spark, got)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -50,6 +50,12 @@ def _dau_for_dates(spark: SparkSession, sf_dir: str, dates: list[str]):
     return dau_ops.dau_rows(events)
 
 
+# Offset fetches pull page·size rows to the driver, so beyond this many
+# rows the serving layer switches to the keyset path automatically
+# (driver pull becomes O(size) no matter how deep the page).
+DEEP_PAGE_ROWS = 2000
+
+
 def paged_detail(
     spark: SparkSession,
     sf_dir: str,
@@ -57,6 +63,7 @@ def paged_detail(
     size: int = 20,
     keyword: str | None = None,
     draw: int = 1,
+    after: tuple | None = None,
 ) -> str:
     """GET /getData — the dw-chart DataTables contract
     (IndexController.java:79-111 wraps the ES page as
@@ -68,15 +75,26 @@ def paged_detail(
     substring matches on the customer name), deterministically ordered
     (o_orderdate DESC, order key ASC) and paged.
 
-    Scale: the page is fetched as ``orderBy().limit(page*size)`` — a
-    distributed ``TakeOrderedAndProject`` (each task keeps its local
-    top-(page·size), the driver merges) — then sliced driver-side.  The
-    earlier revision ranked with a GLOBAL no-partition window, which
-    sends every matching row to one task for a full sort; plan-gated
-    against regression in tests/test_plan_shapes.py.  The sort key also
-    supports keyset pagination (WHERE (o_orderdate, o_orderkey) <
-    last_seen … LIMIT size) for deep pages without changing the
-    contract."""
+    Scale — three fetch strategies by depth, same contract and rows:
+
+    - shallow (page·size <= ``DEEP_PAGE_ROWS``): ``orderBy().limit(
+      page*size)`` — a distributed ``TakeOrderedAndProject`` (each task
+      keeps its local top-(page·size), the driver merges) — sliced
+      driver-side.  The earlier revision ranked with a GLOBAL
+      no-partition window, which sends every matching row to one task
+      for a full sort; plan-gated in tests/test_plan_shapes.py.
+    - deep without a cursor: KEYSET SEEK.  The boundary key at rank
+      (page-1)·size is computed executor-side (narrow 2-column top-N,
+      then reverse-top-1 — the driver receives ONE row), then the page
+      is ``WHERE (order_date, order_id) after boundary ORDER BY …
+      LIMIT size``.  Driver pull is O(size) at any depth; the deep cost
+      that remains (one task holding (page-1)·size sort KEYS) is the
+      inherent price of random deep-page access.
+    - with ``after=(order_date, order_id)`` (the previous page's last
+      key, returned as ``last_key`` in every response): pure keyset —
+      O(size) work AND O(size) driver pull, the walk-forward path a
+      dashboard actually uses.  ``page`` is then only echoed back.
+    """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_name"), F.col("c_mktsegment")
@@ -100,7 +118,20 @@ def paged_detail(
         d = d.filter(cond)
     total = d.count()
     hi = page * size
-    page_rows = paged_detail_plan(d, hi).collect()[(page - 1) * size : hi]
+    skip = (page - 1) * size
+    if after is not None:
+        page_rows = keyset_page_plan(d, after, size).collect()
+    elif hi <= DEEP_PAGE_ROWS or skip == 0:
+        page_rows = paged_detail_plan(d, hi).collect()[skip:hi]
+    else:
+        boundary = keyset_boundary_plan(d, skip).collect()
+        if not boundary:
+            page_rows = []  # page starts beyond the data
+        else:
+            b = boundary[0]
+            page_rows = keyset_page_plan(
+                d, (b["order_date"], b["order_id"]), size
+            ).collect()
     rows = [
         {
             "order_id": r["order_id"],
@@ -113,7 +144,12 @@ def paged_detail(
         }
         for r in page_rows
     ]
-    return json.dumps({"draw": draw, "total": total, "rows": rows})
+    last_key = (
+        [rows[-1]["order_date"], rows[-1]["order_id"]] if rows else None
+    )
+    return json.dumps(
+        {"draw": draw, "total": total, "rows": rows, "last_key": last_key}
+    )
 
 
 def paged_detail_plan(d, hi: int):
@@ -121,6 +157,45 @@ def paged_detail_plan(d, hi: int):
     serving sort — plans as TakeOrderedAndProject (split out so the plan
     gate can assert no global-window sort sneaks back in)."""
     return d.orderBy(F.col("order_date").desc(), F.col("order_id").asc()).limit(hi)
+
+
+def keyset_boundary_plan(d, skip: int):
+    """The boundary key at rank ``skip`` under the serving sort, found
+    WITHOUT pulling ``skip`` rows to the driver: a narrow top-``skip``
+    over just the two sort-key columns (executor-side
+    TakeOrderedAndProject), then the reverse-order top-1 of that —
+    exactly one row crosses to the driver."""
+    keys = (
+        d.select("order_date", "order_id")
+        .orderBy(F.col("order_date").desc(), F.col("order_id").asc())
+        .limit(skip)
+    )
+    return keys.orderBy(
+        F.col("order_date").asc(), F.col("order_id").desc()
+    ).limit(1)
+
+
+def keyset_page_plan(d, after: tuple, size: int):
+    """One page strictly after ``after=(order_date, order_id)`` in the
+    serving sort (date DESC, id ASC): the keyset predicate prunes
+    everything at-or-before the cursor BEFORE the sort, so the fetch is
+    top-``size`` of the remainder — O(size) driver pull at any depth,
+    and on a date-sorted layout the date bound is row-group pruning."""
+    bd, bi = after
+    # cursors round-trip through JSON as strings; compare in the
+    # column's own type (a string comparand would coerce the COLUMN)
+    bd_lit = F.lit(bd).cast(d.schema["order_date"].dataType)
+    return (
+        d.filter(
+            (F.col("order_date") < bd_lit)
+            | (
+                (F.col("order_date") == bd_lit)
+                & (F.col("order_id") > F.lit(bi))
+            )
+        )
+        .orderBy(F.col("order_date").desc(), F.col("order_id").asc())
+        .limit(size)
+    )
 
 
 def stat_groups(spark: SparkSession, sf_dir: str) -> str:

@@ -8,7 +8,10 @@ Mapping:
 - OdsGmallCanal (§3.2)   → ``streaming_ods_split``: one query with a
   per-record topic column instead of N per-table jobs.
 - Dim* apps (§3.2)       → ``streaming_dim_upsert``: foreachBatch keyed
-  upsert into a parquet/Delta dim table (replaces Phoenix/HBase).
+  upsert into a snapshot-isolated ManifestTable (replaces Phoenix/
+  HBase); all warehouse sinks here commit through the manifest layer —
+  atomic per-batch visibility, touched-files-only MERGE, exactly-once
+  replay via per-app txn watermarks (streaming/manifest.py).
 - DwdOrder*/DwsOrderWide (§3.3) → ``streaming_order_wide``: watermarked
   stream-stream inner join — strictly more correct than the reference's
   overlapping 10s/5s windows + Redis dedup (J4+J5): no duplicate-from-
@@ -30,7 +33,11 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.cdc import ods_split
 from ..operators.dau import with_dt_hr
-from .sinks import make_append_sink, make_upsert_sink
+from .manifest import (
+    ManifestTable,
+    make_manifest_append_sink,
+    make_manifest_upsert_sink,
+)
 
 DEFAULT_WATERMARK = "48 hours"
 
@@ -87,6 +94,14 @@ def start_dau_job(
     """The full DAU pipeline as a streaming query: dedup → idempotent
     keyed upsert into the serving table (ES bulk K4 → parquet upsert).
 
+    The serving table is a snapshot-isolated ``ManifestTable`` with
+    dt-stats: each micro-batch is one atomic MERGE commit that rewrites
+    only the files whose dt-range overlaps the batch (today's batch
+    touches today's files, never the history) — readers need no
+    coordination, and checkpoint replay after a crash is declined
+    idempotently via the per-app txn watermark.  Read the output with
+    ``ManifestTable(out_path).read(spark)`` (or ``manifest.read_output``).
+
     ``trigger="5 seconds"`` reproduces the reference's micro-batch
     cadence (DauApp.scala:25, W2); None = process-as-available (tests)."""
     dau = streaming_dau(events)
@@ -95,7 +110,10 @@ def start_dau_job(
     )
     if trigger is not None:
         w = w.trigger(processingTime=trigger)
-    return w.foreachBatch(make_upsert_sink(out_path, ["dt", "mid"])).start()
+    table = ManifestTable(out_path, stats_cols=["dt"])
+    return w.foreachBatch(
+        make_manifest_upsert_sink(table, ["dt", "mid"], app_id="dau")
+    ).start()
 
 
 def streaming_ods_split(raw: DataFrame) -> DataFrame:
@@ -117,28 +135,37 @@ def streaming_ods_split(raw: DataFrame) -> DataFrame:
 def start_ods_split_job(
     raw: DataFrame, out_path: str, checkpoint: str, trigger: str | None = None
 ) -> StreamingQuery:
-    """Splitter sink: topic-partitioned parquet stands in for the Kafka
-    sink's per-record topic routing (K2) in this environment."""
+    """Splitter sink: a topic-stat-clustered ManifestTable stands in for
+    the Kafka sink's per-record topic routing (K2) in this environment —
+    each batch's files are clustered by topic so a per-topic consumer
+    prunes to its own files via the manifest stats (the manifest-level
+    analogue of the raw layout's ``partitionBy("topic")``), and each
+    micro-batch is one atomic, replay-idempotent commit."""
     routed = streaming_ods_split(raw)
     w = routed.writeStream.outputMode("append").option(
         "checkpointLocation", checkpoint
     )
     if trigger is not None:
         w = w.trigger(processingTime=trigger)
-    return w.foreachBatch(make_append_sink(out_path, ["topic"])).start()
+    table = ManifestTable(out_path, stats_cols=["topic"])
+    return w.foreachBatch(
+        make_manifest_append_sink(table, app_id="ods_split", layout_by=["topic"])
+    ).start()
 
 
 def streaming_dim_upsert(
     dim_rows: DataFrame, out_path: str, checkpoint: str, keys: list[str]
 ) -> StreamingQuery:
-    """Dim loader (K5): keyed upsert per micro-batch.  Fact jobs re-read
-    the table per batch — the stream-static join resolves a fresh
-    snapshot each micro-batch, matching the reference's per-batch
-    broadcast refresh (DwdOrderInfoApp.scala:87-92)."""
+    """Dim loader (K5): keyed upsert per micro-batch, committed through
+    a ManifestTable (atomic snapshot per batch, replay-idempotent).
+    Fact jobs re-read the table per batch — the stream-static join
+    resolves a fresh snapshot each micro-batch, matching the reference's
+    per-batch broadcast refresh (DwdOrderInfoApp.scala:87-92)."""
+    table = ManifestTable(out_path, stats_cols=[keys[0]])
     return (
         dim_rows.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint)
-        .foreachBatch(make_upsert_sink(out_path, keys))
+        .foreachBatch(make_manifest_upsert_sink(table, keys, app_id="dim"))
         .start()
     )
 

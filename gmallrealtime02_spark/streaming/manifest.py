@@ -14,10 +14,14 @@ fix, the Iceberg/Delta idea at 1% of the size:
   compare-and-swap that makes concurrent committers safe: the loser
   reloads and retries on top of the winner);
 - readers resolve the highest published version and read ONLY its
-  files.  A compaction, append, or replace in flight is invisible until
-  its manifest lands, and a crash mid-commit leaves nothing but orphan
-  data files for ``vacuum`` — the live table is untouched, no recovery
-  step, no marker replay.
+  files.  A compaction, append, upsert, or replace in flight is
+  invisible until its manifest lands, and a crash mid-commit leaves
+  nothing but orphan data files for ``vacuum`` — the live table is
+  untouched, no recovery step, no marker replay;
+- :meth:`ManifestTable.upsert` is the keyed MERGE (Delta-style
+  touched-files-only copy-on-write), making this layer the warehouse's
+  DEFAULT sink (``streaming/jobs.py`` routes DAU/dim/ODS through it;
+  ``sinks.py``'s raw-directory protocols remain for plain layouts).
 
 Why this is the 100 TB layout: at scale "the directory" is an object
 store with eventually-consistent listings and no atomic rename of
@@ -142,13 +146,21 @@ class ManifestTable:
     def _write_data(
         self, df: DataFrame, coalesce: int | None = None
     ) -> tuple[list[str], dict]:
+        import pyarrow.parquet as pq
+
         tmp = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
         (df.coalesce(coalesce) if coalesce else df).write.parquet(tmp)
         out = []
         for n in sorted(os.listdir(tmp)):
             if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                src = os.path.join(tmp, n)
+                # zero-row part files (empty shuffle partitions) carry no
+                # information and would sit in the manifest stat-less
+                # (= never prunable) forever — drop them at the source
+                if pq.ParquetFile(src).metadata.num_rows == 0:
+                    continue
                 final = f"{uuid.uuid4().hex}.parquet"
-                os.rename(os.path.join(tmp, n), os.path.join(self.data_dir, final))
+                os.rename(src, os.path.join(self.data_dir, final))
                 out.append(final)
         import shutil
 
@@ -293,6 +305,224 @@ class ManifestTable:
             return m
 
         return self._commit(mk)
+
+    def _bounds(self, df: DataFrame, col: str) -> tuple | None:
+        """Batch [min, max] for ``col`` in the manifest's stat encoding
+        (ISO strings for temporals) — one 1-row aggregate, never a scan
+        of the table.  None when the batch is empty or the bounds don't
+        encode (then pruning is skipped, merge stays correct)."""
+        from pyspark.sql import functions as F
+
+        row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        if row is None or row["lo"] is None:
+            return None
+        lo, hi = _jsonable(row["lo"]), _jsonable(row["hi"])
+        return None if lo is None or hi is None else (lo, hi)
+
+    def upsert(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        keys: list[str],
+        txn: tuple[str, int] | None = None,
+        max_restarts: int = 8,
+    ) -> dict | None:
+        """Keyed MERGE: ``df``'s rows win over existing rows with the
+        same key (the reference's doc-id overwrite semantic,
+        MyEsUtil.scala:87-91 / Phoenix PK upsert) — as ONE atomic
+        manifest commit, replacing the raw-directory rename-swap of
+        ``sinks.upsert_batch`` whose exposure window and
+        exclusive-access contract this layer exists to dissolve.
+
+        TOUCHED-FILES-ONLY copy-on-write (the Delta MERGE discipline):
+        a live file whose recorded [min, max] for the first
+        stats-tracked key column cannot contain any batch key is carried
+        into the new manifest UNTOUCHED — metadata only, zero read,
+        zero write.  A daily-keyed table absorbing today's batch
+        rewrites today's files, not the table; that is the difference
+        between O(batch) and O(table) per micro-batch at 100 TB.
+        Files without usable stats are conservatively rewritten.
+
+        Concurrency: the merge is computed against a snapshot; if ANY
+        commit lands in between (its rows might share our keys), the CAS
+        declines and the whole merge restarts against the new snapshot
+        — never publishes a torn merge.  ``txn=(app_id, version)``
+        replay is declined idempotently exactly as in :meth:`append`.
+        """
+        df = df.dropDuplicates(keys)
+        merged_schema_src = None
+        for _ in range(max_restarts):
+            snap = self.manifest()
+            snap_files = list(snap["files"])
+            snap_set = set(snap_files)
+            prune_col = next(
+                (k for k in self.stats_cols if k in keys), None
+            )
+            bounds = (
+                self._bounds(df, prune_col) if prune_col is not None else None
+            )
+            if bounds is not None:
+                touched = set(
+                    self.pruned_files(
+                        prune_col, bounds[0], bounds[1], snap["version"]
+                    )
+                ) & snap_set
+            else:
+                touched = snap_set  # no usable stats: rewrite everything
+            untouched = [f for f in snap_files if f not in touched]
+            if touched:
+                existing = self._read_files(
+                    spark,
+                    [os.path.join(self.data_dir, f) for f in sorted(touched)],
+                    snap["version"],
+                )
+                keep = existing.join(df.select(*keys), keys, "left_anti")
+                merged = keep.unionByName(df, allowMissingColumns=True)
+            else:
+                merged = df
+            merged_schema_src = merged.schema
+            new, stats = self._write_data(merged)
+            declined = {"replay": False}
+
+            def mk(base: dict) -> dict | None:
+                txns = dict(base.get("txn", {}))
+                if txn is not None:
+                    seen = txns.get(txn[0])
+                    if seen is not None and txn[1] <= seen:
+                        declined["replay"] = True
+                        return None
+                    txns[txn[0]] = txn[1]
+                if set(base["files"]) != snap_set:
+                    return None  # table moved: the merge is stale
+                base_stats = base.get("stats", {})
+                m = {
+                    "files": untouched + new,
+                    "op": "upsert",
+                    "stats": {
+                        **{
+                            f: base_stats[f]
+                            for f in untouched
+                            if f in base_stats
+                        },
+                        **stats,
+                    },
+                    "schema": _merge_schema(
+                        base.get("schema"), merged_schema_src
+                    ),
+                }
+                if txns:
+                    m["txn"] = txns
+                return m
+
+            res = self._commit(mk)
+            if res is not None:
+                return res
+            for f in new:  # staged merge that will never publish
+                os.remove(os.path.join(self.data_dir, f))
+            if declined["replay"]:
+                return None  # idempotent replay: already committed
+            # else: lost to a concurrent commit — re-merge on its snapshot
+        raise CommitConflict(
+            f"upsert lost {max_restarts} merge races under {self.root}"
+        )
+
+    def delete_range(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        txn: tuple[str, int] | None = None,
+        max_restarts: int = 8,
+    ) -> dict | None:
+        """DELETE every row with ``lo <= col <= hi`` (None = unbounded
+        side) as ONE atomic commit — the retention/right-to-erasure
+        primitive a 100 TB training-data table needs (drop a day, drop
+        a source's id range) without rewriting history.
+
+        TOUCHED-FILES-ONLY, like :meth:`upsert`: a live file whose
+        recorded [min, max] for ``col`` cannot overlap the range is
+        carried untouched (metadata only); overlapping or stat-less
+        files are rewritten with the complement predicate.  A rewritten
+        file left with zero rows simply disappears (``_write_data``
+        drops empty parts).  Concurrency and ``txn`` replay semantics
+        are upsert's: any interleaved commit declines the CAS and the
+        delete restarts against the new snapshot.
+
+        The op records as ``delete`` (non-append), so incremental
+        consumers (:meth:`read_appended`, continuous aggregates) take
+        their documented full-recompute fallback — a delete can never
+        silently double-count or linger in a rollup."""
+        from pyspark.sql import functions as F
+
+        if lo is None and hi is None:
+            raise ValueError("delete_range needs at least one bound")
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= lo)
+        if hi is not None:
+            cond = cond & (F.col(col) <= hi)
+        for _ in range(max_restarts):
+            snap = self.manifest()
+            snap_files = list(snap["files"])
+            snap_set = set(snap_files)
+            # pruned_files keeps stat-less files conservatively, so this
+            # is exactly "files that may contain a matching row"
+            touched = (
+                set(self.pruned_files(col, lo, hi, snap["version"]))
+                & snap_set
+            )
+            untouched = [f for f in snap_files if f not in touched]
+            new: list[str] = []
+            stats: dict = {}
+            if touched:
+                kept = self._read_files(
+                    spark,
+                    [os.path.join(self.data_dir, f) for f in sorted(touched)],
+                    snap["version"],
+                ).filter(~cond)
+                new, stats = self._write_data(kept)
+            declined = {"replay": False}
+
+            def mk(base: dict) -> dict | None:
+                txns = dict(base.get("txn", {}))
+                if txn is not None:
+                    seen = txns.get(txn[0])
+                    if seen is not None and txn[1] <= seen:
+                        declined["replay"] = True
+                        return None
+                    txns[txn[0]] = txn[1]
+                if set(base["files"]) != snap_set:
+                    return None  # table moved: the rewrite is stale
+                base_stats = base.get("stats", {})
+                m = {
+                    "files": untouched + new,
+                    "op": "delete",
+                    "stats": {
+                        **{
+                            f: base_stats[f]
+                            for f in untouched
+                            if f in base_stats
+                        },
+                        **stats,
+                    },
+                }
+                if base.get("schema") is not None:
+                    m["schema"] = base["schema"]  # deletes never evolve
+                if txns:
+                    m["txn"] = txns
+                return m
+
+            res = self._commit(mk)
+            if res is not None:
+                return res
+            for f in new:
+                os.remove(os.path.join(self.data_dir, f))
+            if declined["replay"]:
+                return None
+        raise CommitConflict(
+            f"delete lost {max_restarts} commit races under {self.root}"
+        )
 
     def compact(
         self,
@@ -563,7 +793,43 @@ class ManifestTable:
         return removed
 
 
-def make_manifest_append_sink(table: ManifestTable, app_id: str = "stream"):
+def read_output(spark: SparkSession, path: str) -> DataFrame:
+    """Read a sink output directory whichever layout it uses: a
+    ManifestTable root (has ``_manifests``) resolves through the current
+    snapshot; anything else is a raw parquet directory.  The one reader
+    call sites need while the warehouse's sinks are manifest-backed but
+    ad-hoc job outputs remain plain parquet."""
+    if os.path.isdir(os.path.join(path, "_manifests")):
+        return ManifestTable(path).read(spark)
+    return spark.read.parquet(path)
+
+
+def make_manifest_upsert_sink(
+    table: ManifestTable, keys: list[str], app_id: str = "stream"
+):
+    """foreachBatch sink: keyed MERGE per micro-batch through
+    :meth:`ManifestTable.upsert` — one atomic manifest commit per batch,
+    touched-files-only rewrite, ``txn=(app_id, batch_id)`` idempotence
+    against checkpoint replay.  The manifest-backed replacement for
+    ``sinks.make_upsert_sink`` (K4/K5): same call-site contract, none of
+    the rename-swap exposure window or exclusive-access requirement."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..caching import begin_query
+
+        begin_query()
+        table.upsert(
+            batch_df.sparkSession, batch_df, keys, txn=(app_id, int(batch_id))
+        )
+
+    return sink
+
+
+def make_manifest_append_sink(
+    table: ManifestTable,
+    app_id: str = "stream",
+    layout_by: list[str] | None = None,
+):
     """foreachBatch sink: each micro-batch commits ONE manifest version,
     so downstream readers see exact batch boundaries, never a torn
     batch — the atomic-visibility guarantee the raw append sink
@@ -574,12 +840,24 @@ def make_manifest_append_sink(table: ManifestTable, app_id: str = "stream"):
     carries ``txn=(app_id, batch_id)`` and a replayed batch_id is
     declined idempotently — checkpoint replay becomes a no-op instead
     of duplicate rows.  Distinct streams into one table need distinct
-    ``app_id``s (per-app watermarks are independent)."""
+    ``app_id``s (per-app watermarks are independent).
+
+    ``layout_by``: cluster each batch's files by these columns before
+    the commit (repartition + in-partition sort) so the per-file
+    min/max recorded under ``table.stats_cols`` become TIGHT — the
+    manifest-level analogue of hive ``partitionBy`` that makes
+    :meth:`ManifestTable.read_pruned` / :meth:`ManifestTable.upsert`
+    skip whole files.  One small per-micro-batch shuffle, exactly the
+    cost ``partitionBy`` paid in the raw layout."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..caching import begin_query
 
         begin_query()
+        if layout_by:
+            batch_df = batch_df.repartition(*layout_by).sortWithinPartitions(
+                *layout_by
+            )
         table.append(batch_df, txn=(app_id, int(batch_id)))
 
     return sink

@@ -7,11 +7,19 @@ upsert (K5, saveToPhoenix callers).  Their common semantic — *idempotent
 keyed upsert so at-least-once delivery becomes effectively-once* — maps
 to ``foreachBatch`` + MERGE.
 
-Without Delta jars in this environment, MERGE is emulated as
-anti-join + union + atomic directory swap; on a real deployment swap
-``upsert_batch`` for ``MERGE INTO dim USING updates ON ... WHEN MATCHED
-UPDATE WHEN NOT MATCHED INSERT`` (same call-site contract).  Kafka sinks
-are thin: ``to_kafka_frame`` shapes (topic, key, value); the actual
+THE WAREHOUSE'S DEFAULT SINKS LIVE IN ``manifest.py`` NOW: the
+streaming jobs route through ``make_manifest_append_sink`` /
+``make_manifest_upsert_sink`` (snapshot-isolated atomic commits,
+touched-files-only MERGE, txn-idempotent replay) — the design-level fix
+for everything this module's rename-swap protocols must document as a
+limitation.  The raw-directory sinks below remain supported for plain
+parquet layouts consumed by external readers that expect a bare
+directory (and as the reference point the manifest layer's tests
+compare against): MERGE is emulated as anti-join + union + atomic
+directory swap; on a real deployment swap ``upsert_batch`` for ``MERGE
+INTO dim USING updates ON ... WHEN MATCHED UPDATE WHEN NOT MATCHED
+INSERT`` (same call-site contract).  Kafka sinks are thin:
+``to_kafka_frame`` shapes (topic, key, value); the actual
 ``.format("kafka")`` write needs the kafka-sql jar at runtime.
 """
 

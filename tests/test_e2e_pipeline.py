@@ -14,6 +14,7 @@ from datetime import datetime
 from pyspark.sql import functions as F
 
 from gmallrealtime02_spark.streaming import jobs as SJ
+from gmallrealtime02_spark.streaming.manifest import ManifestTable
 from gmallrealtime02_spark.streaming.sinks import upsert_batch
 
 
@@ -63,9 +64,12 @@ def test_e2e_ods_dim_dwd_dws(spark, tmp_path):
         q.stop()
 
     def ods_topic(topic):
+        # manifest snapshot read with file-level topic pruning: the sink
+        # clustered each batch's files by topic and recorded min/max, so
+        # this opens only the topic's files (plus the exact residual)
         return (
-            spark.read.parquet(ods)
-            .filter(F.col("topic") == topic)
+            ManifestTable(ods)
+            .read_pruned(spark, "topic", lo=topic, hi=topic)
             .select("value")
         )
 
@@ -81,7 +85,10 @@ def test_e2e_ods_dim_dwd_dws(spark, tmp_path):
     oi_stream = (
         spark.readStream.schema("topic string, table string, value string")
         .option("maxFilesPerTrigger", 1)
-        .parquet(ods)
+        # append-only manifest table: downstream streams tail the
+        # immutable data files directly (compact/upsert tables would
+        # use the manifest-version CDC reader instead)
+        .parquet(ods + "/data")
         .filter(F.col("topic") == "ODS_MM_ORDER_INFO")
         .select(
             F.get_json_object("value", "$.id").cast("long").alias("order_id"),
@@ -134,7 +141,7 @@ def test_e2e_ods_dim_dwd_dws(spark, tmp_path):
     )
     od2 = (
         spark.readStream.schema("topic string, table string, value string")
-        .parquet(ods)
+        .parquet(ods + "/data")
         .filter(F.col("topic") == "ODS_MM_ORDER_DETAIL")
         .select(
             F.get_json_object("value", "$.id").cast("long").alias("detail_id"),

@@ -148,7 +148,9 @@ def test_http_to_dau_full_chain(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    got = {(r.dt, r.mid) for r in spark.read.parquet(out).collect()}
+    from gmallrealtime02_spark.streaming.manifest import read_output
+
+    got = {(r.dt, r.mid) for r in read_output(spark, out).collect()}
     assert got == {
         ("2024-01-01", "mid_a"),
         ("2024-01-01", "mid_b"),

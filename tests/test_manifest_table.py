@@ -437,3 +437,168 @@ def test_read_appended_below_vacuum_horizon_returns_none(spark, sf_dir, tmp_path
     assert t.read_appended(spark, since=0) is None
     # a range fully inside the retained horizon still works: nothing new
     assert t.read_appended(spark, since=3).count() == 0
+
+
+def test_upsert_merges_and_is_touched_files_only(spark, sf_dir, tmp_path):
+    """upsert(): batch rows win on key collision; files whose stat range
+    cannot contain any batch key are carried into the new manifest
+    UNTOUCHED (same file names — metadata-only, zero rewrite)."""
+    t = ManifestTable(str(tmp_path / "t"), stats_cols=["event_id"])
+    # two key-disjoint, stat-tight files: [0,100) and [100,200)
+    t.append(_events(spark, sf_dir, 0, 100))
+    t.append(_events(spark, sf_dir, 100, 200))
+    old_files = dict(zip(t.manifest()["files"], ["lo", "hi"]))
+    lo_file = t.manifest(1)["files"][0]
+    # batch overlaps only [100,200): bumps value for ids 150..159 + adds 200..209
+    batch = _events(spark, sf_dir, 150, 210).withColumn(
+        "value", F.col("value") + 1000.0
+    )
+    m = t.upsert(spark, batch, keys=["event_id"])
+    assert m is not None and m["op"] == "upsert"
+    # the low file survived by name — never read, never rewritten
+    assert lo_file in m["files"]
+    # and the high file was retired
+    assert sum(1 for f in m["files"] if f in old_files) == 1
+    got = t.read(spark)
+    assert got.count() == 210
+    assert got.filter(F.col("value") >= 1000.0).count() == 60
+    assert (
+        got.filter((F.col("event_id") < 150) & (F.col("value") >= 1000.0)).count()
+        == 0
+    )
+
+
+def test_upsert_txn_replay_declined(spark, sf_dir, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"), stats_cols=["event_id"])
+    b = _events(spark, sf_dir, 0, 100)
+    assert t.upsert(spark, b, ["event_id"], txn=("app", 7)) is not None
+    v = t.current_version()
+    # checkpoint replay of the same batch id: declined, no new version
+    assert t.upsert(spark, b, ["event_id"], txn=("app", 7)) is None
+    assert t.current_version() == v
+    assert _ids(t.read(spark)) == _ids(b)
+    # data dir holds exactly the live files (replay staging reaped)
+    on_disk = {n for n in os.listdir(t.data_dir) if n.endswith(".parquet")}
+    assert on_disk == set(t.manifest()["files"])
+
+
+def test_upsert_restarts_on_concurrent_commit(spark, sf_dir, tmp_path):
+    """A commit landing between upsert's snapshot and its CAS forces a
+    full re-merge (the interloper's rows might share keys) — the final
+    table equals sequential application, no duplicates, no lost rows."""
+    t = ManifestTable(str(tmp_path / "t"), stats_cols=["event_id"])
+    t.append(_events(spark, sf_dir, 0, 100))
+    orig_commit = t._commit
+    raced = {"done": False}
+
+    def racing_commit(mk, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            t2 = ManifestTable(t.root, stats_cols=["event_id"])
+            # interloper upserts an OVERLAPPING key range
+            t2.upsert(spark, _events(spark, sf_dir, 50, 150), ["event_id"])
+        return orig_commit(mk, **kw)
+
+    t._commit = racing_commit
+    m = t.upsert(
+        spark,
+        _events(spark, sf_dir, 90, 120).withColumn("value", F.lit(-1.0)),
+        ["event_id"],
+    )
+    t._commit = orig_commit
+    assert m is not None
+    got = t.read(spark)
+    assert _ids(got) == _ids(_events(spark, sf_dir, 0, 150))  # no dupes
+    assert got.filter(F.col("value") == -1.0).count() == 30  # ours won
+
+
+def test_upsert_schema_evolution(spark, sf_dir, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"), stats_cols=["event_id"])
+    t.append(_events(spark, sf_dir, 0, 100))
+    evolved = _events(spark, sf_dir, 50, 120).withColumn(
+        "flag", F.lit("new")
+    )
+    t.upsert(spark, evolved, ["event_id"])
+    got = t.read(spark)
+    assert "flag" in got.columns
+    assert got.filter(F.col("flag") == "new").count() == 70
+    assert got.filter(F.col("flag").isNull()).count() == 50
+
+
+def test_delete_range_touched_files_only(spark, sf_dir, tmp_path):
+    """delete_range(): files outside the range survive BY NAME; a file
+    fully inside the range disappears (zero-row rewrite dropped); a file
+    partially overlapping is rewritten to its complement."""
+    t = ManifestTable(str(tmp_path / "t"), stats_cols=["event_id"])
+    t.append(_events(spark, sf_dir, 0, 100))    # untouched
+    t.append(_events(spark, sf_dir, 100, 200))  # fully deleted
+    t.append(_events(spark, sf_dir, 200, 300))  # partially overlapped
+    f_lo = t.manifest(1)["files"][0]
+    m = t.delete_range(spark, "event_id", lo=100, hi=249)
+    assert m is not None and m["op"] == "delete"
+    assert f_lo in m["files"]  # untouched file carried by name
+    got = t.read(spark)
+    assert _ids(got) == _ids(_events(spark, sf_dir, 0, 100)) + _ids(
+        _events(spark, sf_dir, 250, 300)
+    )
+    # one-sided bounds
+    t.delete_range(spark, "event_id", hi=49)
+    assert min(_ids(t.read(spark))) == 50
+    t.delete_range(spark, "event_id", lo=260)
+    assert max(_ids(t.read(spark))) == 259
+    with pytest.raises(ValueError):
+        t.delete_range(spark, "event_id")
+
+
+def test_delete_range_is_non_append_for_cdc(spark, sf_dir, tmp_path):
+    """A delete in the version range forces incremental consumers to the
+    full-recompute fallback — a rollup must never keep deleted rows."""
+    t = ManifestTable(str(tmp_path / "t"), stats_cols=["event_id"])
+    t.append(_events(spark, sf_dir, 0, 100))
+    t.delete_range(spark, "event_id", lo=0, hi=9)
+    assert t.read_appended(spark, since=1) is None
+    # and the continuous aggregate honestly recomputes
+    from gmallrealtime02_spark.streaming.rollup import ContinuousAggregate
+
+    ca = ContinuousAggregate(
+        t,
+        str(tmp_path / "rollup"),
+        group_cols=["event_type"],
+        aggs={"n": ("count", "*")},
+    )
+    r = ca.refresh(spark)
+    assert r["mode"] == "full"
+    assert (
+        ca.read(spark).agg(F.sum("n")).first()[0]
+        == t.read(spark).count()
+        == 90
+    )
+
+
+def test_delete_range_txn_replay_and_race(spark, sf_dir, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"), stats_cols=["event_id"])
+    t.append(_events(spark, sf_dir, 0, 200))
+    assert t.delete_range(spark, "event_id", lo=0, hi=9, txn=("gc", 1)) is not None
+    v = t.current_version()
+    assert t.delete_range(spark, "event_id", lo=0, hi=9, txn=("gc", 1)) is None
+    assert t.current_version() == v  # replay declined
+    # race: an append lands mid-delete; the delete restarts and the
+    # appended rows (outside the range) survive
+    orig_commit = t._commit
+    raced = {"done": False}
+
+    def racing_commit(mk, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            ManifestTable(t.root, stats_cols=["event_id"]).append(
+                _events(spark, sf_dir, 300, 350)
+            )
+        return orig_commit(mk, **kw)
+
+    t._commit = racing_commit
+    m = t.delete_range(spark, "event_id", lo=100, hi=199)
+    t._commit = orig_commit
+    assert m is not None
+    assert _ids(t.read(spark)) == _ids(_events(spark, sf_dir, 10, 100)) + _ids(
+        _events(spark, sf_dir, 300, 350)
+    )

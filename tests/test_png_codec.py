@@ -1,0 +1,188 @@
+"""Pure-Python PNG codec: chunk walk, zlib inflate, all five scanline
+filters, grayscale + truecolor luma, corruption edges, Pillow bit-parity
+where Pillow ships, and the magic-byte dispatch decode_media defaults to
+without Pillow."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import pytest
+
+from gmallrealtime02_spark.functions.multimodal import (
+    as_png_media_table,
+    decode_media,
+    encode_png,
+    media_pixels,
+    png_decoder,
+    png_pixels,
+    pure_decoder,
+    resize_pixels,
+)
+from gmallrealtime02_spark.sources import load_table
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _png(width, height, ctype, rows) -> bytes:
+    """Hand-build a PNG from pre-FILTERED scanlines (each: filter byte +
+    filtered data) — lets the tests exercise every filter type the
+    in-repo encoder (always filter 0) does not emit."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    raw = b"".join(rows)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_encode_decode_roundtrip_exact():
+    for w, h in [(8, 8), (5, 3), (1, 1), (7, 2)]:
+        luma = bytes((i * 37 + 11) % 256 for i in range(w * h))
+        assert png_pixels(encode_png(w, h, luma)) == (w, h, luma), (w, h)
+
+
+def test_all_five_filters_decode():
+    """One image per filter type, same target pixels: a 3x3 gradient.
+    Expected filtered bytes derived by applying the spec forward."""
+    w = h = 3
+    luma = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])
+
+    def rows_with(ftype):
+        out = []
+        prev = bytes(w)
+        for y in range(h):
+            row = luma[y * w : (y + 1) * w]
+            if ftype == 0:
+                filt = row
+            elif ftype == 1:  # Sub
+                filt = bytes(
+                    (row[i] - (row[i - 1] if i else 0)) & 0xFF
+                    for i in range(w)
+                )
+            elif ftype == 2:  # Up
+                filt = bytes((row[i] - prev[i]) & 0xFF for i in range(w))
+            elif ftype == 3:  # Average
+                filt = bytes(
+                    (row[i] - (((row[i - 1] if i else 0) + prev[i]) >> 1))
+                    & 0xFF
+                    for i in range(w)
+                )
+            else:  # Paeth
+                filt = bytearray()
+                for i in range(w):
+                    a = row[i - 1] if i else 0
+                    c = prev[i - 1] if i else 0
+                    b = prev[i]
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    )
+                    filt.append((row[i] - pred) & 0xFF)
+                filt = bytes(filt)
+            out.append(bytes([ftype]) + filt)
+            prev = row
+        return out
+
+    for ftype in range(5):
+        got = png_pixels(_png(w, h, 0, rows_with(ftype)))
+        assert got == (w, h, luma), f"filter {ftype}"
+
+
+def test_truecolor_luma_matches_itu_formula():
+    w, h = 2, 1
+    px = [(255, 0, 0), (10, 200, 55)]
+    row = b"\x00" + b"".join(bytes(t) for t in px)
+    got = png_pixels(_png(w, h, 2, [row]))
+    want = bytes(
+        (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16 for r, g, b in px
+    )
+    assert got == (w, h, want)
+    d = png_decoder(_png(w, h, 2, [row]))
+    assert d["mode"] == "RGB" and d["sum_luma"] == sum(want)
+
+
+def test_rejects_malformed_payloads():
+    ok = encode_png(4, 4, bytes(range(16)))
+    assert png_pixels(b"") is None
+    assert png_pixels(b"\x89PNG\r\n\x1a\nnot-a-chunk") is None
+    assert png_pixels(ok[:-20]) is None or png_pixels(ok[:-20]) == (
+        4, 4, bytes(range(16)),
+    )  # dropping IEND alone may still parse; corrupting IDAT must not:
+    broken = bytearray(ok)
+    broken[40] ^= 0xFF  # flip a byte inside the DEFLATE stream
+    assert png_pixels(bytes(broken)) is None
+    # interlaced flag -> declined
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x00\x03\x04"))
+        + _chunk(b"IEND", b"")
+    )
+    assert png_pixels(bad) is None
+    # invalid filter type byte -> declined
+    assert png_pixels(_png(2, 1, 0, [b"\x05\x01\x02"])) is None
+    # wrong decompressed size -> declined
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    short = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x01"))
+        + _chunk(b"IEND", b"")
+    )
+    assert png_pixels(short) is None
+
+
+def test_pure_decoder_magic_dispatch():
+    from gmallrealtime02_spark.functions.multimodal import encode_bmp
+
+    luma = bytes(range(64))
+    png_d = pure_decoder(encode_png(8, 8, luma))
+    bmp_d = pure_decoder(encode_bmp(8, 8, luma))
+    assert png_d["mode"] == "L" and bmp_d["mode"] == "RGB"
+    for k in ("width", "height", "n_pixels", "sum_luma", "pixel_digest"):
+        assert png_d[k] == bmp_d[k], k  # same pixels either container
+    assert pure_decoder(b"GIF89a....") is None
+    assert media_pixels(encode_png(8, 8, luma)) == (8, 8, luma)
+
+
+def test_pillow_parity_bit_exact():
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    from gmallrealtime02_spark.functions.multimodal import pillow_decoder
+
+    luma = bytes((i * 53 + 7) % 256 for i in range(64))
+    b = encode_png(8, 8, luma)
+    ours, theirs = png_decoder(b), pillow_decoder(b)
+    assert ours == theirs
+
+
+def test_decode_media_over_png_table(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = as_png_media_table(docs)
+    out = decode_media(media, decoder=png_decoder)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r.width == 8 and r.height == 8 and r.n_pixels == 64 for r in rows)
+    # spot-check one doc analytically
+    doc = docs.collect()[0]
+    want = sum(min(ord(c), 255) for c in doc.text[:64]) + 0 * max(
+        0, 64 - len(doc.text)
+    )
+    got = next(r.sum_luma for r in rows if r.doc_id == doc.doc_id)
+    assert got == want
+    # resize over the compressed container via the dispatching pixels fn
+    thumb = resize_pixels(media, 4, 4, pixels=media_pixels).collect()
+    assert all(t.sum_thumb is not None for t in thumb)

@@ -55,66 +55,64 @@ def test_entry_smoke(spark):
 def test_driver_window_curation():
     """The driver checks a fixed-size PREFIX of queries() (observed: first
     50).  The window ROTATES across rounds so every oracled query earns a
-    driver-verified row (registry.py rotation ledger).  Round-7 window
-    invariants: the 13 round-6 additions LEAD (their first driver
-    exposure — green rows complete full-registry verification), EVERY
-    slot carries a full value-hash oracle (the 5 rows-only-by-nature ops
-    are excluded from the window for good), every oracled query that has
-    never been driver-green holds a slot, and the remaining 37 slots are
-    staleness rotation: queries whose last green row is the OLDEST
-    (the r2/r3-era §2-coverage prefix)."""
+    driver-verified row (registry.py rotation ledger).  Round-8 window
+    invariants: the 7 round-8 additions LEAD (first driver exposure),
+    EVERY slot carries a full value-hash oracle (the rows-only-by-nature
+    ops are excluded from the window for good), every oracled query that
+    has never been driver-green holds a slot, and the remaining 43 slots
+    are staleness rotation ordered stalest-evidence-first: each slot's
+    last green row is no newer than any later slot's (computed from the
+    CORRECTNESS files, so the invariant is checked against the actual
+    evidence, not a hand-maintained list)."""
     import json
     import os
 
     here = os.path.dirname(__file__)
     qs = load_all()
     window = list(qs)[:50]
-    assert set(window[:13]) == _ROUND6_ADDITIONS, window[:13]
+    assert window[:7] == list(_ROUND8_ADDITIONS), window[:7]
     # every window slot is hash-gradable
     rows_only = {n for n in window if qs[n].oracle is None}
     assert not rows_only, rows_only
     # every never-driver-green oracled row holds a slot
-    green = set()
-    for r in range(1, 7):
+    last_green: dict[str, int] = {}
+    for r in range(1, 8):
         d = json.load(
             open(os.path.join(here, "..", f"CORRECTNESS_r0{r}.json"))
         )
-        green |= {n for n, v in d.items() if v.get("hash_match")}
-    never_green = {n for n in qs if n not in green and qs[n].oracle is not None}
-    assert never_green <= set(window), never_green - set(window)
-    # the round-7 in-round additions sit right behind the r6 block,
-    # flagged as first exposure like every new query
-    assert set(window[13:17]) == _ROUND7_ADDITIONS, window[13:17]
-    # the rotation slots re-verify only already-green rows (nothing red
-    # or unknown sneaks in without being flagged as first-exposure)
-    rotation = set(window) - _ROUND6_ADDITIONS - _ROUND7_ADDITIONS
-    assert rotation <= green, rotation - green
-    assert len(rotation) == 33, len(rotation)
+        for n, v in d.items():
+            if v.get("hash_match"):
+                last_green[n] = r
+    never_green = {
+        n for n in qs if n not in last_green and qs[n].oracle is not None
+    }
+    assert never_green <= set(window[:7]), never_green - set(window[:7])
+    # rotation slots: only already-green rows, stalest first
+    rotation = window[7:]
+    assert all(n in last_green for n in rotation)
+    rounds = [last_green[n] for n in rotation]
+    assert rounds == sorted(rounds), "rotation not stalest-first"
+    # and nothing outside the window is staler than anything inside
+    out_rounds = [
+        last_green[n]
+        for n in list(qs)[50:]
+        if n in last_green and qs[n].oracle is not None
+    ]
+    if out_rounds and rounds:
+        assert max(rounds) <= min(out_rounds), (
+            "a staler green row was left outside the window"
+        )
 
 
-_ROUND7_ADDITIONS = {
-    "media_bmp_decode",
-    "media_resize_decoded",
-    "media_scanlines",
-    "manifest_rollup_e2e",
-}
-
-
-_ROUND6_ADDITIONS = {
-    "ann_multiprobe_lsh",
-    "semantic_decontamination",
-    "lang_confusion_matrix",
-    "quality_percentile_by_source",
-    "tokenizer_fertility_by_lang",
-    "pack_efficiency_report",
-    "coview_item_similarity",
-    "coview_clustering_coefficient",
-    "perplexity_mix",
-    "event_transition_matrix",
-    "ann_ivf_kmeans_topk",
-    "ann_dim_truncation_eval",
-    "monthly_revenue_sql",
-}
+_ROUND8_ADDITIONS = (
+    "order_wide_manifest",
+    "manifest_prune_scan",
+    "manifest_schema_evolution",
+    "manifest_retention_delete",
+    "manifest_time_travel",
+    "manifest_zorder_prune",
+    "media_png_decode",
+)
 
 
 def test_priority_list_matches_registry_exactly():

@@ -134,3 +134,63 @@ def test_map_order_data_contract(spark, duck, sf_dir):
     """).fetchall()
     assert out == [{"name": n, "value": v} for n, v in want]
     assert len(out) == 25
+
+
+def test_deep_page_keyset_matches_offset(spark, duck, sf_dir, monkeypatch):
+    """Past DEEP_PAGE_ROWS the fetch switches to keyset seek; the rows
+    must be IDENTICAL to the offset path's (same sort, same slice) —
+    checked by forcing the threshold down so the same page runs both
+    strategies."""
+    page, size = 7, 9  # skip=54 rows
+    offset = json.loads(serving.paged_detail(spark, sf_dir, page=page, size=size))
+    monkeypatch.setattr(serving, "DEEP_PAGE_ROWS", 10)
+    keyset = json.loads(serving.paged_detail(spark, sf_dir, page=page, size=size))
+    assert keyset["rows"] == offset["rows"]
+    assert keyset["total"] == offset["total"]
+    assert keyset["last_key"] == [
+        offset["rows"][-1]["order_date"],
+        offset["rows"][-1]["order_id"],
+    ]
+
+
+def test_cursor_walk_reconstructs_offset_pages(spark, duck, sf_dir):
+    """Walking with after= (each response's last_key) reproduces the
+    offset pagination page-for-page — the O(size) dashboard path."""
+    size = 11
+    flat = []
+    for page in (1, 2, 3):
+        flat += json.loads(
+            serving.paged_detail(spark, sf_dir, page=page, size=size)
+        )["rows"]
+    walked, after = [], None
+    for _ in range(3):
+        out = json.loads(
+            serving.paged_detail(spark, sf_dir, size=size, after=after)
+        )
+        walked += out["rows"]
+        after = out["last_key"]
+    assert walked == flat
+
+
+def test_deep_page_beyond_data_is_empty(spark, duck, sf_dir, monkeypatch):
+    monkeypatch.setattr(serving, "DEEP_PAGE_ROWS", 10)
+    out = json.loads(serving.paged_detail(spark, sf_dir, page=10**6, size=20))
+    assert out["rows"] == [] and out["last_key"] is None
+
+
+def test_keyset_boundary_plan_driver_pull_is_one_row(spark, duck, sf_dir):
+    """The boundary finder must deliver exactly one row (the whole point:
+    deep pages stop pulling page*size rows to the driver) and its plan
+    must stay a TakeOrdered composition — no global sort exchange."""
+    from gmallrealtime02_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").alias("order_date"),
+    )
+    b = serving.keyset_boundary_plan(o, 500)
+    rows = b.collect()
+    assert len(rows) == 1
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gmallrealtime02_spark.streaming import jobs as SJ
+from gmallrealtime02_spark.streaming.manifest import ManifestTable, read_output
 from gmallrealtime02_spark.streaming.sinks import upsert_batch
 
 EVENT_SCHEMA = T.StructType(
@@ -147,7 +148,7 @@ def test_streaming_ods_split_topic_routing(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    result = spark.read.parquet(out)
+    result = read_output(spark, out)
     by_topic = {
         r.topic: r.n
         for r in result.groupBy("topic").agg(F.count("*").alias("n")).collect()
@@ -174,7 +175,7 @@ def test_checkpoint_restart_no_reprocess(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    first = spark.read.parquet(out).collect()
+    first = read_output(spark, out).collect()
     assert {(r.dt, r.mid, r.hr) for r in first} == {("2024-01-01", 1, "05")}
 
     # later file: same (dt, mid) at an EARLIER hour + a new mid
@@ -184,7 +185,7 @@ def test_checkpoint_restart_no_reprocess(spark, tmp_path):
         q2.processAllAvailable()
     finally:
         q2.stop()
-    got = {(r.dt, r.mid, r.hr) for r in spark.read.parquet(out).collect()}
+    got = {(r.dt, r.mid, r.hr) for r in read_output(spark, out).collect()}
     # mid 1 keeps its pre-restart first-seen row (state recovered from
     # checkpoint — the duplicate arriving after restart is suppressed)
     assert got == {("2024-01-01", 1, "05"), ("2024-01-01", 2, "06")}
