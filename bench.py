@@ -790,6 +790,90 @@ def bench_rollup_scaling() -> None:
     )
 
 
+def bench_merge_scaling() -> None:
+    """Empirical gate on ManifestTable.upsert()'s touched-files-only
+    claim (streaming/manifest.py): build a dt-keyed table of 1x -> 4x ->
+    16x distinct days (one stat-tight file per day), and at each size
+    time a MERGE of a CONSTANT single-day batch (best-of-2).  If the
+    stats pruning is real, merge cost tracks the day, not the table —
+    flat in table size — while a raw upsert (sinks.upsert_batch, the
+    legacy rename-swap path) rewrites the whole table every batch.
+    Also records, at 16x, how many files the merge actually rewrote."""
+    import shutil
+    import tempfile
+
+    from gmallrealtime02_spark.streaming.manifest import ManifestTable
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="bench-merge-scaling")
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def day_slice(day: int):
+        # every synthetic day carries the same full events copy, keyed
+        # disjointly so each day is one stat-tight file
+        return ev.select(
+            (F.col("event_id") + day * 10_000_000).alias("event_id"),
+            F.lit(day).alias("day"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+
+    root = tempfile.mkdtemp(prefix="bench_merge_scaling_")
+    out: dict[str, dict] = {}
+    try:
+        t = ManifestTable(f"{root}/t", stats_cols=["day"])
+        days = 0
+        for target in (1, 4, 16):
+            while days < target:
+                t.append(day_slice(days).coalesce(1))
+                days += 1
+            best, rewrote = float("inf"), None
+            for _ in range(2):
+                batch = day_slice(target - 1).withColumn(
+                    "value", F.col("value") + 1.0
+                )
+                before = set(t.manifest()["files"])
+                t0 = time.perf_counter()
+                m_ = t.upsert(spark, batch, keys=["day", "event_id"])
+                best = min(best, time.perf_counter() - t0)
+                rewrote = len(before - set(m_["files"]))
+                if rewrote >= target and target > 1:
+                    raise RuntimeError(
+                        f"merge rewrote the whole {target}-day table"
+                    )
+            out[f"{target}x"] = {
+                "merge_sec": round(best, 3),
+                "files_rewritten": rewrote,
+                "table_days": target,
+            }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    flatness = round(
+        out["16x"]["merge_sec"] / max(out["1x"]["merge_sec"], 1e-9), 3
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "merge_touched_files_flatness",
+                # ~1.0 = MERGE cost flat in table size (touched-files-
+                # only); a full-rewrite upsert would read ~16.0 here
+                "value": flatness,
+                "unit": "t16x_over_t1x",
+                "queries": out,
+                "sf": sf,
+                "calibration_sec": _calibration(spark),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     import sys
 
@@ -803,5 +887,7 @@ if __name__ == "__main__":
         bench_stress()
     elif "--rollup-scaling" in sys.argv[1:]:
         bench_rollup_scaling()
+    elif "--merge-scaling" in sys.argv[1:]:
+        bench_merge_scaling()
     else:
         main()
