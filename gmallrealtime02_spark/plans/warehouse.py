@@ -759,3 +759,121 @@ def manifest_zorder_prune(spark, sf_dir):
         return _materialized(spark, got)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "manifest_cdc_pipeline",
+    oracle="""
+    SELECT event_id, user_id, event_type, value * 10.0 AS value
+    FROM events WHERE event_type = 'click'
+    """,
+    tags=("table-service", "manifest", "cdc", "medallion"),
+)
+def manifest_cdc_pipeline(spark, sf_dir):
+    """Bronze→silver incremental propagation, hash-proven: events land
+    in a bronze ManifestTable over four commits; after each, an
+    ``IncrementalPropagator`` run moves transform(new rows) downstream —
+    the first run a full materialization, every later one reading ONLY
+    the version diff (O(new data), the Delta streaming-source idea) and
+    committing under the destination's txn ledger (exactly-once across
+    crash-reruns; the Kafka-offset/Redis bookkeeping of the reference's
+    OffsetManager.scala collapsed into table metadata).  The final
+    silver snapshot must hash-match the oracle's one-shot transform —
+    proving the chained incremental runs compose to exactly the batch
+    semantics.  A trailing guard re-runs the propagator and requires a
+    no-op (``streaming/propagate.py``)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.manifest import ManifestTable
+    from ..streaming.propagate import IncrementalPropagator
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        (F.crc32(F.col("event_id").cast("string")) % 4).alias("slice"),
+    )
+    root = tempfile.mkdtemp(prefix="manifest_cdc_pipeline_")
+    try:
+        bronze = ManifestTable(f"{root}/bronze")
+        silver = ManifestTable(f"{root}/silver")
+        p = IncrementalPropagator(
+            bronze,
+            silver,
+            lambda df: df.filter(F.col("event_type") == "click").withColumn(
+                "value", F.col("value") * 10.0
+            ),
+        )
+        modes = []
+        for part in range(4):
+            bronze.append(ev.filter(F.col("slice") == part).drop("slice"))
+            modes.append(p.run_once(spark)["mode"])
+        if modes != ["full", "incremental", "incremental", "incremental"]:
+            raise RuntimeError(f"unexpected propagation modes: {modes}")
+        if p.run_once(spark)["mode"] != "noop":
+            raise RuntimeError("replayed run was not a no-op")
+        return _materialized(spark, silver.read(spark))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "manifest_point_lookup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id IN (0,
+        (SELECT MAX(event_id) // 3 FROM events),
+        (SELECT 2 * (MAX(event_id) // 3) FROM events))
+    """,
+    tags=("table-service", "manifest", "bloom", "point-lookup"),
+)
+def manifest_point_lookup(spark, sf_dir):
+    """Bloom-indexed point lookup, hash-proven: events land in 8 commits
+    sliced by an event-id HASH — so every file's [min, max] for
+    ``event_id`` spans ~the whole key range and RANGE stats can skip
+    NOTHING — and a 3-key IN-list read via ``read_points`` must (a)
+    open strictly fewer files than the table holds (raised otherwise:
+    only the per-file Bloom filter can prune this shape) and (b)
+    hash-match the oracle's exact IN filter, proving every
+    bloom-skipped file really contained no probed key.  Delta/Hudi's
+    bloom-index idea on the manifest layer
+    (``streaming/manifest.py:point_files``).  (The fixture's user_id is
+    intentionally NOT the probe: it is a ~150-value heavy-hitter
+    column whose every key lands in every file — the shape where no
+    file index can help and a broadcast semi-join is the right plan.)
+    """
+    import shutil
+    import tempfile
+
+    from ..streaming.manifest import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    mx = int(ev.agg(F.max("event_id")).first()[0])
+    probes = [0, mx // 3, 2 * (mx // 3)]
+    root = tempfile.mkdtemp(prefix="manifest_point_lookup_")
+    try:
+        t = ManifestTable(
+            root, stats_cols=["event_id"], bloom_cols=["event_id"]
+        )
+        sliced = ev.withColumn(
+            "slice", F.crc32(F.col("event_id").cast("string")) % 8
+        )
+        for i in range(8):
+            t.append(
+                sliced.filter(F.col("slice") == i).drop("slice").coalesce(1)
+            )
+        n_live = len(t.manifest()["files"])
+        n_kept = len(t.point_files("event_id", probes))
+        if n_kept >= n_live:
+            raise RuntimeError(
+                f"bloom skipped nothing ({n_kept}/{n_live} files opened)"
+            )
+        got = t.read_points(spark, "event_id", probes)
+        return _materialized(spark, got)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -95,16 +95,37 @@ def _jsonable(v):
 
 
 class ManifestTable:
-    def __init__(self, root: str, stats_cols: list[str] | None = None) -> None:
+    def __init__(
+        self,
+        root: str,
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 8192,
+        bloom_hashes: int = 5,
+    ) -> None:
         """``stats_cols``: columns whose per-file min/max are recorded in
         the manifest at write time (straight from the parquet footers,
         zero extra scans) — what :meth:`read_pruned` skips files with.
         The Iceberg idea: at 100 TB the difference between a usable
-        table and a full scan per query is exactly this metadata."""
+        table and a full scan per query is exactly this metadata.
+
+        ``bloom_cols``: columns that ALSO get a per-file Bloom filter at
+        write time (one column read per staged file) — what
+        :meth:`read_points` skips files with.  Min/max prunes RANGES; a
+        Bloom prunes POINT lookups on high-cardinality keys whose values
+        scatter across every file's range (the Delta/Hudi bloom-index
+        idea).  The filter is hash-deterministic (md5-based, engine- and
+        layout-independent) and sized ``bloom_bits`` × ``bloom_hashes``
+        (defaults: 1 KiB/file/column, ~2% false positives at 1k
+        distinct values per file; false positives only cost an extra
+        file open, never correctness)."""
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.manifest_dir = os.path.join(root, "_manifests")
         self.stats_cols = list(stats_cols or [])
+        self.bloom_cols = list(bloom_cols or [])
+        self.bloom_bits = bloom_bits
+        self.bloom_hashes = bloom_hashes
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
 
@@ -170,6 +191,11 @@ class ManifestTable:
             for f in out
             if (st := self._file_stats(os.path.join(self.data_dir, f)))
         }
+        if self.bloom_cols:
+            for f in out:
+                bl = self._file_bloom(os.path.join(self.data_dir, f))
+                if bl:
+                    stats.setdefault(f, {})["__bloom__"] = bl
         return out, stats
 
     def _file_stats(self, path: str) -> dict:
@@ -204,6 +230,111 @@ class ManifestTable:
             if ok and lo is not None:
                 out[col] = [lo, hi]
         return out
+
+    # -- per-file Bloom filters (point-lookup skipping) ----------------------
+
+    def _bloom_positions(self, value) -> list[int]:
+        """k bit positions for a value via Kirsch-Mitzenmacher double
+        hashing over ONE md5 (h1 + i*h2 mod m) — engine-deterministic,
+        layout-independent, one digest per value."""
+        import hashlib
+
+        d = hashlib.md5(str(value).encode("utf-8")).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:], "big") | 1  # odd: full-period stride
+        m = self.bloom_bits
+        return [(h1 + i * h2) % m for i in range(self.bloom_hashes)]
+
+    def _file_bloom(self, path: str) -> dict:
+        """Per-column Bloom bitmaps for ``bloom_cols`` over one staged
+        file — the single extra column read the bloom index costs at
+        write time (per file, embarrassingly parallel at scale)."""
+        import base64
+
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        present = [
+            c for c in self.bloom_cols if c in pf.schema_arrow.names
+        ]
+        if not present:
+            return {}
+        tbl = pq.read_table(path, columns=present)
+        out = {}
+        for c in present:
+            bits = bytearray(self.bloom_bits // 8)
+            for v in tbl.column(c).to_pylist():
+                if v is None:
+                    continue
+                for pos in self._bloom_positions(v):
+                    bits[pos // 8] |= 1 << (pos % 8)
+            out[c] = base64.b64encode(bytes(bits)).decode("ascii")
+        return out
+
+    def _bloom_may_contain(self, b64: str, value) -> bool:
+        import base64
+
+        bits = base64.b64decode(b64)
+        return all(
+            bits[pos // 8] & (1 << (pos % 8))
+            for pos in self._bloom_positions(value)
+        )
+
+    def point_files(
+        self, col: str, values: list, version: int | None = None
+    ) -> list[str]:
+        """Live files that may contain ANY of ``values`` for ``col``,
+        per the recorded Bloom filters (files without one are kept
+        conservatively — correctness never depends on the index).
+        Range stats, when also recorded, pre-filter for free."""
+        m = self.manifest(version)
+        stats = m.get("stats", {})
+        keep = []
+        for f in m["files"]:
+            st = stats.get(f, {})
+            rng = st.get(col)
+            vals = values
+            if rng is not None:
+                lo, hi = rng
+                vals = [
+                    v
+                    for v in values
+                    if (e := _jsonable(v)) is not None and lo <= e <= hi
+                ]
+                if not vals:
+                    continue  # every value outside the file's range
+            bl = st.get("__bloom__", {}).get(col)
+            if bl is not None and not any(
+                self._bloom_may_contain(bl, v) for v in vals
+            ):
+                continue
+            keep.append(f)
+        return keep
+
+    def read_points(
+        self,
+        spark: SparkSession,
+        col: str,
+        values: list,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Point-lookup read: open only Bloom/range-surviving files, then
+        apply the exact IN-list residual.  The read path that makes
+        'fetch these 50 doc_ids from a 100 TB table' touch a handful of
+        files instead of every file whose [min, max] happens to span
+        them."""
+        from pyspark.sql import functions as F
+
+        fs = self.point_files(col, values, version)
+        if not fs:
+            df = self.read(spark, version).limit(0)
+        else:
+            df = self._read_files(
+                spark,
+                [os.path.join(self.data_dir, f) for f in fs],
+                version,
+            )
+        return df.filter(F.col(col).isin(values))
 
     # -- the commit protocol -------------------------------------------------
 
@@ -279,15 +410,30 @@ class ManifestTable:
                 os.remove(os.path.join(self.data_dir, f))
         return res
 
-    def replace(self, df: DataFrame, extra: dict | None = None) -> dict:
+    def replace(
+        self,
+        df: DataFrame,
+        extra: dict | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> dict | None:
         """Swap the full file set.  ``extra`` merges additional metadata
         into the manifest (e.g. a continuous aggregate's
-        ``source_version`` watermark)."""
+        ``source_version`` watermark).  ``txn=(app_id, version)`` records
+        the same idempotence watermark as :meth:`append` — a replayed
+        replace is declined (returns None, staging reaped), which lets
+        full-recompute fallbacks share one exactly-once ledger with
+        their incremental path."""
         new, stats = self._write_data(df)
 
         df_schema = df.schema
 
-        def mk(base: dict) -> dict:
+        def mk(base: dict) -> dict | None:
+            txns = dict(base.get("txn", {}))
+            if txn is not None:
+                seen = txns.get(txn[0])
+                if seen is not None and txn[1] <= seen:
+                    return None  # replayed: already committed
+                txns[txn[0]] = txn[1]
             m = {
                 "files": new,
                 "op": "replace",
@@ -297,14 +443,18 @@ class ManifestTable:
                 "schema": df_schema.jsonValue(),
                 **(extra or {}),
             }
-            if base.get("txn"):
+            if txns:
                 # replacing CONTENT must not erase sink idempotence
                 # state — a stream replay after a replace would
                 # otherwise double-commit
-                m.setdefault("txn", base["txn"])
+                m["txn"] = txns
             return m
 
-        return self._commit(mk)
+        res = self._commit(mk)
+        if res is None:
+            for f in new:
+                os.remove(os.path.join(self.data_dir, f))
+        return res
 
     def _bounds(self, df: DataFrame, col: str) -> tuple | None:
         """Batch [min, max] for ``col`` in the manifest's stat encoding
@@ -740,6 +890,34 @@ class ManifestTable:
                 }
             )
         return out
+
+    def maintain(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 * 1024 * 1024,
+        max_files: int = 64,
+        keep_versions: int = 3,
+        retention_seconds: float = 3600.0,
+    ) -> dict:
+        """The periodic housekeeping pass a streaming-fed table needs,
+        as one call: compact when fragmentation crosses ``max_files``
+        (per-micro-batch commits accumulate small files), then vacuum
+        under the retention horizon.  Returns what happened — run it
+        from a maintenance cron/foreachBatch-every-N like any table
+        service's OPTIMIZE job; readers and writers need no pause at
+        any point (that is the manifest layer's whole contract)."""
+        compacted = None
+        if len(self.manifest()["files"]) > max_files:
+            compacted = self.compact(spark, target_bytes=target_bytes)
+        removed = self.vacuum(
+            keep_versions=keep_versions,
+            retention_seconds=retention_seconds,
+        )
+        return {
+            "compacted": compacted is not None,
+            "files_after": len(self.manifest()["files"]),
+            "vacuumed": len(removed),
+        }
 
     def vacuum(
         self, keep_versions: int = 1, retention_seconds: float = 3600.0

@@ -602,3 +602,66 @@ def test_delete_range_txn_replay_and_race(spark, sf_dir, tmp_path):
     assert _ids(t.read(spark)) == _ids(_events(spark, sf_dir, 10, 100)) + _ids(
         _events(spark, sf_dir, 300, 350)
     )
+
+
+def test_bloom_point_lookup_skips_files(spark, sf_dir, tmp_path):
+    """Bloom-indexed point reads: the files are sliced by a key HASH so
+    every file's [min, max] for event_id spans ~the whole range and
+    range stats can skip nothing — ONLY the bloom can — and the result
+    must equal the exact IN-list filter."""
+    t = ManifestTable(
+        str(tmp_path / "t"), stats_cols=["event_id"], bloom_cols=["event_id"]
+    )
+    ev = _events(spark, sf_dir, 0, 400).withColumn(
+        "slice", F.crc32(F.col("event_id").cast("string")) % 4
+    )
+    for i in range(4):
+        t.append(ev.filter(F.col("slice") == i).drop("slice").coalesce(1))
+    probes = [7, 211]  # unique keys: each lives in exactly one file
+    kept = t.point_files("event_id", probes)
+    assert 0 < len(kept) < 4, kept  # skipped some, never everything
+    got = t.read_points(spark, "event_id", probes)
+    assert _ids(got) == probes
+    # absent key: everything skipped, empty result of the right schema
+    assert t.point_files("event_id", [10**12]) == []
+    assert t.read_points(spark, "event_id", [10**12]).count() == 0
+    # heavy-hitter column (≈150 users × many rows): the bloom keeps
+    # every file — correct, the index can't help that shape
+    uid = ev.select("user_id").first()[0]
+    got_u = t.read_points(spark, "user_id", [uid])
+    want_u = _events(spark, sf_dir, 0, 400).filter(F.col("user_id") == uid)
+    assert got_u.count() == want_u.count()  # no bloom for user_id: exact
+
+
+def test_bloom_survives_carry_and_upsert(spark, sf_dir, tmp_path):
+    """Untouched files carried through an upsert keep their blooms (the
+    index is per-file metadata, it must ride every carry path)."""
+    t = ManifestTable(
+        str(tmp_path / "t"), stats_cols=["event_id"], bloom_cols=["user_id"]
+    )
+    t.append(_events(spark, sf_dir, 0, 100).coalesce(1))
+    t.append(_events(spark, sf_dir, 100, 200).coalesce(1))
+    t.upsert(spark, _events(spark, sf_dir, 150, 210), keys=["event_id"])
+    m = t.manifest()
+    for f in m["files"]:
+        assert "__bloom__" in m["stats"].get(f, {}), f
+    # and the lookup still answers exactly
+    uid = _events(spark, sf_dir, 0, 100).select("user_id").first()[0]
+    got = t.read_points(spark, "user_id", [uid])
+    want = (
+        _events(spark, sf_dir, 0, 210).filter(F.col("user_id") == uid)
+    )
+    assert got.count() == want.count()
+
+
+def test_maintain_compacts_and_vacuums(spark, sf_dir, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    for lo in range(0, 300, 50):
+        t.append(_events(spark, sf_dir, lo, lo + 50))
+    want = _ids(t.read(spark))
+    r = t.maintain(spark, max_files=4, retention_seconds=0, keep_versions=1)
+    assert r["compacted"] and r["files_after"] == 1 and r["vacuumed"] > 0
+    assert _ids(t.read(spark)) == want
+    # under the threshold: maintain is a cheap no-op
+    r2 = t.maintain(spark, max_files=4, retention_seconds=0, keep_versions=1)
+    assert not r2["compacted"] and r2["vacuumed"] == 0

@@ -1494,3 +1494,18 @@ def test_bucketed_order_wide_zero_exchange(spark, sf_dir, tmp_path):
         for r in QUERIES["order_wide"].fn(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_edit_verify_is_candidate_bounded(spark, sf_dir):
+    """dedup_lsh_edit_verify computes levenshtein ONLY on LSH candidate
+    pairs: the plan must contain the banded equality self-join and NO
+    quadratic pair product — the all-pairs edit-distance formulation is
+    the scale-killer this query exists to avoid."""
+    from gmallrealtime02_spark.plans.registry import load_all
+
+    df = load_all()["dedup_lsh_edit_verify"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "levenshtein" in plan.lower(), plan  # JVM builtin, not a UDF
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

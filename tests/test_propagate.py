@@ -1,0 +1,136 @@
+"""IncrementalPropagator: bronze→silver manifest chaining — version-diff
+reads, exactly-once txn ledger, full-recompute fallbacks on non-append
+history (compact/delete), and multi-hop medallion composition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmallrealtime02_spark.sources import load_table
+from gmallrealtime02_spark.streaming.manifest import ManifestTable
+from gmallrealtime02_spark.streaming.propagate import IncrementalPropagator
+
+
+def _events(spark, sf_dir, lo, hi):
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+def _clicks_x10(df):
+    return df.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") * 10.0
+    )
+
+
+def _ids(df):
+    return sorted(r.event_id for r in df.select("event_id").collect())
+
+
+def test_incremental_propagation_exactly_once(spark, sf_dir, tmp_path):
+    bronze = ManifestTable(str(tmp_path / "bronze"))
+    silver = ManifestTable(str(tmp_path / "silver"))
+    p = IncrementalPropagator(bronze, silver, _clicks_x10)
+    bronze.append(_events(spark, sf_dir, 0, 100))
+    assert p.run_once(spark)["mode"] == "full"  # first run materializes
+    bronze.append(_events(spark, sf_dir, 100, 200))
+    bronze.append(_events(spark, sf_dir, 200, 300))
+    r = p.run_once(spark)
+    assert r["mode"] == "incremental" and r["source_version"] == 3
+    want = _clicks_x10(_events(spark, sf_dir, 0, 300))
+    assert _ids(silver.read(spark)) == _ids(want)
+    assert silver.read(spark).agg(F.sum("value")).first()[0] == pytest.approx(
+        want.agg(F.sum("value")).first()[0]
+    )
+    # replay/no-op: nothing new, nothing duplicated
+    assert p.run_once(spark)["mode"] == "noop"
+    assert _ids(silver.read(spark)) == _ids(want)
+
+
+def test_propagation_full_fallback_on_delete(spark, sf_dir, tmp_path):
+    """A delete upstream must REMOVE rows downstream (incremental
+    append-only propagation cannot express that — the full fallback
+    does, under the same txn ledger)."""
+    bronze = ManifestTable(str(tmp_path / "bronze"), stats_cols=["event_id"])
+    silver = ManifestTable(str(tmp_path / "silver"))
+    p = IncrementalPropagator(bronze, silver, _clicks_x10)
+    bronze.append(_events(spark, sf_dir, 0, 200))
+    p.run_once(spark)
+    bronze.delete_range(spark, "event_id", lo=0, hi=99)
+    r = p.run_once(spark)
+    assert r["mode"] == "full"
+    assert _ids(silver.read(spark)) == _ids(
+        _clicks_x10(_events(spark, sf_dir, 100, 200))
+    )
+
+
+def test_propagation_full_fallback_on_compact(spark, sf_dir, tmp_path):
+    bronze = ManifestTable(str(tmp_path / "bronze"))
+    silver = ManifestTable(str(tmp_path / "silver"))
+    p = IncrementalPropagator(bronze, silver, _clicks_x10)
+    for lo in range(0, 300, 100):
+        bronze.append(_events(spark, sf_dir, lo, lo + 100))
+    p.run_once(spark)
+    bronze.compact(spark, target_bytes=1 << 30)
+    bronze.append(_events(spark, sf_dir, 300, 400))
+    r = p.run_once(spark)
+    assert r["mode"] == "full"  # compact in range: diff-less, honest
+    assert _ids(silver.read(spark)) == _ids(
+        _clicks_x10(_events(spark, sf_dir, 0, 400))
+    )
+    # next append re-incrementalizes cleanly
+    bronze.append(_events(spark, sf_dir, 400, 450))
+    assert p.run_once(spark)["mode"] == "incremental"
+    assert _ids(silver.read(spark)) == _ids(
+        _clicks_x10(_events(spark, sf_dir, 0, 450))
+    )
+
+
+def test_medallion_chain_and_rollup_tail(spark, sf_dir, tmp_path):
+    """bronze → silver (propagator) → gold (continuous aggregate): the
+    full medallion chain stays exact through incremental runs."""
+    from gmallrealtime02_spark.streaming.rollup import ContinuousAggregate
+
+    bronze = ManifestTable(str(tmp_path / "bronze"))
+    silver = ManifestTable(str(tmp_path / "silver"))
+    p = IncrementalPropagator(bronze, silver, _clicks_x10)
+    gold = ContinuousAggregate(
+        silver,
+        str(tmp_path / "gold"),
+        group_cols=["event_type"],
+        aggs={"n": ("count", "*"), "sum_users": ("sum", "user_id")},
+    )
+    for lo in range(0, 400, 100):
+        bronze.append(_events(spark, sf_dir, lo, lo + 100))
+        p.run_once(spark)
+        gold.refresh(spark)
+    want = (
+        _clicks_x10(_events(spark, sf_dir, 0, 400))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("user_id").alias("sum_users"))
+        .collect()
+    )
+    got = gold.read(spark).collect()
+    assert {(r.event_type, r.n, r.sum_users) for r in got} == {
+        (r.event_type, r.n, r.sum_users) for r in want
+    }
+
+
+def test_replayed_run_declined_by_txn(spark, sf_dir, tmp_path):
+    """Simulated crash-rerun: a second propagator instance replaying the
+    same source version is declined by the txn ledger (no duplicates),
+    even via the full/replace path."""
+    bronze = ManifestTable(str(tmp_path / "bronze"))
+    silver = ManifestTable(str(tmp_path / "silver"))
+    bronze.append(_events(spark, sf_dir, 0, 100))
+    p1 = IncrementalPropagator(bronze, silver, _clicks_x10)
+    p1.run_once(spark)
+    v = silver.current_version()
+    # a zombie with a stale view of the watermark replays version 1
+    silver_stale = ManifestTable(str(tmp_path / "silver"))
+    out = _clicks_x10(bronze.read(spark))
+    assert silver_stale.replace(out, txn=("propagate", 1)) is None
+    assert silver.current_version() == v
