@@ -118,16 +118,66 @@ class ManifestTable:
         layout-independent) and sized ``bloom_bits`` × ``bloom_hashes``
         (defaults: 1 KiB/file/column, ~2% false positives at 1k
         distinct values per file; false positives only cost an extra
-        file open, never correctness)."""
+        file open, never correctness).
+
+        Both settings are TABLE metadata, not handle state: the first
+        commit records them in the manifest, and a later handle opened
+        with the bare root (``ManifestTable(root)`` — a maintenance
+        job, another service) inherits them — so a compact/upsert from
+        a config-blind handle keeps recomputing stats and blooms
+        instead of silently retiring the indexes.  Constructor
+        arguments, when given, override (and re-record) the stored
+        config."""
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.manifest_dir = os.path.join(root, "_manifests")
-        self.stats_cols = list(stats_cols or [])
-        self.bloom_cols = list(bloom_cols or [])
-        self.bloom_bits = bloom_bits
-        self.bloom_hashes = bloom_hashes
+        self._stats_cols_arg = list(stats_cols) if stats_cols else None
+        self._bloom_cols_arg = list(bloom_cols) if bloom_cols else None
+        self._bloom_bits_arg = bloom_bits
+        self._bloom_hashes_arg = bloom_hashes
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def _stored_config(self) -> dict:
+        return self.manifest().get("config", {})
+
+    @property
+    def stats_cols(self) -> list[str]:
+        if self._stats_cols_arg is not None:
+            return self._stats_cols_arg
+        return list(self._stored_config().get("stats_cols", []))
+
+    @property
+    def bloom_cols(self) -> list[str]:
+        if self._bloom_cols_arg is not None:
+            return self._bloom_cols_arg
+        return list(self._stored_config().get("bloom_cols", []))
+
+    @property
+    def bloom_bits(self) -> int:
+        stored = self._stored_config().get("bloom_bits")
+        # the stored size wins unless the caller overrode it: mixing
+        # bitmap sizes within one table would misread older filters
+        if self._bloom_cols_arg is not None or stored is None:
+            return self._bloom_bits_arg
+        return int(stored)
+
+    @property
+    def bloom_hashes(self) -> int:
+        stored = self._stored_config().get("bloom_hashes")
+        if self._bloom_cols_arg is not None or stored is None:
+            return self._bloom_hashes_arg
+        return int(stored)
+
+    def _config_dict(self) -> dict:
+        cfg = {}
+        if self.stats_cols:
+            cfg["stats_cols"] = self.stats_cols
+        if self.bloom_cols:
+            cfg["bloom_cols"] = self.bloom_cols
+            cfg["bloom_bits"] = self.bloom_bits
+            cfg["bloom_hashes"] = self.bloom_hashes
+        return cfg
 
     # -- version resolution -------------------------------------------------
 
@@ -233,7 +283,8 @@ class ManifestTable:
 
     # -- per-file Bloom filters (point-lookup skipping) ----------------------
 
-    def _bloom_positions(self, value) -> list[int]:
+    @staticmethod
+    def _bloom_positions(value, m: int, k: int) -> list[int]:
         """k bit positions for a value via Kirsch-Mitzenmacher double
         hashing over ONE md5 (h1 + i*h2 mod m) — engine-deterministic,
         layout-independent, one digest per value."""
@@ -242,13 +293,21 @@ class ManifestTable:
         d = hashlib.md5(str(value).encode("utf-8")).digest()
         h1 = int.from_bytes(d[:8], "big")
         h2 = int.from_bytes(d[8:], "big") | 1  # odd: full-period stride
-        m = self.bloom_bits
-        return [(h1 + i * h2) % m for i in range(self.bloom_hashes)]
+        return [(h1 + i * h2) % m for i in range(k)]
 
     def _file_bloom(self, path: str) -> dict:
-        """Per-column Bloom bitmaps for ``bloom_cols`` over one staged
+        """Per-column Bloom filters for ``bloom_cols`` over one staged
         file — the single extra column read the bloom index costs at
-        write time (per file, embarrassingly parallel at scale)."""
+        write time (per file, embarrassingly parallel at scale).
+
+        Each filter is SIZED BY THE FILE'S OWN ROW COUNT (~10 bits per
+        value, ≈1% fp at k=5, ``bloom_bits`` as the floor) and stored
+        with its (m, k) — a fixed global size silently saturates to
+        100% fp the moment files grow (caught by the sf0.1 sweep: 12.5k
+        values in an 8192-bit filter keeps every file).  ~1.25 bytes/
+        row/column of manifest weight is the standard bloom-index cost
+        (Hudi ships it in file footers; at very large file counts the
+        index moves to a sidecar like everything else manifest)."""
         import base64
 
         import pyarrow.parquet as pq
@@ -260,24 +319,31 @@ class ManifestTable:
         if not present:
             return {}
         tbl = pq.read_table(path, columns=present)
+        k = self.bloom_hashes
         out = {}
         for c in present:
-            bits = bytearray(self.bloom_bits // 8)
-            for v in tbl.column(c).to_pylist():
-                if v is None:
-                    continue
-                for pos in self._bloom_positions(v):
+            vals = [v for v in tbl.column(c).to_pylist() if v is not None]
+            m = max(self.bloom_bits, 1 << (10 * max(len(vals), 1)).bit_length())
+            bits = bytearray(m // 8)
+            for v in vals:
+                for pos in self._bloom_positions(v, m, k):
                     bits[pos // 8] |= 1 << (pos % 8)
-            out[c] = base64.b64encode(bytes(bits)).decode("ascii")
+            out[c] = {
+                "b": base64.b64encode(bytes(bits)).decode("ascii"),
+                "m": m,
+                "k": k,
+            }
         return out
 
-    def _bloom_may_contain(self, b64: str, value) -> bool:
+    def _bloom_may_contain(self, entry: dict, value) -> bool:
         import base64
 
-        bits = base64.b64decode(b64)
+        bits = base64.b64decode(entry["b"])
         return all(
             bits[pos // 8] & (1 << (pos % 8))
-            for pos in self._bloom_positions(value)
+            for pos in self._bloom_positions(
+                value, int(entry["m"]), int(entry["k"])
+            )
         )
 
     def point_files(
@@ -354,6 +420,9 @@ class ManifestTable:
                 return None  # make_manifest declined (e.g. replayed txn)
             nxt["version"] = base["version"] + 1
             nxt["parent"] = base["version"]
+            cfg = self._config_dict()  # table metadata rides every commit
+            if cfg:
+                nxt["config"] = cfg
             tmp = os.path.join(
                 self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json"
             )

@@ -665,3 +665,30 @@ def test_maintain_compacts_and_vacuums(spark, sf_dir, tmp_path):
     # under the threshold: maintain is a cheap no-op
     r2 = t.maintain(spark, max_files=4, retention_seconds=0, keep_versions=1)
     assert not r2["compacted"] and r2["vacuumed"] == 0
+
+
+def test_index_config_survives_config_blind_handles(spark, sf_dir, tmp_path):
+    """stats/bloom settings are TABLE metadata: a maintenance handle
+    opened with the bare root must keep recomputing stats and blooms
+    through compact/upsert instead of silently retiring the indexes."""
+    t = ManifestTable(
+        str(tmp_path / "t"), stats_cols=["event_id"], bloom_cols=["event_id"]
+    )
+    t.append(_events(spark, sf_dir, 0, 100).coalesce(1))
+    t.append(_events(spark, sf_dir, 100, 200).coalesce(1))
+    blind = ManifestTable(str(tmp_path / "t"))  # no config args
+    assert blind.stats_cols == ["event_id"]  # inherited from the table
+    assert blind.bloom_cols == ["event_id"]
+    blind.compact(spark, target_bytes=1 << 30)
+    m = blind.manifest()
+    for f in m["files"]:
+        st = m["stats"].get(f, {})
+        assert "event_id" in st, "compact retired the range stats"
+        assert "__bloom__" in st, "compact retired the bloom index"
+    # pruning still works through the rewritten file set
+    assert len(blind.pruned_files("event_id", 0, 10)) == 1
+    assert blind.point_files("event_id", [10**12]) == []
+    # and a blind upsert keeps indexing its rewrite
+    blind.upsert(spark, _events(spark, sf_dir, 150, 210), keys=["event_id"])
+    m2 = blind.manifest()
+    assert all("__bloom__" in m2["stats"].get(f, {}) for f in m2["files"])
