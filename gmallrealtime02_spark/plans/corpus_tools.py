@@ -1402,3 +1402,89 @@ def source_jsd_matrix(spark, sf_dir):
         (jsd_micro.cast("double") / 1000000).alias("jsd"),
     )
     return materialized(result, wc)
+
+
+_N_GROWTH_CHECKPOINTS = 5
+
+@register(
+    "vocab_growth",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    cp AS (SELECT i, (m * i) // {_N_GROWTH_CHECKPOINTS} AS c
+           FROM mx, (VALUES (1), (2), (3), (4), (5)) t(i)),
+    firsts AS (
+        SELECT term, MIN(doc_id) AS fd
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY term
+    ),
+    tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents)
+    SELECT i AS checkpoint, c AS docs_limit,
+           (SELECT count(*) FROM tok WHERE doc_id < c) AS n_docs,
+           (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM tok
+            WHERE doc_id < c) AS n_tokens,
+           (SELECT count(*) FROM firsts WHERE fd < c) AS vocab
+    FROM cp
+    """,
+    tags=("corpus-analysis", "heaps-law", "vocabulary"),
+)
+def vocab_growth(spark, sf_dir):
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    mx = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    cps = [
+        (i, (mx * i) // _N_GROWTH_CHECKPOINTS)
+        for i in range(1, _N_GROWTH_CHECKPOINTS + 1)
+    ]
+    firsts = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    vocab_row = firsts.agg(
+        *[
+            F.sum((F.col("fd") < c).cast("long")).alias(f"v{i}")
+            for i, c in cps
+        ]
+    )
+    tok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    tok_row = tok.agg(
+        *(
+            [
+                F.sum((F.col("doc_id") < c).cast("long")).alias(f"d{i}")
+                for i, c in cps
+            ]
+            + [
+                F.sum(
+                    F.when(F.col("doc_id") < c, F.col("n")).otherwise(0)
+                ).alias(f"t{i}")
+                for i, c in cps
+            ]
+        )
+    )
+    wide = vocab_row.crossJoin(tok_row)  # 1 row x 1 row
+    stack = ", ".join(
+        f"{i}L, {c}L, d{i}, t{i}, v{i}" for i, c in cps
+    )
+    return wide.selectExpr(
+        f"stack({len(cps)}, {stack}) as "
+        "(checkpoint, docs_limit, n_docs, n_tokens, vocab)"
+    )
+
+
+vocab_growth.__doc__ = """Vocabulary-growth (Heaps'-law) instrumentation: distinct-term
+count and token count at {n} doc-id checkpoints — the curve that
+tells a corpus builder whether more data still buys new vocabulary
+or only repeats it (guides dedup aggressiveness and tokenizer vocab
+sizing).  All-integer outputs, so the curve is hash-exact.
+
+Scale shape: ONE corpus scan → per-term first-occurrence (a single
+groupBy on term, map-side combinable), then the {n}-checkpoint
+memberships fold to ONE wide row of conditional sums (no join, no
+window, no explode against checkpoints) unpivoted driver-lessly via
+stack(); the doc/token sums are a second 1-row fold over the doc
+table.  Nothing here grows with checkpoint count but the literal
+list.""".format(n=_N_GROWTH_CHECKPOINTS)

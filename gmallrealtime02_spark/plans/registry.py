@@ -101,13 +101,13 @@ def register(
 #                 old) so the evidence stays rolling.  Rows-only-by-
 #                 nature ops stay excluded from the window permanently —
 #                 they can never hash-match; pytest pins them.
-#   round 8     — (current window) the 10 round-8 additions lead (first
+#   round 8     — (current window) the 11 round-8 additions lead (first
 #                 driver exposure: the table-service K7 write path —
 #                 order_wide landed through manifest append+upsert —
 #                 the pruned/evolved read paths, the range-DELETE
 #                 retention primitive, and the pure-Python PNG decode
-#                 twin), then 40 staleness slots: the 3 rows whose only
-#                 green is r1, the r3-era dozen, and 25 of the r4
+#                 twin), then 39 staleness slots: the 3 rows whose only
+#                 green is r1, the r3-era dozen, and 24 of the r4
 #                 TPC-H/window/setops wave — stalest evidence first,
 #                 computed from the CORRECTNESS files.
 _PRIORITY = [
@@ -123,6 +123,7 @@ _PRIORITY = [
     "manifest_point_lookup",
     "media_png_decode",
     "dedup_lsh_edit_verify",
+    "vocab_growth",
     # staleness rotation: stalest green rows first (3x r1, 12x r3, 31x r4)
     "small_quantity_revenue",
     "banded_revenue",
@@ -163,9 +164,9 @@ _PRIORITY = [
     "supplier_balance_quartiles",
     "pivot_event_counts",
     "revenue_rollup",
-    "revenue_cube",
     # ---- post-window (ordering here is not scoring surface): all
     # remaining green rows + rows-only-by-nature ops (pytest-pinned) ----
+    "revenue_cube",
     "purchasers_without_errors",
     "price_band_join",
     "value_percentiles",

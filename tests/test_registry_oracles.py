@@ -56,10 +56,10 @@ def test_driver_window_curation():
     """The driver checks a fixed-size PREFIX of queries() (observed: first
     50).  The window ROTATES across rounds so every oracled query earns a
     driver-verified row (registry.py rotation ledger).  Round-8 window
-    invariants: the 10 round-8 additions LEAD (first driver exposure),
+    invariants: the 11 round-8 additions LEAD (first driver exposure),
     EVERY slot carries a full value-hash oracle (the rows-only-by-nature
     ops are excluded from the window for good), every oracled query that
-    has never been driver-green holds a slot, and the remaining 40 slots
+    has never been driver-green holds a slot, and the remaining 39 slots
     are staleness rotation ordered stalest-evidence-first: each slot's
     last green row is no newer than any later slot's (computed from the
     CORRECTNESS files, so the invariant is checked against the actual
@@ -70,7 +70,7 @@ def test_driver_window_curation():
     here = os.path.dirname(__file__)
     qs = load_all()
     window = list(qs)[:50]
-    assert window[:10] == list(_ROUND8_ADDITIONS), window[:10]
+    assert window[:11] == list(_ROUND8_ADDITIONS), window[:11]
     # every window slot is hash-gradable
     rows_only = {n for n in window if qs[n].oracle is None}
     assert not rows_only, rows_only
@@ -86,9 +86,9 @@ def test_driver_window_curation():
     never_green = {
         n for n in qs if n not in last_green and qs[n].oracle is not None
     }
-    assert never_green <= set(window[:10]), never_green - set(window[:10])
+    assert never_green <= set(window[:11]), never_green - set(window[:11])
     # rotation slots: only already-green rows, stalest first
-    rotation = window[10:]
+    rotation = window[11:]
     assert all(n in last_green for n in rotation)
     rounds = [last_green[n] for n in rotation]
     assert rounds == sorted(rounds), "rotation not stalest-first"
@@ -115,6 +115,7 @@ _ROUND8_ADDITIONS = (
     "manifest_point_lookup",
     "media_png_decode",
     "dedup_lsh_edit_verify",
+    "vocab_growth",
 )
 
 
