@@ -315,6 +315,7 @@ def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     pos = 8
     width = height = ctype = None
     idat = bytearray()
+    first_chunk = True
     try:
         while pos + 8 <= len(b):
             (ln,) = struct.unpack_from(">I", b, pos)
@@ -323,6 +324,13 @@ def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
             if len(data) < ln:
                 return None  # truncated chunk
             pos += 12 + ln
+            if first_chunk:
+                # the spec mandates IHDR first; enforcing it also pins
+                # the fixed IHDR byte offsets png_decoder's mode peek
+                # relies on
+                if tag != b"IHDR":
+                    return None
+                first_chunk = False
             if tag == b"IHDR":
                 (width, height, depth, ctype, comp, filt, inter) = (
                     struct.unpack(">IIBBBBB", data)

@@ -1411,7 +1411,8 @@ _N_GROWTH_CHECKPOINTS = 5
     oracle=f"""
     WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
     cp AS (SELECT i, (m * i) // {_N_GROWTH_CHECKPOINTS} AS c
-           FROM mx, (VALUES (1), (2), (3), (4), (5)) t(i)),
+           FROM mx,
+           (VALUES {", ".join(f"({i})" for i in range(1, _N_GROWTH_CHECKPOINTS + 1))}) t(i)),
     firsts AS (
         SELECT term, MIN(doc_id) AS fd
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term

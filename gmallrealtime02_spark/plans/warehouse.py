@@ -432,7 +432,7 @@ def manifest_rollup_e2e(spark, sf_dir):
         )
         # materialize before the workspace disappears (the rollup is one
         # row per (dt, event_type) — bounded, never the fact table)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return _materialized(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -374,13 +374,17 @@ def streaming_enrich_orders(
     plan-level parquet static side caches its file listing at stream
     start, so dim upserts that rewrite files would crash (stale paths)
     or go stale.  A fresh read per batch resolves the current snapshot
+    — through the MANIFEST when ``dim_path`` is the ManifestTable root
+    ``streaming_dim_upsert`` now writes (``read_output`` dispatches;
+    reading the raw directory would see staged and retired files) —
     and still broadcasts (no driver-side collect, unlike the
     reference).  The test pins the semantic: a dim row upserted between
     batches enriches the next batch."""
+    from .manifest import read_output
 
     def enrich_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        dim = spark.read.parquet(dim_path)
+        dim = read_output(spark, dim_path)
         out = batch_df.join(
             F.broadcast(dim), batch_df["user_id"] == dim["id"], "left"
         ).select(

@@ -139,7 +139,17 @@ class ManifestTable:
         os.makedirs(self.manifest_dir, exist_ok=True)
 
     def _stored_config(self) -> dict:
-        return self.manifest().get("config", {})
+        # cached per manifest version: the properties below are read
+        # several times per staged file during a commit, and a bloom-
+        # indexed manifest is megabytes of JSON — re-parsing it per
+        # property access would cost O(files x manifest size)
+        v = self.current_version()
+        cached = getattr(self, "_cfg_cache", None)
+        if cached is not None and cached[0] == v:
+            return cached[1]
+        cfg = self.manifest(v).get("config", {}) if v else {}
+        self._cfg_cache = (v, cfg)
+        return cfg
 
     @property
     def stats_cols(self) -> list[str]:
@@ -287,10 +297,18 @@ class ManifestTable:
     def _bloom_positions(value, m: int, k: int) -> list[int]:
         """k bit positions for a value via Kirsch-Mitzenmacher double
         hashing over ONE md5 (h1 + i*h2 mod m) — engine-deterministic,
-        layout-independent, one digest per value."""
+        layout-independent, one digest per value.  The value is
+        canonicalized through ``_jsonable`` first (temporals → ISO
+        strings, the same encoding the range stats use), so a probe
+        with the documented ISO-string form can never false-NEGATIVE
+        against filters built from native datetime objects — the one
+        direction where a bloom mismatch loses rows."""
         import hashlib
 
-        d = hashlib.md5(str(value).encode("utf-8")).digest()
+        canon = _jsonable(value)
+        d = hashlib.md5(
+            str(value if canon is None else canon).encode("utf-8")
+        ).digest()
         h1 = int.from_bytes(d[:8], "big")
         h2 = int.from_bytes(d[8:], "big") | 1  # odd: full-period stride
         return [(h1 + i * h2) % m for i in range(k)]
@@ -567,7 +585,14 @@ class ManifestTable:
         declines and the whole merge restarts against the new snapshot
         — never publishes a torn merge.  ``txn=(app_id, version)``
         replay is declined idempotently exactly as in :meth:`append`.
+
+        An EMPTY batch is a no-op (returns None, nothing committed):
+        without the short-circuit an idle micro-batch would fall into
+        the no-usable-bounds path and rewrite the whole table — the
+        exact O(table)-per-batch cost this method exists to avoid.
         """
+        if df.isEmpty():
+            return None  # idle tick: no content, no commit
         df = df.dropDuplicates(keys)
         merged_schema_src = None
         for _ in range(max_restarts):
@@ -681,6 +706,11 @@ class ManifestTable:
             cond = cond & (F.col(col) >= lo)
         if hi is not None:
             cond = cond & (F.col(col) <= hi)
+        # a NULL key is NOT in the range: without the coalesce,
+        # filter(~NULL) would silently drop NULL-keyed rows from
+        # whichever files happened to be rewritten — layout-dependent
+        # data loss outside the requested range
+        cond = F.coalesce(cond, F.lit(False))
         for _ in range(max_restarts):
             snap = self.manifest()
             snap_files = list(snap["files"])
@@ -814,7 +844,20 @@ class ManifestTable:
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         fs = self.files(version)
         if not fs:
-            raise FileNotFoundError(f"empty manifest table at {self.root}")
+            # a COMMITTED-but-empty table (every staged part had zero
+            # rows, or a replace/delete emptied it) reads as an empty
+            # frame of the recorded schema; only a table with no
+            # commits at all (or from before schema tracking, where the
+            # shape is unknowable) raises
+            m = self.manifest(version)
+            sch = m.get("schema")
+            if m["version"] == 0 or sch is None:
+                raise FileNotFoundError(
+                    f"empty manifest table at {self.root}"
+                )
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(sch))
         return self._read_files(spark, fs, version)
 
     def _read_files(

@@ -69,6 +69,10 @@ class IncrementalPropagator:
             out = self.transform(diff)
             self.dest.append(out, txn=(self.app_id, now))
             return {"mode": "incremental", "source_version": now}
-        out = self.transform(self.source.read(spark))
+        # pin the full recompute to the CAPTURED version: an unpinned
+        # read racing a concurrent source append would include rows
+        # beyond `now` while recording txn=now — the next incremental
+        # run would then re-append them (duplicates)
+        out = self.transform(self.source.read(spark, version=now))
         self.dest.replace(out, txn=(self.app_id, now))
         return {"mode": "full", "source_version": now}

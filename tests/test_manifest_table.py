@@ -692,3 +692,78 @@ def test_index_config_survives_config_blind_handles(spark, sf_dir, tmp_path):
     blind.upsert(spark, _events(spark, sf_dir, 150, 210), keys=["event_id"])
     m2 = blind.manifest()
     assert all("__bloom__" in m2["stats"].get(f, {}) for f in m2["files"])
+
+
+def test_delete_range_keeps_null_keyed_rows(spark, sf_dir, tmp_path):
+    """NULL keys are NOT in any delete range: they must survive the
+    rewrite (filter(~cond) would silently drop them — layout-dependent
+    data loss the review caught)."""
+    t = ManifestTable(str(tmp_path / "t"), stats_cols=["event_id"])
+    base = _events(spark, sf_dir, 0, 100)
+    nulled = base.withColumn(
+        "event_id",
+        F.when(F.col("event_id") < 10, F.lit(None)).otherwise(
+            F.col("event_id")
+        ),
+    )
+    t.append(nulled)
+    t.delete_range(spark, "event_id", lo=50, hi=59)
+    got = t.read(spark)
+    assert got.filter(F.col("event_id").isNull()).count() == 10  # survived
+    assert got.count() == 90  # only the 10 in-range rows deleted
+
+
+def test_empty_commits_read_as_empty_frame(spark, sf_dir, tmp_path):
+    """A committed-but-empty table (zero-row staging parts dropped, or
+    a delete emptied it) reads as an empty frame of the recorded
+    schema — never FileNotFoundError (only a never-committed table
+    raises)."""
+    t = ManifestTable(str(tmp_path / "t"))
+    with pytest.raises(FileNotFoundError):
+        t.read(spark)  # no commits at all: still an error
+    t.append(_events(spark, sf_dir, 0, 100).limit(0))  # empty commit
+    assert t.current_version() == 1
+    got = t.read(spark)
+    assert got.count() == 0
+    assert got.columns == ["event_id", "user_id", "event_type", "value"]
+    # a table emptied BY a delete also stays readable
+    t2 = ManifestTable(str(tmp_path / "t2"), stats_cols=["event_id"])
+    t2.append(_events(spark, sf_dir, 0, 50))
+    t2.delete_range(spark, "event_id", lo=0, hi=49)
+    assert t2.read(spark).count() == 0
+
+
+def test_empty_upsert_batch_is_noop(spark, sf_dir, tmp_path):
+    """An idle micro-batch through the upsert sink must NOT rewrite the
+    table (the O(table)-per-idle-tick cost the review caught): no new
+    version, no file churn."""
+    t = ManifestTable(str(tmp_path / "t"), stats_cols=["event_id"])
+    t.append(_events(spark, sf_dir, 0, 100))
+    v, files = t.current_version(), set(t.manifest()["files"])
+    assert t.upsert(spark, _events(spark, sf_dir, 0, 100).limit(0), ["event_id"]) is None
+    assert t.current_version() == v
+    assert set(t.manifest()["files"]) == files
+
+
+def test_bloom_temporal_probe_matches_iso_string(spark, sf_dir, tmp_path):
+    """Bloom hashing canonicalizes through _jsonable: a probe given as
+    the documented ISO string must hit the same files as the native
+    datetime — a format-sensitive hash would false-NEGATIVE and lose
+    rows (the one bloom direction that breaks correctness)."""
+    t = ManifestTable(str(tmp_path / "t"), bloom_cols=["ts"])
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 200)
+        .select("event_id", "ts")
+    )
+    t.append(ev.filter(F.col("event_id") < 100).coalesce(1))
+    t.append(ev.filter(F.col("event_id") >= 100).coalesce(1))
+    row = ev.filter(F.col("event_id") == 7).first()
+    native = row["ts"]
+    iso = native.isoformat()
+    kept_native = t.point_files("ts", [native])
+    kept_iso = t.point_files("ts", [iso])
+    assert kept_native == kept_iso
+    assert 0 < len(kept_native) <= 2
+    got = t.read_points(spark, "ts", [native])
+    assert got.filter(F.col("event_id") == 7).count() == 1

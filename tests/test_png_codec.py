@@ -186,3 +186,20 @@ def test_decode_media_over_png_table(spark, sf_dir):
     # resize over the compressed container via the dispatching pixels fn
     thumb = resize_pixels(media, 4, 4, pixels=media_pixels).collect()
     assert all(t.sum_thumb is not None for t in thumb)
+
+
+def test_ihdr_must_be_first_chunk():
+    """The spec mandates IHDR first; accepting it anywhere would let a
+    leading ancillary chunk shift the fixed IHDR offsets png_decoder's
+    mode peek reads (silent wrong mode) — so such payloads decline."""
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    body = zlib.compress(b"\x00\x01\x02")
+    shifted = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"tEXt", b"k\x00v")  # ancillary chunk before IHDR
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", body)
+        + _chunk(b"IEND", b"")
+    )
+    assert png_pixels(shifted) is None
+    assert png_decoder(shifted) is None

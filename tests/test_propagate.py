@@ -134,3 +134,36 @@ def test_replayed_run_declined_by_txn(spark, sf_dir, tmp_path):
     out = _clicks_x10(bronze.read(spark))
     assert silver_stale.replace(out, txn=("propagate", 1)) is None
     assert silver.current_version() == v
+
+
+def test_full_recompute_is_version_pinned(spark, sf_dir, tmp_path):
+    """The full path must read the source AT the captured version: a
+    concurrent append landing mid-recompute must not leak into a commit
+    whose txn watermark predates it (the next incremental run would
+    duplicate those rows — the review's exactly-once hole)."""
+    bronze = ManifestTable(str(tmp_path / "bronze"))
+    silver = ManifestTable(str(tmp_path / "silver"))
+    p = IncrementalPropagator(bronze, silver, _clicks_x10)
+    bronze.append(_events(spark, sf_dir, 0, 100))
+    # interleave: a writer appends AFTER run_once captured `now`
+    orig_read = bronze.read
+    raced = {"done": False}
+
+    def racing_read(spark_, version=None):
+        if not raced["done"]:
+            raced["done"] = True
+            ManifestTable(bronze.root).append(_events(spark, sf_dir, 100, 200))
+        return orig_read(spark_, version=version)
+
+    bronze.read = racing_read
+    assert p.run_once(spark)["mode"] == "full"
+    bronze.read = orig_read
+    # the racing append is NOT in silver yet (watermark = version 1)...
+    assert _ids(silver.read(spark)) == _ids(
+        _clicks_x10(_events(spark, sf_dir, 0, 100))
+    )
+    # ...and the next run picks it up exactly once
+    assert p.run_once(spark)["mode"] == "incremental"
+    assert _ids(silver.read(spark)) == _ids(
+        _clicks_x10(_events(spark, sf_dir, 0, 200))
+    )
