@@ -39,8 +39,13 @@ def scale_to_bits(col: Column, max_value: int, bits: int = 16) -> Column:
     column's range is far smaller than 2^bits.  floor(a*2^bits /
     (max+1)) computed via double division, exact for any realistic id
     range (numerators < 2^53); the key shapes LAYOUT only — query
-    results never depend on it."""
-    return F.floor((col * (1 << bits)) / (max_value + 1)).cast("int")
+    results never depend on it.  The input is widened to LONG before
+    the multiply: an int32 column with values >= 2^15 would overflow
+    the 32-bit product (wrapping silently in non-ANSI mode), scrambling
+    the z-order and losing the tight-stats property."""
+    return F.floor((col.cast("long") * (1 << bits)) / (max_value + 1)).cast(
+        "int"
+    )
 
 
 def zorder_by(df, a_col: str, b_col: str, n_files: int, bits: int = 16):

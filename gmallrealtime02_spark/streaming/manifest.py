@@ -94,14 +94,65 @@ def _jsonable(v):
     return None
 
 
+def _bloom_canon(v) -> str:
+    """Hash-canonical text for a Bloom build/probe value.  Numerically
+    equal values of DIFFERENT Python types (int 3 vs float 3.0 vs
+    Decimal('3.00')) must hash to the same bit positions: the filter is
+    built from whatever type the column materializes as, the probe from
+    whatever type the caller holds, and a canonicalization gap would
+    false-NEGATIVE — point_files silently dropping files whose rows the
+    exact isin() residual WOULD have matched (the one bloom direction
+    that loses rows; false positives only cost a file open).  All
+    numerics therefore reduce to one textual form via Decimal: integral
+    values print as plain integers ('3'), fractional values as
+    exponent-free minimal decimals ('3.5', '0.0000001' — which also
+    unifies float repr e-notation with Decimal forms).  Temporals keep
+    the ISO encoding the range stats use; non-finite floats and
+    everything else fall back to str()."""
+    import decimal
+
+    if not isinstance(v, bool) and isinstance(v, (int, float, decimal.Decimal)):
+        try:
+            d = decimal.Decimal(str(v))
+            if d == d.to_integral_value():
+                return str(int(d))
+            return format(d, "f").rstrip("0").rstrip(".")
+        except (decimal.InvalidOperation, OverflowError, ValueError):
+            return str(v)  # nan/inf: no equal-value cross-type twin
+    canon = _jsonable(v)
+    return str(v if canon is None else canon)
+
+
+def _stat_in_range(e, lo, hi) -> bool:
+    """Conservative stat-range membership: a probe whose encoded type
+    cannot order against the stored stats (an int against ISO-string
+    temporal stats) is KEPT, never raised on — mirroring pruned_files'
+    files-without-usable-stats contract (stats may only skip work,
+    never fail a read)."""
+    try:
+        return lo <= e <= hi
+    except TypeError:
+        return True
+
+
+def _pow2_bits(m: int) -> int:
+    """Bloom bitmap sizes are rounded UP to a power of two (min 8):
+    byte-aligned (a non-multiple-of-8 size would truncate the bytearray
+    and positions in the tail would IndexError at build and probe time)
+    and mask-reducible (pos = h & (m-1)), which is what lets the
+    executor-side builder compute positions from the digest's low 32
+    bits alone."""
+    return 1 << max(m - 1, 4).bit_length()
+
+
 class ManifestTable:
     def __init__(
         self,
         root: str,
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
-        bloom_bits: int = 8192,
-        bloom_hashes: int = 5,
+        bloom_bits: int | None = None,
+        bloom_hashes: int | None = None,
     ) -> None:
         """``stats_cols``: columns whose per-file min/max are recorded in
         the manifest at write time (straight from the parquet footers,
@@ -133,6 +184,10 @@ class ManifestTable:
         self.manifest_dir = os.path.join(root, "_manifests")
         self._stats_cols_arg = list(stats_cols) if stats_cols else None
         self._bloom_cols_arg = list(bloom_cols) if bloom_cols else None
+        # None = not passed: an explicitly-given size/hash-count wins
+        # over the stored config ON ITS OWN (it used to be silently
+        # ignored unless bloom_cols was also re-passed); sizes are
+        # power-of-two-rounded at build time (_pow2_bits)
         self._bloom_bits_arg = bloom_bits
         self._bloom_hashes_arg = bloom_hashes
         os.makedirs(self.data_dir, exist_ok=True)
@@ -165,19 +220,21 @@ class ManifestTable:
 
     @property
     def bloom_bits(self) -> int:
+        # an explicit constructor argument wins (and re-records via the
+        # next commit's config); otherwise the stored table size wins —
+        # each filter carries its own (m, k), so probing older filters
+        # stays exact either way
+        if self._bloom_bits_arg is not None:
+            return int(self._bloom_bits_arg)
         stored = self._stored_config().get("bloom_bits")
-        # the stored size wins unless the caller overrode it: mixing
-        # bitmap sizes within one table would misread older filters
-        if self._bloom_cols_arg is not None or stored is None:
-            return self._bloom_bits_arg
-        return int(stored)
+        return int(stored) if stored is not None else 8192
 
     @property
     def bloom_hashes(self) -> int:
+        if self._bloom_hashes_arg is not None:
+            return int(self._bloom_hashes_arg)
         stored = self._stored_config().get("bloom_hashes")
-        if self._bloom_cols_arg is not None or stored is None:
-            return self._bloom_hashes_arg
-        return int(stored)
+        return int(stored) if stored is not None else 5
 
     def _config_dict(self) -> dict:
         cfg = {}
@@ -298,17 +355,15 @@ class ManifestTable:
         """k bit positions for a value via Kirsch-Mitzenmacher double
         hashing over ONE md5 (h1 + i*h2 mod m) — engine-deterministic,
         layout-independent, one digest per value.  The value is
-        canonicalized through ``_jsonable`` first (temporals → ISO
-        strings, the same encoding the range stats use), so a probe
-        with the documented ISO-string form can never false-NEGATIVE
-        against filters built from native datetime objects — the one
-        direction where a bloom mismatch loses rows."""
+        canonicalized through ``_bloom_canon`` first (numeric types
+        unified, temporals → the ISO strings the range stats use), so a
+        probe whose Python type differs from the written column's (int
+        3 vs float 3.0, ISO string vs datetime) can never
+        false-NEGATIVE — the one direction where a bloom mismatch loses
+        rows."""
         import hashlib
 
-        canon = _jsonable(value)
-        d = hashlib.md5(
-            str(value if canon is None else canon).encode("utf-8")
-        ).digest()
+        d = hashlib.md5(_bloom_canon(value).encode("utf-8")).digest()
         h1 = int.from_bytes(d[:8], "big")
         h2 = int.from_bytes(d[8:], "big") | 1  # odd: full-period stride
         return [(h1 + i * h2) % m for i in range(k)]
@@ -341,7 +396,9 @@ class ManifestTable:
         out = {}
         for c in present:
             vals = [v for v in tbl.column(c).to_pylist() if v is not None]
-            m = max(self.bloom_bits, 1 << (10 * max(len(vals), 1)).bit_length())
+            m = _pow2_bits(
+                max(self.bloom_bits, 1 << (10 * max(len(vals), 1)).bit_length())
+            )
             bits = bytearray(m // 8)
             for v in vals:
                 for pos in self._bloom_positions(v, m, k):
@@ -383,7 +440,8 @@ class ManifestTable:
                 vals = [
                     v
                     for v in values
-                    if (e := _jsonable(v)) is not None and lo <= e <= hi
+                    if (e := _jsonable(v)) is not None
+                    and _stat_in_range(e, lo, hi)
                 ]
                 if not vals:
                     continue  # every value outside the file's range

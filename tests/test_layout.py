@@ -93,3 +93,22 @@ def test_zorder_by_partitions_are_z_contiguous(spark, sf_dir):
     spans = sorted([(r.lo, r.hi) for r in spans])
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, spans  # contiguous, non-overlapping ranges
+
+
+def test_scale_to_bits_int32_no_overflow(spark):
+    """An IntegerType column with values >= 2^15 must scale without the
+    32-bit multiply wrapping (col * 2^16 overflows int32 at 2^15 —
+    silently scrambling the z-order in non-ANSI mode, erroring under
+    ANSI): the input is widened to long first, so the mapping stays
+    monotone over the full int32 range."""
+    vals = [0, 1 << 15, (1 << 20) + 7, (1 << 31) - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    got = [
+        r.s
+        for r in df.select(
+            scale_to_bits(F.col("v"), (1 << 31) - 1, 16).alias("s")
+        ).collect()
+    ]
+    assert got == sorted(got)  # monotone, no wrap to negatives
+    assert got[0] == 0 and all(0 <= s < (1 << 16) for s in got)
+    assert got[-1] == (1 << 16) - 1

@@ -767,3 +767,100 @@ def test_bloom_temporal_probe_matches_iso_string(spark, sf_dir, tmp_path):
     assert 0 < len(kept_native) <= 2
     got = t.read_points(spark, "ts", [native])
     assert got.filter(F.col("event_id") == 7).count() == 1
+
+
+def test_bloom_numeric_probe_is_type_insensitive(spark, sf_dir, tmp_path):
+    """Numerically equal probes of a different Python type than the
+    written column (int 3 vs float 3.0 vs Decimal('3.00')) must hash to
+    the same bit positions: a type-sensitive hash would false-NEGATIVE
+    and read_points would silently drop rows the exact isin() residual
+    matches cross-type."""
+    from decimal import Decimal
+
+    from gmallrealtime02_spark.streaming.manifest import _bloom_canon
+
+    t = ManifestTable(str(tmp_path / "t"), bloom_cols=["value"])
+    ev = _events(spark, sf_dir, 0, 200).withColumn(
+        "value", (F.col("event_id") % 50).cast("double")
+    )
+    t.append(ev.filter(F.col("event_id") < 100).coalesce(1))
+    t.append(ev.filter(F.col("event_id") >= 100).coalesce(1))
+    # filters were built from float 3.0; probe with every numeric twin
+    kept_float = t.point_files("value", [3.0])
+    assert kept_float == t.point_files("value", [3])
+    assert kept_float == t.point_files("value", [Decimal("3.00")])
+    assert len(kept_float) >= 1
+    assert t.read_points(spark, "value", [3]).count() == ev.filter(
+        F.col("value") == 3.0
+    ).count()
+    # the canonicalizer itself: one text per numeric value
+    assert _bloom_canon(3) == _bloom_canon(3.0) == _bloom_canon(Decimal("3.00"))
+    assert _bloom_canon(3.5) == _bloom_canon(Decimal("3.50"))
+    assert _bloom_canon(1e-7) == _bloom_canon(Decimal("0.0000001"))
+    # non-finite: one consistent text per value across float/Decimal
+    assert _bloom_canon(float("nan")) == _bloom_canon(Decimal("nan")) == "NaN"
+    assert _bloom_canon(float("inf")) == "inf"  # int() overflow -> str()
+
+
+def test_bloom_bits_rounded_to_power_of_two(spark, sf_dir, tmp_path):
+    """A custom bloom_bits that is neither byte-aligned nor a power of
+    two must not truncate the bitmap (positions mod m in the tail would
+    IndexError at build and probe time) — sizes round UP to a power of
+    two and every probe still works."""
+    t = ManifestTable(
+        str(tmp_path / "t"), bloom_cols=["event_id"], bloom_bits=1001
+    )
+    t.append(_events(spark, sf_dir, 0, 50).coalesce(1))
+    m = t.manifest()
+    entry = m["stats"][m["files"][0]]["__bloom__"]["event_id"]
+    assert entry["m"] == 1024  # 1001 -> next power of two
+    assert t.read_points(spark, "event_id", [7]).count() == 1
+
+
+def test_bloom_size_override_wins_without_bloom_cols(spark, sf_dir, tmp_path):
+    """ManifestTable(root, bloom_bits=...) ALONE (no bloom_cols) must
+    honor the explicit size override instead of silently keeping the
+    stored config — the documented constructor-args-win contract."""
+    t = ManifestTable(
+        str(tmp_path / "t"), bloom_cols=["event_id"], bloom_bits=8192
+    )
+    t.append(_events(spark, sf_dir, 0, 50).coalesce(1))
+    blind = ManifestTable(str(t.root), bloom_bits=1 << 15)
+    assert blind.bloom_cols == ["event_id"]  # inherited from config
+    assert blind.bloom_bits == 1 << 15  # explicit override wins alone
+    blind.append(_events(spark, sf_dir, 50, 100).coalesce(1))
+    m = blind.manifest()
+    sizes = {
+        m["stats"][f]["__bloom__"]["event_id"]["m"] for f in m["files"]
+    }
+    assert (1 << 15) in sizes  # the new file used the override
+    # and a fully config-blind handle still probes both sizes exactly
+    reader = ManifestTable(str(t.root))
+    assert reader.read_points(spark, "event_id", [7, 70]).count() == 2
+
+
+def test_point_files_type_mismatched_probe_is_conservative(
+    spark, sf_dir, tmp_path
+):
+    """A probe whose type cannot order against the stored stats (int
+    against ISO-string temporal stats) must degrade conservatively
+    (keep the file), not raise TypeError — stats may only skip work,
+    never fail a read."""
+    t = ManifestTable(
+        str(tmp_path / "t"), stats_cols=["ts"], bloom_cols=["ts"]
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 100)
+        .select("event_id", "ts")
+    )
+    t.append(ev.coalesce(1))
+    # int vs ISO-string stats: the range pre-filter must not raise; it
+    # keeps the value conservatively and lets the bloom (which hashes
+    # cross-type exactly) decide — no datetime equals int 12345, so the
+    # drop it produces is correct, and read_points returns empty
+    # (read_points' exact isin() residual would separately reject the
+    # int-vs-timestamp comparison at analysis time — Spark semantics;
+    # the metadata layer's contract is just: prune, never raise)
+    kept = t.point_files("ts", [12345])
+    assert kept == [] or kept == t.manifest()["files"]
