@@ -874,6 +874,97 @@ def bench_merge_scaling() -> None:
     )
 
 
+def bench_bloom_scaling() -> None:
+    """Empirical gate on the EXECUTOR-SIDE bloom build
+    (ManifestTable._build_blooms): stage one multi-million-row,
+    32-file commit with two indexed columns, then time the production
+    build (one Spark job: JVM md5 + per-file numpy scatter) against
+    the driver-side Python reference loop (_file_bloom per file — the
+    round-8 commit-path bottleneck) over the SAME files.  Records both
+    wall times, the speedup, and indexed-rows/s; raises if the
+    executor build is not faster, so the scaling property is a gate,
+    not a claim."""
+    import shutil
+    import tempfile
+
+    from gmallrealtime02_spark.streaming.manifest import ManifestTable
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="bench-bloom-scaling")
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "event_type"
+    )
+    n_copies = 8  # ~8x events: a backfill-class commit, not a micro-batch
+    big = ev.crossJoin(
+        spark.range(n_copies).select(F.col("id").alias("__copy"))
+    ).select(
+        (F.col("event_id") + F.col("__copy") * 100_000_000).alias("event_id"),
+        "user_id",
+        F.col("event_type").alias("event_type"),
+    )
+    root = tempfile.mkdtemp(prefix="bench_bloom_scaling_")
+    out: dict[str, dict] = {}
+    try:
+        t = ManifestTable(
+            f"{root}/t", bloom_cols=["event_id", "event_type"]
+        )
+        t0 = time.perf_counter()
+        t.append(big.repartition(32))
+        commit_sec = time.perf_counter() - t0
+        mft = t.manifest()
+        files = list(mft["files"])
+        rows_by_file = {}
+        import pyarrow.parquet as pq
+
+        total_rows = 0
+        for f in files:
+            n = pq.ParquetFile(os.path.join(t.data_dir, f)).metadata.num_rows
+            rows_by_file[f] = n
+            total_rows += n
+        t0 = time.perf_counter()
+        built = t._build_blooms(spark, files, rows_by_file)
+        exec_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for f in files:
+            t._file_bloom(os.path.join(t.data_dir, f))
+        ref_sec = time.perf_counter() - t0
+        if exec_sec >= ref_sec:
+            raise RuntimeError(
+                f"executor bloom build ({exec_sec:.2f}s) is not faster "
+                f"than the driver reference ({ref_sec:.2f}s)"
+            )
+        out = {
+            "commit_with_blooms_sec": round(commit_sec, 3),
+            "executor_build_sec": round(exec_sec, 3),
+            "driver_reference_sec": round(ref_sec, 3),
+            "files": len(files),
+            "rows": total_rows,
+            "indexed_cols": 2,
+            "executor_rows_per_sec": int(total_rows / exec_sec),
+            "filters_built": sum(len(v) for v in built.values()),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "bloom_build_speedup",
+                # >1 = the executor-side build beats the old driver-side
+                # per-row loop on the same staged files; grows with cores
+                "value": round(out["driver_reference_sec"] / out["executor_build_sec"], 2),
+                "unit": "driver_ref_sec_over_executor_sec",
+                "queries": out,
+                "sf": sf,
+                "calibration_sec": _calibration(spark),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     import sys
 
@@ -889,5 +980,7 @@ if __name__ == "__main__":
         bench_rollup_scaling()
     elif "--merge-scaling" in sys.argv[1:]:
         bench_merge_scaling()
+    elif "--bloom-scaling" in sys.argv[1:]:
+        bench_bloom_scaling()
     else:
         main()

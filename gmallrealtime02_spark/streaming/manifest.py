@@ -289,17 +289,20 @@ class ManifestTable:
         tmp = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
         (df.coalesce(coalesce) if coalesce else df).write.parquet(tmp)
         out = []
+        rows_by_file = {}
         for n in sorted(os.listdir(tmp)):
             if n.endswith(".parquet") and not n.startswith(("_", ".")):
                 src = os.path.join(tmp, n)
                 # zero-row part files (empty shuffle partitions) carry no
                 # information and would sit in the manifest stat-less
                 # (= never prunable) forever — drop them at the source
-                if pq.ParquetFile(src).metadata.num_rows == 0:
+                nrows = pq.ParquetFile(src).metadata.num_rows
+                if nrows == 0:
                     continue
                 final = f"{uuid.uuid4().hex}.parquet"
                 os.rename(src, os.path.join(self.data_dir, final))
                 out.append(final)
+                rows_by_file[final] = nrows
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
@@ -308,9 +311,11 @@ class ManifestTable:
             for f in out
             if (st := self._file_stats(os.path.join(self.data_dir, f)))
         }
-        if self.bloom_cols:
-            for f in out:
-                bl = self._file_bloom(os.path.join(self.data_dir, f))
+        if self.bloom_cols and out:
+            blooms = self._build_blooms(
+                df.sparkSession, out, rows_by_file
+            )
+            for f, bl in blooms.items():
                 if bl:
                     stats.setdefault(f, {})["__bloom__"] = bl
         return out, stats
@@ -368,19 +373,182 @@ class ManifestTable:
         h2 = int.from_bytes(d[8:], "big") | 1  # odd: full-period stride
         return [(h1 + i * h2) % m for i in range(k)]
 
-    def _file_bloom(self, path: str) -> dict:
-        """Per-column Bloom filters for ``bloom_cols`` over one staged
-        file — the single extra column read the bloom index costs at
-        write time (per file, embarrassingly parallel at scale).
+    def _bloom_m_for(self, num_rows: int) -> int:
+        """Filter size for one file: ~10 bits per ROW (≈1% fp at k=5),
+        ``bloom_bits`` as the floor, power-of-two rounded (see
+        ``_pow2_bits``), capped at 2^32 bits — a fixed global size
+        silently saturates to 100% fp the moment files grow (caught by
+        the sf0.1 sweep: 12.5k values in an 8192-bit filter keeps every
+        file).  Sizing by row count (not per-column non-null count)
+        keeps m known from the parquet footer alone, identical across
+        columns, and never undersized."""
+        m = _pow2_bits(
+            max(self.bloom_bits, 1 << (10 * max(num_rows, 1)).bit_length())
+        )
+        return min(m, 1 << 32)
 
-        Each filter is SIZED BY THE FILE'S OWN ROW COUNT (~10 bits per
-        value, ≈1% fp at k=5, ``bloom_bits`` as the floor) and stored
-        with its (m, k) — a fixed global size silently saturates to
-        100% fp the moment files grow (caught by the sf0.1 sweep: 12.5k
-        values in an 8192-bit filter keeps every file).  ~1.25 bytes/
-        row/column of manifest weight is the standard bloom-index cost
-        (Hudi ships it in file footers; at very large file counts the
-        index moves to a sidecar like everything else manifest)."""
+    # Spark types whose CAST(.. AS STRING) matches _bloom_canon byte-
+    # for-byte, so their md5 can run JVM-side in whole-stage codegen:
+    # strings (identity), integrals (decimal digits), dates (ISO).
+    # Everything else (float/decimal repr, timestamp ISO 'T' form,
+    # booleans, binary) hashes through the shared Python canon in the
+    # Arrow batch instead — bit-identical by construction.
+    _BLOOM_JVM_TYPES = ("string", "tinyint", "smallint", "int", "bigint", "date")
+
+    def _build_blooms(
+        self, spark: SparkSession, file_names: list[str], rows_by_file: dict
+    ) -> dict:
+        """Per-file, per-column Bloom filters for a staged commit,
+        computed EXECUTOR-SIDE as one Spark job — the commit-path cost
+        that must parallelize at backfill/compaction scale (10⁶–10⁷
+        rows per commit), where a driver-side per-row loop is the
+        bottleneck.
+
+        Layout: md5 digests run JVM-side (``F.md5`` over the canonical
+        string) for string/integral/date columns — the digest's low 32
+        bits per half are extracted with ``conv`` and shipped as two
+        longs — then ONE Arrow ``applyInPandas`` per file scatter-ORs
+        the Kirsch-Mitzenmacher positions into the bitset with numpy
+        and returns a single small row per (file, column).  Because
+        every m is a power of two ≤ 2^32, positions depend only on the
+        digests' low 32 bits, so the JVM fast path is BIT-IDENTICAL to
+        the Python reference (:meth:`_file_bloom`, pinned by
+        ``tests/test_manifest_table.py``).  Non-atomic column types
+        (arrays/structs) get no filter — conservatively unprunable."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        paths = [os.path.join(self.data_dir, f) for f in file_names]
+        schema = spark.read.parquet(paths[0]).schema
+        by_name = {f.name: f.dataType for f in schema.fields}
+        k = self.bloom_hashes
+        sel = [F.input_file_name().alias("__file")]
+        fast, slow = [], []
+        for c in self.bloom_cols:
+            dt = by_name.get(c)
+            if dt is None:
+                continue
+            simple = dt.simpleString()
+            if simple in self._BLOOM_JVM_TYPES:
+                fast.append(c)
+                hx = F.md5(F.col(c).cast("string"))
+                sel.append(
+                    F.conv(F.substring(hx, 9, 8), 16, 10)
+                    .cast("long")
+                    .alias(f"__h1_{c}")
+                )
+                sel.append(
+                    F.conv(F.substring(hx, 25, 8), 16, 10)
+                    .cast("long")
+                    .bitwiseOR(F.lit(1))
+                    .alias(f"__h2_{c}")
+                )
+            elif isinstance(
+                dt,
+                (
+                    T.BooleanType,
+                    T.FloatType,
+                    T.DoubleType,
+                    T.DecimalType,
+                    T.TimestampType,
+                    T.TimestampNTZType,
+                    T.BinaryType,
+                ),
+            ):
+                slow.append(c)
+                sel.append(F.col(c).alias(f"__v_{c}"))
+        if not fast and not slow:
+            return {}
+        out_schema = T.StructType(
+            [
+                T.StructField("file", T.StringType()),
+                T.StructField("col", T.StringType()),
+                T.StructField("m", T.LongType()),
+                T.StructField("b", T.StringType()),
+            ]
+        )
+        m_by_file = {
+            f: self._bloom_m_for(rows_by_file[f]) for f in file_names
+        }
+        fast_l, slow_l, kk = list(fast), list(slow), int(k)
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            import base64
+            import hashlib
+
+            import numpy as np
+
+            fname = os.path.basename(pdf["__file"].iloc[0])
+            m = int(m_by_file[fname])
+            mask64 = np.uint64(m - 1)
+            idx = np.arange(kk, dtype=np.uint64)
+
+            def scatter(h1: "np.ndarray", h2: "np.ndarray") -> str:
+                bits = np.zeros(m // 8, dtype=np.uint8)
+                if len(h1):
+                    pos = (h1[:, None] + idx[None, :] * h2[:, None]) & mask64
+                    np.bitwise_or.at(
+                        bits,
+                        (pos // np.uint64(8)).ravel(),
+                        (np.uint64(1) << (pos % np.uint64(8)))
+                        .astype(np.uint8)
+                        .ravel(),
+                    )
+                return base64.b64encode(bits.tobytes()).decode("ascii")
+
+            rows = []
+            for c in fast_l:
+                h1s = pdf[f"__h1_{c}"]
+                sub = h1s.notna()
+                h1 = h1s[sub].to_numpy(dtype=np.int64).astype(np.uint64)
+                h2 = (
+                    pdf[f"__h2_{c}"][sub]
+                    .to_numpy(dtype=np.int64)
+                    .astype(np.uint64)
+                )
+                rows.append((fname, c, m, scatter(h1, h2)))
+            for c in slow_l:
+                vals = list(pdf[f"__v_{c}"].dropna())
+                digests = b"".join(
+                    hashlib.md5(_bloom_canon(v).encode("utf-8")).digest()
+                    for v in vals
+                )
+                if digests:
+                    arr = (
+                        np.frombuffer(digests, dtype=">u8")
+                        .reshape(-1, 2)
+                        .astype(np.uint64)
+                    )
+                    h1, h2 = arr[:, 0], arr[:, 1] | np.uint64(1)
+                else:
+                    h1 = h2 = np.zeros(0, dtype=np.uint64)
+                rows.append((fname, c, m, scatter(h1, h2)))
+            return pd.DataFrame(rows, columns=["file", "col", "m", "b"])
+
+        got = (
+            spark.read.schema(schema)
+            .parquet(*paths)
+            .select(*sel)
+            .groupBy("__file")
+            .applyInPandas(build, out_schema)
+            .collect()
+        )
+        out: dict = {}
+        for r in got:
+            out.setdefault(r["file"], {})[r["col"]] = {
+                "b": r["b"],
+                "m": int(r["m"]),
+                "k": k,
+            }
+        return out
+
+    def _file_bloom(self, path: str) -> dict:
+        """Driver-side Python REFERENCE builder for one file — the
+        executable spec :meth:`_build_blooms` is pinned bit-identical
+        to in tests (and the arbiter for any future hash change).  The
+        production write path never calls this; it exists so the
+        executor-side build has a same-repo ground truth."""
         import base64
 
         import pyarrow.parquet as pq
@@ -393,12 +561,10 @@ class ManifestTable:
             return {}
         tbl = pq.read_table(path, columns=present)
         k = self.bloom_hashes
+        m = self._bloom_m_for(pf.metadata.num_rows)
         out = {}
         for c in present:
             vals = [v for v in tbl.column(c).to_pylist() if v is not None]
-            m = _pow2_bits(
-                max(self.bloom_bits, 1 << (10 * max(len(vals), 1)).bit_length())
-            )
             bits = bytearray(m // 8)
             for v in vals:
                 for pos in self._bloom_positions(v, m, k):

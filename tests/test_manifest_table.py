@@ -864,3 +864,40 @@ def test_point_files_type_mismatched_probe_is_conservative(
     # the metadata layer's contract is just: prune, never raise)
     kept = t.point_files("ts", [12345])
     assert kept == [] or kept == t.manifest()["files"]
+
+
+def test_executor_bloom_build_bit_identical_to_python_reference(
+    spark, sf_dir, tmp_path
+):
+    """The executor-side bloom build (one Spark job: JVM md5 for
+    string/integral/date, shared-Python canon for float/decimal/
+    timestamp, numpy scatter per file) must produce BIT-IDENTICAL
+    filters to the driver-side Python reference (_file_bloom) across
+    every supported column type — the pin that makes the hash layout an
+    interchangeable contract, not an implementation accident."""
+    cols = ["event_id", "event_type", "ts", "value", "dt", "dec"]
+    t = ManifestTable(str(tmp_path / "t"), bloom_cols=cols)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "event_type", "ts", "value")
+        .withColumn("dt", F.to_date("ts"))
+        .withColumn("dec", F.col("value").cast("decimal(12,2)"))
+    )
+    t.append(ev.repartition(4))
+    m = t.manifest()
+    assert len(m["files"]) == 4
+    for f in m["files"]:
+        got = m["stats"][f]["__bloom__"]
+        ref = t._file_bloom(os.path.join(t.data_dir, f))
+        assert set(got) == set(cols)
+        for c in cols:
+            assert got[c]["m"] == ref[c]["m"], (f, c)
+            assert got[c]["k"] == ref[c]["k"], (f, c)
+            assert got[c]["b"] == ref[c]["b"], (f, c)
+    # and the index actually works end-to-end after the move
+    probe = ev.filter(F.col("event_id") == 42).first()
+    assert t.read_points(spark, "event_id", [42]).count() == 1
+    assert t.read_points(spark, "event_type", [probe["event_type"]]).count() == ev.filter(
+        F.col("event_type") == probe["event_type"]
+    ).count()
