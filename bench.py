@@ -965,6 +965,103 @@ def bench_bloom_scaling() -> None:
     )
 
 
+def bench_manifest_scaling() -> None:
+    """Empirical gate on manifest-log segmentation: grow a stats+bloom
+    indexed table 8 -> 32 -> 128 files and at each size measure (a) the
+    wall time of ONE constant single-file append commit and (b) the
+    bytes of the delta manifest it published.  Pre-segmentation, both
+    grew O(live files) (every commit rewrote the full JSON with every
+    file's stats and bloom bitsets); segmented, both must stay flat.
+    Raises if the 16x delta outweighs the 1x delta by more than 2x —
+    a gate, not a claim.  Checkpoint bytes (the amortized 1-in-16
+    full-state write) are recorded separately."""
+    import shutil
+    import tempfile
+
+    from gmallrealtime02_spark.streaming.manifest import ManifestTable
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="bench-manifest-scaling")
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "event_type"
+    )
+
+    def file_slice(i: int):
+        return ev.select(
+            (F.col("event_id") + i * 10_000_000).alias("event_id"),
+            "user_id",
+            "event_type",
+        ).coalesce(1)
+
+    root = tempfile.mkdtemp(prefix="bench_manifest_scaling_")
+    out: dict[str, dict] = {}
+    try:
+        t = ManifestTable(
+            f"{root}/t",
+            stats_cols=["event_id"],
+            bloom_cols=["event_id", "event_type"],
+        )
+        n = 0
+        for target in (8, 32, 128):
+            while n < target:
+                t.append(file_slice(n))
+                n += 1
+            best = float("inf")
+            for _ in range(2):
+                if (t.current_version() + 1) % t.checkpoint_interval == 0:
+                    t.append(file_slice(n))  # keep the timed commit ckpt-free
+                    n += 1
+                t0 = time.perf_counter()
+                t.append(file_slice(n))
+                best = min(best, time.perf_counter() - t0)
+                n += 1
+            delta_bytes = os.path.getsize(t._manifest_path(t.current_version()))
+            out[f"{target}x"] = {
+                "append_sec": round(best, 3),
+                "delta_manifest_bytes": delta_bytes,
+                "live_files": len(t.manifest()["files"]),
+            }
+        # the most recent checkpoint: the amortized full-state write
+        cks = [
+            v
+            for v in t._versions()
+            if os.path.exists(t._ckpt_path(v))
+        ]
+        ckpt_bytes = (
+            os.path.getsize(t._ckpt_path(max(cks))) if cks else None
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    b1 = out["8x"]["delta_manifest_bytes"]
+    b16 = out["128x"]["delta_manifest_bytes"]
+    if b16 > 2 * b1:
+        raise RuntimeError(
+            f"delta manifest grew with the table: {b1} -> {b16} bytes"
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "manifest_commit_flatness",
+                # ~1.0 = per-commit latency flat while live files grow
+                # 16x; the pre-segmentation monolith read ~O(files) here
+                "value": round(
+                    out["128x"]["append_sec"]
+                    / max(out["8x"]["append_sec"], 1e-9),
+                    3,
+                ),
+                "unit": "t128files_over_t8files",
+                "queries": {**out, "checkpoint_bytes": ckpt_bytes},
+                "sf": sf,
+                "calibration_sec": _calibration(spark),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     import sys
 
@@ -982,5 +1079,7 @@ if __name__ == "__main__":
         bench_merge_scaling()
     elif "--bloom-scaling" in sys.argv[1:]:
         bench_bloom_scaling()
+    elif "--manifest-scaling" in sys.argv[1:]:
+        bench_manifest_scaling()
     else:
         main()

@@ -27,9 +27,13 @@ Why this is the 100 TB layout: at scale "the directory" is an object
 store with eventually-consistent listings and no atomic rename of
 directories; every real table service (Delta, Iceberg, Hudi) therefore
 commits through a single small metadata object exactly like this.  The
-manifest here is one JSON per version (fine for O(10^4) files per
-table); beyond that, Iceberg splits manifests hierarchically — same
-protocol, one more level.
+log is SEGMENTED the way Delta's is: each commit publishes a DELTA
+manifest (added/removed files + stats for the added ones — O(commit),
+never O(live files)), every Nth version writes a full-state checkpoint
+bounding replay, and Bloom filters live in per-data-file sidecar
+objects loaded lazily at probe time — so commit weight, manifest
+bytes, and cold-read cost stay flat as the table grows to 10^5-10^6
+files (``bench.py --manifest-scaling`` records it).
 
 Reference parity note: this replaces the reference's "write to
 ClickHouse and let MergeTree compact" intent (SURVEY §2.2 K7,
@@ -123,6 +127,54 @@ def _bloom_canon(v) -> str:
     return str(v if canon is None else canon)
 
 
+#: state keys a delta stores VERBATIM (small, replaced per commit) —
+#: everything else in a resolved state derives from add/remove replay.
+_DELTA_VERBATIM = ("version", "parent", "op", "schema", "txn", "config")
+
+
+def _apply_delta(state: dict, delta: dict) -> dict:
+    """Next resolved state from the previous one plus a delta manifest:
+    survivors keep their order and their stats; added files append with
+    the delta's stats; the small verbatim keys (schema/txn/config/...)
+    replace wholesale.  The inverse of :func:`_delta_of`."""
+    removed = set(delta.get("remove", []))
+    add = list(delta.get("add", []))
+    files = [f for f in state["files"] if f not in removed] + add
+    stats = {
+        f: st
+        for f, st in state.get("stats", {}).items()
+        if f not in removed
+    }
+    stats.update(delta.get("stats", {}))
+    nxt = {"files": files, "stats": stats}
+    for k, v in delta.items():
+        if k not in ("add", "remove", "stats"):
+            nxt[k] = v
+    return nxt
+
+
+def _delta_of(base: dict, nxt: dict) -> dict:
+    """Delta manifest for publishing ``nxt`` over ``base``: O(changed
+    files) on disk.  Stats ride only for ADDED files — a commit cannot
+    change a surviving file's stats (data files are immutable, so their
+    stats are too), which is what makes the carry in _apply_delta
+    sound."""
+    base_set = set(base.get("files", []))
+    nxt_set = set(nxt["files"])
+    add = [f for f in nxt["files"] if f not in base_set]
+    remove = [f for f in base.get("files", []) if f not in nxt_set]
+    nxt_stats = nxt.get("stats", {})
+    delta = {
+        "add": add,
+        "remove": remove,
+        "stats": {f: nxt_stats[f] for f in add if f in nxt_stats},
+    }
+    for k, v in nxt.items():
+        if k not in ("files", "stats"):
+            delta[k] = v
+    return delta
+
+
 def _stat_in_range(e, lo, hi) -> bool:
     """Conservative stat-range membership: a probe whose encoded type
     cannot order against the stored stats (an int against ISO-string
@@ -182,6 +234,7 @@ class ManifestTable:
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.manifest_dir = os.path.join(root, "_manifests")
+        self.bloom_dir = os.path.join(root, "_blooms")
         self._stats_cols_arg = list(stats_cols) if stats_cols else None
         self._bloom_cols_arg = list(bloom_cols) if bloom_cols else None
         # None = not passed: an explicitly-given size/hash-count wins
@@ -190,8 +243,24 @@ class ManifestTable:
         # power-of-two-rounded at build time (_pow2_bits)
         self._bloom_bits_arg = bloom_bits
         self._bloom_hashes_arg = bloom_hashes
+        # resolved-state cache (version -> full state): states are
+        # immutable per version, so entries never go stale; a small LRU
+        # keeps sequential walks (history, delta replay) O(1) per step
+        # without holding every version of a long log in memory
+        from collections import OrderedDict
+
+        self._state_cache: "OrderedDict[int, dict]" = OrderedDict()
+        self._bloom_sidecar_cache: dict[str, dict | None] = {}
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
+        os.makedirs(self.bloom_dir, exist_ok=True)
+
+    #: full checkpoint cadence: every Nth commit also writes the
+    #: resolved state, bounding delta replay on cold reads.  A derived
+    #: cache, not part of the commit protocol — a lost checkpoint only
+    #: means more replay.
+    checkpoint_interval = 16
+    _STATE_CACHE_MAX = 64
 
     def _stored_config(self) -> dict:
         # cached per manifest version: the properties below are read
@@ -266,12 +335,63 @@ class ManifestTable:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.manifest_dir, f"v{version}.json")
 
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{version}.ckpt.json")
+
+    # -- log-segmented state resolution ---------------------------------------
+    #
+    # A commit publishes a DELTA manifest (op, added/removed files,
+    # stats for added files only, the small full schema/txn/config
+    # maps) — O(commit), never O(live files).  Every Nth version also
+    # gets a full-state CHECKPOINT (vN.ckpt.json), so resolving any
+    # version replays at most N deltas from the nearest checkpoint —
+    # the Delta-log/Iceberg-manifest-list discipline that keeps commit
+    # weight and cold-read cost flat as the table grows to 10^5-10^6
+    # files.  Pre-segmentation manifests carry a "files" key and act as
+    # their own checkpoint, so old tables read unchanged.
+
     def manifest(self, version: int | None = None) -> dict:
+        """RESOLVED table state at ``version`` (files, stats, schema,
+        txn, op, ...) — the external contract is unchanged by log
+        segmentation; deltas are an internal storage shape."""
         v = self.current_version() if version is None else version
         if v == 0:
             return {"version": 0, "files": [], "op": "empty"}
-        with open(self._manifest_path(v)) as fh:
-            return json.load(fh)
+        cached = self._state_cache.get(v)
+        if cached is not None:
+            self._state_cache.move_to_end(v)
+            return cached
+        deltas: list[dict] = []
+        base: dict | None = None
+        b = v
+        while b >= 1:
+            hit = self._state_cache.get(b)
+            if hit is not None:
+                base = hit
+                break
+            if os.path.exists(self._ckpt_path(b)):
+                with open(self._ckpt_path(b)) as fh:
+                    base = json.load(fh)
+                break
+            with open(self._manifest_path(b)) as fh:
+                d = json.load(fh)
+            if "files" in d:  # pre-segmentation full manifest
+                base = d
+                break
+            deltas.append(d)
+            b -= 1
+        state = base if base is not None else {"version": 0, "files": [], "op": "empty"}
+        for d in reversed(deltas):
+            state = _apply_delta(state, d)
+            self._cache_state(state)
+        self._cache_state(state)  # idempotent when the loop cached it
+        return state
+
+    def _cache_state(self, state: dict) -> None:
+        self._state_cache[state["version"]] = state
+        self._state_cache.move_to_end(state["version"])
+        while len(self._state_cache) > self._STATE_CACHE_MAX:
+            self._state_cache.popitem(last=False)
 
     def files(self, version: int | None = None) -> list[str]:
         return [
@@ -317,8 +437,61 @@ class ManifestTable:
             )
             for f, bl in blooms.items():
                 if bl:
-                    stats.setdefault(f, {})["__bloom__"] = bl
+                    self._write_bloom_sidecar(f, bl)
         return out, stats
+
+    # -- bloom sidecars --------------------------------------------------------
+    #
+    # Filters live in per-data-file sidecar objects (_blooms/<file>.json),
+    # NOT in the manifest: at ~1.25 bytes/row/column a bloom-indexed
+    # manifest would weigh megabytes per commit and every reader would
+    # re-parse all of it.  Sidecars are written at stage time (immutable,
+    # pre-CAS, exactly like data files), loaded LAZILY by point_files for
+    # only the files that survive the range pre-filter, and reaped with
+    # their data file.  Pre-segmentation tables with inline "__bloom__"
+    # stats entries keep probing through those unchanged.
+
+    def _bloom_sidecar_path(self, file_name: str) -> str:
+        return os.path.join(self.bloom_dir, f"{file_name}.json")
+
+    def _write_bloom_sidecar(self, file_name: str, blooms: dict) -> None:
+        tmp = os.path.join(self.bloom_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(blooms, fh)
+        os.replace(tmp, self._bloom_sidecar_path(file_name))
+
+    def _bloom_for(self, file_name: str, stats_entry: dict) -> dict:
+        """Per-column bloom entries for one live file: inline manifest
+        stats (legacy tables) win, else the sidecar, else {} (no index:
+        conservatively unprunable).  Sidecar loads are memoized per
+        handle — immutable like the data file they describe."""
+        inline = stats_entry.get("__bloom__")
+        if inline is not None:
+            return inline
+        cached = self._bloom_sidecar_cache.get(file_name)
+        if cached is not None:
+            return cached
+        path = self._bloom_sidecar_path(file_name)
+        try:
+            with open(path) as fh:
+                bl = json.load(fh)
+        except (FileNotFoundError, ValueError):
+            bl = {}
+        self._bloom_sidecar_cache[file_name] = bl
+        return bl
+
+    def _discard_staged(self, file_names: list[str]) -> None:
+        """Remove data files (and their bloom sidecars) staged for a
+        commit that declined — they will never be referenced."""
+        for f in file_names:
+            try:
+                os.remove(os.path.join(self.data_dir, f))
+            except FileNotFoundError:
+                pass
+            try:
+                os.remove(self._bloom_sidecar_path(f))
+            except FileNotFoundError:
+                pass
 
     def _file_stats(self, path: str) -> dict:
         """Per-file min/max for ``stats_cols``, read straight from the
@@ -611,7 +784,7 @@ class ManifestTable:
                 ]
                 if not vals:
                     continue  # every value outside the file's range
-            bl = st.get("__bloom__", {}).get(col)
+            bl = self._bloom_for(f, st).get(col)
             if bl is not None and not any(
                 self._bloom_may_contain(bl, v) for v in vals
             ):
@@ -647,14 +820,21 @@ class ManifestTable:
     # -- the commit protocol -------------------------------------------------
 
     def _commit(self, make_manifest, max_retries: int = 16) -> dict | None:
-        """Optimistic CAS loop: build the next manifest against the
-        current snapshot, publish via exclusive hard-link create, rebase
-        and retry on conflict.  ``make_manifest(base: dict) -> dict |
-        None`` must be a pure function of the base snapshot (append
-        recomputes its file union, compact re-reads the new live set,
-        ...); returning None declines the commit (idempotent-txn replay)
-        — checked against the freshest base INSIDE the loop, so the
-        decision is race-safe."""
+        """Optimistic CAS loop: build the next state against the current
+        snapshot, publish its DELTA via exclusive hard-link create,
+        rebase and retry on conflict.  ``make_manifest(base: dict) ->
+        dict | None`` must be a pure function of the base snapshot
+        (append recomputes its file union, compact re-reads the new
+        live set, ...); returning None declines the commit
+        (idempotent-txn replay) — checked against the freshest base
+        INSIDE the loop, so the decision is race-safe.
+
+        What lands on disk is ``_delta_of(base, nxt)`` — O(files this
+        commit touched), never O(live files) — plus, every
+        ``checkpoint_interval`` versions, a full-state checkpoint
+        written AFTER the CAS (a derived cache: losing it only means
+        replaying more deltas, so its write needs no atomicity beyond
+        replace()).  Returns the full resolved next state."""
         for _ in range(max_retries):
             base = self.manifest()
             nxt = make_manifest(base)
@@ -669,15 +849,30 @@ class ManifestTable:
                 self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json"
             )
             with open(tmp, "w") as fh:
-                json.dump(nxt, fh)
+                json.dump(_delta_of(base, nxt), fh)
             try:
                 os.link(tmp, self._manifest_path(nxt["version"]))
-                return nxt
             except FileExistsError:
                 continue  # lost the race: rebase on the winner's snapshot
             finally:
                 os.remove(tmp)
+            if "stats" not in nxt:
+                nxt["stats"] = {}
+            self._cache_state(nxt)
+            if nxt["version"] % self.checkpoint_interval == 0:
+                self._write_checkpoint(nxt)
+            return nxt
         raise CommitConflict(f"lost {max_retries} commit races under {self.root}")
+
+    def _write_checkpoint(self, state: dict) -> None:
+        tmp = os.path.join(
+            self.manifest_dir, f".tmp-ckpt-{uuid.uuid4().hex}.json"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        # replace(): racing writers produce identical content (state is
+        # deterministic per version), so last-write-wins is harmless
+        os.replace(tmp, self._ckpt_path(state["version"]))
 
     # -- table operations ----------------------------------------------------
 
@@ -717,8 +912,7 @@ class ManifestTable:
 
         res = self._commit(mk)
         if res is None:
-            for f in new:  # staged for a replay that never commits
-                os.remove(os.path.join(self.data_dir, f))
+            self._discard_staged(new)  # replay that never commits
         return res
 
     def replace(
@@ -763,8 +957,7 @@ class ManifestTable:
 
         res = self._commit(mk)
         if res is None:
-            for f in new:
-                os.remove(os.path.join(self.data_dir, f))
+            self._discard_staged(new)
         return res
 
     def _bounds(self, df: DataFrame, col: str) -> tuple | None:
@@ -885,8 +1078,7 @@ class ManifestTable:
             res = self._commit(mk)
             if res is not None:
                 return res
-            for f in new:  # staged merge that will never publish
-                os.remove(os.path.join(self.data_dir, f))
+            self._discard_staged(new)  # staged merge that will never publish
             if declined["replay"]:
                 return None  # idempotent replay: already committed
             # else: lost to a concurrent commit — re-merge on its snapshot
@@ -989,8 +1181,7 @@ class ManifestTable:
             res = self._commit(mk)
             if res is not None:
                 return res
-            for f in new:
-                os.remove(os.path.join(self.data_dir, f))
+            self._discard_staged(new)
             if declined["replay"]:
                 return None
         raise CommitConflict(
@@ -1061,8 +1252,7 @@ class ManifestTable:
 
         res = self._commit(mk)
         if res is None:
-            for f in compacted:  # staged rewrite of a dead snapshot
-                os.remove(os.path.join(self.data_dir, f))
+            self._discard_staged(compacted)  # staged rewrite of a dead snapshot
         return res
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -1269,7 +1459,14 @@ class ManifestTable:
         referencing missing files (table corruption).  Run with a
         horizon longer than any writer's staging window and any
         time-travel reader's job; 0 is only safe when no writer is
-        concurrently in flight (tests, single-writer maintenance)."""
+        concurrently in flight (tests, single-writer maintenance).
+
+        Log segmentation: the oldest retained version gets a full-state
+        checkpoint MATERIALIZED before older delta manifests are
+        deleted — retained versions must stay resolvable without the
+        history below them.  Checkpoints below the kept window and
+        bloom sidecars of deleted data files are reaped with their
+        owners."""
         import time
 
         if keep_versions < 1:
@@ -1279,6 +1476,11 @@ class ManifestTable:
         live: set[str] = set()
         for v in keep:
             live |= set(self.manifest(v)["files"])
+        if keep and vs[:-keep_versions]:
+            # resolve BEFORE deleting the history it may replay through
+            oldest = keep[0]
+            if not os.path.exists(self._ckpt_path(oldest)):
+                self._write_checkpoint(self.manifest(oldest))
         horizon = time.time() - retention_seconds
         removed = []
         for n in os.listdir(self.data_dir):
@@ -1291,14 +1493,37 @@ class ManifestTable:
                 except FileNotFoundError:
                     continue  # a racing vacuum/decline already removed it
                 removed.append(n)
+                try:
+                    os.remove(self._bloom_sidecar_path(n))
+                except FileNotFoundError:
+                    pass
+                self._bloom_sidecar_cache.pop(n, None)
         for v in vs[: -keep_versions]:
             os.remove(self._manifest_path(v))
-        # stale .tmp-* manifests (a crash between link and remove) are
-        # never referenced — reap them too, behind the same horizon (a
-        # healthy in-flight commit holds its .tmp for milliseconds)
-        for n in os.listdir(self.manifest_dir):
-            if n.startswith(".tmp-"):
-                p = os.path.join(self.manifest_dir, n)
+            try:
+                os.remove(self._ckpt_path(v))
+            except FileNotFoundError:
+                pass
+        # stale .tmp-* manifests/sidecars (a crash between publish and
+        # remove) are never referenced — reap them too, behind the same
+        # horizon (a healthy in-flight commit holds its .tmp for
+        # milliseconds)
+        for d in (self.manifest_dir, self.bloom_dir):
+            for n in os.listdir(d):
+                if n.startswith(".tmp-"):
+                    p = os.path.join(d, n)
+                    try:
+                        if os.path.getmtime(p) <= horizon:
+                            os.remove(p)
+                    except FileNotFoundError:
+                        continue
+        # orphan sidecars (their data file already reaped or a decline
+        # crashed between the two removals) — same horizon discipline
+        for n in os.listdir(self.bloom_dir):
+            if n.endswith(".json") and not os.path.exists(
+                os.path.join(self.data_dir, n[:-5])
+            ):
+                p = os.path.join(self.bloom_dir, n)
                 try:
                     if os.path.getmtime(p) <= horizon:
                         os.remove(p)

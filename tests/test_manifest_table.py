@@ -644,7 +644,7 @@ def test_bloom_survives_carry_and_upsert(spark, sf_dir, tmp_path):
     t.upsert(spark, _events(spark, sf_dir, 150, 210), keys=["event_id"])
     m = t.manifest()
     for f in m["files"]:
-        assert "__bloom__" in m["stats"].get(f, {}), f
+        assert t._bloom_for(f, m["stats"].get(f, {})), f
     # and the lookup still answers exactly
     uid = _events(spark, sf_dir, 0, 100).select("user_id").first()[0]
     got = t.read_points(spark, "user_id", [uid])
@@ -684,14 +684,16 @@ def test_index_config_survives_config_blind_handles(spark, sf_dir, tmp_path):
     for f in m["files"]:
         st = m["stats"].get(f, {})
         assert "event_id" in st, "compact retired the range stats"
-        assert "__bloom__" in st, "compact retired the bloom index"
+        assert t._bloom_for(f, st), "compact retired the bloom index"
     # pruning still works through the rewritten file set
     assert len(blind.pruned_files("event_id", 0, 10)) == 1
     assert blind.point_files("event_id", [10**12]) == []
     # and a blind upsert keeps indexing its rewrite
     blind.upsert(spark, _events(spark, sf_dir, 150, 210), keys=["event_id"])
     m2 = blind.manifest()
-    assert all("__bloom__" in m2["stats"].get(f, {}) for f in m2["files"])
+    assert all(
+        blind._bloom_for(f, m2["stats"].get(f, {})) for f in m2["files"]
+    )
 
 
 def test_delete_range_keeps_null_keyed_rows(spark, sf_dir, tmp_path):
@@ -812,7 +814,7 @@ def test_bloom_bits_rounded_to_power_of_two(spark, sf_dir, tmp_path):
     )
     t.append(_events(spark, sf_dir, 0, 50).coalesce(1))
     m = t.manifest()
-    entry = m["stats"][m["files"][0]]["__bloom__"]["event_id"]
+    entry = t._bloom_for(m["files"][0], m["stats"].get(m["files"][0], {}))["event_id"]
     assert entry["m"] == 1024  # 1001 -> next power of two
     assert t.read_points(spark, "event_id", [7]).count() == 1
 
@@ -831,7 +833,8 @@ def test_bloom_size_override_wins_without_bloom_cols(spark, sf_dir, tmp_path):
     blind.append(_events(spark, sf_dir, 50, 100).coalesce(1))
     m = blind.manifest()
     sizes = {
-        m["stats"][f]["__bloom__"]["event_id"]["m"] for f in m["files"]
+        blind._bloom_for(f, m["stats"].get(f, {}))["event_id"]["m"]
+        for f in m["files"]
     }
     assert (1 << 15) in sizes  # the new file used the override
     # and a fully config-blind handle still probes both sizes exactly
@@ -888,7 +891,7 @@ def test_executor_bloom_build_bit_identical_to_python_reference(
     m = t.manifest()
     assert len(m["files"]) == 4
     for f in m["files"]:
-        got = m["stats"][f]["__bloom__"]
+        got = t._bloom_for(f, m["stats"].get(f, {}))
         ref = t._file_bloom(os.path.join(t.data_dir, f))
         assert set(got) == set(cols)
         for c in cols:
@@ -901,3 +904,121 @@ def test_executor_bloom_build_bit_identical_to_python_reference(
     assert t.read_points(spark, "event_type", [probe["event_type"]]).count() == ev.filter(
         F.col("event_type") == probe["event_type"]
     ).count()
+
+
+def test_delta_log_commit_weight_is_flat(spark, sf_dir, tmp_path):
+    """Log segmentation: each commit publishes a DELTA (added/removed
+    files + stats for added only), so the manifest written per commit
+    stays O(commit) while the table grows — the property that keeps a
+    10^6-file table committable.  Resolution still returns the full
+    state (external contract unchanged)."""
+    t = ManifestTable(str(tmp_path / "t"), stats_cols=["event_id"])
+    sizes = []
+    for lo in range(0, 1000, 100):
+        t.append(_events(spark, sf_dir, lo, lo + 100).coalesce(1))
+        v = t.current_version()
+        with open(t._manifest_path(v)) as fh:
+            d = json.load(fh)
+        assert "files" not in d  # delta format, not full state
+        assert len(d["add"]) == 1 and d["remove"] == []
+        assert set(d["stats"]) == set(d["add"])  # added files only
+        sizes.append(os.path.getsize(t._manifest_path(v)))
+    # ten commits: the last delta is no heavier than the first (within
+    # noise) even though the table holds 10x the files
+    assert sizes[-1] < sizes[0] * 2
+    assert len(t.manifest()["files"]) == 10
+    assert _ids(t.read(spark)) == _ids(_events(spark, sf_dir, 0, 1000))
+    # resolved stats cover every live file (carried through replay)
+    m = t.manifest()
+    assert set(m["stats"]) == set(m["files"])
+
+
+def test_checkpoint_bounds_replay(spark, sf_dir, tmp_path):
+    """Every checkpoint_interval'th commit also writes a full-state
+    checkpoint; resolving a later version needs only the checkpoint
+    plus the deltas above it — proven by deleting every manifest below
+    the checkpoint and reading the table anyway."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.checkpoint_interval = 4  # instance override for the test
+    for lo in range(0, 600, 100):
+        t.append(_events(spark, sf_dir, lo, lo + 100))
+    assert os.path.exists(t._ckpt_path(4))
+    # cold handle, history below the checkpoint gone
+    for v in (1, 2, 3):
+        os.remove(t._manifest_path(v))
+    cold = ManifestTable(str(t.root))
+    assert _ids(cold.read(spark)) == _ids(_events(spark, sf_dir, 0, 600))
+    assert _ids(cold.read(spark, version=4)) == _ids(
+        _events(spark, sf_dir, 0, 400)
+    )
+
+
+def test_vacuum_materializes_checkpoint_at_retention_boundary(
+    spark, sf_dir, tmp_path
+):
+    """Vacuum deletes manifests below the kept window — the oldest
+    retained version must first get a checkpoint, or it would become
+    unresolvable (its replay history is gone)."""
+    t = ManifestTable(str(tmp_path / "t"))
+    for lo in range(0, 500, 100):
+        t.append(_events(spark, sf_dir, lo, lo + 100))
+    t.vacuum(keep_versions=2, retention_seconds=0)
+    assert t._versions() == [4, 5]
+    assert os.path.exists(t._ckpt_path(4))
+    cold = ManifestTable(str(t.root))
+    assert _ids(cold.read(spark, version=4)) == _ids(
+        _events(spark, sf_dir, 0, 400)
+    )
+    assert _ids(cold.read(spark)) == _ids(_events(spark, sf_dir, 0, 500))
+
+
+def test_bloom_sidecars_replace_inline_manifest_blooms(spark, sf_dir, tmp_path):
+    """Filters live in per-file sidecars loaded lazily at probe time —
+    the manifest JSON itself carries no bloom bytes (the ~1.25 B/row/col
+    that made commits O(table) to serialize); sidecars are reaped with
+    their data file."""
+    t = ManifestTable(str(tmp_path / "t"), bloom_cols=["event_id"])
+    t.append(_events(spark, sf_dir, 0, 100).coalesce(1))
+    t.append(_events(spark, sf_dir, 100, 200).coalesce(1))
+    for v in t._versions():
+        assert "__bloom__" not in open(t._manifest_path(v)).read()
+    m = t.manifest()
+    for f in m["files"]:
+        assert os.path.exists(t._bloom_sidecar_path(f))
+    assert len(t.point_files("event_id", [7])) == 1
+    assert t.read_points(spark, "event_id", [7]).count() == 1
+    # compact rewrites the file set; old sidecars go with their files
+    old_files = list(m["files"])
+    t.compact(spark, target_bytes=1 << 30)
+    t.vacuum(keep_versions=1, retention_seconds=0)
+    for f in old_files:
+        assert not os.path.exists(t._bloom_sidecar_path(f))
+    new_files = t.manifest()["files"]
+    assert all(os.path.exists(t._bloom_sidecar_path(f)) for f in new_files)
+    assert t.read_points(spark, "event_id", [7]).count() == 1
+
+
+def test_legacy_inline_bloom_manifest_still_probed(spark, sf_dir, tmp_path):
+    """A pre-segmentation table (full-format manifest with inline
+    __bloom__ stats entries) keeps probing through those entries —
+    back-compat for tables written before the sidecar move."""
+    t = ManifestTable(str(tmp_path / "t"), bloom_cols=["event_id"])
+    t.append(_events(spark, sf_dir, 0, 100).coalesce(1))
+    m = t.manifest()
+    f = m["files"][0]
+    legacy_stats = {f: {"__bloom__": t._file_bloom(os.path.join(t.data_dir, f))}}
+    legacy = {
+        "version": 2,
+        "parent": 1,
+        "op": "append",
+        "files": [f],
+        "stats": legacy_stats,
+        "config": {"bloom_cols": ["event_id"]},
+    }
+    with open(t._manifest_path(2), "w") as fh:
+        json.dump(legacy, fh)
+    os.remove(t._bloom_sidecar_path(f))  # only the inline filter remains
+    cold = ManifestTable(str(t.root))
+    assert cold.current_version() == 2
+    assert len(cold.point_files("event_id", [7])) == 1
+    assert cold.point_files("event_id", [10**12]) == []
