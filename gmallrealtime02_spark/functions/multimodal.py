@@ -295,17 +295,26 @@ def encode_png(width: int, height: int, luma: bytes) -> bytes:
     )
 
 
+def _luma_601(rr: int, gg: int, bb: int) -> int:
+    """ITU-R 601-2 integer luma — the exact formula Pillow's RGB→L
+    uses, shared by the BMP, truecolor-PNG and palette-PNG paths."""
+    return (rr * 19595 + gg * 38470 + bb * 7471 + 0x8000) >> 16
+
+
 def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
-    """Parse a non-interlaced 8-bit grayscale (color type 0) or truecolor
-    (color type 2) PNG into (width, height, luma bytes row-major) — a
-    REAL decoder for a REAL compressed format with zero dependencies:
-    chunk walk with length checks, zlib inflate of the concatenated
-    IDAT stream, and all five scanline filters (None/Sub/Up/Average/
-    Paeth) undone per the spec.  Truecolor converts to luma with the
-    same ITU-R 601-2 integer formula as the BMP path, so Pillow (where
-    it ships) agrees bit-for-bit.  Returns None for anything else —
-    interlaced, paletted, 16-bit, truncated, or corrupt payloads pass
-    through as null rows, never a task failure."""
+    """Parse a non-interlaced 8-bit grayscale (color type 0), truecolor
+    (color type 2), or PALETTE (color type 3, bit depth 1/2/4/8 — the
+    indexed form common in real web-scraped corpora) PNG into (width,
+    height, luma bytes row-major) — a REAL decoder for a REAL
+    compressed format with zero dependencies: chunk walk with length
+    checks, zlib inflate of the concatenated IDAT stream, all five
+    scanline filters (None/Sub/Up/Average/Paeth) undone per the spec,
+    PLTE indirection (sub-byte indices unpacked MSB-first), and
+    truecolor/palette RGB converted to luma with the same ITU-R 601-2
+    integer formula as the BMP path, so Pillow (where it ships) agrees
+    bit-for-bit.  Returns None for anything else — interlaced, 16-bit,
+    gray-alpha/RGBA, truncated, out-of-palette indices, or corrupt
+    payloads pass through as null rows, never a task failure."""
     import struct
     import zlib
 
@@ -313,8 +322,9 @@ def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     pos = 8
-    width = height = ctype = None
+    width = height = ctype = depth = None
     idat = bytearray()
+    plte = None
     first_chunk = True
     try:
         while pos + 8 <= len(b):
@@ -335,25 +345,36 @@ def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
                 (width, height, depth, ctype, comp, filt, inter) = (
                     struct.unpack(">IIBBBBB", data)
                 )
+                ok_depth = (
+                    depth in (1, 2, 4, 8) if ctype == 3 else depth == 8
+                )
                 if (
-                    depth != 8
-                    or ctype not in (0, 2)
+                    not ok_depth
+                    or ctype not in (0, 2, 3)
                     or comp != 0
                     or filt != 0
                     or inter != 0
                 ):
                     return None
+            elif tag == b"PLTE":
+                if ln == 0 or ln % 3 or idat:
+                    return None  # malformed, or after IDAT (spec order)
+                plte = data
             elif tag == b"IDAT":
                 idat += data
             elif tag == b"IEND":
                 break
         if width is None or width <= 0 or height <= 0 or not idat:
             return None
+        if ctype == 3 and plte is None:
+            return None  # indexed image with no palette
         raw = zlib.decompress(bytes(idat))
     except (struct.error, zlib.error):
         return None
-    nch = 1 if ctype == 0 else 3
-    stride = width * nch
+    # bytes per pixel for filter offsets (sub-byte depths filter
+    # byte-wise with bpp=1 per the spec) and the filtered row stride
+    bpp = 3 if ctype == 2 else 1
+    stride = (width * depth + 7) // 8 if ctype == 3 else width * bpp
     if len(raw) != (stride + 1) * height:
         return None
     prev = bytearray(stride)
@@ -364,19 +385,19 @@ def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         row = bytearray(raw[pos + 1 : pos + 1 + stride])
         pos += 1 + stride
         if ftype == 1:  # Sub
-            for i in range(nch, stride):
-                row[i] = (row[i] + row[i - nch]) & 0xFF
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 row[i] = (row[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                a = row[i - nch] if i >= nch else 0
+                a = row[i - bpp] if i >= bpp else 0
                 row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                a = row[i - nch] if i >= nch else 0
-                c = prev[i - nch] if i >= nch else 0
+                a = row[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 up = prev[i]
                 p = a + up - c
                 pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
@@ -386,30 +407,53 @@ def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
             return None  # invalid filter type
         planes += row
         prev = row
-    if nch == 1:
+    if ctype == 0:
         return width, height, bytes(planes)
+    if ctype == 2:
+        luma = bytearray(width * height)
+        for j in range(width * height):
+            luma[j] = _luma_601(
+                planes[3 * j], planes[3 * j + 1], planes[3 * j + 2]
+            )
+        return width, height, bytes(luma)
+    # ctype 3: unpack indices (MSB-first within each byte, rows padded
+    # to a byte boundary), then resolve through the palette
+    n_entries = len(plte) // 3
+    pal_luma = bytes(
+        _luma_601(plte[3 * j], plte[3 * j + 1], plte[3 * j + 2])
+        for j in range(n_entries)
+    )
     luma = bytearray(width * height)
-    for j in range(width * height):
-        rr, gg, bb = planes[3 * j], planes[3 * j + 1], planes[3 * j + 2]
-        luma[j] = (rr * 19595 + gg * 38470 + bb * 7471 + 0x8000) >> 16
+    ppb = 8 // depth  # pixels per byte
+    mask = (1 << depth) - 1
+    for y in range(height):
+        base = y * stride
+        for x in range(width):
+            byte = planes[base + x // ppb]
+            shift = 8 - depth * (x % ppb + 1)
+            idx = (byte >> shift) & mask
+            if idx >= n_entries:
+                return None  # out-of-palette index: corrupt
+            luma[y * width + x] = pal_luma[idx]
     return width, height, bytes(luma)
 
 
 def png_decoder(b: bytes) -> dict | None:
-    """Pure-Python decode of non-interlaced 8-bit PNGs → the same
-    grayscale feature dict as :func:`pillow_decoder` (mode "L" for
-    grayscale, "RGB" for truecolor — what Pillow reports)."""
+    """Pure-Python decode of non-interlaced PNGs → the same grayscale
+    feature dict as :func:`pillow_decoder` (mode "L" for grayscale,
+    "RGB" for truecolor, "P" for palette — what Pillow reports)."""
     b = bytes(b)
     parsed = png_pixels(b)
     if parsed is None:
         return None
     width, height, px = parsed
     n = len(px)
+    # IHDR color type sits at fixed offset 25 (validated above)
+    mode = {0: "L", 2: "RGB", 3: "P"}[b[25]]
     return {
         "width": width,
         "height": height,
-        # IHDR color type sits at fixed offset 25 (validated above)
-        "mode": "L" if b[25] == 0 else "RGB",
+        "mode": mode,
         "n_pixels": n,
         "sum_luma": sum(px),
         "mean_luma": round(sum(px) / n, 6) if n else 0.0,
@@ -577,6 +621,91 @@ def as_png_media_table(
             for t in pdf[text_col]:
                 luma = bytes(min(ord(c), 255) for c in t[:n]).ljust(n, b"\x00")
                 payloads.append(encode_png(width, height, luma))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": payloads,
+                    "media_type": "image/png",
+                    "n_bytes": pd.Series(
+                        [len(p) for p in payloads], dtype="int64"
+                    ),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        op, schema=MEDIA_SCHEMA
+    )
+
+
+#: deterministic non-identity 256-entry palette for the synthesized
+#: indexed PNGs: entry j → RGB((3j+7)%256, (5j+11)%256, (7j+13)%256).
+#: Non-identity so the oracle proves the PLTE INDIRECTION, not just
+#: that index == luma; closed-form so DuckDB recomputes the expected
+#: luma analytically.
+PALETTE_R = "(3 * j + 7) % 256"  # documented for the oracle SQL
+_PALETTE = [
+    ((3 * j + 7) % 256, (5 * j + 11) % 256, (7 * j + 13) % 256)
+    for j in range(256)
+]
+
+
+def encode_png_palette(
+    width: int, height: int, indices: bytes, palette: list | None = None
+) -> bytes:
+    """Build an 8-bit PALETTE (color type 3) non-interlaced PNG: PLTE
+    from ``palette`` (default :data:`_PALETTE`), filter-0 rows of raw
+    indices, stdlib zlib — the indexed counterpart of
+    :func:`encode_png`, giving the palette decode path an in-sandbox
+    analytic oracle."""
+    import struct
+    import zlib
+
+    if len(indices) != width * height:
+        raise ValueError("indices must hold width*height bytes")
+    pal = _PALETTE if palette is None else palette
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(rgb) for rgb in pal)
+    raw = b"".join(
+        b"\x00" + indices[y * width : (y + 1) * width]
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def as_png_palette_media_table(
+    docs: DataFrame,
+    width: int = BMP_W,
+    height: int = BMP_H,
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`as_png_media_table`'s INDEXED twin: the same clamped/
+    zero-padded codepoints become palette INDICES of a color-type-3 PNG
+    over the deterministic non-identity :data:`_PALETTE` — decoding
+    must walk PLTE and convert each entry's RGB to luma, so the
+    analytic oracle proves the indirection itself."""
+    n = width * height
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                idx = bytes(min(ord(c), 255) for c in t[:n]).ljust(n, b"\x00")
+                payloads.append(encode_png_palette(width, height, idx))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

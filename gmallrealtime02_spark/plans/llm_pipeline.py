@@ -25,6 +25,7 @@ from ..functions.multimodal import (
     as_bmp_media_table,
     as_media_table,
     as_png_media_table,
+    as_png_palette_media_table,
     bmp_decoder,
     decode_media,
     png_decoder,
@@ -5263,3 +5264,48 @@ def hybrid_search_rrf(spark, sf_dir):
 from . import curation_ops as _CUR  # noqa: E402
 
 _CUR._register_dedup_eval_oracle()
+
+
+# Palette luma, closed form: index j -> RGB((3j+7)%256, (5j+11)%256,
+# (7j+13)%256) (multimodal._PALETTE) -> ITU-R 601-2 integer luma.  The
+# zero-padding maps to index 0 (luma 10), which the coalesce(.., 0)
+# reproduces — the oracle proves the PLTE indirection, not index==luma.
+_PAL_IDX = "least(coalesce(cp[i], 0), 255)"
+_PAL_LUMA = (
+    f"(((3 * {_PAL_IDX} + 7) % 256) * 19595"
+    f" + ((5 * {_PAL_IDX} + 11) % 256) * 38470"
+    f" + ((7 * {_PAL_IDX} + 13) % 256) * 7471 + 32768) // 65536"
+)
+
+
+@register(
+    "media_png_palette",
+    oracle=f"""
+    SELECT doc_id, {BMP_W} AS width, {BMP_H} AS height,
+           CAST({BMP_W * BMP_H} AS BIGINT) AS n_pixels,
+           CAST(coalesce(list_sum(list_transform(
+                generate_series(1, {BMP_W * BMP_H}),
+                i -> {_PAL_LUMA})), 0) AS BIGINT) AS sum_luma
+    FROM (SELECT doc_id, {_BMP_CP} AS cp FROM documents)
+    """,
+    tags=("multimodal", "decode", "png", "palette"),
+)
+def media_png_palette(spark, sf_dir):
+    """INDEXED (color type 3) PNG decode, hash-oracled in-sandbox: each
+    document's first 64 codepoints become palette INDICES over a
+    deterministic non-identity 256-entry palette
+    (``as_png_palette_media_table``); the pure-Python ``png_decoder``
+    must walk the PLTE chunk, resolve every index through it, and
+    convert each entry's RGB to ITU-R 601-2 luma — while the oracle
+    recomputes the same palette arithmetic closed-form in SQL.  Palette
+    PNGs are the indexed form common in real web-scraped corpora, the
+    round-8 review's top decoder gap.
+
+    Scale shape: identical to the other codec paths — one zero-exchange
+    Arrow scan, only small typed feature columns continue.  Sub-byte
+    bit depths (1/2/4) and out-of-palette-index rejection are
+    pytest-pinned (``tests/test_png_codec.py``)."""
+    media = as_png_palette_media_table(load_table(spark, sf_dir, "documents"))
+    return decode_media(media, decoder=png_decoder).select(
+        "doc_id", "width", "height", "n_pixels", "sum_luma"
+    )

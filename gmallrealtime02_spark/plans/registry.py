@@ -110,9 +110,70 @@ def register(
 #                 green is r1, the r3-era dozen, and 24 of the r4
 #                 TPC-H/window/setops wave — stalest evidence first,
 #                 computed from the CORRECTNESS files.
+#   round 9     — (current window) the 3 round-9 additions lead (first
+#                 driver exposure: the predicate-DELETE erasure
+#                 primitive, the two-source delta-join propagation of
+#                 order_wide, and the palette-PNG decode twin), then 47
+#                 staleness slots: the 22 r4 TPC-H/window-wave rows
+#                 still at r4 evidence, then the 25 oldest r5 rows —
+#                 stalest evidence first, computed from the CORRECTNESS
+#                 files (no green row older than r4 remains).
 _PRIORITY = [
-    # ---- round-8 window (50) ----
-    # round-8 additions, first driver exposure
+    # ---- round-9 window (50) ----
+    # round-9 additions, first driver exposure
+    "manifest_predicate_delete",
+    "order_wide_incremental",
+    "media_png_palette",
+    # staleness rotation: stalest green rows first (22x r4, 25x r5)
+    "revenue_cube",
+    "purchasers_without_errors",
+    "price_band_join",
+    "value_percentiles",
+    "dau_retention",
+    "event_funnel",
+    "pack_sequences_text",
+    "dedup_semantic",
+    "dedup_keep_best",
+    "dedup_incremental",
+    "lang_rebalance",
+    "corpus_top_ngrams",
+    "doc_lm_perplexity",
+    "bigram_pmi",
+    "bm25_search",
+    "cross_doc_span_overlap",
+    "dsir_weights",
+    "doc_similar_topk",
+    "phrase_search",
+    "ccnet_quality_buckets",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "inverted_index",
+    "top_events_per_user",
+    "purchasers_also_viewers",
+    "hll_distinct_daily",
+    "cms_heavy_hitters",
+    "bloom_decontamination",
+    "histogram_quantiles",
+    "hll_rollup",
+    "hll_overlap",
+    "bpe_pair_counts",
+    "bpe_learn_merges",
+    "bpe_encode",
+    "bpe_compression_by_lang",
+    "curation_pipeline",
+    "boilerplate_lines",
+    "minhash_containment",
+    "winnowing_fingerprint",
+    "exact_substring_scrub",
+    "dedup_eval",
+    "near_dup_cluster_sizes",
+    "doc_novelty",
+    "hashed_ngram_score",
+    "quality_classifier_train",
+    "knn_label_propagation",
+    "jl_projection",
+    # ---- post-window (ordering here is not scoring surface): all
+    # remaining green rows + rows-only-by-nature ops (pytest-pinned) ----
     "order_wide_manifest",
     "manifest_prune_scan",
     "manifest_schema_evolution",
@@ -124,7 +185,6 @@ _PRIORITY = [
     "media_png_decode",
     "dedup_lsh_edit_verify",
     "vocab_growth",
-    # staleness rotation: stalest green rows first (3x r1, 12x r3, 31x r4)
     "small_quantity_revenue",
     "banded_revenue",
     "idle_customer_balance",
@@ -164,15 +224,6 @@ _PRIORITY = [
     "supplier_balance_quartiles",
     "pivot_event_counts",
     "revenue_rollup",
-    # ---- post-window (ordering here is not scoring surface): all
-    # remaining green rows + rows-only-by-nature ops (pytest-pinned) ----
-    "revenue_cube",
-    "purchasers_without_errors",
-    "price_band_join",
-    "value_percentiles",
-    "dau_retention",
-    "event_funnel",
-    "pack_sequences_text",
     "ann_multiprobe_lsh",
     "semantic_decontamination",
     "lang_confusion_matrix",
@@ -273,33 +324,8 @@ _PRIORITY = [
     "detail_snowflake",
     "order_wide",
     "revenue_by_nation",
-    "inverted_index",
-    "top_events_per_user",
-    "purchasers_also_viewers",
     "daily_uniques_approx",
     "value_percentiles_approx",
-    "hll_distinct_daily",
-    "cms_heavy_hitters",
-    "bloom_decontamination",
-    "histogram_quantiles",
-    "hll_rollup",
-    "hll_overlap",
-    "bpe_pair_counts",
-    "bpe_learn_merges",
-    "bpe_encode",
-    "bpe_compression_by_lang",
-    "curation_pipeline",
-    "boilerplate_lines",
-    "minhash_containment",
-    "winnowing_fingerprint",
-    "exact_substring_scrub",
-    "dedup_eval",
-    "near_dup_cluster_sizes",
-    "doc_novelty",
-    "hashed_ngram_score",
-    "quality_classifier_train",
-    "knn_label_propagation",
-    "jl_projection",
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "diversity_sample",
@@ -323,21 +349,6 @@ _PRIORITY = [
     "ann_cosine_topk_np",
     "media_resize",
     "media_frames",
-    "dedup_semantic",
-    "dedup_keep_best",
-    "dedup_incremental",
-    "lang_rebalance",
-    "corpus_top_ngrams",
-    "doc_lm_perplexity",
-    "bigram_pmi",
-    "bm25_search",
-    "cross_doc_span_overlap",
-    "dsir_weights",
-    "doc_similar_topk",
-    "phrase_search",
-    "ccnet_quality_buckets",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
 ]
 
 

@@ -877,3 +877,121 @@ def manifest_point_lookup(spark, sf_dir):
         return _materialized(spark, got)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "manifest_predicate_delete",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE NOT (event_type = (SELECT MIN(event_type) FROM events)
+           AND value <= 0.5)
+    """,
+    tags=("table-service", "manifest", "delete", "predicate", "gdpr"),
+)
+def manifest_predicate_delete(spark, sf_dir):
+    """Arbitrary-predicate DELETE through the manifest layer,
+    hash-proven: events land as one stat-tight file per event_type,
+    then ``delete_where("event_type = <min type> AND value <= 0.5")``
+    — the GDPR-style erasure primitive — must (a) carry every
+    non-matching-type file UNTOUCHED BY NAME (the predicate-bounds
+    analysis in ``streaming/skipping.py`` reduces the conjunction to
+    per-column ranges and proves disjointness from file stats; raised
+    as an error otherwise, the scale property is part of the contract)
+    and (b) leave exactly the oracle's complement rows.  Generalizes
+    ``manifest_retention_delete`` beyond one column + bounds
+    (``streaming/manifest.py:delete_where``)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.manifest import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    target = types[0]
+    root = tempfile.mkdtemp(prefix="manifest_predicate_delete_")
+    try:
+        t = ManifestTable(root, stats_cols=["event_type"])
+        for et in types:
+            t.append(ev.filter(F.col("event_type") == et).coalesce(1))
+        before = dict(t.manifest()["stats"])
+        untouchable = {
+            f for f, st in before.items() if st["event_type"][0] != target
+        }
+        m = t.delete_where(
+            spark, f"event_type = '{target}' AND value <= 0.5"
+        )
+        survivors = set(m["files"])
+        if not untouchable <= survivors:
+            raise RuntimeError(
+                "predicate pruning rewrote files provably outside the "
+                f"predicate ({len(untouchable - survivors)} lost)"
+            )
+        return _materialized(spark, t.read(spark))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "order_wide_incremental",
+    oracle=_ORDER_WIDE_ORACLE,
+    tags=("K7", "J4", "J5", "table-service", "manifest", "incremental", "cdc"),
+)
+def order_wide_incremental(spark, sf_dir):
+    """The order_wide fact landed INCREMENTALLY from TWO bronze manifest
+    tables via the delta-join identity (A'⋈B' = A⋈B ∪ ΔA⋈B' ∪ A⋈ΔB) —
+    hash-matched against the same one-shot oracle as ``order_wide``.
+
+    Medallion fan-in: bronze orders and bronze lineitem each receive a
+    second commit after the initial propagation; the second
+    ``DeltaJoinPropagator.run_once`` must run in INCREMENTAL mode
+    (raised as an error otherwise — O(new data) is part of the
+    contract), joining only the version diffs against the other side,
+    with both source watermarks recorded in ONE atomic destination
+    commit (exactly-once under replay).  The final snapshot matching
+    the oracle proves no (order, detail) pair landed twice or was
+    missed across the incremental runs
+    (``streaming/propagate.py:DeltaJoinPropagator``)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.manifest import ManifestTable
+    from ..streaming.propagate import DeltaJoinPropagator
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    o_sliced = orders.withColumn(
+        "slice", F.crc32(F.col("o_orderkey").cast("string")) % 2
+    )
+    # all duplicates of one (orderkey, linenumber) dedup key land in the
+    # SAME slice, keeping _order_wide's in-batch dedup bilinear
+    l_sliced = lineitem.withColumn(
+        "slice",
+        F.crc32(F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber")))
+        % 2,
+    )
+    root = tempfile.mkdtemp(prefix="order_wide_incremental_")
+    try:
+        bronze_o = ManifestTable(f"{root}/orders")
+        bronze_l = ManifestTable(f"{root}/lineitem")
+        silver = ManifestTable(f"{root}/order_wide")
+        prop = DeltaJoinPropagator(
+            bronze_o, bronze_l, silver, combine=_order_wide
+        )
+        bronze_o.append(o_sliced.filter(F.col("slice") == 0).drop("slice"))
+        bronze_l.append(l_sliced.filter(F.col("slice") == 0).drop("slice"))
+        r1 = prop.run_once(spark)
+        if r1["mode"] != "full":  # initial materialization
+            raise RuntimeError(f"expected full initial run, got {r1}")
+        bronze_o.append(o_sliced.filter(F.col("slice") == 1).drop("slice"))
+        bronze_l.append(l_sliced.filter(F.col("slice") == 1).drop("slice"))
+        r2 = prop.run_once(spark)
+        if r2["mode"] != "incremental":
+            raise RuntimeError(f"expected incremental run, got {r2}")
+        if prop.run_once(spark)["mode"] != "noop":  # watermarks recorded
+            raise RuntimeError("replayed run was not declined")
+        return _materialized(spark, silver.read(spark))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

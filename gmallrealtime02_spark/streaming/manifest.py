@@ -175,6 +175,26 @@ def _delta_of(base: dict, nxt: dict) -> dict:
     return delta
 
 
+def _txn_advance(txns: dict, txn) -> dict | None:
+    """Apply idempotence watermark(s) ``txn`` — one ``(app_id, version)``
+    pair or a list of them (a multi-source job records every source's
+    watermark in ONE atomic commit) — to a copy of ``txns``.  Returns
+    None when EVERY pair is at-or-below its recorded watermark: the
+    whole commit is a replay and must decline.  A partially-advanced
+    set (one source moved, another is re-recorded at its same value)
+    commits and re-records each app at the max."""
+    pairs = [txn] if isinstance(txn[0], str) else [tuple(t) for t in txn]
+    if all(
+        txns.get(a) is not None and int(v) <= int(txns[a]) for a, v in pairs
+    ):
+        return None
+    out = dict(txns)
+    for a, v in pairs:
+        prev = out.get(a)
+        out[a] = int(v) if prev is None else max(int(v), int(prev))
+    return out
+
+
 def _stat_in_range(e, lo, hi) -> bool:
     """Conservative stat-range membership: a probe whose encoded type
     cannot order against the stored stats (an int against ISO-string
@@ -877,7 +897,9 @@ class ManifestTable:
     # -- table operations ----------------------------------------------------
 
     def append(
-        self, df: DataFrame, txn: tuple[str, int] | None = None
+        self,
+        df: DataFrame,
+        txn: tuple[str, int] | list[tuple[str, int]] | None = None,
     ) -> dict | None:
         """Add ``df``'s rows.  Concurrent appends both land (the loser
         rebases its file ADDITION onto the winner's file list).
@@ -896,10 +918,10 @@ class ManifestTable:
         def mk(base: dict) -> dict | None:
             txns = dict(base.get("txn", {}))
             if txn is not None:
-                seen = txns.get(txn[0])
-                if seen is not None and txn[1] <= seen:
+                nt = _txn_advance(txns, txn)
+                if nt is None:
                     return None  # replayed batch: already committed
-                txns[txn[0]] = txn[1]
+                txns = nt
             m = {
                 "files": base["files"] + new,
                 "op": "append",
@@ -919,7 +941,7 @@ class ManifestTable:
         self,
         df: DataFrame,
         extra: dict | None = None,
-        txn: tuple[str, int] | None = None,
+        txn: tuple[str, int] | list[tuple[str, int]] | None = None,
     ) -> dict | None:
         """Swap the full file set.  ``extra`` merges additional metadata
         into the manifest (e.g. a continuous aggregate's
@@ -935,10 +957,10 @@ class ManifestTable:
         def mk(base: dict) -> dict | None:
             txns = dict(base.get("txn", {}))
             if txn is not None:
-                seen = txns.get(txn[0])
-                if seen is not None and txn[1] <= seen:
+                nt = _txn_advance(txns, txn)
+                if nt is None:
                     return None  # replayed: already committed
-                txns[txn[0]] = txn[1]
+                txns = nt
             m = {
                 "files": new,
                 "op": "replace",
@@ -978,7 +1000,7 @@ class ManifestTable:
         spark: SparkSession,
         df: DataFrame,
         keys: list[str],
-        txn: tuple[str, int] | None = None,
+        txn: tuple[str, int] | list[tuple[str, int]] | None = None,
         max_restarts: int = 8,
     ) -> dict | None:
         """Keyed MERGE: ``df``'s rows win over existing rows with the
@@ -1048,11 +1070,11 @@ class ManifestTable:
             def mk(base: dict) -> dict | None:
                 txns = dict(base.get("txn", {}))
                 if txn is not None:
-                    seen = txns.get(txn[0])
-                    if seen is not None and txn[1] <= seen:
+                    nt = _txn_advance(txns, txn)
+                    if nt is None:
                         declined["replay"] = True
                         return None
-                    txns[txn[0]] = txn[1]
+                    txns = nt
                 if set(base["files"]) != snap_set:
                     return None  # table moved: the merge is stale
                 base_stats = base.get("stats", {})
@@ -1092,7 +1114,7 @@ class ManifestTable:
         col: str,
         lo=None,
         hi=None,
-        txn: tuple[str, int] | None = None,
+        txn: tuple[str, int] | list[tuple[str, int]] | None = None,
         max_restarts: int = 8,
     ) -> dict | None:
         """DELETE every row with ``lo <= col <= hi`` (None = unbounded
@@ -1127,16 +1149,78 @@ class ManifestTable:
         # whichever files happened to be rewritten — layout-dependent
         # data loss outside the requested range
         cond = F.coalesce(cond, F.lit(False))
+
+        def touched_of(snap: dict) -> set[str]:
+            # pruned_files keeps stat-less files conservatively, so this
+            # is exactly "files that may contain a matching row"
+            return set(self.pruned_files(col, lo, hi, snap["version"]))
+
+        return self._delete_commit(spark, cond, touched_of, txn, max_restarts)
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        cond: str,
+        txn: tuple[str, int] | list[tuple[str, int]] | None = None,
+        max_restarts: int = 8,
+    ) -> dict | None:
+        """DELETE every row matching SQL predicate ``cond`` as ONE
+        atomic commit — the GDPR-style generalization of
+        :meth:`delete_range` to arbitrary predicates over multiple
+        columns (``"event_type = 'click' AND value <= 0.5"``).
+
+        TOUCHED-FILES-ONLY via predicate analysis (``skipping.py``):
+        the predicate is reduced to per-column allowed-range unions —
+        AND intersects, OR unions same-column constraints, anything
+        unanalyzable (NOT, IS NULL, functions, col-vs-col) contributes
+        no constraint — and a live file whose recorded stats are
+        provably disjoint from the allowed set for ANY constrained
+        column is carried untouched, metadata only.  The rewrite then
+        applies the EXACT predicate (NULL-safe: rows where it evaluates
+        to NULL are kept), so pruning can only skip work, never change
+        results.  An unparseable predicate degrades to rewriting every
+        file — still correct, just unpruned.  Everything else
+        (atomicity, ``txn`` replay, CAS restart, ``op: delete`` CDC
+        fallback) is :meth:`delete_range`'s."""
+        from pyspark.sql import functions as F
+
+        from .skipping import predicate_bounds, ranges_overlap_stats
+
+        expr = F.expr(cond)  # raises up front on unparseable SQL
+        safe = F.coalesce(expr, F.lit(False))
+        bounds = predicate_bounds(cond)
+
+        def touched_of(snap: dict) -> set[str]:
+            stats = snap.get("stats", {})
+            keep = set()
+            for f in snap["files"]:
+                st = stats.get(f, {})
+                skippable = False
+                for c, ranges in bounds.items():
+                    rng = st.get(c)
+                    if rng is not None and not ranges_overlap_stats(
+                        ranges, rng[0], rng[1]
+                    ):
+                        skippable = True  # provably no matching row
+                        break
+                if not skippable:
+                    keep.add(f)
+            return keep
+
+        return self._delete_commit(spark, safe, touched_of, txn, max_restarts)
+
+    def _delete_commit(
+        self, spark, cond, touched_of, txn, max_restarts
+    ) -> dict | None:
+        """Shared delete machinery: rewrite the files ``touched_of``
+        selects with the complement of NULL-safe ``cond``, carry the
+        rest untouched, publish as one ``op: delete`` commit with
+        upsert's concurrency and replay semantics."""
         for _ in range(max_restarts):
             snap = self.manifest()
             snap_files = list(snap["files"])
             snap_set = set(snap_files)
-            # pruned_files keeps stat-less files conservatively, so this
-            # is exactly "files that may contain a matching row"
-            touched = (
-                set(self.pruned_files(col, lo, hi, snap["version"]))
-                & snap_set
-            )
+            touched = touched_of(snap) & snap_set
             untouched = [f for f in snap_files if f not in touched]
             new: list[str] = []
             stats: dict = {}
@@ -1152,11 +1236,11 @@ class ManifestTable:
             def mk(base: dict) -> dict | None:
                 txns = dict(base.get("txn", {}))
                 if txn is not None:
-                    seen = txns.get(txn[0])
-                    if seen is not None and txn[1] <= seen:
+                    nt = _txn_advance(txns, txn)
+                    if nt is None:
                         declined["replay"] = True
                         return None
-                    txns[txn[0]] = txn[1]
+                    txns = nt
                 if set(base["files"]) != snap_set:
                     return None  # table moved: the rewrite is stale
                 base_stats = base.get("stats", {})

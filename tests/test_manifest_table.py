@@ -1022,3 +1022,85 @@ def test_legacy_inline_bloom_manifest_still_probed(spark, sf_dir, tmp_path):
     assert cold.current_version() == 2
     assert len(cold.point_files("event_id", [7])) == 1
     assert cold.point_files("event_id", [10**12]) == []
+
+
+def test_delete_where_touched_files_only(spark, sf_dir, tmp_path):
+    """Arbitrary-predicate DELETE: files whose stats are provably
+    disjoint from the predicate's derived per-column ranges survive BY
+    NAME (metadata-only carry); the rewrite applies the exact predicate
+    to the rest.  The GDPR-style generalization of delete_range."""
+    t = ManifestTable(str(tmp_path / "t"), stats_cols=["event_type"])
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    for et in types:  # one stat-tight file per event_type
+        t.append(ev.filter(F.col("event_type") == et).coalesce(1))
+    before = {
+        f: t.manifest()["stats"][f]["event_type"][0]
+        for f in t.manifest()["files"]
+    }
+    target = types[0]
+    cond = f"event_type = '{target}' AND value <= 0.5"
+    m = t.delete_where(spark, cond)
+    assert m is not None and m["op"] == "delete"
+    survivors = set(m["files"])
+    # every non-target file survived untouched, by name
+    for f, et in before.items():
+        if et != target:
+            assert f in survivors, (f, et)
+        else:
+            assert f not in survivors
+    want = ev.filter(
+        ~F.coalesce(
+            (F.col("event_type") == target) & (F.col("value") <= 0.5),
+            F.lit(False),
+        )
+    )
+    got = t.read(spark)
+    assert got.count() == want.count()
+    assert _ids(got) == _ids(want)
+
+
+def test_delete_where_unparseable_predicate_full_rewrite(
+    spark, sf_dir, tmp_path
+):
+    """A predicate the bounds analyzer cannot reduce (function call)
+    degrades to rewriting every file — correct, just unpruned; and a
+    syntactically invalid predicate raises up front, touching nothing."""
+    t = ManifestTable(str(tmp_path / "t"), stats_cols=["event_id"])
+    for lo in (0, 100):
+        t.append(_events(spark, sf_dir, lo, lo + 100).coalesce(1))
+    m = t.delete_where(spark, "pmod(event_id, 2) = 0")
+    assert m is not None
+    want = _events(spark, sf_dir, 0, 200).filter(F.col("event_id") % 2 != 0)
+    assert _ids(t.read(spark)) == _ids(want)
+    v = t.current_version()
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.PySparkException):
+        t.delete_where(spark, "event_id ~~ garbage(")
+    assert t.current_version() == v  # nothing committed
+
+
+def test_delete_where_null_rows_survive(spark, sf_dir, tmp_path):
+    """Rows where the predicate evaluates to NULL are KEPT (delete only
+    what provably matches) — whatever file they sit in."""
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 0.1), (3, "a", None), (4, "b", 0.2)],
+        "event_id long, event_type string, value double",
+    )
+    t.append(df)
+    t.delete_where(spark, "event_type = 'a' AND value <= 2.0")
+    assert _ids(t.read(spark)) == [2, 3, 4]  # NULL-typed + NULL-valued kept
+
+
+def test_delete_where_txn_replay_declined(spark, sf_dir, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_events(spark, sf_dir, 0, 100))
+    assert t.delete_where(spark, "event_id < 10", txn=("job", 1)) is not None
+    v = t.current_version()
+    assert t.delete_where(spark, "event_id < 50", txn=("job", 1)) is None
+    assert t.current_version() == v
+    assert min(_ids(t.read(spark))) == 10  # only the first delete ran

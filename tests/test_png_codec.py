@@ -203,3 +203,126 @@ def test_ihdr_must_be_first_chunk():
     )
     assert png_pixels(shifted) is None
     assert png_decoder(shifted) is None
+
+
+# -- palette (color type 3) --------------------------------------------------
+
+from gmallrealtime02_spark.functions.multimodal import (  # noqa: E402
+    _PALETTE,
+    _luma_601,
+    as_png_palette_media_table,
+    encode_png_palette,
+)
+
+
+def _pal_png(width, height, depth, palette, rows) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
+    plte = b"".join(bytes(rgb) for rgb in palette)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_palette_roundtrip_resolves_plte():
+    """Decoding an indexed PNG must resolve every index through PLTE
+    and luma-convert the entry — the non-identity palette makes
+    index==luma shortcuts fail loudly."""
+    idx = bytes(range(64))
+    b = encode_png_palette(8, 8, idx)
+    w, h, luma = png_pixels(b)
+    assert (w, h) == (8, 8)
+    assert luma == bytes(_luma_601(*_PALETTE[i]) for i in idx)
+    d = png_decoder(b)
+    assert d["mode"] == "P"
+    assert d["sum_luma"] == sum(_luma_601(*_PALETTE[i]) for i in idx)
+
+
+@pytest.mark.parametrize("depth,packed", [
+    (1, [0b10110010]),          # 8 one-bit pixels in one byte
+    (2, [0b00011011, 0b11100100]),  # 8 two-bit pixels in two bytes
+    (4, [0x01, 0x23, 0x45, 0x67]),  # 8 four-bit pixels in four bytes
+])
+def test_palette_sub_byte_depths_unpack_msb_first(depth, packed):
+    pal = [(j * 16 % 256, j * 16 % 256, j * 16 % 256) for j in range(16)]
+    b = _pal_png(8, 1, depth, pal, [b"\x00" + bytes(packed)])
+    got = png_pixels(b)
+    assert got is not None
+    w, h, luma = got
+    assert (w, h) == (8, 1)
+    # recompute expected indices MSB-first
+    bits = "".join(f"{byte:08b}" for byte in packed)
+    idxs = [int(bits[i * depth : (i + 1) * depth], 2) for i in range(8)]
+    assert list(luma) == [_luma_601(*pal[i]) for i in idxs]
+
+
+def test_palette_rejects_corrupt_forms():
+    pal4 = [(j, j, j) for j in range(4)]
+    # out-of-palette index
+    assert png_pixels(_pal_png(2, 1, 8, pal4, [b"\x00\x01\x09"])) is None
+    # missing PLTE entirely
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    no_plte = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
+        + _chunk(b"IEND", b"")
+    )
+    assert png_pixels(no_plte) is None
+    # PLTE length not a multiple of 3
+    ihdr8 = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    bad_plte = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr8)
+        + _chunk(b"PLTE", b"\x01\x02")
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x01"))
+        + _chunk(b"IEND", b"")
+    )
+    assert png_pixels(bad_plte) is None
+    # 16-bit palette depth is not a thing; 3-bit likewise invalid
+    assert png_pixels(_pal_png(2, 1, 8, pal4, [b"\x00\x00"])) is None  # short row
+
+
+def test_palette_filters_decode():
+    """Scanline filters over index bytes (bpp=1) — Sub and Up round-trip
+    through the palette path."""
+    pal = _PALETTE
+    #  row0: filter 1 (Sub): raw deltas; row1: filter 2 (Up): deltas vs row0
+    row0 = b"\x01" + bytes([10, 5, 5, 5])   # -> 10,15,20,25
+    row1 = b"\x02" + bytes([1, 1, 1, 1])    # -> 11,16,21,26
+    b = _pal_png(4, 2, 8, pal, [row0, row1])
+    got = png_pixels(b)
+    assert got is not None
+    _, _, luma = got
+    want_idx = [10, 15, 20, 25, 11, 16, 21, 26]
+    assert list(luma) == [_luma_601(*pal[i]) for i in want_idx]
+
+
+def test_pillow_parity_palette_bit_exact():
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    from gmallrealtime02_spark.functions.multimodal import pillow_decoder
+
+    idx = bytes((i * 37 + 3) % 256 for i in range(64))
+    b = encode_png_palette(8, 8, idx)
+    ours, theirs = png_decoder(b), pillow_decoder(b)
+    assert ours == theirs
+
+
+def test_decode_media_over_palette_table(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = as_png_palette_media_table(docs)
+    out = decode_media(media, decoder=png_decoder).select(
+        "doc_id", "width", "height", "n_pixels", "sum_luma"
+    )
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r.width == 8 and r.height == 8 and r.n_pixels == 64 for r in rows)
+    # cross-check one doc against a local decode
+    first = docs.orderBy("doc_id").first()
+    idx = bytes(min(ord(c), 255) for c in first["text"][:64]).ljust(64, b"\x00")
+    want = sum(_luma_601(*_PALETTE[i]) for i in idx)
+    got = [r.sum_luma for r in rows if r.doc_id == first["doc_id"]]
+    assert got == [want]

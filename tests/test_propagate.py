@@ -167,3 +167,128 @@ def test_full_recompute_is_version_pinned(spark, sf_dir, tmp_path):
     assert _ids(silver.read(spark)) == _ids(
         _clicks_x10(_events(spark, sf_dir, 0, 200))
     )
+
+
+# -- DeltaJoinPropagator: two-source fan-in ---------------------------------
+
+from gmallrealtime02_spark.streaming.propagate import DeltaJoinPropagator
+
+
+def _users(spark, sf_dir, lo, hi):
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("user_id") >= lo) & (F.col("user_id") < hi))
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+
+
+def _join_ev_users(ev, users):
+    return ev.join(users, "user_id").select(
+        "event_id", "user_id", "event_type", "value", "tier"
+    )
+
+
+def test_delta_join_incremental_matches_one_shot(spark, sf_dir, tmp_path):
+    """After both sources advance, run_once joins only the version
+    diffs (mode incremental) and the destination equals the one-shot
+    join of the full sources — no pair twice, none missed."""
+    left = ManifestTable(str(tmp_path / "ev"))
+    right = ManifestTable(str(tmp_path / "users"))
+    dest = ManifestTable(str(tmp_path / "joined"))
+    p = DeltaJoinPropagator(left, right, dest, combine=_join_ev_users)
+    assert p.run_once(spark)["mode"] == "noop"  # both sources empty
+    left.append(_events(spark, sf_dir, 0, 400))
+    assert p.run_once(spark)["mode"] == "noop"  # right still empty
+    right.append(_users(spark, sf_dir, 0, 80))
+    assert p.run_once(spark)["mode"] == "full"  # initial materialization
+    left.append(_events(spark, sf_dir, 400, 900))
+    right.append(_users(spark, sf_dir, 80, 160))
+    r = p.run_once(spark)
+    assert r["mode"] == "incremental"
+    want = _join_ev_users(
+        _events(spark, sf_dir, 0, 900), _users(spark, sf_dir, 0, 160)
+    )
+    assert _ids(dest.read(spark)) == _ids(want)
+    assert dest.read(spark).count() == want.count()
+    # replay: watermarks already recorded -> declined
+    assert p.run_once(spark)["mode"] == "noop"
+
+
+def test_delta_join_single_side_advance(spark, sf_dir, tmp_path):
+    """Only one source advanced: the other's delta is the empty range;
+    still incremental, still exact."""
+    left = ManifestTable(str(tmp_path / "ev"))
+    right = ManifestTable(str(tmp_path / "users"))
+    dest = ManifestTable(str(tmp_path / "joined"))
+    p = DeltaJoinPropagator(left, right, dest, combine=_join_ev_users)
+    left.append(_events(spark, sf_dir, 0, 300))
+    right.append(_users(spark, sf_dir, 0, 200))
+    p.run_once(spark)
+    left.append(_events(spark, sf_dir, 300, 600))
+    r = p.run_once(spark)
+    assert r["mode"] == "incremental"
+    want = _join_ev_users(
+        _events(spark, sf_dir, 0, 600), _users(spark, sf_dir, 0, 200)
+    )
+    assert _ids(dest.read(spark)) == _ids(want)
+
+
+def test_delta_join_full_fallback_on_non_append(spark, sf_dir, tmp_path):
+    """A compact (or delete) in either source's range breaks the
+    version-diff premise — run_once must fall back to a full recompute
+    (replace), never silently double-count."""
+    left = ManifestTable(str(tmp_path / "ev"))
+    right = ManifestTable(str(tmp_path / "users"))
+    dest = ManifestTable(str(tmp_path / "joined"))
+    p = DeltaJoinPropagator(left, right, dest, combine=_join_ev_users)
+    left.append(_events(spark, sf_dir, 0, 200))
+    left.append(_events(spark, sf_dir, 200, 400))
+    right.append(_users(spark, sf_dir, 0, 150))
+    p.run_once(spark)
+    left.append(_events(spark, sf_dir, 400, 500))
+    left.compact(spark, target_bytes=1 << 30)  # non-append in range
+    r = p.run_once(spark)
+    assert r["mode"] == "full"
+    want = _join_ev_users(
+        _events(spark, sf_dir, 0, 500), _users(spark, sf_dir, 0, 150)
+    )
+    assert _ids(dest.read(spark)) == _ids(want)
+    assert p.run_once(spark)["mode"] == "noop"
+
+
+def test_delta_join_vacuumed_time_travel_falls_back(spark, sf_dir, tmp_path):
+    """The incremental path time-travels to 'old A'; if vacuum dropped
+    that version's manifest, read_appended returns None and the run
+    falls back to full — honest, never an error."""
+    left = ManifestTable(str(tmp_path / "ev"))
+    right = ManifestTable(str(tmp_path / "users"))
+    dest = ManifestTable(str(tmp_path / "joined"))
+    p = DeltaJoinPropagator(left, right, dest, combine=_join_ev_users)
+    left.append(_events(spark, sf_dir, 0, 200))
+    right.append(_users(spark, sf_dir, 0, 150))
+    p.run_once(spark)
+    left.append(_events(spark, sf_dir, 200, 300))
+    left.append(_events(spark, sf_dir, 300, 400))
+    left.vacuum(keep_versions=1, retention_seconds=0)  # history gone
+    r = p.run_once(spark)
+    assert r["mode"] == "full"
+    want = _join_ev_users(
+        _events(spark, sf_dir, 0, 400), _users(spark, sf_dir, 0, 150)
+    )
+    assert _ids(dest.read(spark)) == _ids(want)
+
+
+def test_multi_txn_pair_atomic_watermarks(spark, sf_dir, tmp_path):
+    """The txn pair-list: both watermarks land in ONE commit; a replay
+    with every pair at-or-below declines; a partial advance commits."""
+    t = ManifestTable(str(tmp_path / "t"))
+    df = _events(spark, sf_dir, 0, 50)
+    assert t.append(df, txn=[("a", 1), ("b", 2)]) is not None
+    assert t.manifest()["txn"] == {"a": 1, "b": 2}
+    # full replay: declined
+    assert t.append(df, txn=[("a", 1), ("b", 2)]) is None
+    # partial advance: commits, re-records the max per app
+    assert t.append(df, txn=[("a", 2), ("b", 2)]) is not None
+    assert t.manifest()["txn"] == {"a": 2, "b": 2}

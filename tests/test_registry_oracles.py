@@ -55,11 +55,11 @@ def test_entry_smoke(spark):
 def test_driver_window_curation():
     """The driver checks a fixed-size PREFIX of queries() (observed: first
     50).  The window ROTATES across rounds so every oracled query earns a
-    driver-verified row (registry.py rotation ledger).  Round-8 window
-    invariants: the 11 round-8 additions LEAD (first driver exposure),
+    driver-verified row (registry.py rotation ledger).  Round-9 window
+    invariants: the 3 round-9 additions LEAD (first driver exposure),
     EVERY slot carries a full value-hash oracle (the rows-only-by-nature
     ops are excluded from the window for good), every oracled query that
-    has never been driver-green holds a slot, and the remaining 39 slots
+    has never been driver-green holds a slot, and the remaining 47 slots
     are staleness rotation ordered stalest-evidence-first: each slot's
     last green row is no newer than any later slot's (computed from the
     CORRECTNESS files, so the invariant is checked against the actual
@@ -70,13 +70,13 @@ def test_driver_window_curation():
     here = os.path.dirname(__file__)
     qs = load_all()
     window = list(qs)[:50]
-    assert window[:11] == list(_ROUND8_ADDITIONS), window[:11]
+    assert window[:3] == list(_ROUND9_ADDITIONS), window[:3]
     # every window slot is hash-gradable
     rows_only = {n for n in window if qs[n].oracle is None}
     assert not rows_only, rows_only
     # every never-driver-green oracled row holds a slot
     last_green: dict[str, int] = {}
-    for r in range(1, 8):
+    for r in range(1, 9):
         d = json.load(
             open(os.path.join(here, "..", f"CORRECTNESS_r0{r}.json"))
         )
@@ -86,9 +86,9 @@ def test_driver_window_curation():
     never_green = {
         n for n in qs if n not in last_green and qs[n].oracle is not None
     }
-    assert never_green <= set(window[:11]), never_green - set(window[:11])
+    assert never_green <= set(window[:3]), never_green - set(window[:3])
     # rotation slots: only already-green rows, stalest first
-    rotation = window[11:]
+    rotation = window[3:]
     assert all(n in last_green for n in rotation)
     rounds = [last_green[n] for n in rotation]
     assert rounds == sorted(rounds), "rotation not stalest-first"
@@ -104,18 +104,10 @@ def test_driver_window_curation():
         )
 
 
-_ROUND8_ADDITIONS = (
-    "order_wide_manifest",
-    "manifest_prune_scan",
-    "manifest_schema_evolution",
-    "manifest_retention_delete",
-    "manifest_time_travel",
-    "manifest_zorder_prune",
-    "manifest_cdc_pipeline",
-    "manifest_point_lookup",
-    "media_png_decode",
-    "dedup_lsh_edit_verify",
-    "vocab_growth",
+_ROUND9_ADDITIONS = (
+    "manifest_predicate_delete",
+    "order_wide_incremental",
+    "media_png_palette",
 )
 
 
