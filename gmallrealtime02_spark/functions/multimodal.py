@@ -5,8 +5,9 @@ struct.  The Spark-side machinery — schema, partition-preserving
 ``mapInPandas`` with Arrow batches, deterministic feature extraction — is
 real and tested, and so is the decode path for self-contained formats:
 ``decode_media`` uses in-repo pure-Python codecs (``bmp_decoder`` for
-uncompressed 24-bit BMP, ``png_decoder`` for non-interlaced 8-bit
-PNG via stdlib zlib) by default, upgrading to Pillow when it is
+uncompressed 24-bit BMP, ``png_decoder`` for 8-bit gray/truecolor and
+1/2/4/8-bit palette PNG, plain or Adam7-interlaced, via stdlib zlib)
+by default, upgrading to Pillow when it is
 importable (bit-parity between the two is pinned in tests).  Payloads
 in formats no available codec handles decode to NULL rows — a data
 outcome, never a task failure.
@@ -301,20 +302,36 @@ def _luma_601(rr: int, gg: int, bb: int) -> int:
     return (rr * 19595 + gg * 38470 + bb * 7471 + 0x8000) >> 16
 
 
+#: Adam7 interlace passes: (x0, y0, dx, dy) — pass p covers the full-
+#: image pixels at (x0 + i*dx, y0 + j*dy), stored in the IDAT stream as
+#: seven independently-filtered reduced images in this order.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
-    """Parse a non-interlaced 8-bit grayscale (color type 0), truecolor
-    (color type 2), or PALETTE (color type 3, bit depth 1/2/4/8 — the
-    indexed form common in real web-scraped corpora) PNG into (width,
-    height, luma bytes row-major) — a REAL decoder for a REAL
-    compressed format with zero dependencies: chunk walk with length
-    checks, zlib inflate of the concatenated IDAT stream, all five
-    scanline filters (None/Sub/Up/Average/Paeth) undone per the spec,
-    PLTE indirection (sub-byte indices unpacked MSB-first), and
-    truecolor/palette RGB converted to luma with the same ITU-R 601-2
-    integer formula as the BMP path, so Pillow (where it ships) agrees
-    bit-for-bit.  Returns None for anything else — interlaced, 16-bit,
-    gray-alpha/RGBA, truncated, out-of-palette indices, or corrupt
-    payloads pass through as null rows, never a task failure."""
+    """Parse a non-interlaced OR Adam7-interlaced 8-bit grayscale
+    (color type 0), truecolor (color type 2), or PALETTE (color type 3,
+    bit depth 1/2/4/8 — the indexed form common in real web-scraped
+    corpora) PNG into (width, height, luma bytes row-major) — a REAL
+    decoder for a REAL compressed format with zero dependencies: chunk
+    walk with length checks, zlib inflate of the concatenated IDAT
+    stream, all five scanline filters (None/Sub/Up/Average/Paeth)
+    undone per the spec (per reduced image for Adam7 — each of the
+    seven passes filters independently), PLTE indirection (sub-byte
+    indices unpacked MSB-first), and truecolor/palette RGB converted to
+    luma with the same ITU-R 601-2 integer formula as the BMP path, so
+    Pillow (where it ships) agrees bit-for-bit.  Returns None for
+    anything else — 16-bit, gray-alpha/RGBA, truncated, out-of-palette
+    indices, or corrupt payloads pass through as null rows, never a
+    task failure."""
     import struct
     import zlib
 
@@ -322,7 +339,7 @@ def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     pos = 8
-    width = height = ctype = depth = None
+    width = height = ctype = depth = inter = None
     idat = bytearray()
     plte = None
     first_chunk = True
@@ -353,7 +370,7 @@ def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
                     or ctype not in (0, 2, 3)
                     or comp != 0
                     or filt != 0
-                    or inter != 0
+                    or inter not in (0, 1)
                 ):
                     return None
             elif tag == b"PLTE":
@@ -372,70 +389,120 @@ def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     except (struct.error, zlib.error):
         return None
     # bytes per pixel for filter offsets (sub-byte depths filter
-    # byte-wise with bpp=1 per the spec) and the filtered row stride
+    # byte-wise with bpp=1 per the spec); row stride depends on width
     bpp = 3 if ctype == 2 else 1
-    stride = (width * depth + 7) // 8 if ctype == 3 else width * bpp
-    if len(raw) != (stride + 1) * height:
-        return None
-    prev = bytearray(stride)
-    planes = bytearray()
-    pos = 0
-    for _y in range(height):
-        ftype = raw[pos]
-        row = bytearray(raw[pos + 1 : pos + 1 + stride])
-        pos += 1 + stride
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                row[i] = (row[i] + row[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                c = prev[i - bpp] if i >= bpp else 0
-                up = prev[i]
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
-                row[i] = (row[i] + pred) & 0xFF
-        elif ftype != 0:
-            return None  # invalid filter type
-        planes += row
-        prev = row
+
+    def row_stride(w: int) -> int:
+        return (w * depth + 7) // 8 if ctype == 3 else w * bpp
+
+    def defilter(pos: int, w: int, h: int):
+        """Undo the five scanline filters over one (sub-)image of
+        ``h`` rows of ``row_stride(w)`` bytes starting at ``pos`` in
+        the inflated stream; returns (rows, next_pos) or None."""
+        stride = row_stride(w)
+        prev = bytearray(stride)
+        rows = []
+        for _y in range(h):
+            if pos >= len(raw) or len(raw) - pos - 1 < stride:
+                return None  # short stream
+            ftype = raw[pos]
+            row = bytearray(raw[pos + 1 : pos + 1 + stride])
+            pos += 1 + stride
+            if ftype == 1:  # Sub
+                for i in range(bpp, stride):
+                    row[i] = (row[i] + row[i - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    row[i] = (row[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    a = row[i - bpp] if i >= bpp else 0
+                    row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    a = row[i - bpp] if i >= bpp else 0
+                    c = prev[i - bpp] if i >= bpp else 0
+                    up = prev[i]
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                    )
+                    row[i] = (row[i] + pred) & 0xFF
+            elif ftype != 0:
+                return None  # invalid filter type
+            rows.append(row)
+            prev = row
+        return rows, pos
+
+    ppb = 8 // depth  # pixels per byte (1 for depth 8)
+    mask = (1 << depth) - 1
+
+    def unpack_indices(row: bytearray, w: int) -> list[int]:
+        return [
+            (row[x // ppb] >> (8 - depth * (x % ppb + 1))) & mask
+            for x in range(w)
+        ]
+
+    # decode into a full-size sample plane (indices for ctype 3,
+    # luma bytes for 0, interleaved RGB for 2)
+    plane = bytearray(width * height * bpp)
+    if inter == 0:
+        got = defilter(0, width, height)
+        if got is None or got[1] != len(raw):
+            return None
+        rows, _ = got
+        if ctype == 3:
+            for y, row in enumerate(rows):
+                plane[y * width : (y + 1) * width] = bytes(
+                    unpack_indices(row, width)
+                )
+        else:
+            for y, row in enumerate(rows):
+                plane[y * width * bpp : (y + 1) * width * bpp] = row
+    else:  # Adam7: seven independently-filtered reduced images
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # empty pass: contributes no rows at all
+            got = defilter(pos, wp, hp)
+            if got is None:
+                return None
+            rows, pos = got
+            for yp, row in enumerate(rows):
+                samples = (
+                    unpack_indices(row, wp) if ctype == 3 else row
+                )
+                y = y0 + yp * dy
+                for xp in range(wp):
+                    x = x0 + xp * dx
+                    if ctype == 2:
+                        base = (y * width + x) * 3
+                        plane[base : base + 3] = row[3 * xp : 3 * xp + 3]
+                    else:
+                        plane[y * width + x] = samples[xp]
+        if pos != len(raw):
+            return None
     if ctype == 0:
-        return width, height, bytes(planes)
+        return width, height, bytes(plane)
     if ctype == 2:
         luma = bytearray(width * height)
         for j in range(width * height):
             luma[j] = _luma_601(
-                planes[3 * j], planes[3 * j + 1], planes[3 * j + 2]
+                plane[3 * j], plane[3 * j + 1], plane[3 * j + 2]
             )
         return width, height, bytes(luma)
-    # ctype 3: unpack indices (MSB-first within each byte, rows padded
-    # to a byte boundary), then resolve through the palette
+    # ctype 3: resolve indices through the palette
     n_entries = len(plte) // 3
     pal_luma = bytes(
         _luma_601(plte[3 * j], plte[3 * j + 1], plte[3 * j + 2])
         for j in range(n_entries)
     )
-    luma = bytearray(width * height)
-    ppb = 8 // depth  # pixels per byte
-    mask = (1 << depth) - 1
-    for y in range(height):
-        base = y * stride
-        for x in range(width):
-            byte = planes[base + x // ppb]
-            shift = 8 - depth * (x % ppb + 1)
-            idx = (byte >> shift) & mask
-            if idx >= n_entries:
-                return None  # out-of-palette index: corrupt
-            luma[y * width + x] = pal_luma[idx]
-    return width, height, bytes(luma)
+    if max(plane) >= n_entries:
+        return None  # out-of-palette index: corrupt
+    return width, height, bytes(pal_luma[i] for i in plane)
 
 
 def png_decoder(b: bytes) -> dict | None:
@@ -684,6 +751,81 @@ def encode_png_palette(
         + chunk(b"PLTE", plte)
         + chunk(b"IDAT", zlib.compress(raw, 9))
         + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_adam7(width: int, height: int, luma: bytes) -> bytes:
+    """Build an Adam7-INTERLACED 8-bit grayscale PNG (filter 0 per
+    reduced-image row, stdlib zlib): the seven passes are emitted in
+    spec order, each holding the full-image pixels at (x0+i·dx,
+    y0+j·dy).  Interlacing is a lossless pixel PERMUTATION, so the
+    same analytic codepoint oracle predicts every decoded statistic —
+    the round-trip proves the deinterlace scatter, not just headers."""
+    import struct
+    import zlib
+
+    if len(luma) != width * height:
+        raise ValueError("luma must hold width*height bytes")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue  # empty pass emits no rows at all
+        for yp in range(hp):
+            y = y0 + yp * dy
+            raw.append(0)  # filter: None
+            raw.extend(luma[y * width + x0 + xp * dx] for xp in range(wp))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def as_png_interlaced_media_table(
+    docs: DataFrame,
+    width: int = BMP_W,
+    height: int = BMP_H,
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`as_png_media_table`'s Adam7 twin: the same clamped/
+    zero-padded codepoint pixels, stored INTERLACED — decoding must
+    defilter seven independent reduced images and scatter each pass
+    back to its (x0+i·dx, y0+j·dy) positions; the permutation is
+    lossless, so the analytic oracle is unchanged."""
+    n = width * height
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                luma = bytes(min(ord(c), 255) for c in t[:n]).ljust(n, b"\x00")
+                payloads.append(encode_png_adam7(width, height, luma))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": payloads,
+                    "media_type": "image/png",
+                    "n_bytes": pd.Series(
+                        [len(p) for p in payloads], dtype="int64"
+                    ),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        op, schema=MEDIA_SCHEMA
     )
 
 

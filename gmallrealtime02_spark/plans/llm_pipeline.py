@@ -25,6 +25,7 @@ from ..functions.multimodal import (
     as_bmp_media_table,
     as_media_table,
     as_png_media_table,
+    as_png_interlaced_media_table,
     as_png_palette_media_table,
     bmp_decoder,
     decode_media,
@@ -5306,6 +5307,42 @@ def media_png_palette(spark, sf_dir):
     bit depths (1/2/4) and out-of-palette-index rejection are
     pytest-pinned (``tests/test_png_codec.py``)."""
     media = as_png_palette_media_table(load_table(spark, sf_dir, "documents"))
+    return decode_media(media, decoder=png_decoder).select(
+        "doc_id", "width", "height", "n_pixels", "sum_luma"
+    )
+
+
+@register(
+    "media_png_interlaced",
+    oracle=f"""
+    SELECT doc_id, {BMP_W} AS width, {BMP_H} AS height,
+           CAST({BMP_W * BMP_H} AS BIGINT) AS n_pixels,
+           CAST(coalesce(list_sum(list_transform(
+                list_slice({_BMP_CP}, 1, {BMP_W * BMP_H}),
+                c -> least(c, 255))), 0) AS BIGINT) AS sum_luma
+    FROM documents
+    """,
+    tags=("multimodal", "decode", "png", "interlaced"),
+)
+def media_png_interlaced(spark, sf_dir):
+    """Adam7-INTERLACED PNG decode, hash-oracled in-sandbox: the same
+    codepoint pixels as ``media_png_decode`` but stored as seven
+    independently-filtered reduced images (``as_png_interlaced_media_
+    table``); the decoder must defilter each pass and scatter it back
+    to its (x0+i·dx, y0+j·dy) grid — a wrong pass table double-writes
+    some pixels and never writes others, which the analytic oracle
+    catches exactly (interlacing is a lossless permutation, so the
+    expected statistics are unchanged from the plain twin).  Interlaced
+    PNGs are the second indexed-web-corpus form the round-8 review
+    listed as undecodable.
+
+    Scale shape: identical to the other codec paths — one zero-exchange
+    Arrow scan, only small typed feature columns continue.  Exactly-
+    once pass coverage and truncated-stream rejection are pytest-pinned
+    (``tests/test_png_codec.py``)."""
+    media = as_png_interlaced_media_table(
+        load_table(spark, sf_dir, "documents")
+    )
     return decode_media(media, decoder=png_decoder).select(
         "doc_id", "width", "height", "n_pixels", "sum_luma"
     )

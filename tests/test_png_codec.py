@@ -326,3 +326,99 @@ def test_decode_media_over_palette_table(spark, sf_dir):
     want = sum(_luma_601(*_PALETTE[i]) for i in idx)
     got = [r.sum_luma for r in rows if r.doc_id == first["doc_id"]]
     assert got == [want]
+
+
+# -- Adam7 interlace ----------------------------------------------------------
+
+from gmallrealtime02_spark.functions.multimodal import (  # noqa: E402
+    _ADAM7,
+    as_png_interlaced_media_table,
+    encode_png_adam7,
+)
+
+
+def test_adam7_roundtrip_across_shapes():
+    """Interlaced encode→decode is the identity for widths/heights that
+    leave some passes EMPTY (w or h < 5) and ones that don't — empty
+    passes contribute no rows at all per the spec."""
+    from random import Random
+
+    rng = Random(7)
+    for (w, h) in [(8, 8), (1, 1), (2, 3), (5, 1), (1, 9), (16, 4), (9, 5)]:
+        luma = bytes(rng.randrange(256) for _ in range(w * h))
+        assert png_pixels(encode_png_adam7(w, h, luma)) == (w, h, luma), (w, h)
+
+
+def test_adam7_pass_table_covers_each_pixel_exactly_once():
+    """The spec pass table partitions the pixel grid — a wrong origin
+    or step double-writes some pixels and never writes others."""
+    for w, h in [(8, 8), (7, 5), (16, 16), (3, 3)]:
+        seen = set()
+        for x0, y0, dx, dy in _ADAM7:
+            for y in range(y0, h, dy):
+                for x in range(x0, w, dx):
+                    assert (x, y) not in seen, (x, y)
+                    seen.add((x, y))
+        assert len(seen) == w * h
+
+
+def test_adam7_interlaced_palette_decodes():
+    """Interlace composes with PLTE indirection: each pass's indices
+    resolve through the palette after the scatter."""
+    from gmallrealtime02_spark.functions.multimodal import _PALETTE, _luma_601
+
+    idx = bytes(range(16))
+    w = h = 4
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        for yp in range(hp):
+            y = y0 + yp * dy
+            raw.append(0)
+            raw.extend(idx[y * w + x0 + xp * dx] for xp in range(wp))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 1)
+    plte = b"".join(bytes(rgb) for rgb in _PALETTE)
+    b = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    want = bytes(_luma_601(*_PALETTE[i]) for i in idx)
+    assert png_pixels(b) == (w, h, want)
+
+
+def test_adam7_truncated_stream_rejected():
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1)
+    short = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x01"))
+        + _chunk(b"IEND", b"")
+    )
+    assert png_pixels(short) is None
+
+
+def test_pillow_parity_adam7_bit_exact():
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    from gmallrealtime02_spark.functions.multimodal import pillow_decoder
+
+    luma = bytes((i * 29 + 11) % 256 for i in range(64))
+    b = encode_png_adam7(8, 8, luma)
+    assert png_decoder(b) == pillow_decoder(b)
+
+
+def test_decode_media_over_interlaced_table(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    plain = decode_media(as_png_media_table(docs), decoder=png_decoder)
+    inter = decode_media(
+        as_png_interlaced_media_table(docs), decoder=png_decoder
+    )
+    cols = ["doc_id", "width", "height", "n_pixels", "sum_luma", "pixel_digest"]
+    a = sorted(map(tuple, plain.select(cols).collect()))
+    b = sorted(map(tuple, inter.select(cols).collect()))
+    assert a == b  # interlacing is a lossless permutation
