@@ -995,3 +995,52 @@ def order_wide_incremental(spark, sf_dir):
         return _materialized(spark, silver.read(spark))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "manifest_restore",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id < (SELECT (MAX(event_id) + 1) // 2 FROM events)
+    """,
+    tags=("table-service", "manifest", "restore", "time-travel"),
+)
+def manifest_restore(spark, sf_dir):
+    """RESTORE (rollback-as-new-commit), hash-proven: the first half of
+    events lands, then a CORRUPTED second half (every value -1), then
+    ``restore(1)`` must (a) publish a METADATA-ONLY commit — zero data
+    files added, enforced from the delta manifest, the scale property
+    that makes un-doing a bad 10 TB batch instant — and (b) leave
+    exactly the pre-corruption content, while the undone version still
+    time-travels.  The Delta RESTORE / Iceberg rollback primitive
+    (``streaming/manifest.py:restore``)."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from ..streaming.manifest import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    mx = int(ev.agg(F.max("event_id")).first()[0])
+    half = (mx + 1) // 2
+    root = tempfile.mkdtemp(prefix="manifest_restore_")
+    try:
+        t = ManifestTable(root)
+        t.append(ev.filter(F.col("event_id") < half))
+        t.append(
+            ev.filter(F.col("event_id") >= half).withColumn(
+                "value", F.lit(-1.0)
+            )
+        )
+        m = t.restore(1)
+        with open(t._manifest_path(m["version"])) as fh:
+            if _json.load(fh)["add"]:
+                raise RuntimeError("restore wrote data files (not metadata-only)")
+        if t.read(spark, version=2).filter(F.col("value") == -1.0).isEmpty():
+            raise RuntimeError("undone version lost to the restore")
+        return _materialized(spark, t.read(spark))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1272,6 +1272,46 @@ class ManifestTable:
             f"delete lost {max_restarts} commit races under {self.root}"
         )
 
+    def restore(self, version: int) -> dict:
+        """RESTORE the table to an earlier retained version's content —
+        the Delta RESTORE / Iceberg rollback primitive (un-do a bad
+        batch without surgery).  Published as a NEW commit that simply
+        RE-REFERENCES the target version's immutable files: zero data
+        I/O, one metadata object, history never rewritten (time-travel
+        readers keep every version, including the ones being undone).
+        The target's files are guaranteed present because vacuum keeps
+        every file referenced by any retained manifest.
+
+        Records as ``op: restore`` (non-append), so incremental
+        consumers take their documented full-recompute fallback rather
+        than mis-reading the rollback as new data.  Sink txn watermarks
+        are CARRIED (restoring content must not make a replayed
+        micro-batch look new — the content it wrote is gone, but
+        re-landing it is the upstream's decision via a fresh batch, not
+        an idempotence hole)."""
+        target = self.manifest(version)  # raises if vacuumed away
+        target_files = list(target["files"])
+        target_stats = {
+            f: st
+            for f, st in target.get("stats", {}).items()
+            if f in set(target_files)
+        }
+
+        def mk(base: dict) -> dict:
+            m = {
+                "files": target_files,
+                "op": "restore",
+                "stats": target_stats,
+                "restored_from": version,
+            }
+            if target.get("schema") is not None:
+                m["schema"] = target["schema"]  # content implies shape
+            if base.get("txn"):
+                m["txn"] = base["txn"]  # never resets sink idempotence
+            return m
+
+        return self._commit(mk)
+
     def compact(
         self,
         spark: SparkSession,

@@ -1104,3 +1104,32 @@ def test_delete_where_txn_replay_declined(spark, sf_dir, tmp_path):
     assert t.delete_where(spark, "event_id < 50", txn=("job", 1)) is None
     assert t.current_version() == v
     assert min(_ids(t.read(spark))) == 10  # only the first delete ran
+
+
+def test_restore_is_metadata_only_rollback(spark, sf_dir, tmp_path):
+    """RESTORE re-references the target version's immutable files as a
+    new commit: zero data files added, history intact (the undone
+    version still time-travels), txn watermarks carried, and CDC
+    consumers see a non-append op."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_events(spark, sf_dir, 0, 100), txn=("job", 1))
+    bad = _events(spark, sf_dir, 100, 200).withColumn(
+        "value", F.lit(-1.0)
+    )
+    t.append(bad, txn=("job", 2))
+    m = t.restore(1)
+    assert m["op"] == "restore" and m["restored_from"] == 1
+    assert set(m["files"]) == set(t.manifest(1)["files"])  # re-referenced
+    with open(t._manifest_path(m["version"])) as fh:
+        delta = json.load(fh)
+    assert delta["add"] == []  # zero data I/O: metadata-only commit
+    assert _ids(t.read(spark)) == _ids(_events(spark, sf_dir, 0, 100))
+    # the undone version still time-travels
+    assert t.read(spark, version=2).filter(F.col("value") == -1.0).count() > 0
+    # sink idempotence carried: batch 2 replay still declines
+    assert t.append(bad, txn=("job", 2)) is None
+    # CDC: non-append in range -> honest fallback
+    assert t.read_appended(spark, since=1) is None
+    # and the table keeps working after the rollback
+    t.append(_events(spark, sf_dir, 100, 200), txn=("job", 3))
+    assert _ids(t.read(spark)) == _ids(_events(spark, sf_dir, 0, 200))
