@@ -709,7 +709,6 @@ def as_png_media_table(
 #: Non-identity so the oracle proves the PLTE INDIRECTION, not just
 #: that index == luma; closed-form so DuckDB recomputes the expected
 #: luma analytically.
-PALETTE_R = "(3 * j + 7) % 256"  # documented for the oracle SQL
 _PALETTE = [
     ((3 * j + 7) % 256, (5 * j + 11) % 256, (7 * j + 13) % 256)
     for j in range(256)

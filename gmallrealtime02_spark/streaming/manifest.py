@@ -127,11 +127,6 @@ def _bloom_canon(v) -> str:
     return str(v if canon is None else canon)
 
 
-#: state keys a delta stores VERBATIM (small, replaced per commit) —
-#: everything else in a resolved state derives from add/remove replay.
-_DELTA_VERBATIM = ("version", "parent", "op", "schema", "txn", "config")
-
-
 def _apply_delta(state: dict, delta: dict) -> dict:
     """Next resolved state from the previous one plus a delta manifest:
     survivors keep their order and their stats; added files append with
