@@ -318,9 +318,9 @@ _ADAM7 = (
 
 def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     """Parse a non-interlaced OR Adam7-interlaced 8-bit grayscale
-    (color type 0), truecolor (color type 2), or PALETTE (color type 3,
-    bit depth 1/2/4/8 — the indexed form common in real web-scraped
-    corpora) PNG into (width, height, luma bytes row-major) — a REAL
+    (color type 0), truecolor (2), PALETTE (3, bit depth 1/2/4/8 — the
+    indexed form common in real web-scraped corpora), gray+alpha (4),
+    or RGBA (6) PNG into (width, height, luma bytes row-major) — a REAL
     decoder for a REAL compressed format with zero dependencies: chunk
     walk with length checks, zlib inflate of the concatenated IDAT
     stream, all five scanline filters (None/Sub/Up/Average/Paeth)
@@ -367,7 +367,7 @@ def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
                 )
                 if (
                     not ok_depth
-                    or ctype not in (0, 2, 3)
+                    or ctype not in (0, 2, 3, 4, 6)
                     or comp != 0
                     or filt != 0
                     or inter not in (0, 1)
@@ -390,7 +390,9 @@ def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         return None
     # bytes per pixel for filter offsets (sub-byte depths filter
     # byte-wise with bpp=1 per the spec); row stride depends on width
-    bpp = 3 if ctype == 2 else 1
+    # samples per pixel: gray 1, gray+alpha 2, RGB 3, RGBA 4,
+    # palette 1 (index byte)
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
 
     def row_stride(w: int) -> int:
         return (w * depth + 7) // 8 if ctype == 3 else w * bpp
@@ -478,20 +480,25 @@ def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
                 y = y0 + yp * dy
                 for xp in range(wp):
                     x = x0 + xp * dx
-                    if ctype == 2:
-                        base = (y * width + x) * 3
-                        plane[base : base + 3] = row[3 * xp : 3 * xp + 3]
+                    if bpp > 1:
+                        base = (y * width + x) * bpp
+                        plane[base : base + bpp] = row[
+                            bpp * xp : bpp * (xp + 1)
+                        ]
                     else:
                         plane[y * width + x] = samples[xp]
         if pos != len(raw):
             return None
     if ctype == 0:
         return width, height, bytes(plane)
-    if ctype == 2:
+    if ctype == 4:  # gray + alpha: luma IS the gray sample (alpha
+        # dropped — Pillow's LA->L does the same, no compositing)
+        return width, height, bytes(plane[0::2])
+    if ctype in (2, 6):
         luma = bytearray(width * height)
         for j in range(width * height):
             luma[j] = _luma_601(
-                plane[3 * j], plane[3 * j + 1], plane[3 * j + 2]
+                plane[bpp * j], plane[bpp * j + 1], plane[bpp * j + 2]
             )
         return width, height, bytes(luma)
     # ctype 3: resolve indices through the palette
@@ -506,9 +513,9 @@ def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
 
 
 def png_decoder(b: bytes) -> dict | None:
-    """Pure-Python decode of non-interlaced PNGs → the same grayscale
-    feature dict as :func:`pillow_decoder` (mode "L" for grayscale,
-    "RGB" for truecolor, "P" for palette — what Pillow reports)."""
+    """Pure-Python decode of PNGs → the same grayscale feature dict
+    as :func:`pillow_decoder` (mode "L"/"LA"/"RGB"/"RGBA"/"P" — what
+    Pillow reports)."""
     b = bytes(b)
     parsed = png_pixels(b)
     if parsed is None:
@@ -516,7 +523,7 @@ def png_decoder(b: bytes) -> dict | None:
     width, height, px = parsed
     n = len(px)
     # IHDR color type sits at fixed offset 25 (validated above)
-    mode = {0: "L", 2: "RGB", 3: "P"}[b[25]]
+    mode = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}[b[25]]
     return {
         "width": width,
         "height": height,
@@ -812,6 +819,77 @@ def as_png_interlaced_media_table(
             for t in pdf[text_col]:
                 luma = bytes(min(ord(c), 255) for c in t[:n]).ljust(n, b"\x00")
                 payloads.append(encode_png_adam7(width, height, luma))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": payloads,
+                    "media_type": "image/png",
+                    "n_bytes": pd.Series(
+                        [len(p) for p in payloads], dtype="int64"
+                    ),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        op, schema=MEDIA_SCHEMA
+    )
+
+
+def encode_png_rgba(width: int, height: int, values: bytes) -> bytes:
+    """Build an 8-bit RGBA (color type 6) non-interlaced PNG where
+    pixel value v carries RGB((3v+7)%256, (5v+11)%256, (7v+13)%256) —
+    the same non-identity mapping as :data:`_PALETTE` — and a VARYING
+    alpha ((11v+29)%256), so a decoder that composites or mis-strides
+    the alpha channel fails the analytic oracle (correct behavior:
+    alpha dropped, exactly Pillow's RGBA→L)."""
+    import struct
+    import zlib
+
+    if len(values) != width * height:
+        raise ValueError("values must hold width*height bytes")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    rows = bytearray()
+    for y in range(height):
+        rows.append(0)  # filter: None
+        for v in values[y * width : (y + 1) * width]:
+            r, g, b = _PALETTE[v]
+            rows += bytes((r, g, b, (11 * v + 29) % 256))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(rows), 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def as_png_rgba_media_table(
+    docs: DataFrame,
+    width: int = BMP_W,
+    height: int = BMP_H,
+    text_col: str = "text",
+) -> DataFrame:
+    """RGBA twin of :func:`as_png_palette_media_table`: the same
+    clamped/zero-padded codepoints drive the same value→RGB mapping,
+    stored as explicit 4-channel pixels with varying alpha — so the
+    palette query's oracle arithmetic predicts this decode too, and
+    any alpha mishandling breaks the hash."""
+    n = width * height
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                vals = bytes(min(ord(c), 255) for c in t[:n]).ljust(n, b"\x00")
+                payloads.append(encode_png_rgba(width, height, vals))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -27,6 +27,7 @@ from ..functions.multimodal import (
     as_png_media_table,
     as_png_interlaced_media_table,
     as_png_palette_media_table,
+    as_png_rgba_media_table,
     bmp_decoder,
     decode_media,
     png_decoder,
@@ -5343,6 +5344,38 @@ def media_png_interlaced(spark, sf_dir):
     media = as_png_interlaced_media_table(
         load_table(spark, sf_dir, "documents")
     )
+    return decode_media(media, decoder=png_decoder).select(
+        "doc_id", "width", "height", "n_pixels", "sum_luma"
+    )
+
+
+@register(
+    "media_png_rgba",
+    oracle=f"""
+    SELECT doc_id, {BMP_W} AS width, {BMP_H} AS height,
+           CAST({BMP_W * BMP_H} AS BIGINT) AS n_pixels,
+           CAST(coalesce(list_sum(list_transform(
+                generate_series(1, {BMP_W * BMP_H}),
+                i -> {_PAL_LUMA})), 0) AS BIGINT) AS sum_luma
+    FROM (SELECT doc_id, {_BMP_CP} AS cp FROM documents)
+    """,
+    tags=("multimodal", "decode", "png", "rgba", "alpha"),
+)
+def media_png_rgba(spark, sf_dir):
+    """RGBA (color type 6) PNG decode, hash-oracled in-sandbox: each
+    codepoint v becomes an explicit 4-channel pixel carrying the SAME
+    value→RGB mapping as the palette twin plus a VARYING alpha
+    ((11v+29)%256) — so the palette query's closed-form oracle predicts
+    this decode too, and a decoder that composites the alpha, strides
+    it wrong, or folds it into the luma fails the value hash.  Correct
+    semantics: alpha DROPPED, exactly Pillow's RGBA→L (parity-pinned
+    where Pillow ships).  With this, the full 8-bit PNG color-type
+    matrix decodes: gray(0)/RGB(2)/palette(3)/gray+alpha(4)/RGBA(6),
+    plain or Adam7-interlaced.
+
+    Scale shape: identical to the other codec paths — one zero-exchange
+    Arrow scan, only small typed feature columns continue."""
+    media = as_png_rgba_media_table(load_table(spark, sf_dir, "documents"))
     return decode_media(media, decoder=png_decoder).select(
         "doc_id", "width", "height", "n_pixels", "sum_luma"
     )

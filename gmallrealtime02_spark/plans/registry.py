@@ -110,13 +110,14 @@ def register(
 #                 green is r1, the r3-era dozen, and 24 of the r4
 #                 TPC-H/window/setops wave — stalest evidence first,
 #                 computed from the CORRECTNESS files.
-#   round 9     — (current window) the 5 round-9 additions lead (first
+#   round 9     — (current window) the 6 round-9 additions lead (first
 #                 driver exposure: the predicate-DELETE erasure
 #                 primitive, the two-source delta-join propagation of
-#                 order_wide, metadata-only RESTORE, and the palette +
-#                 Adam7-interlaced PNG decode twins), then 45 staleness
-#                 slots: the 22 r4 TPC-H/window-wave rows still at r4
-#                 evidence, then the 23 oldest r5 rows — stalest
+#                 order_wide, metadata-only RESTORE, and the palette /
+#                 Adam7-interlaced / RGBA PNG decode twins — the full
+#                 8-bit color-type matrix), then 44 staleness slots:
+#                 the 22 r4 TPC-H/window-wave rows still at r4
+#                 evidence, then the 22 oldest r5 rows — stalest
 #                 evidence first, computed from the CORRECTNESS files
 #                 (no green row older than r4 remains).
 _PRIORITY = [
@@ -127,7 +128,8 @@ _PRIORITY = [
     "manifest_restore",
     "media_png_palette",
     "media_png_interlaced",
-    # staleness rotation: stalest green rows first (22x r4, 23x r5)
+    "media_png_rgba",
+    # staleness rotation: stalest green rows first (22x r4, 22x r5)
     "revenue_cube",
     "purchasers_without_errors",
     "price_band_join",
@@ -172,9 +174,9 @@ _PRIORITY = [
     "near_dup_cluster_sizes",
     "doc_novelty",
     "hashed_ngram_score",
-    "quality_classifier_train",
     # ---- post-window (ordering here is not scoring surface): all
     # remaining green rows + rows-only-by-nature ops (pytest-pinned) ----
+    "quality_classifier_train",
     "knn_label_propagation",
     "jl_projection",
     "order_wide_manifest",

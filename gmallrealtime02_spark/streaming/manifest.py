@@ -7,9 +7,10 @@ directory listing is not a transaction.  This module is the design-level
 fix, the Iceberg/Delta idea at 1% of the size:
 
 - data files are IMMUTABLE parquet, written once, never renamed;
-- the table state is a manifest (``_manifests/v{N}.json``) listing
-  exactly the live files;
-- a commit publishes the next manifest with an atomic
+- the table state is the replay of a manifest LOG
+  (``_manifests/v{N}.json`` deltas + periodic full-state checkpoints)
+  that resolves to exactly the live files at any retained version;
+- a commit publishes the next delta with an atomic
   ``os.link`` (hard-link create fails if the target exists — the
   compare-and-swap that makes concurrent committers safe: the loser
   reloads and retries on top of the winner);
@@ -228,15 +229,18 @@ class ManifestTable:
         table and a full scan per query is exactly this metadata.
 
         ``bloom_cols``: columns that ALSO get a per-file Bloom filter at
-        write time (one column read per staged file) — what
-        :meth:`read_points` skips files with.  Min/max prunes RANGES; a
-        Bloom prunes POINT lookups on high-cardinality keys whose values
-        scatter across every file's range (the Delta/Hudi bloom-index
-        idea).  The filter is hash-deterministic (md5-based, engine- and
-        layout-independent) and sized ``bloom_bits`` × ``bloom_hashes``
-        (defaults: 1 KiB/file/column, ~2% false positives at 1k
-        distinct values per file; false positives only cost an extra
-        file open, never correctness).
+        write time — what :meth:`read_points` skips files with.  Min/max
+        prunes RANGES; a Bloom prunes POINT lookups on high-cardinality
+        keys whose values scatter across every file's range (the
+        Delta/Hudi bloom-index idea).  Filters are built EXECUTOR-SIDE
+        as one Spark job per commit (:meth:`_build_blooms`), sized by
+        each file's row count (~10 bits/row, ``bloom_bits`` as the
+        floor, power-of-two rounded, ≈1% false positives at k=5 —
+        false positives only cost an extra file open, never
+        correctness), stored in per-file sidecar objects loaded lazily
+        at probe time, and hash-deterministic (md5-based, engine- and
+        layout-independent, numeric/temporal probes canonicalized so a
+        cross-type probe can never false-negative).
 
         Both settings are TABLE metadata, not handle state: the first
         commit records them in the manifest, and a later handle opened

@@ -422,3 +422,116 @@ def test_decode_media_over_interlaced_table(spark, sf_dir):
     a = sorted(map(tuple, plain.select(cols).collect()))
     b = sorted(map(tuple, inter.select(cols).collect()))
     assert a == b  # interlacing is a lossless permutation
+
+
+# -- gray+alpha (4) and RGBA (6) ----------------------------------------------
+
+from gmallrealtime02_spark.functions.multimodal import (  # noqa: E402
+    as_png_rgba_media_table,
+    encode_png_rgba,
+)
+
+
+def test_rgba_alpha_dropped_not_composited():
+    """RGBA decode must use the RGB channels only (Pillow's RGBA→L) —
+    the varying synthetic alpha would shift every luma if composited
+    or mis-strided."""
+    from gmallrealtime02_spark.functions.multimodal import _PALETTE, _luma_601
+
+    vals = bytes(range(64))
+    b = encode_png_rgba(8, 8, vals)
+    want = bytes(_luma_601(*_PALETTE[v]) for v in vals)
+    assert png_pixels(b) == (8, 8, want)
+    assert png_decoder(b)["mode"] == "RGBA"
+
+
+def test_gray_alpha_decodes_gray_channel():
+    pairs = [(v, (v * 7 + 1) % 256) for v in range(32)]
+    raw = b"".join(
+        b"\x00" + b"".join(bytes(p) for p in pairs[y * 8 : (y + 1) * 8])
+        for y in range(4)
+    )
+    ihdr = struct.pack(">IIBBBBB", 8, 4, 8, 4, 0, 0, 0)
+    b = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert png_pixels(b) == (8, 4, bytes(g for g, _a in pairs))
+    assert png_decoder(b)["mode"] == "LA"
+
+
+def test_rgba_interlaced_and_filtered_roundtrip():
+    """Filters use bpp=4 offsets for RGBA; Sub over 4-channel pixels
+    and the Adam7 scatter both preserve the channel layout."""
+    from random import Random
+
+    from gmallrealtime02_spark.functions.multimodal import _luma_601
+
+    rng = Random(11)
+    w, h = 6, 5
+    px = [tuple(rng.randrange(256) for _ in range(4)) for _ in range(w * h)]
+    # filter 1 (Sub) rows: emit deltas so decode must add prior PIXEL
+    rows = bytearray()
+    for y in range(h):
+        rows.append(1)
+        prev = (0, 0, 0, 0)
+        for x in range(w):
+            cur = px[y * w + x]
+            rows += bytes((cur[i] - prev[i]) & 0xFF for i in range(4))
+            prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    b = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    want = bytes(_luma_601(p[0], p[1], p[2]) for p in px)
+    assert png_pixels(b) == (w, h, want)
+    # interlaced RGBA: hand-scatter the same pixels
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        for yp in range(hp):
+            y = y0 + yp * dy
+            raw.append(0)
+            for xp in range(wp):
+                raw.extend(bytes(px[y * w + x0 + xp * dx]))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 1)
+    bi = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    assert png_pixels(bi) == (w, h, want)
+
+
+def test_pillow_parity_rgba_bit_exact():
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    from gmallrealtime02_spark.functions.multimodal import pillow_decoder
+
+    vals = bytes((i * 41 + 5) % 256 for i in range(64))
+    b = encode_png_rgba(8, 8, vals)
+    assert png_decoder(b) == pillow_decoder(b)
+
+
+def test_decode_media_over_rgba_table(spark, sf_dir):
+    """The RGBA twin's decoded stats equal the palette twin's — same
+    value→RGB mapping, alpha ignored."""
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    from gmallrealtime02_spark.functions.multimodal import (
+        as_png_palette_media_table,
+    )
+
+    pal = decode_media(as_png_palette_media_table(docs), decoder=png_decoder)
+    rgba = decode_media(as_png_rgba_media_table(docs), decoder=png_decoder)
+    cols = ["doc_id", "width", "height", "n_pixels", "sum_luma", "pixel_digest"]
+    assert sorted(map(tuple, pal.select(cols).collect())) == sorted(
+        map(tuple, rgba.select(cols).collect())
+    )

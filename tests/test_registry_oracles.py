@@ -56,10 +56,10 @@ def test_driver_window_curation():
     """The driver checks a fixed-size PREFIX of queries() (observed: first
     50).  The window ROTATES across rounds so every oracled query earns a
     driver-verified row (registry.py rotation ledger).  Round-9 window
-    invariants: the 5 round-9 additions LEAD (first driver exposure),
+    invariants: the 6 round-9 additions LEAD (first driver exposure),
     EVERY slot carries a full value-hash oracle (the rows-only-by-nature
     ops are excluded from the window for good), every oracled query that
-    has never been driver-green holds a slot, and the remaining 45 slots
+    has never been driver-green holds a slot, and the remaining 44 slots
     are staleness rotation ordered stalest-evidence-first: each slot's
     last green row is no newer than any later slot's (computed from the
     CORRECTNESS files, so the invariant is checked against the actual
@@ -70,7 +70,7 @@ def test_driver_window_curation():
     here = os.path.dirname(__file__)
     qs = load_all()
     window = list(qs)[:50]
-    assert window[:5] == list(_ROUND9_ADDITIONS), window[:5]
+    assert window[:6] == list(_ROUND9_ADDITIONS), window[:6]
     # every window slot is hash-gradable
     rows_only = {n for n in window if qs[n].oracle is None}
     assert not rows_only, rows_only
@@ -86,9 +86,9 @@ def test_driver_window_curation():
     never_green = {
         n for n in qs if n not in last_green and qs[n].oracle is not None
     }
-    assert never_green <= set(window[:5]), never_green - set(window[:5])
+    assert never_green <= set(window[:6]), never_green - set(window[:6])
     # rotation slots: only already-green rows, stalest first
-    rotation = window[5:]
+    rotation = window[6:]
     assert all(n in last_green for n in rotation)
     rounds = [last_green[n] for n in rotation]
     assert rounds == sorted(rounds), "rotation not stalest-first"
@@ -110,6 +110,7 @@ _ROUND9_ADDITIONS = (
     "manifest_restore",
     "media_png_palette",
     "media_png_interlaced",
+    "media_png_rgba",
 )
 
 
