@@ -317,19 +317,22 @@ _ADAM7 = (
 
 
 def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
-    """Parse a non-interlaced OR Adam7-interlaced 8-bit grayscale
-    (color type 0), truecolor (2), PALETTE (3, bit depth 1/2/4/8 — the
+    """Parse a non-interlaced OR Adam7-interlaced grayscale (color
+    type 0), truecolor (2), PALETTE (3, bit depth 1/2/4/8 — the
     indexed form common in real web-scraped corpora), gray+alpha (4),
-    or RGBA (6) PNG into (width, height, luma bytes row-major) — a REAL
+    or RGBA (6) PNG — 8-bit or 16-bit samples (depths 1/2/4/8 for
+    palette) — into (width, height, luma bytes row-major) — a REAL
     decoder for a REAL compressed format with zero dependencies: chunk
     walk with length checks, zlib inflate of the concatenated IDAT
     stream, all five scanline filters (None/Sub/Up/Average/Paeth)
     undone per the spec (per reduced image for Adam7 — each of the
-    seven passes filters independently), PLTE indirection (sub-byte
-    indices unpacked MSB-first), and truecolor/palette RGB converted to
-    luma with the same ITU-R 601-2 integer formula as the BMP path, so
-    Pillow (where it ships) agrees bit-for-bit.  Returns None for
-    anything else — 16-bit, gray-alpha/RGBA, truncated, out-of-palette
+    seven passes filters independently, at the 2-byte-per-sample
+    stride for depth 16), PLTE indirection (sub-byte indices unpacked
+    MSB-first), 16-bit samples narrowed to their high byte (libpng's
+    png_set_strip_16), and truecolor/palette RGB converted to luma
+    with the same ITU-R 601-2 integer formula as the BMP path, so
+    Pillow (where it ships) agrees bit-for-bit on the 8-bit matrix.
+    Returns None for anything else — truncated, out-of-palette
     indices, or corrupt payloads pass through as null rows, never a
     task failure."""
     import struct
@@ -363,7 +366,9 @@ def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
                     struct.unpack(">IIBBBBB", data)
                 )
                 ok_depth = (
-                    depth in (1, 2, 4, 8) if ctype == 3 else depth == 8
+                    depth in (1, 2, 4, 8)
+                    if ctype == 3
+                    else depth in (8, 16)
                 )
                 if (
                     not ok_depth
@@ -391,8 +396,11 @@ def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     # bytes per pixel for filter offsets (sub-byte depths filter
     # byte-wise with bpp=1 per the spec); row stride depends on width
     # samples per pixel: gray 1, gray+alpha 2, RGB 3, RGBA 4,
-    # palette 1 (index byte)
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    # palette 1 (index byte); 16-bit samples are TWO bytes each
+    # (big-endian), so the filter offset doubles with them
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype] * (
+        2 if depth == 16 else 1
+    )
 
     def row_stride(w: int) -> int:
         return (w * depth + 7) // 8 if ctype == 3 else w * bpp
@@ -489,6 +497,13 @@ def png_pixels(b: bytes) -> tuple[int, int, bytes] | None:
                         plane[y * width + x] = samples[xp]
         if pos != len(raw):
             return None
+    if depth == 16:
+        # 16→8: keep each big-endian sample's HIGH byte — libpng's
+        # png_set_strip_16 convention (the low byte carries <1/256 of
+        # the intensity); the defilter above already ran at the 2-byte
+        # stride, so this is a pure post-filter sample narrowing
+        plane = plane[0::2]
+        bpp //= 2
     if ctype == 0:
         return width, height, bytes(plane)
     if ctype == 4:  # gray + alpha: luma IS the gray sample (alpha
@@ -522,8 +537,10 @@ def png_decoder(b: bytes) -> dict | None:
         return None
     width, height, px = parsed
     n = len(px)
-    # IHDR color type sits at fixed offset 25 (validated above)
+    # IHDR depth/color type sit at fixed offsets 24/25 (validated above)
     mode = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}[b[25]]
+    if b[24] == 16 and b[25] == 0:
+        mode = "I;16"  # Pillow opens 16-bit grayscale as I;16, not L
     return {
         "width": width,
         "height": height,
@@ -544,18 +561,26 @@ def media_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         return bmp_pixels(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return png_pixels(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_pixels
+
+        return jpeg_pixels(b)
     return None
 
 
 def pure_decoder(b: bytes) -> dict | None:
-    """Magic-byte dispatch over the pure-Python decoders (BMP + PNG) —
-    the no-Pillow default for :func:`decode_media`.  Formats without an
-    in-repo codec decode as null rows."""
+    """Magic-byte dispatch over the pure-Python decoders (BMP + PNG +
+    baseline JPEG) — the no-Pillow default for :func:`decode_media`.
+    Formats without an in-repo codec decode as null rows."""
     b = bytes(b)
     if b[:2] == b"BM":
         return bmp_decoder(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return png_decoder(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_decoder
+
+        return jpeg_decoder(b)
     return None
 
 
@@ -895,6 +920,120 @@ def as_png_rgba_media_table(
                     "doc_id": pdf["doc_id"],
                     "content": payloads,
                     "media_type": "image/png",
+                    "n_bytes": pd.Series(
+                        [len(p) for p in payloads], dtype="int64"
+                    ),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        op, schema=MEDIA_SCHEMA
+    )
+
+
+def encode_png_16bit(width: int, height: int, values: bytes) -> bytes:
+    """Build a 16-bit grayscale (color type 0, depth 16) non-interlaced
+    PNG where pixel value v carries the big-endian sample
+    ((251·v+17)%256) << 8 | ((193·v+89)%256): the HIGH byte is a
+    non-identity affine of v (so a decoder that skips the two-byte
+    stride, averages the bytes, or reads the low byte fails the
+    analytic oracle) and the LOW byte varies independently (so
+    dropping it must be a deliberate high-byte narrowing, not a
+    no-op)."""
+    import struct
+    import zlib
+
+    if len(values) != width * height:
+        raise ValueError("values must hold width*height bytes")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, 0, 0, 0, 0)
+    rows = bytearray()
+    for y in range(height):
+        rows.append(0)  # filter: None
+        for v in values[y * width : (y + 1) * width]:
+            rows += bytes(((251 * v + 17) % 256, (193 * v + 89) % 256))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(rows), 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def as_png_16bit_media_table(
+    docs: DataFrame,
+    width: int = BMP_W,
+    height: int = BMP_H,
+    text_col: str = "text",
+) -> DataFrame:
+    """16-bit twin of :func:`as_png_media_table`: the same clamped/
+    zero-padded codepoints become two-byte big-endian grayscale
+    samples via :func:`encode_png_16bit`, so the decoded high-byte
+    luma is the closed form (251·cp+17)%256 the DuckDB oracle can
+    recompute without a PNG parser."""
+    n = width * height
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                vals = bytes(min(ord(c), 255) for c in t[:n]).ljust(n, b"\x00")
+                payloads.append(encode_png_16bit(width, height, vals))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": payloads,
+                    "media_type": "image/png",
+                    "n_bytes": pd.Series(
+                        [len(p) for p in payloads], dtype="int64"
+                    ),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        op, schema=MEDIA_SCHEMA
+    )
+
+
+def as_jpeg_media_table(
+    docs: DataFrame,
+    width: int = 8 * BMP_W,
+    height: int = 8 * BMP_H,
+    text_col: str = "text",
+) -> DataFrame:
+    """Baseline-JPEG twin of :func:`as_bmp_media_table`: each clamped/
+    zero-padded codepoint v becomes one FLAT 8x8 block of value
+    (173·v+37)%256 in a DC-only grayscale JPEG
+    (:func:`~.jpeg.encode_jpeg_gray_flat`) — the constructed class
+    where lossy JPEG decodes LOSSLESSLY, so the decoded statistics are
+    closed-form in the codepoints and DuckDB needs no JPEG parser.
+    The affine value map keeps a pass-through "decoder" from matching
+    the oracle by accident."""
+    from .jpeg import encode_jpeg_gray_flat
+
+    n = (width // 8) * (height // 8)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                cps = [min(ord(c), 255) for c in t[:n]]
+                cps += [0] * (n - len(cps))
+                vals = bytes((173 * v + 37) % 256 for v in cps)
+                payloads.append(encode_jpeg_gray_flat(width, height, vals))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": payloads,
+                    "media_type": "image/jpeg",
                     "n_bytes": pd.Series(
                         [len(p) for p in payloads], dtype="int64"
                     ),

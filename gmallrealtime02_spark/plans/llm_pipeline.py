@@ -25,6 +25,7 @@ from ..functions.multimodal import (
     as_bmp_media_table,
     as_media_table,
     as_png_media_table,
+    as_png_16bit_media_table,
     as_png_interlaced_media_table,
     as_png_palette_media_table,
     as_png_rgba_media_table,
@@ -5377,5 +5378,185 @@ def media_png_rgba(spark, sf_dir):
     Arrow scan, only small typed feature columns continue."""
     media = as_png_rgba_media_table(load_table(spark, sf_dir, "documents"))
     return decode_media(media, decoder=png_decoder).select(
+        "doc_id", "width", "height", "n_pixels", "sum_luma"
+    )
+
+
+_CP16 = "least(coalesce(cp[i], 0), 255)"
+
+
+@register(
+    "media_png_16bit",
+    oracle=f"""
+    SELECT doc_id, {BMP_W} AS width, {BMP_H} AS height,
+           CAST({BMP_W * BMP_H} AS BIGINT) AS n_pixels,
+           CAST(coalesce(list_sum(list_transform(
+                generate_series(1, {BMP_W * BMP_H}),
+                i -> (251 * {_CP16} + 17) % 256)), 0) AS BIGINT) AS sum_luma
+    FROM (SELECT doc_id, {_BMP_CP} AS cp FROM documents)
+    """,
+    tags=("multimodal", "decode", "png", "16bit"),
+)
+def media_png_16bit(spark, sf_dir):
+    """16-BIT grayscale PNG decode, hash-oracled in-sandbox: each
+    codepoint v becomes the two-byte big-endian sample
+    ((251v+17)%256 << 8) | ((193v+89)%256), the decoder must defilter
+    at the 2-byte stride and narrow each sample to its HIGH byte
+    (libpng png_set_strip_16), and the oracle recomputes the luma sum
+    from the closed form (251·cp+17)%256 — codepoint arithmetic only,
+    no PNG parser on the DuckDB side.  The non-identity high byte
+    catches an 8-bit-stride misread; the independently-varying low
+    byte catches averaging or low-byte reads.  With this, every
+    non-palette color type decodes at BOTH sample depths; the one
+    remaining external-codec dependency is JPEG
+    (``functions/multimodal.py:png_pixels``, ``encode_png_16bit``).
+
+    Scale shape: identical to the other codec paths — one
+    zero-exchange Arrow scan, only small typed feature columns
+    continue (the payload never shuffles)."""
+    media = as_png_16bit_media_table(load_table(spark, sf_dir, "documents"))
+    return decode_media(media, decoder=png_decoder).select(
+        "doc_id", "width", "height", "n_pixels", "sum_luma"
+    )
+
+
+_MANIFEST_ANN_ORACLE = f"""
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+        WHERE vec_id < 16
+    ),
+    ranked AS (
+        SELECT vec_id, cell, crnk FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_DOT_FOLD.format(a='e.embedding', b='c.cvec')}
+                           / (sqrt({_DOT_FOLD.format(a='e.embedding', b='e.embedding')})
+                              * sqrt({_DOT_FOLD.format(a='c.cvec', b='c.cvec')}))
+                           DESC,
+                           c.cell ASC
+                   ) AS crnk
+            FROM embeddings e CROSS JOIN cent c
+        )
+    ),
+    assign AS (SELECT vec_id, cell FROM ranked WHERE crnk = 1),
+    probes AS (
+        SELECT vec_id AS qid, cell FROM ranked
+        WHERE vec_id < 6 AND crnk <= 3
+    ),
+    cand AS (
+        SELECT p.qid, a.vec_id AS cid
+        FROM probes p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id != p.qid
+    )
+    SELECT qid, cid, cosine, rnk FROM (
+        SELECT c.qid, c.cid,
+               {_cos_sql('qe.embedding', 'ce.embedding')} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.qid
+                   ORDER BY {_cos_sql('qe.embedding', 'ce.embedding')} DESC,
+                            c.cid ASC
+               ) AS rnk
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.qid
+        JOIN embeddings ce ON ce.vec_id = c.cid
+    ) WHERE rnk <= 5
+    """
+
+
+@register(
+    "manifest_ann_topk",
+    # Deterministic IVF (first-16 centroids, fold-ordered cosine,
+    # cell-id tie-breaks) served FROM THE TABLE's persisted index —
+    # the oracle replicates assignment + 3-cell probing for the first
+    # 6 queries exactly, like ann_ivf_topk does for its parameters.
+    oracle=_MANIFEST_ANN_ORACLE,
+    tags=("similarity", "ann", "ivf", "table-service", "manifest"),
+)
+def manifest_ann_topk(spark, sf_dir):
+    """The ANN index AS TABLE METADATA, hash-proven with file skipping
+    enforced: centroids persist in the manifest config (content-
+    addressed ``_ann/`` sidecar + per-commit reference), every append
+    assigns rows to their nearest cell executor-side and CLUSTERS the
+    commit's files by cell, per-file cell ranges ride the ordinary
+    stats channel — and a COLD handle (bare root, no constructor
+    config) serves 6 queries' top-5 by probing 3 cells each, opening
+    only stat-surviving files.  RAISES unless the probe skipped at
+    least one live file (the pruning must actually engage, not
+    conservatively scan) and unless results came through the stored
+    index.  Hash-matches the same deterministic-IVF oracle family as
+    ``ann_ivf_topk`` — today those queries rebuild their index per
+    run; this is the round-9 verdict's 'tie ANN to the table service'
+    (``streaming/manifest.py:ann_topk``, ``streaming/annindex.py``)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.manifest import ManifestTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    root = tempfile.mkdtemp(prefix="manifest_ann_topk_")
+    try:
+        t = ManifestTable(root, ann_col="embedding", ann_centroids=cents)
+        # two commits: the index maintains across appends, not one shot
+        t.append(emb.filter(F.col("vec_id") % 2 == 0))
+        t.append(emb.filter(F.col("vec_id") % 2 == 1))
+        qs = [
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in emb.filter(F.col("vec_id") < 6).collect()
+        ]
+        cold = ManifestTable(root)  # index comes from the TABLE, not us
+        if cold.ann_col != "embedding" or not cold.ann_centroids:
+            raise RuntimeError("ANN config did not persist in the manifest")
+        out, rep = cold.ann_topk(spark, qs, k=5, n_probe=3)
+        if rep["files_probed"] >= rep["files_live"]:
+            raise RuntimeError(f"ANN probe skipped no files: {rep}")
+        # pin before the temp workspace is removed (bounded: 6*k rows)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "media_jpeg_decode",
+    oracle=f"""
+    SELECT doc_id, {8 * BMP_W} AS width, {8 * BMP_H} AS height,
+           CAST({64 * BMP_W * BMP_H} AS BIGINT) AS n_pixels,
+           CAST(coalesce(list_sum(list_transform(
+                generate_series(1, {BMP_W * BMP_H}),
+                i -> 64 * ((173 * least(coalesce(cp[i], 0), 255) + 37) % 256)
+           )), 0) AS BIGINT) AS sum_luma
+    FROM (SELECT doc_id, {_BMP_CP} AS cp FROM documents)
+    """,
+    tags=("multimodal", "decode", "jpeg"),
+)
+def media_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode, hash-oracled in-sandbox despite the
+    format being LOSSY: each codepoint becomes one FLAT 8x8 block of
+    (173·cp+37)%256 in a DC-only grayscale JPEG — the constructed
+    class where DC = 8·(v−128) under an all-ones quantization table
+    inverse-transforms EXACTLY to v, so the decode is lossless and the
+    oracle is codepoint arithmetic (no JPEG parser in DuckDB).  The
+    decoder still runs the full real pipeline on real entropy-coded
+    bytes: marker walk, DQT/DHT/SOF0/SOS, bit-stuffed Huffman stream,
+    DC prediction, run-length AC, zigzag, dequantization, IDCT (the
+    libjpeg idct_1x1 shortcut for DC-only blocks, pinned identical to
+    the full transform), level shift + clamp.  AC-coefficient blocks,
+    color (4:4:4), and reject paths are pinned in
+    ``tests/test_jpeg_codec.py``; with this, BMP + the full PNG matrix
+    + baseline JPEG all decode with ZERO external codec dependencies
+    (``functions/jpeg.py``).
+
+    Scale shape: identical to the other codec paths — one
+    zero-exchange Arrow scan, only small typed feature columns
+    continue (the payload never shuffles)."""
+    from ..functions.jpeg import jpeg_decoder as _jd
+    from ..functions.multimodal import as_jpeg_media_table
+
+    media = as_jpeg_media_table(load_table(spark, sf_dir, "documents"))
+    return decode_media(media, decoder=_jd).select(
         "doc_id", "width", "height", "n_pixels", "sum_luma"
     )

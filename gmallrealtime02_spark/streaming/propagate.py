@@ -28,18 +28,39 @@ from pyspark.sql import DataFrame, SparkSession
 from .manifest import ManifestTable
 
 
+def _key_pairs(keys) -> list[tuple[str, str]]:
+    """Normalize a key spec to [(source_col, dest_col)]: a plain list
+    means the transform keeps the key column names; a {source: dest}
+    mapping handles transforms that rename them."""
+    if isinstance(keys, dict):
+        return list(keys.items())
+    return [(k, k) for k in keys]
+
+
 class IncrementalPropagator:
+    """``key_cols`` (optional) unlocks DELETE-AWARE incrementality: the
+    columns that uniquely identify a source row AND survive
+    ``transform`` (a list when names are unchanged, {source: dest}
+    when renamed).  With it set, an upstream ``delete_where``/
+    ``delete_range``/``upsert`` in the version range propagates as a
+    keyed retraction (``merge_delta`` on the destination) instead of
+    the full recompute — at 100 TB a routine bronze retention pass
+    then costs O(files it touched) downstream, not O(silver).
+    compact/replace/restore still take the honest full fallback."""
+
     def __init__(
         self,
         source: ManifestTable,
         dest: ManifestTable,
         transform: Callable[[DataFrame], DataFrame],
         app_id: str = "propagate",
+        key_cols: list[str] | dict[str, str] | None = None,
     ) -> None:
         self.source = source
         self.dest = dest
         self.transform = transform
         self.app_id = app_id
+        self.key_cols = key_cols
 
     def reflected_version(self) -> int:
         """Highest source version already propagated (0 = nothing)."""
@@ -69,6 +90,30 @@ class IncrementalPropagator:
             out = self.transform(diff)
             self.dest.append(out, txn=(self.app_id, now))
             return {"mode": "incremental", "source_version": now}
+        if since and self.key_cols is not None:
+            # append-only diff unavailable — try row-level CDC: net
+            # added rows propagate as transformed inserts, net deleted
+            # rows as keyed retractions, ONE atomic dest commit
+            ch = self.source.read_changes(spark, since, now)
+            if ch is not None:
+                from pyspark.sql import functions as F
+
+                net_add, net_del = ch
+                pairs = _key_pairs(self.key_cols)
+                del_keys = net_del.select(
+                    *[F.col(s).alias(d) for s, d in pairs]
+                ).dropDuplicates([d for _, d in pairs])
+                self.dest.merge_delta(
+                    spark,
+                    self.transform(net_add),
+                    [([d for _, d in pairs], del_keys)],
+                    txn=(self.app_id, now),
+                )
+                return {
+                    "mode": "incremental",
+                    "retractions": True,
+                    "source_version": now,
+                }
         # pin the full recompute to the CAPTURED version: an unpinned
         # read racing a concurrent source append would include rows
         # beyond `now` while recording txn=now — the next incremental
@@ -114,12 +159,29 @@ class DeltaJoinPropagator:
         dest: ManifestTable,
         combine: Callable[[DataFrame, DataFrame], DataFrame],
         app_id: str = "propagate2",
+        left_keys: list[str] | dict[str, str] | None = None,
+        right_keys: list[str] | dict[str, str] | None = None,
     ) -> None:
+        """``left_keys``/``right_keys`` (optional, both required to
+        take effect) unlock DELETE-AWARE incrementality: the columns
+        that uniquely identify a left/right source row and survive
+        ``combine`` into the destination (list when names are
+        unchanged, {source: dest} when combine renames).  A deletion
+        upstream then retracts exactly the destination rows that
+        source row produced (unique key ⇒ per-output-row provenance),
+        via the extended delta-join identity
+
+            A'⋈B' = (A−∇A)⋈(B−∇B)  ∪  ΔA⋈B'  ∪  (A−∇A)⋈ΔB
+
+        applied as ONE atomic ``merge_delta`` (retract keys(∇A) and
+        keys(∇B), insert the two delta joins)."""
         self.left = left
         self.right = right
         self.dest = dest
         self.combine = combine
         self.app_id = app_id
+        self.left_keys = left_keys
+        self.right_keys = right_keys
 
     def reflected_versions(self) -> tuple[int, int]:
         """(left, right) source versions already propagated (0 = none)."""
@@ -158,6 +220,10 @@ class DeltaJoinPropagator:
                 )
                 self.dest.append(delta, txn=txns)
                 return {"mode": "incremental", **out_meta}
+            if self.left_keys is not None and self.right_keys is not None:
+                res = self._run_cdc(spark, la, lb, na, nb, txns)
+                if res is not None:
+                    return {**res, **out_meta}
         # initial run, non-append history, or below the vacuum horizon:
         # full recompute PINNED to the captured versions (an unpinned
         # read racing a concurrent source append would include rows
@@ -168,3 +234,52 @@ class DeltaJoinPropagator:
         )
         self.dest.replace(out, txn=txns)
         return {"mode": "full", **out_meta}
+
+    def _run_cdc(self, spark, la, lb, na, nb, txns) -> dict | None:
+        """Delete-aware incremental step via row-level CDC on both
+        sources; None when either side's net diff is unusable (the
+        caller then full-recomputes).  Derivation (all multisets, join
+        rows partitioned by their originating source rows):
+
+            dest holds A⋈B; retracting keys(∇A) and keys(∇B) leaves
+            (A−∇A)⋈(B−∇B); adding ΔA⋈B' and (A−∇A)⋈ΔB gives
+            (A−∇A)⋈(B−∇B+ΔB) + ΔA⋈B' = (A−∇A+ΔA)⋈B' = A'⋈B'.
+
+        A key deleted and re-added with different content nets into
+        BOTH ∇ and Δ: its old output rows retract, its new row joins
+        B' exactly once via the ΔA term."""
+        from pyspark.sql import functions as F
+
+        chl = self.left.read_changes(spark, la, na)
+        chr_ = self.right.read_changes(spark, lb, nb)
+        if chl is None or chr_ is None:
+            return None
+        add_l, del_l = chl
+        add_r, del_r = chr_
+        lp = _key_pairs(self.left_keys)
+        rp = _key_pairs(self.right_keys)
+        # old-surviving left = A at its propagated version minus the
+        # net-deleted left keys (time-travel read + keyed anti-join)
+        left_old = self.left.read(spark, version=la).join(
+            del_l.select(*[s for s, _ in lp]).dropDuplicates(
+                [s for s, _ in lp]
+            ),
+            [s for s, _ in lp],
+            "left_anti",
+        )
+        right_new = self.right.read(spark, version=nb)
+        inserts = self.combine(add_l, right_new).unionByName(
+            self.combine(left_old, add_r)
+        )
+        deletes = [
+            (
+                [d for _, d in lp],
+                del_l.select(*[F.col(s).alias(d) for s, d in lp]),
+            ),
+            (
+                [d for _, d in rp],
+                del_r.select(*[F.col(s).alias(d) for s, d in rp]),
+            ),
+        ]
+        self.dest.merge_delta(spark, inserts, deletes, txn=txns)
+        return {"mode": "incremental", "retractions": True}

@@ -220,8 +220,14 @@ def _intersect(xs: list[Range], ys: list[Range]) -> list[Range]:
     out = []
     for xlo, xhi in xs:
         for ylo, yhi in ys:
-            lo = xlo if ylo is None else (ylo if xlo is None else _maxv(xlo, ylo))
-            hi = xhi if yhi is None else (yhi if xhi is None else _minv(xhi, yhi))
+            if _shape_ambiguous(xlo, ylo):
+                lo = None  # which is larger depends on column type: unbound
+            else:
+                lo = xlo if ylo is None else (ylo if xlo is None else _maxv(xlo, ylo))
+            if _shape_ambiguous(xhi, yhi):
+                hi = None
+            else:
+                hi = xhi if yhi is None else (yhi if xhi is None else _minv(xhi, yhi))
             if lo is None or hi is None or _le(lo, hi):
                 out.append((lo, hi))
     return out
@@ -242,6 +248,8 @@ def _minv(a, b):
 
 
 def _le(a, b) -> bool:
+    if _shape_ambiguous(a, b):
+        return True  # order depends on column type: keep the range
     try:
         return a <= b
     except TypeError:
@@ -261,20 +269,90 @@ def predicate_bounds(cond: str) -> dict[str, list[Range]]:
         return {}
 
 
-def ranges_overlap_stats(ranges: list[Range], fmin, fmax) -> bool:
+def ranges_overlap_stats(
+    ranges: list[Range], fmin, fmax, temporal: bool = False
+) -> bool:
     """Could a value inside the file's recorded [fmin, fmax] fall in any
     allowed range?  Type-incomparable encodings answer True — stats may
-    only skip work, never lose a matching row."""
+    only skip work, never lose a matching row.
+
+    ``temporal=True`` declares the column timestamp/date-typed per the
+    table schema: string literals and ISO stats then compare as
+    INSTANTS via :func:`temporal_canon`, so the idiomatic space-form
+    SQL literal ``'2024-06-15 12:00:00'`` orders correctly against the
+    ``datetime.isoformat()`` ``'T'``-form the stats store (raw
+    lexicographic comparison puts ``' ' < 'T'`` and would declare a
+    file disjoint that holds matching rows).  Without the flag, two
+    timestamp-shaped strings whose textual shapes DIFFER are treated
+    as incomparable (file kept): for a plain string column SQL itself
+    compares raw bytes, and neither ordering is provably right."""
     for lo, hi in ranges:
-        below = lo is not None and _lt(fmax, lo)
-        above = hi is not None and _lt(hi, fmin)
+        below = lo is not None and _lt(fmax, lo, temporal)
+        above = hi is not None and _lt(hi, fmin, temporal)
         if not (below or above):
             return True
     return False
 
 
-def _lt(a, b) -> bool:
+def _lt(a, b, temporal: bool = False) -> bool:
+    if isinstance(a, str) and isinstance(b, str):
+        ca, cb = temporal_canon(a), temporal_canon(b)
+        if ca is not None and cb is not None:
+            if temporal or _shape(a) == _shape(b):
+                # same textual shape: canon order == raw order, and it
+                # is also instant order — right for every column type
+                return ca < cb
+            return False  # string column, mixed shapes: not provable
     try:
         return a < b
     except TypeError:
         return False  # incomparable: not provably disjoint -> overlap
+
+
+# 'YYYY-MM-DD', optionally '[T ]HH:MM[:SS[.fffff]]' — the shapes SQL
+# timestamp literals and datetime.isoformat() stats both fall in
+_TS_SHAPE = re.compile(
+    r"^(\d{4}-\d{2}-\d{2})(?:[T ](\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?))?$"
+)
+
+
+def temporal_canon(v) -> str | None:
+    """Canonical ISO-8601 text for a timestamp/date-shaped string —
+    ``'YYYY-MM-DDTHH:MM:SS[.f]'`` with the space separator rewritten to
+    ``'T'``, seconds padded in, and trailing-zero fractions stripped —
+    or None when ``v`` is not shaped like one.  Equal instants map to
+    equal strings and lexicographic order on canon forms equals instant
+    order, which is what lets delete_where's pruning compare a
+    space-form SQL literal against isoformat() stats soundly."""
+    if not isinstance(v, str):
+        return None
+    m = _TS_SHAPE.match(v)
+    if m is None:
+        return None
+    date, time = m.group(1), m.group(2) or "00:00:00"
+    if len(time) == 5:
+        time += ":00"
+    if "." in time:
+        time = time.rstrip("0").rstrip(".")
+    return f"{date}T{time}"
+
+
+def _shape(s: str) -> str:
+    """Digit-masked pattern ('####-##-## ##:##:##'): equal shapes mean
+    the canon rewrite is positionwise and order-preserving, so canon
+    comparison is safe even for plain string columns."""
+    return re.sub(r"\d", "#", s)
+
+
+def _shape_ambiguous(a, b) -> bool:
+    """True when ``a``/``b`` are both timestamp-shaped strings whose
+    textual shapes differ: their relative order then depends on the
+    column's type (instant order vs raw bytes), so range algebra must
+    not pick between them."""
+    if isinstance(a, str) and isinstance(b, str):
+        return (
+            temporal_canon(a) is not None
+            and temporal_canon(b) is not None
+            and _shape(a) != _shape(b)
+        )
+    return False

@@ -114,3 +114,86 @@ def test_recover_compactions_replays_mid_swap_crash(
     assert not os.path.exists(marker)
     # idempotent on a clean tree
     assert recover_compactions(path) == []
+
+
+# -- segmented-log recovery under storm + vacuum + lost checkpoint ----------
+
+
+def test_cas_storm_across_checkpoint_with_vacuum_and_lost_ckpt(
+    spark, sf_dir, tmp_path
+):
+    """Round-10 hardening for the segmented manifest log: racing
+    writers cross several 1-in-N checkpoint boundaries while a
+    concurrent vacuum reaps history, and one writer DIES post-CAS /
+    pre-checkpoint (its commit landed; the derived checkpoint never
+    materialized).  Claims pinned: (a) every commit lands exactly once
+    despite the storm, (b) a boundary version whose checkpoint was
+    lost still resolves via delta replay, identically from independent
+    cold handles, (c) vacuum's checkpoint materialization keeps every
+    retained version resolvable after the history below it is gone,
+    (d) row content is exact."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from gmallrealtime02_spark.sources import load_table as _lt
+    from gmallrealtime02_spark.streaming.manifest import ManifestTable
+
+    root = str(tmp_path / "t")
+    seed = ManifestTable(root)
+    schema = "event_id long, user_id long, event_type string, value double"
+    ev = (
+        _lt(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .filter(F.col("event_id") < 480)
+    )
+    chunks = [
+        ev.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < lo + 40)
+        ).collect()
+        for lo in range(0, 480, 40)
+    ]
+    victim_idx = 5  # dies after its CAS, before its checkpoint
+
+    def write(args):
+        i, rows = args
+        h = ManifestTable(root)
+        h.checkpoint_interval = 4  # frequent boundaries for the storm
+        if i == victim_idx:
+            def boom(state):
+                raise RuntimeError("writer killed pre-checkpoint")
+
+            h._write_checkpoint = boom
+        try:
+            h.append(spark.createDataFrame(rows, schema))
+        except RuntimeError:
+            pass  # the "death": commit already published
+
+    def vacuum_loop(_):
+        h = ManifestTable(root)
+        for _i in range(3):
+            # wide horizon: in-flight staging must never be reaped;
+            # old MANIFESTS are, which is the race under test
+            h.vacuum(keep_versions=8, retention_seconds=3600.0)
+
+    with ThreadPoolExecutor(max_workers=10) as ex:
+        futs = [ex.submit(write, (i, c)) for i, c in enumerate(chunks)]
+        futs.append(ex.submit(vacuum_loop, None))
+        for f in futs:
+            f.result()
+    cold_a = ManifestTable(root)
+    cold_b = ManifestTable(root)
+    v = cold_a.current_version()
+    assert v == len(chunks)  # (a) exactly one commit per writer
+    # (b)+(c): every retained version resolves, and two independent
+    # cold handles agree file-for-file (delta replay is deterministic)
+    retained = cold_a._versions()
+    assert retained, "vacuum deleted everything"
+    for ver in retained:
+        ma, mb = cold_a.manifest(ver), cold_b.manifest(ver)
+        assert ma["files"] == mb["files"], ver
+    # at least one checkpoint boundary exists without its .ckpt file
+    # (the victim's) unless vacuum re-materialized every one of them —
+    # either way the boundary version resolved above via delta replay
+    # (d) content exact
+    assert sorted(
+        r.event_id for r in cold_a.read(spark).select("event_id").collect()
+    ) == sorted(r.event_id for r in ev.select("event_id").collect())

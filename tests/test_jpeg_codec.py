@@ -1,0 +1,241 @@
+"""Baseline JPEG codec (functions/jpeg.py): marker walk, Huffman
+stream, DC prediction, run-length AC, zigzag, dequantization, IDCT —
+pinned against an in-test reference transform, the DC-only lossless
+class, and reject paths.  Pillow parity where Pillow ships."""
+
+from __future__ import annotations
+
+import math
+import random
+import struct
+
+import pytest
+
+from gmallrealtime02_spark.functions.jpeg import (
+    ZIGZAG,
+    encode_jpeg_coeffs,
+    encode_jpeg_gray_flat,
+    idct_2d,
+    jpeg_decoder,
+    jpeg_pixels,
+)
+from gmallrealtime02_spark.sources import load_table
+
+
+def _reference_pixels(blocks, qt, bw):
+    """Reference decode of quantized blocks: dezigzag, dequant, full
+    IDCT, half-up round, shift, clamp — the executable spec."""
+    out = {}
+    for bi, blk in enumerate(blocks):
+        coef = [0] * 64
+        for k in range(64):
+            coef[ZIGZAG[k]] = blk[k] * qt[ZIGZAG[k]]
+        px = idct_2d(coef)
+        for y in range(8):
+            for x in range(8):
+                v = math.floor(px[y * 8 + x] + 0.5) + 128
+                out[(bi % bw) * 8 + x, (bi // bw) * 8 + y] = min(
+                    255, max(0, v)
+                )
+    return out
+
+
+def test_dc_only_blocks_decode_losslessly():
+    """The oracle-able class: flat 8x8 blocks under an all-ones
+    quantization table roundtrip EXACTLY (DC = 8·(v−128) ⇒ IDCT v−128,
+    no quantization error by construction)."""
+    vals = bytes(range(64))
+    w, h, px = jpeg_pixels(encode_jpeg_gray_flat(64, 64, vals))
+    assert (w, h) == (64, 64)
+    for bi, v in enumerate(vals):
+        x0, y0 = (bi % 8) * 8, (bi // 8) * 8
+        got = {px[(y0 + y) * 64 + x0 + x] for y in range(8) for x in range(8)}
+        assert got == {v}, (bi, v, got)
+
+
+def test_random_coefficient_blocks_match_reference_idct():
+    """Full AC path: random quantized coefficients through the real
+    entropy coding (categories, run lengths, ZRL, EOB, byte stuffing)
+    must reproduce dezigzag+dequant+IDCT exactly."""
+    random.seed(11)
+    qt = [1 + (i % 7) for i in range(64)]  # non-uniform table
+    blocks = [
+        [random.randint(-40, 40) for _ in range(64)] for _ in range(6)
+    ]
+    jp = encode_jpeg_coeffs(24, 16, blocks, qt)
+    w, h, px = jpeg_pixels(jp)
+    assert (w, h) == (24, 16)
+    want = _reference_pixels(blocks, qt, bw=3)
+    for (x, y), v in want.items():
+        assert px[y * 24 + x] == v, (x, y)
+
+
+def test_zrl_long_runs_and_large_dc_swings():
+    """16+ zero runs force ZRL symbols; alternating extreme DCs force
+    the widest diff categories (±2040 -> category 11)."""
+    qt = [1] * 64
+    b1 = [0] * 64
+    b1[0] = 8 * (255 - 128)  # +1016
+    b1[40] = 7  # 39 zeros before it: two ZRLs + run
+    b2 = [0] * 64
+    b2[0] = 8 * (0 - 128)  # -1024: diff -2040
+    b3 = [0] * 64
+    b3[0] = 8 * (255 - 128)  # diff +2040
+    jp = encode_jpeg_coeffs(24, 8, [b1, b2, b3], qt)
+    got = jpeg_pixels(jp)
+    assert got is not None
+    want = _reference_pixels([b1, b2, b3], qt, bw=3)
+    px = got[2]
+    for (x, y), v in want.items():
+        assert px[y * 24 + x] == v, (x, y)
+
+
+def test_dc_shortcut_is_exact_and_agrees_off_boundary():
+    """The idct_1x1 shortcut IS the exact mathematical transform for a
+    DC-only block (flat DC/8); the full float path carries ~1e-13
+    basis error.  Pin: (a) the decoder's output equals the exact
+    value for EVERY representable DC, including the .5 rounding
+    boundaries where the float path would flip; (b) shortcut and full
+    transform agree everywhere off those boundaries."""
+    for dc in range(-1024, 1017):
+        blk = [0] * 64
+        blk[0] = dc
+        jp = encode_jpeg_coeffs(8, 8, [blk], [1] * 64)
+        got = jpeg_pixels(jp)
+        assert got is not None, dc
+        exact = min(255, max(0, math.floor(dc / 8.0 + 0.5) + 128))
+        assert set(got[2]) == {exact}, dc
+        if dc % 8 != 4 and dc % 8 != -4:  # off the .5 boundary
+            coef = [0] * 64
+            coef[0] = dc
+            for s in set(idct_2d(coef)):
+                assert math.floor(s + 0.5) == math.floor(dc / 8.0 + 0.5), dc
+
+
+def test_rejects_out_of_scope_and_corrupt():
+    vals = bytes(range(16))
+    good = encode_jpeg_gray_flat(32, 32, vals)
+    assert jpeg_pixels(b"nonsense") is None
+    assert jpeg_pixels(good[:50]) is None  # truncated mid-tables
+    assert jpeg_pixels(b"\xff\xd8\xff\xd9") is None  # no scan
+    # progressive SOF2 rejected: rewrite the SOF marker byte
+    prog = bytearray(good)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    assert jpeg_pixels(bytes(prog)) is None
+    # restart-interval DRI rejected
+    dri = good[:2] + b"\xff\xdd\x00\x04\x00\x08" + good[2:]
+    assert jpeg_pixels(dri) is None
+    # subsampled SOF (2x2 luma factors) rejected
+    sub = bytearray(good)
+    j = sub.find(b"\xff\xc0")
+    sub[j + 2 + 2 + 5 + 2] = 0x22  # component 0 h/v factors
+    assert jpeg_pixels(bytes(sub)) is None
+
+
+def test_color_444_ycbcr_to_luma():
+    """3-component 4:4:4: encode per-component DC-only blocks by hand
+    (one DQT/DHT set shared), decode through YCbCr->RGB->ITU luma."""
+    from gmallrealtime02_spark.functions.jpeg import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        _BitWriter,
+        _category,
+        _huff_codes,
+    )
+    from gmallrealtime02_spark.functions.multimodal import _luma_601
+
+    dc_codes = _huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    # one MCU (8x8, three components), flat Y/Cb/Cr
+    Y, Cb, Cr = 140, 90, 200
+    w = _BitWriter()
+    for flat in (Y, Cb, Cr):
+        dc = 8 * (flat - 128)
+        t = _category(dc)
+        code, ln = dc_codes[t]
+        w.write(code, ln)
+        if t:
+            w.write(dc if dc >= 0 else dc + (1 << t) - 1, t)
+        ec, el = ac_codes[0x00]
+        w.write(ec, el)
+    entropy = w.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", 8, 8)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS[1:]) + bytes(DC_LUMA_VALS)
+    ) + seg(
+        0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS[1:]) + bytes(AC_LUMA_VALS)
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    jp = b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+    got = jpeg_pixels(jp)
+    assert got is not None
+    width, height, px = got
+    assert (width, height) == (8, 8)
+    cb, cr = Cb - 128, Cr - 128
+    rr = min(255, max(0, math.floor(Y + 1.402 * cr + 0.5)))
+    gg = min(
+        255, max(0, math.floor(Y - 0.344136 * cb - 0.714136 * cr + 0.5))
+    )
+    bb = min(255, max(0, math.floor(Y + 1.772 * cb + 0.5)))
+    assert set(px) == {_luma_601(rr, gg, bb)}
+
+
+def test_pillow_parity_bit_exact():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    vals = bytes((173 * v + 37) % 256 for v in range(64))
+    jp = encode_jpeg_gray_flat(64, 64, vals)
+    im = PIL.open(io.BytesIO(jp)).convert("L")
+    assert im.size == (64, 64)
+    assert bytes(im.tobytes()) == jpeg_pixels(jp)[2]
+
+
+def test_decoder_dict_and_dispatch():
+    from gmallrealtime02_spark.functions.multimodal import (
+        media_pixels,
+        pure_decoder,
+    )
+
+    vals = bytes(range(32))
+    jp = encode_jpeg_gray_flat(64, 32, vals)
+    d = jpeg_decoder(jp)
+    assert d["mode"] == "L" and d["n_pixels"] == 64 * 32
+    assert d["sum_luma"] == 64 * sum(vals)
+    assert pure_decoder(jp) == d  # magic-byte dispatch
+    assert media_pixels(jp) == jpeg_pixels(jp)
+
+
+def test_decode_media_over_jpeg_table(spark, sf_dir):
+    from gmallrealtime02_spark.functions.multimodal import (
+        as_jpeg_media_table,
+        decode_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = as_jpeg_media_table(docs)
+    out = decode_media(media, decoder=jpeg_decoder).select(
+        "doc_id", "width", "height", "sum_luma"
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    for d in docs.collect():
+        cps = [min(ord(c), 255) for c in d.text[:64]]
+        cps += [0] * (64 - len(cps))
+        want = 64 * sum((173 * v + 37) % 256 for v in cps)
+        assert rows[d.doc_id].sum_luma == want
+        assert (rows[d.doc_id].width, rows[d.doc_id].height) == (64, 64)

@@ -1133,3 +1133,175 @@ def test_restore_is_metadata_only_rollback(spark, sf_dir, tmp_path):
     # and the table keeps working after the rollback
     t.append(_events(spark, sf_dir, 100, 200), txn=("job", 3))
     assert _ids(t.read(spark)) == _ids(_events(spark, sf_dir, 0, 200))
+
+
+def test_delete_where_space_form_timestamp_literal(spark, sf_dir, tmp_path):
+    """ADVICE r9 (high): timestamp stats are datetime.isoformat()
+    'T'-form strings while the idiomatic SQL literal uses a space
+    separator; raw lexicographic order has ' ' < 'T', so the pruner
+    declared a file 'provably disjoint' that held matching rows and
+    the GDPR-style delete silently left them alive.  The schema marks
+    ts as a timestamp, so the literal must order as an INSTANT — and a
+    file genuinely out of range must still be carried by name."""
+    t = ManifestTable(str(tmp_path / "t"), stats_cols=["ts"])
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    mid = ev.selectExpr("percentile_approx(ts, 0.5) AS m").collect()[0][0]
+    lo_half = ev.filter(F.col("ts") < F.lit(mid))
+    hi_half = ev.filter(F.col("ts") >= F.lit(mid))
+    assert lo_half.count() > 0 and hi_half.count() > 0
+    t.append(lo_half.coalesce(1))
+    t.append(hi_half.coalesce(1))
+    f_lo, f_hi = t.manifest()["files"]
+    lit = mid.strftime("%Y-%m-%d %H:%M:%S")  # space form, typical SQL
+    cond = f"ts <= '{lit}'"
+    m = t.delete_where(spark, cond)
+    assert m is not None and m["op"] == "delete"
+    # the all-above file survives BY NAME (pruning still prunes) ...
+    assert f_hi in m["files"]
+    # ... and the overlapping file was rewritten, not wrongly skipped
+    assert f_lo not in m["files"]
+    want = _ids(ev.filter(f"NOT ({cond})"))
+    assert _ids(t.read(spark)) == want
+
+
+def test_legacy_inline_bloom_old_canon_dual_probe(spark, sf_dir, tmp_path):
+    """ADVICE r9 (medium): inline __bloom__ filters in pre-segmentation
+    manifests were built with the OLD hash canon (str over _jsonable:
+    float 3.0 -> '3.0').  The unified canon hashes 3.0 as '3', so a
+    probe against a legacy float-column filter false-NEGATIVED and
+    point_files dropped the file.  Legacy entries must be probed with
+    BOTH forms."""
+    import base64
+
+    t = ManifestTable(str(tmp_path / "t"), bloom_cols=["value"])
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "id long, value double"
+    )
+    t.append(df.coalesce(1))
+    f = t.manifest()["files"][0]
+    # rebuild the filter the PRE-segmentation way: old canon text
+    import pyarrow.parquet as pq
+
+    path = os.path.join(t.data_dir, f)
+    vals = pq.read_table(path, columns=["value"]).column("value").to_pylist()
+    m_bits = t._bloom_m_for(pq.ParquetFile(path).metadata.num_rows)
+    bits = bytearray(m_bits // 8)
+    for v in vals:
+        for pos in ManifestTable._bloom_positions_text(
+            str(v), m_bits, t.bloom_hashes  # str(3.0) == '3.0': old form
+        ):
+            bits[pos // 8] |= 1 << (pos % 8)
+    legacy = {
+        "version": 2,
+        "parent": 1,
+        "op": "append",
+        "files": [f],
+        "stats": {
+            f: {
+                "__bloom__": {
+                    "value": {
+                        "b": base64.b64encode(bytes(bits)).decode("ascii"),
+                        "m": m_bits,
+                        "k": t.bloom_hashes,
+                    }
+                }
+            }
+        },
+        "config": {"bloom_cols": ["value"]},
+    }
+    with open(t._manifest_path(2), "w") as fh:
+        json.dump(legacy, fh)
+    os.remove(t._bloom_sidecar_path(f))  # only the inline filter remains
+    cold = ManifestTable(str(t.root))
+    # probe with the float the caller holds: must keep the file even
+    # though the new canon ('3') was never hashed into the old filter
+    assert len(cold.point_files("value", [3.0])) == 1
+    assert cold.read_points(spark, "value", [3.0]).count() == 1
+    # absent values still prune through the legacy filter
+    assert cold.point_files("value", [99.5]) == []
+
+
+def test_manifest_returns_mutation_safe_copies(spark, sf_dir, tmp_path):
+    """ADVICE r9 (low): manifest()/_commit hand back the LRU-cached
+    state dict itself; a caller appending to m['files'] would corrupt
+    every later read of that version.  Returned states now carry fresh
+    top-level containers."""
+    t = ManifestTable(str(tmp_path / "t"))
+    committed = t.append(_events(spark, sf_dir, 0, 100))
+    n = len(committed["files"])
+    committed["files"].append("junk.parquet")
+    committed["stats"]["junk.parquet"] = {}
+    m = t.manifest()
+    assert len(m["files"]) == n and "junk.parquet" not in m["files"]
+    assert "junk.parquet" not in m["stats"]
+    m["files"].clear()
+    assert len(t.manifest()["files"]) == n  # cache stayed pristine
+
+
+def test_merge_delta_primitive(spark, sf_dir, tmp_path):
+    """merge_delta edges: (a) delete keys that prune every file ->
+    metadata-only commit that still advances the txn watermark;
+    (b) all-empty input -> no-op; (c) delete+insert in one commit."""
+    t = ManifestTable(str(tmp_path / "t"), stats_cols=["event_id"])
+    t.append(_events(spark, sf_dir, 0, 100).coalesce(1))
+    v1 = t.current_version()
+    far = spark.createDataFrame([(10**9,)], "event_id long")
+    # (a) no file can contain the key: no rewrite, but the commit lands
+    m = t.merge_delta(spark, None, [(["event_id"], far)], txn=("cdc", 1))
+    assert m is not None and m["version"] == v1 + 1
+    assert set(m["files"]) == set(t.manifest(v1)["files"])  # carried
+    assert m["txn"]["cdc"] == 1
+    # replay declined
+    assert t.merge_delta(spark, None, [(["event_id"], far)], txn=("cdc", 1)) is None
+    # (b) empty everything, no txn -> no-op
+    empty = spark.createDataFrame([], "event_id long")
+    assert t.merge_delta(spark, None, [(["event_id"], empty)]) is None
+    # (c) delete [0,50) and insert [200,250) atomically
+    ins = _events(spark, sf_dir, 200, 250)
+    keys = _events(spark, sf_dir, 0, 50).select("event_id")
+    m2 = t.merge_delta(spark, ins, [(["event_id"], keys)], txn=("cdc", 2))
+    assert m2["op"] == "merge"
+    want = _ids(_events(spark, sf_dir, 50, 100)) + _ids(
+        _events(spark, sf_dir, 200, 250)
+    )
+    assert _ids(t.read(spark)) == sorted(want)
+
+
+def test_executor_stats_pinned_to_footer_reference(spark, sf_dir, tmp_path):
+    """Round-10: range stats are computed EXECUTOR-side in the same
+    one-job pass as the blooms (no per-file driver footer loop on the
+    commit path).  The data-computed values must be IDENTICAL to the
+    pyarrow-footer reference (_file_stats) across types: nullable
+    bigint (Arrow hands it to pandas as float — must store int),
+    double, string, timestamp — and an all-null column is omitted on
+    both sides."""
+    t = ManifestTable(
+        str(tmp_path / "t"),
+        stats_cols=["event_id", "value", "event_type", "ts", "all_null"],
+        bloom_cols=["event_id"],
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "value", "event_type", "ts")
+        .withColumn(
+            "event_id",
+            F.when(F.col("event_id") % 7 == 0, None).otherwise(
+                F.col("event_id")
+            ),
+        )
+        .withColumn("all_null", F.lit(None).cast("double"))
+    )
+    m = t.append(ev)
+    stats = m["stats"]
+    assert stats, "no stats recorded"
+    for f, st in stats.items():
+        ref = t._file_stats(os.path.join(t.data_dir, f))
+        assert st == ref, (f, st, ref)
+        assert "all_null" not in st
+        if "event_id" in st:  # nullable bigint stayed integral
+            assert isinstance(st["event_id"][0], int)
+        if "ts" in st:  # temporal stats are ISO strings
+            assert "T" in st["ts"][0]
+    # and blooms still work off the same single job
+    probe = ev.filter(F.col("event_id").isNotNull()).first().event_id
+    assert len(t.point_files("event_id", [int(probe)])) >= 1

@@ -535,3 +535,128 @@ def test_decode_media_over_rgba_table(spark, sf_dir):
     assert sorted(map(tuple, pal.select(cols).collect())) == sorted(
         map(tuple, rgba.select(cols).collect())
     )
+
+
+# -- 16-bit samples ---------------------------------------------------------
+
+from gmallrealtime02_spark.functions.multimodal import (  # noqa: E402
+    as_png_16bit_media_table,
+    encode_png_16bit,
+)
+
+
+def test_16bit_roundtrip_high_byte():
+    """encode_png_16bit stores ((251v+17)%256)<<8 | ((193v+89)%256);
+    the decode must narrow each big-endian sample to its HIGH byte."""
+    vals = bytes(range(64))
+    got = png_pixels(encode_png_16bit(8, 8, vals))
+    assert got is not None
+    w, h, px = got
+    assert (w, h) == (8, 8)
+    assert px == bytes((251 * v + 17) % 256 for v in vals)
+    d = png_decoder(encode_png_16bit(8, 8, vals))
+    assert d["mode"] == "I;16"
+    assert d["sum_luma"] == sum((251 * v + 17) % 256 for v in vals)
+
+
+def test_16bit_filters_defilter_at_two_byte_stride():
+    """Sub/Up/Paeth on a depth-16 gray image: the filter offset is the
+    2-byte sample width, not 1 — expected bytes built by applying the
+    spec forward over the raw two-byte stream."""
+    w = h = 3
+    samples = [(v << 8) | ((7 * v + 3) % 256) for v in (10, 20, 30, 40, 50, 60, 70, 80, 90)]
+    raw_rows = []
+    for y in range(h):
+        rb = bytearray()
+        for s in samples[y * w : (y + 1) * w]:
+            rb += bytes(((s >> 8) & 0xFF, s & 0xFF))
+        raw_rows.append(bytes(rb))
+    stride, bpp = 2 * w, 2
+
+    for ftype in (0, 1, 2, 3, 4):
+        out = bytearray()
+        prev = bytes(stride)
+        for row in raw_rows:
+            filt = bytearray()
+            for i in range(stride):
+                x = row[i]
+                a = row[i - bpp] if i >= bpp else 0
+                b_ = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ftype == 0:
+                    filt.append(x)
+                elif ftype == 1:
+                    filt.append((x - a) & 0xFF)
+                elif ftype == 2:
+                    filt.append((x - b_) & 0xFF)
+                elif ftype == 3:
+                    filt.append((x - ((a + b_) >> 1)) & 0xFF)
+                else:
+                    p = a + b_ - c
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+                    filt.append((x - pred) & 0xFF)
+            out += bytes([ftype]) + bytes(filt)
+            prev = row
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b"")
+        )
+        got = png_pixels(png)
+        assert got is not None, f"filter {ftype} rejected"
+        assert got[2] == bytes(s >> 8 for s in samples), f"filter {ftype}"
+
+
+def test_16bit_truncated_and_odd_streams_rejected():
+    good = encode_png_16bit(4, 4, bytes(range(16)))
+    # strip the IEND and truncate the IDAT payload: short stream
+    assert png_pixels(good[:-20]) is None
+    # an 8-bit-sized stream under a 16-bit header must not decode
+    import zlib as _z
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", _z.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    short = b"".join(
+        bytes([0]) + bytes(range(4)) for _ in range(4)
+    )  # 1 byte/px
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(short))
+        + chunk(b"IEND", b"")
+    )
+    assert png_pixels(png) is None
+
+
+def test_decode_media_over_16bit_table(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = as_png_16bit_media_table(docs)
+    from gmallrealtime02_spark.functions.multimodal import decode_media
+
+    out = decode_media(media, decoder=png_decoder).select(
+        "doc_id", "width", "height", "sum_luma"
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    for d in docs.collect():
+        vals = [min(ord(c), 255) for c in d.text[:64]]
+        vals += [0] * (64 - len(vals))
+        want = sum((251 * v + 17) % 256 for v in vals)
+        assert rows[d.doc_id].sum_luma == want
+        assert (rows[d.doc_id].width, rows[d.doc_id].height) == (8, 8)

@@ -292,3 +292,203 @@ def test_multi_txn_pair_atomic_watermarks(spark, sf_dir, tmp_path):
     # partial advance: commits, re-records the max per app
     assert t.append(df, txn=[("a", 2), ("b", 2)]) is not None
     assert t.manifest()["txn"] == {"a": 2, "b": 2}
+
+
+# -- delete-aware incremental propagation (row-level CDC) -------------------
+
+
+def test_delete_propagates_as_keyed_retraction(spark, sf_dir, tmp_path):
+    """With key_cols set, an upstream delete_where propagates as a
+    keyed retraction — mode incremental with retractions, NOT the full
+    recompute — and rows removed upstream never survive downstream."""
+    bronze = ManifestTable(str(tmp_path / "bronze"), stats_cols=["event_id"])
+    silver = ManifestTable(str(tmp_path / "silver"), stats_cols=["event_id"])
+    p = IncrementalPropagator(
+        bronze, silver, _clicks_x10, key_cols=["event_id"]
+    )
+    bronze.append(_events(spark, sf_dir, 0, 200))
+    assert p.run_once(spark)["mode"] == "full"
+    bronze.delete_where(spark, "event_id < 99")
+    r = p.run_once(spark)
+    assert r["mode"] == "incremental" and r.get("retractions") is True
+    want = _clicks_x10(_events(spark, sf_dir, 99, 200))
+    assert _ids(silver.read(spark)) == _ids(want)
+    # deleted keys are GONE downstream, not merely absent from new data
+    assert (
+        silver.read(spark).filter(F.col("event_id") < 99).count() == 0
+    )
+    # replay: nothing new, nothing double-retracted
+    assert p.run_once(spark)["mode"] == "noop"
+    assert _ids(silver.read(spark)) == _ids(want)
+
+
+def test_delete_and_append_in_one_range(spark, sf_dir, tmp_path):
+    """A range mixing appends and deletes nets correctly: rows appended
+    then deleted inside the range never reach the destination, deletes
+    of pre-range rows retract, new rows land — all in one commit."""
+    bronze = ManifestTable(str(tmp_path / "bronze"), stats_cols=["event_id"])
+    silver = ManifestTable(str(tmp_path / "silver"), stats_cols=["event_id"])
+    p = IncrementalPropagator(
+        bronze, silver, _clicks_x10, key_cols=["event_id"]
+    )
+    bronze.append(_events(spark, sf_dir, 0, 100))
+    p.run_once(spark)
+    bronze.append(_events(spark, sf_dir, 100, 200))  # in-range append
+    bronze.delete_where(spark, "event_id < 50 OR event_id >= 150")
+    r = p.run_once(spark)
+    assert r["mode"] == "incremental" and r.get("retractions") is True
+    want = _clicks_x10(_events(spark, sf_dir, 50, 150))
+    assert _ids(silver.read(spark)) == _ids(want)
+
+
+def test_retraction_touches_only_pruned_dest_files(spark, sf_dir, tmp_path):
+    """The destination-side cost story: a keyed retraction rewrites
+    only the dest files whose [min,max] stats may contain a deleted
+    key — the rest are carried BY NAME (metadata only)."""
+    bronze = ManifestTable(str(tmp_path / "bronze"), stats_cols=["event_id"])
+    silver = ManifestTable(str(tmp_path / "silver"), stats_cols=["event_id"])
+    p = IncrementalPropagator(
+        bronze, silver, lambda df: df, key_cols=["event_id"]
+    )
+    for lo in range(0, 400, 100):  # four stat-tight silver files
+        bronze.append(_events(spark, sf_dir, lo, lo + 100).coalesce(1))
+        p.run_once(spark)
+    before = set(silver.manifest()["files"])
+    lo_files = set(silver.pruned_files("event_id", 0, 49))
+    bronze.delete_where(spark, "event_id < 50")
+    r = p.run_once(spark)
+    assert r.get("retractions") is True
+    after = set(silver.manifest()["files"])
+    # every dest file provably outside the deleted range survived by name
+    assert (before - lo_files) <= after
+    assert _ids(silver.read(spark)) == _ids(_events(spark, sf_dir, 50, 400))
+
+
+def test_compact_and_vacuum_still_fall_back(spark, sf_dir, tmp_path):
+    """key_cols does not change the honest fallbacks: compact in range
+    (row-preserving but whole-file churn) and a vacuumed rewrite file
+    both force the full recompute."""
+    bronze = ManifestTable(str(tmp_path / "bronze"), stats_cols=["event_id"])
+    silver = ManifestTable(str(tmp_path / "silver"))
+    p = IncrementalPropagator(
+        bronze, silver, _clicks_x10, key_cols=["event_id"]
+    )
+    for lo in range(0, 300, 100):
+        bronze.append(_events(spark, sf_dir, lo, lo + 100))
+    p.run_once(spark)
+    bronze.compact(spark, target_bytes=1 << 30)
+    assert p.run_once(spark)["mode"] == "full"
+    # now a delete whose rewritten predecessor gets vacuumed away
+    bronze.delete_where(spark, "event_id < 10")
+    bronze.vacuum(keep_versions=1, retention_seconds=0.0)
+    r = p.run_once(spark)
+    assert r["mode"] == "full"
+    assert _ids(silver.read(spark)) == _ids(
+        _clicks_x10(_events(spark, sf_dir, 10, 300))
+    )
+
+
+def test_renamed_keys_mapping(spark, sf_dir, tmp_path):
+    """key_cols as {source: dest} handles transforms that rename the
+    key column."""
+    bronze = ManifestTable(str(tmp_path / "bronze"), stats_cols=["event_id"])
+    silver = ManifestTable(str(tmp_path / "silver"), stats_cols=["eid"])
+
+    def renames(df):
+        return df.select(
+            F.col("event_id").alias("eid"), "event_type", "value"
+        )
+
+    p = IncrementalPropagator(
+        bronze, silver, renames, key_cols={"event_id": "eid"}
+    )
+    bronze.append(_events(spark, sf_dir, 0, 200))
+    p.run_once(spark)
+    bronze.delete_where(spark, "event_id >= 100")
+    r = p.run_once(spark)
+    assert r.get("retractions") is True
+    assert sorted(r.eid for r in silver.read(spark).collect()) == _ids(
+        _events(spark, sf_dir, 0, 100)
+    )
+
+
+def test_delta_join_delete_propagates_retractions(spark, sf_dir, tmp_path):
+    """DeltaJoinPropagator with left/right keys: deleting rows from ONE
+    bronze retracts exactly their join contributions downstream, in
+    ENFORCED incremental mode, and the destination matches the
+    one-shot join of the post-delete sources."""
+    left = ManifestTable(str(tmp_path / "ev"), stats_cols=["event_id"])
+    right = ManifestTable(str(tmp_path / "users"))
+    dest = ManifestTable(str(tmp_path / "joined"), stats_cols=["event_id"])
+    p = DeltaJoinPropagator(
+        left,
+        right,
+        dest,
+        combine=_join_ev_users,
+        left_keys=["event_id"],
+        right_keys=["user_id"],
+    )
+    left.append(_events(spark, sf_dir, 0, 300))
+    right.append(_users(spark, sf_dir, 0, 100))
+    assert p.run_once(spark)["mode"] == "full"
+    left.delete_where(spark, "event_id < 150")
+    r = p.run_once(spark)
+    assert r["mode"] == "incremental" and r.get("retractions") is True
+    want = _join_ev_users(
+        _events(spark, sf_dir, 150, 300), _users(spark, sf_dir, 0, 100)
+    )
+    assert _ids(dest.read(spark)) == _ids(want)
+    assert p.run_once(spark)["mode"] == "noop"
+
+
+def test_delta_join_deletes_both_sides_plus_appends(spark, sf_dir, tmp_path):
+    """The full extended identity: deletes on BOTH sources plus new
+    appends on both, absorbed in one incremental run."""
+    left = ManifestTable(str(tmp_path / "ev"), stats_cols=["event_id"])
+    right = ManifestTable(str(tmp_path / "users"))
+    dest = ManifestTable(str(tmp_path / "joined"), stats_cols=["event_id"])
+    p = DeltaJoinPropagator(
+        left,
+        right,
+        dest,
+        combine=_join_ev_users,
+        left_keys=["event_id"],
+        right_keys=["user_id"],
+    )
+    left.append(_events(spark, sf_dir, 0, 200))
+    right.append(_users(spark, sf_dir, 0, 60))
+    p.run_once(spark)
+    left.delete_where(spark, "event_id < 40")
+    left.append(_events(spark, sf_dir, 200, 260))
+    right.delete_where(spark, "user_id >= 50")
+    right.append(_users(spark, sf_dir, 60, 90))
+    r = p.run_once(spark)
+    assert r["mode"] == "incremental" and r.get("retractions") is True
+    ev_now = _events(spark, sf_dir, 40, 260)
+    users_now = _users(spark, sf_dir, 0, 50).unionByName(
+        _users(spark, sf_dir, 60, 90)
+    )
+    assert _ids(dest.read(spark)) == _ids(_join_ev_users(ev_now, users_now))
+
+
+def test_read_changes_net_algebra(spark, sf_dir, tmp_path):
+    """read_changes returns exactly (rows added, rows removed) across
+    the range, with carried rewrite rows cancelled."""
+    t = ManifestTable(str(tmp_path / "t"), stats_cols=["event_id"])
+    t.append(_events(spark, sf_dir, 0, 100))
+    v1 = t.current_version()
+    t.append(_events(spark, sf_dir, 100, 200))
+    t.delete_where(spark, "event_id < 30 OR event_id >= 180")
+    add, dele = t.read_changes(spark, v1)
+    assert _ids(add) == _ids(_events(spark, sf_dir, 100, 180))
+    assert _ids(dele) == _ids(_events(spark, sf_dir, 0, 30))
+    # all-append range: empty deletions
+    t2 = ManifestTable(str(tmp_path / "t2"))
+    t2.append(_events(spark, sf_dir, 0, 50))
+    t2.append(_events(spark, sf_dir, 50, 80))
+    add2, del2 = t2.read_changes(spark, 1)
+    assert _ids(add2) == _ids(_events(spark, sf_dir, 50, 80))
+    assert del2.count() == 0
+    # compact in range: declined
+    t2.compact(spark, target_bytes=1 << 30)
+    assert t2.read_changes(spark, 1) is None

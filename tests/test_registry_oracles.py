@@ -55,11 +55,11 @@ def test_entry_smoke(spark):
 def test_driver_window_curation():
     """The driver checks a fixed-size PREFIX of queries() (observed: first
     50).  The window ROTATES across rounds so every oracled query earns a
-    driver-verified row (registry.py rotation ledger).  Round-9 window
-    invariants: the 6 round-9 additions LEAD (first driver exposure),
+    driver-verified row (registry.py rotation ledger).  Round-10 window
+    invariants: the 4 round-10 additions LEAD (first driver exposure),
     EVERY slot carries a full value-hash oracle (the rows-only-by-nature
     ops are excluded from the window for good), every oracled query that
-    has never been driver-green holds a slot, and the remaining 44 slots
+    has never been driver-green holds a slot, and the remaining 46 slots
     are staleness rotation ordered stalest-evidence-first: each slot's
     last green row is no newer than any later slot's (computed from the
     CORRECTNESS files, so the invariant is checked against the actual
@@ -70,13 +70,14 @@ def test_driver_window_curation():
     here = os.path.dirname(__file__)
     qs = load_all()
     window = list(qs)[:50]
-    assert window[:6] == list(_ROUND9_ADDITIONS), window[:6]
+    n_new = len(_ROUND10_ADDITIONS)
+    assert window[:n_new] == list(_ROUND10_ADDITIONS), window[:n_new]
     # every window slot is hash-gradable
     rows_only = {n for n in window if qs[n].oracle is None}
     assert not rows_only, rows_only
     # every never-driver-green oracled row holds a slot
     last_green: dict[str, int] = {}
-    for r in range(1, 9):
+    for r in range(1, 10):
         d = json.load(
             open(os.path.join(here, "..", f"CORRECTNESS_r0{r}.json"))
         )
@@ -86,9 +87,11 @@ def test_driver_window_curation():
     never_green = {
         n for n in qs if n not in last_green and qs[n].oracle is not None
     }
-    assert never_green <= set(window[:6]), never_green - set(window[:6])
+    assert never_green <= set(window[:n_new]), never_green - set(
+        window[:n_new]
+    )
     # rotation slots: only already-green rows, stalest first
-    rotation = window[6:]
+    rotation = window[n_new:]
     assert all(n in last_green for n in rotation)
     rounds = [last_green[n] for n in rotation]
     assert rounds == sorted(rounds), "rotation not stalest-first"
@@ -104,13 +107,11 @@ def test_driver_window_curation():
         )
 
 
-_ROUND9_ADDITIONS = (
-    "manifest_predicate_delete",
-    "order_wide_incremental",
-    "manifest_restore",
-    "media_png_palette",
-    "media_png_interlaced",
-    "media_png_rgba",
+_ROUND10_ADDITIONS = (
+    "order_wide_delete_propagate",
+    "media_png_16bit",
+    "manifest_ann_topk",
+    "media_jpeg_decode",
 )
 
 
