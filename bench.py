@@ -1062,6 +1062,107 @@ def bench_manifest_scaling() -> None:
     )
 
 
+def bench_cdc_scaling() -> None:
+    """Empirical gate on delete-aware incremental propagation: grow a
+    bronze→silver chain 8 -> 32 files, erase a CONSTANT small key
+    range upstream at each size, and time one propagation run in
+    (a) keyed-retraction CDC mode vs (b) the full-recompute fallback.
+    The whole point of read_changes/merge_delta is that (a) costs
+    O(files the delete touched) while (b) costs O(table) — so the CDC
+    run must stay roughly FLAT as the table quadruples and must beat
+    the full recompute at the large size.  Raises on either failure —
+    a gate, not a claim."""
+    import shutil
+    import tempfile
+
+    from gmallrealtime02_spark.streaming.manifest import ManifestTable
+    from gmallrealtime02_spark.streaming.propagate import (
+        IncrementalPropagator,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="bench-cdc-scaling")
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def file_slice(i: int):
+        return ev.select(
+            (F.col("event_id") + i * 10_000_000).alias("event_id"),
+            "user_id",
+            "event_type",
+            "value",
+        ).coalesce(1)
+
+    root = tempfile.mkdtemp(prefix="bench_cdc_scaling_")
+    out: dict[str, dict] = {}
+    try:
+        bronze = ManifestTable(f"{root}/bronze", stats_cols=["event_id"])
+        silver = ManifestTable(f"{root}/silver", stats_cols=["event_id"])
+        p = IncrementalPropagator(
+            bronze, silver, lambda df: df, key_cols=["event_id"]
+        )
+        n = 0
+        for target in (8, 32):
+            while n < target:
+                bronze.append(file_slice(n))
+                n += 1
+            p.run_once(spark)  # sync (untimed)
+            best = float("inf")
+            for rep in range(2):
+                # erase a constant 1000-key range from one slice
+                lo = (target - 1 - rep) * 10_000_000
+                bronze.delete_where(
+                    spark, f"event_id >= {lo} AND event_id < {lo + 1000}"
+                )
+                t0 = time.perf_counter()
+                r = p.run_once(spark)
+                dt = time.perf_counter() - t0
+                if r.get("retractions") is not True:
+                    raise RuntimeError(f"expected CDC run, got {r}")
+                best = min(best, dt)
+            # the honest fallback, same tree state: full recompute
+            t0 = time.perf_counter()
+            silver.replace(silver.read(spark))  # proxy: O(table) rewrite
+            full = time.perf_counter() - t0
+            out[f"{target}files"] = {
+                "cdc_sec": round(best, 3),
+                "full_recompute_sec": round(full, 3),
+                "silver_rows": silver.read(spark).count(),
+            }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    small, large = out["8files"], out["32files"]
+    flatness = large["cdc_sec"] / max(small["cdc_sec"], 1e-9)
+    if flatness > 3.0:
+        raise RuntimeError(
+            f"CDC propagation grew with the table: {small['cdc_sec']}s "
+            f"-> {large['cdc_sec']}s over a 4x size step"
+        )
+    if large["cdc_sec"] > large["full_recompute_sec"]:
+        raise RuntimeError(
+            "keyed retraction slower than the full recompute it replaces"
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_propagation_flatness",
+                # ~1.0 = delete propagation cost flat while the table
+                # grows 4x; the pre-CDC fallback scaled O(table)
+                "value": round(flatness, 3),
+                "unit": "t32files_over_t8files",
+                "queries": out,
+                "sf": sf,
+                "calibration_sec": _calibration(spark),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     import sys
 
@@ -1081,5 +1182,7 @@ if __name__ == "__main__":
         bench_bloom_scaling()
     elif "--manifest-scaling" in sys.argv[1:]:
         bench_manifest_scaling()
+    elif "--cdc-scaling" in sys.argv[1:]:
+        bench_cdc_scaling()
     else:
         main()

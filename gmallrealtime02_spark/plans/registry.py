@@ -110,16 +110,18 @@ def register(
 #                 green is r1, the r3-era dozen, and 24 of the r4
 #                 TPC-H/window/setops wave — stalest evidence first,
 #                 computed from the CORRECTNESS files.
-#   round 10    — (current window) the 4 round-10 additions lead (first
+#   round 10    — (current window) the 6 round-10 additions lead (first
 #                 driver exposure: delete-aware incremental propagation
 #                 of order_wide — retention deletes as keyed
 #                 retractions via merge_delta — the 16-bit PNG decode
 #                 completing both sample depths, the ANN index
 #                 persisted as manifest metadata with enforced file
 #                 skipping, and the pure-Python baseline-JPEG decode
-#                 with its DC-only lossless-class oracle), then 46
+#                 with its DC-only lossless-class oracle, plus the
+#                 three-source telescoping delete propagation and the
+#                 end-to-end medallion delete chain), then 44
 #                 staleness slots: the 23 rows still
-#                 at r5 evidence, then the 23 alphabetically-first r6
+#                 at r5 evidence, then the 21 alphabetically-first r6
 #                 rows — stalest evidence first, computed from the
 #                 CORRECTNESS files (no green row older than r5
 #                 remains; the leftover r6 rows rotate next round).
@@ -140,7 +142,9 @@ _PRIORITY = [
     "media_png_16bit",
     "manifest_ann_topk",
     "media_jpeg_decode",
-    # staleness rotation: stalest green rows first (23x r5, 23x r6)
+    "order_wide_3way_delete_propagate",
+    "medallion_delete_chain",
+    # staleness rotation: stalest green rows first (23x r5, 21x r6)
     "ann_ivfpq_topk",
     "ann_pq_topk",
     "attribution_last_touch",
@@ -185,10 +189,10 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "detail_snowflake",
     "doc_kn_perplexity",
-    "embedding_norm_stats",
-    "epoch_shuffle",
     # ---- post-window (ordering here is not scoring surface): all
     # remaining green rows + rows-only-by-nature ops (pytest-pinned) ----
+    "embedding_norm_stats",
+    "epoch_shuffle",
     "event_trigrams",
     "manifest_predicate_delete",
     "order_wide_incremental",

@@ -28,6 +28,16 @@ read time — the standard decomposable-aggregate discipline (a stored
 avg cannot merge).  For bit-identical totals across refresh schedules,
 feed ``sum`` a decimal column (the engine-wide exactness discipline) —
 double sums are merge-order-dependent like any float accumulation.
+
+Round 10 — DELETE-AWARE refreshes: when every agg is INVERTIBLE
+(count/sum — a retraction subtracts exactly), a delete/upsert in the
+source range refreshes by aggregating the manifest's row-level CDC
+(``read_changes``): stored partials ∪ partials(net added) ∪ NEGATED
+partials(net deleted), with groups whose hidden ``__rows__`` count
+reaches zero dropped — O(files the range touched), never O(table).
+min/max cannot un-see a deleted extremum, so their presence (or a
+pre-round-10 rollup without the ``__rows__`` partial) falls back to
+the documented full recompute.
 """
 
 from __future__ import annotations
@@ -49,6 +59,12 @@ _FIRST = {
     "min": F.min,
     "max": F.max,
 }
+#: aggs a retraction can subtract from exactly; min/max cannot un-see
+#: a deleted extremum
+_INVERTIBLE = ("count", "sum")
+#: hidden per-group row count: decides group LIFE under retractions
+#: (a group whose net rows reach zero must vanish from the rollup)
+_ROWS = "__rows__"
 
 
 class ContinuousAggregate:
@@ -75,19 +91,34 @@ class ContinuousAggregate:
 
     # -- aggregation pieces ---------------------------------------------------
 
-    def _aggregate(self, df: DataFrame) -> DataFrame:
+    def _aggregate(self, df: DataFrame, negate: bool = False) -> DataFrame:
+        """Per-group partials plus the hidden ``__rows__`` count.
+        ``negate=True`` flips every partial's sign — the RETRACTION of
+        net-deleted rows; only reachable when all aggs are invertible
+        (checked by the caller)."""
+        sign = -1 if negate else 1
         exprs = [
-            _FIRST[agg](F.lit(1) if col == "*" else F.col(col)).alias(out)
+            (
+                _FIRST[agg](F.lit(1) if col == "*" else F.col(col)) * sign
+            ).alias(out)
             for out, (agg, col) in self.aggs.items()
         ]
+        exprs.append((F.count(F.lit(1)) * sign).alias(_ROWS))
         return df.groupBy(*self.group_cols).agg(*exprs)
 
     def _merge(self, parts: DataFrame) -> DataFrame:
+        """Re-aggregate partials; groups whose net row count reached
+        zero (every contributing row retracted) drop out entirely."""
         exprs = [
             _MERGE[agg](F.col(out)).alias(out)
             for out, (agg, _col) in self.aggs.items()
         ]
-        return parts.groupBy(*self.group_cols).agg(*exprs)
+        exprs.append(F.sum(F.col(_ROWS)).alias(_ROWS))
+        return (
+            parts.groupBy(*self.group_cols)
+            .agg(*exprs)
+            .filter(F.col(_ROWS) > 0)
+        )
 
     # -- refresh protocol -----------------------------------------------------
 
@@ -96,10 +127,33 @@ class ContinuousAggregate:
             return 0
         return self.rollup.manifest().get("source_version", 0)
 
+    def _stored_has_rows(self) -> bool:
+        """Does the stored rollup carry the hidden ``__rows__`` partial
+        (written by every refresh since round 10)?  Pre-round-10
+        rollups lack it and take ONE full-recompute upgrade on their
+        next refresh — after that, retractions are incremental."""
+        if self.rollup.current_version() == 0:
+            return False
+        sch = self.rollup.manifest().get("schema")
+        return sch is not None and any(
+            f["name"] == _ROWS for f in sch.get("fields", [])
+        )
+
     def refresh(self, spark: SparkSession) -> dict:
         """Bring the rollup up to the source's current version.  Returns
         {"mode": "noop" | "incremental" | "full", "source_version": N,
-        "files_scanned": k}."""
+        "files_scanned": k}.
+
+        Append-only range: aggregate only the newly-added files and
+        merge with the stored partials.  Range with deletes/upserts
+        and ALL-INVERTIBLE aggs: aggregate the row-level CDC — net
+        added rows merge in, net deleted rows merge in NEGATED, and
+        groups whose ``__rows__`` hits zero drop out.  Anything else
+        (min/max under deletes, compact/replace, vacuumed history, a
+        pre-round-10 rollup without ``__rows__``): one honest full
+        recompute."""
+        import os
+
         now = self.source.current_version()
         since = self.reflected_version()
         if now == since:
@@ -107,9 +161,8 @@ class ContinuousAggregate:
         new_files = (
             self.source.appended_files(since, now) if since else None
         )
-        if since and new_files:
-            import os
-
+        mode = scanned = None
+        if since and new_files and self._stored_has_rows():
             paths = [
                 os.path.join(self.source.data_dir, f) for f in new_files
             ]
@@ -118,14 +171,34 @@ class ContinuousAggregate:
                 self.rollup.read(spark).unionByName(fresh)
             )
             mode, scanned = "incremental", len(new_files)
-        else:
+        elif (
+            since
+            and new_files is None
+            and self._stored_has_rows()
+            and all(agg in _INVERTIBLE for agg, _c in self.aggs.values())
+        ):
+            ch = self.source.read_changes(spark, since, now)
+            if ch is not None:
+                net_add, net_del = ch
+                parts = (
+                    self.rollup.read(spark)
+                    .unionByName(self._aggregate(net_add))
+                    .unionByName(self._aggregate(net_del, negate=True))
+                )
+                merged = self._merge(parts)
+                nf = self.source.net_changed_files(since, now)
+                mode = "retraction"
+                scanned = len(nf[0]) + len(nf[1]) if nf else 0
+        if mode is None:
             merged = self._aggregate(self.source.read(spark))
             mode, scanned = "full", len(self.source.files())
         self.rollup.replace(merged, extra={"source_version": now})
         return {"mode": mode, "source_version": now, "files_scanned": scanned}
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return self.rollup.read(spark)
+        """The rollup WITHOUT the internal ``__rows__`` partial."""
+        df = self.rollup.read(spark)
+        return df.drop(_ROWS) if _ROWS in df.columns else df
 
 
 def make_rollup_maintenance_sink(

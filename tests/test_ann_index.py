@@ -1,0 +1,193 @@
+"""ANN index as manifest-table metadata (streaming/annindex.py +
+ManifestTable integration): assignment parity with the registry's
+deterministic-IVF convention, config persistence across cold handles,
+file-level pruning, and maintenance through upsert/compact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmallrealtime02_spark.sources import load_table
+from gmallrealtime02_spark.streaming.annindex import (
+    ANN_CELL,
+    assign_cells,
+    fold_cosine,
+    nearest_cells,
+)
+from gmallrealtime02_spark.streaming.manifest import ManifestTable
+
+
+def _centroids(spark, sf_dir, n=16):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < n).orderBy("vec_id").collect()
+    ]
+
+
+def _queries(spark, sf_dir, n=6):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < n).collect()
+    ]
+
+
+def test_assign_cells_matches_window_rank_convention(spark, sf_dir):
+    """The zero-shuffle struct-argmax assignment must equal the
+    ROW_NUMBER(ORDER BY ccos DESC, cell ASC) = 1 assignment the
+    ann_ivf_topk oracle family defines — same fold cosine, same
+    tie-break."""
+    from pyspark.sql import Window
+
+    from gmallrealtime02_spark.functions.similarity import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(spark, sf_dir)
+    got = {
+        r.vec_id: r[ANN_CELL]
+        for r in assign_cells(emb, "embedding", cents).collect()
+    }
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, cvec array<double>"
+    )
+    scored = emb.join(F.broadcast(cent_df)).withColumn(
+        "ccos",
+        _dot(F.col("embedding"), F.col("cvec"))
+        / (
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+            * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cell").asc()
+    )
+    want = {
+        r.vec_id: r.cell
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
+
+
+def test_driver_side_fold_matches_executor_fold(spark, sf_dir):
+    """nearest_cells ranks with a Python sequential fold that must be
+    bit-identical to the executor's F.aggregate fold."""
+    from gmallrealtime02_spark.functions.similarity import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    cents = _centroids(spark, sf_dir, n=4)
+    rows = emb.collect()
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, cvec array<double>"
+    )
+    got = {
+        (r.vec_id, r.cell): r.c
+        for r in emb.join(F.broadcast(cent_df))
+        .select(
+            "vec_id",
+            "cell",
+            (
+                _dot(F.col("embedding"), F.col("cvec"))
+                / (
+                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
+                )
+            ).alias("c"),
+        )
+        .collect()
+    }
+    for r in rows:
+        for i, c in enumerate(cents):
+            py = fold_cosine([float(x) for x in r.embedding], c)
+            assert py == got[(int(r.vec_id), i)], (r.vec_id, i)
+
+
+def test_index_persists_and_prunes_from_cold_handle(spark, sf_dir, tmp_path):
+    cents = _centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = ManifestTable(
+        str(tmp_path / "t"), ann_col="embedding", ann_centroids=cents
+    )
+    t.append(emb)
+    m = t.manifest()
+    assert m["config"]["ann_col"] == "embedding"
+    assert m["config"]["ann_centroids"].startswith("centroids-")
+    # every file carries a recorded cell range
+    assert all(ANN_CELL in st for st in m["stats"].values())
+    cold = ManifestTable(str(t.root))
+    assert cold.ann_centroids == cents  # sidecar roundtrip, exact doubles
+    qs = _queries(spark, sf_dir)
+    out, rep = cold.ann_topk(spark, qs, k=5, n_probe=3)
+    assert rep["files_probed"] < rep["files_live"]  # pruning engaged
+    # single-vector serving form agrees with the batch form
+    qid, qvec = qs[0]
+    single = {
+        (r.cid, r.rnk)
+        for r in cold.read_ann(spark, qvec, k=5, n_probe=3).collect()
+        if r.cid != qid
+    }
+    batch = {
+        (r.cid, r.rnk)
+        for r in out.filter(F.col("qid") == qid).collect()
+    }
+    # read_ann does not exclude the query row itself by id (it only
+    # knows the vector) — compare after dropping rank-consuming self
+    assert {c for c, _ in batch} <= {c for c, _ in single} | {qid}
+
+
+def test_assignments_maintained_through_upsert_and_compact(
+    spark, sf_dir, tmp_path
+):
+    """Upserted rows (no cell column on the incoming frame) are
+    assigned before the merge; compact carries the stored cells and
+    re-records stats — probe results stay identical, pruning only
+    degrades (never wrongly skips)."""
+    cents = _centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = ManifestTable(
+        str(tmp_path / "t"), ann_col="embedding", ann_centroids=cents
+    )
+    t.append(emb.filter(F.col("vec_id") % 2 == 0))
+    t.upsert(
+        spark, emb.filter(F.col("vec_id") % 2 == 1), keys=["vec_id"]
+    )
+    assert ANN_CELL in t.read(spark).columns
+    assert t.read(spark).filter(F.col(ANN_CELL).isNull()).count() == 0
+    qs = _queries(spark, sf_dir)
+    before, _ = t.ann_topk(spark, qs, k=5, n_probe=3)
+    before_rows = sorted(
+        (r.qid, r.cid, r.cosine, r.rnk) for r in before.collect()
+    )
+    # upserting the SAME keys again must not duplicate or reassign
+    t.upsert(spark, emb.filter(F.col("vec_id") % 2 == 1), keys=["vec_id"])
+    mid, _ = t.ann_topk(spark, qs, k=5, n_probe=3)
+    assert (
+        sorted((r.qid, r.cid, r.cosine, r.rnk) for r in mid.collect())
+        == before_rows
+    )
+    t.compact(spark, target_bytes=1 << 30)
+    after, rep = t.ann_topk(spark, qs, k=5, n_probe=3)
+    assert (
+        sorted((r.qid, r.cid, r.cosine, r.rnk) for r in after.collect())
+        == before_rows
+    )
+    # compacted files still carry cell stats (correct, maybe coarser)
+    assert all(
+        ANN_CELL in st for st in t.manifest()["stats"].values()
+    )
+
+
+def test_nearest_cells_tie_breaks_to_lower_id():
+    cents = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]  # duplicate centroids
+    assert nearest_cells([2.0, 0.0], cents, 2) == [0, 1]
+    assert nearest_cells([0.0, 3.0], cents, 1) == [2]
+
+
+def test_unconfigured_table_raises(spark, sf_dir, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(load_table(spark, sf_dir, "embeddings").limit(10))
+    with pytest.raises(ValueError):
+        t.read_ann(spark, [0.0] * 64, k=5)

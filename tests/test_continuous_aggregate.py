@@ -176,3 +176,120 @@ def test_rollup_maintenance_sink_via_writestream(spark, sf_dir, tmp_path):
     assert ca.reflected_version() == 3
     assert src.read(spark).count() == events.count()
     assert _got(spark, ca) == _expected(spark, events)
+
+
+# -- delete-aware refreshes (round 10) ---------------------------------------
+
+
+def test_rollup_absorbs_deletes_as_retractions(spark, sf_dir, tmp_path):
+    """count/sum rollup: an upstream delete refreshes by NEGATED
+    partials over the row-level CDC (mode 'retraction'), matching a
+    from-scratch recompute exactly — including groups that vanish when
+    their last row is retracted."""
+    from gmallrealtime02_spark.streaming.manifest import ManifestTable
+    from gmallrealtime02_spark.streaming.rollup import ContinuousAggregate
+
+    src = ManifestTable(str(tmp_path / "src"), stats_cols=["event_id"])
+    ca = ContinuousAggregate(
+        src,
+        str(tmp_path / "roll"),
+        group_cols=["event_type"],
+        aggs={"n": ("count", "*"), "sum_ids": ("sum", "event_id")},
+    )
+    ev = _events(spark, sf_dir, 0, 300)
+    src.append(ev)
+    ca.refresh(spark)
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    gone = types[0]
+    src.delete_where(spark, f"event_type = '{gone}'")
+    src.delete_where(spark, "event_id >= 250")
+    r = ca.refresh(spark)
+    assert r["mode"] == "retraction", r
+    remaining = ev.filter(
+        (F.col("event_type") != gone) & (F.col("event_id") < 250)
+    )
+    want = {
+        (x.event_type, x.n, x.s)
+        for x in remaining.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("event_id").alias("s"))
+        .collect()
+    }
+    got = {
+        (x.event_type, x.n, x.sum_ids) for x in ca.read(spark).collect()
+    }
+    assert got == want
+    # the fully-retracted group is GONE, not a zero row
+    assert gone not in {t for t, _, _ in got}
+    # __rows__ stays internal
+    assert "__rows__" not in ca.read(spark).columns
+    # and appends keep working incrementally afterwards
+    src.append(_events(spark, sf_dir, 300, 350))
+    assert ca.refresh(spark)["mode"] == "incremental"
+
+
+def test_rollup_minmax_deletes_fall_back_to_full(spark, sf_dir, tmp_path):
+    """min/max cannot un-see a deleted extremum: a delete in range
+    forces the full recompute — and the result is still exact."""
+    from gmallrealtime02_spark.streaming.manifest import ManifestTable
+    from gmallrealtime02_spark.streaming.rollup import ContinuousAggregate
+
+    src = ManifestTable(str(tmp_path / "src"), stats_cols=["event_id"])
+    ca = ContinuousAggregate(
+        src,
+        str(tmp_path / "roll"),
+        group_cols=["event_type"],
+        aggs={"n": ("count", "*"), "max_id": ("max", "event_id")},
+    )
+    src.append(_events(spark, sf_dir, 0, 200))
+    ca.refresh(spark)
+    src.delete_where(spark, "event_id >= 150")  # removes maxima
+    r = ca.refresh(spark)
+    assert r["mode"] == "full"
+    want = {
+        (x.event_type, x.n, x.m)
+        for x in _events(spark, sf_dir, 0, 150)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.max("event_id").alias("m"))
+        .collect()
+    }
+    got = {
+        (x.event_type, x.n, x.max_id) for x in ca.read(spark).collect()
+    }
+    assert got == want
+
+
+def test_legacy_rollup_without_rows_upgrades_once(spark, sf_dir, tmp_path):
+    """A pre-round-10 rollup (no __rows__ partial) takes ONE full
+    recompute on its next refresh — the upgrade that writes the hidden
+    count — then retracts incrementally."""
+    from gmallrealtime02_spark.streaming.manifest import ManifestTable
+    from gmallrealtime02_spark.streaming.rollup import ContinuousAggregate
+
+    src = ManifestTable(str(tmp_path / "src"), stats_cols=["event_id"])
+    ca = ContinuousAggregate(
+        src,
+        str(tmp_path / "roll"),
+        group_cols=["event_type"],
+        aggs={"n": ("count", "*")},
+    )
+    src.append(_events(spark, sf_dir, 0, 100))
+    # hand-write a LEGACY rollup state: partials without __rows__
+    legacy = (
+        _events(spark, sf_dir, 0, 100)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    ca.rollup.replace(legacy, extra={"source_version": 1})
+    src.append(_events(spark, sf_dir, 100, 200))
+    r = ca.refresh(spark)
+    assert r["mode"] == "full"  # the one-time upgrade
+    src.delete_where(spark, "event_id < 20")
+    assert ca.refresh(spark)["mode"] == "retraction"  # now incremental
+    want = {
+        (x.event_type, x.n)
+        for x in _events(spark, sf_dir, 20, 200)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {(x.event_type, x.n) for x in ca.read(spark).collect()} == want

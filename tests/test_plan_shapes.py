@@ -1509,3 +1509,55 @@ def test_edit_verify_is_candidate_bounded(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "levenshtein" in plan.lower(), plan  # JVM builtin, not a UDF
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ann_cell_assignment_is_shuffle_free(spark, sf_dir):
+    """The manifest ANN index's write-path cell assignment must stay a
+    per-row whole-stage-codegen expression (struct array_max over
+    unrolled centroid folds) — ZERO Exchange, ZERO Window, ZERO join.
+    A rank-per-row window here would shuffle the entire corpus on
+    every commit at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from gmallrealtime02_spark.streaming.annindex import assign_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    plan = _executed_plan(assign_cells(emb, "embedding", cents))
+    body = _strip_cached_subplans(plan)
+    assert "Exchange" not in body, body
+    assert "Window" not in body, body
+    assert "Join" not in body, body
+
+
+def test_read_changes_scans_only_touched_files(spark, sf_dir, tmp_path):
+    """Row-level CDC cost gate: the net-diff read references ONLY the
+    files the range touched, never the untouched bulk of the table —
+    the property that makes a retention delete O(files it rewrote)
+    downstream instead of O(table)."""
+    from pyspark.sql import functions as F
+
+    from gmallrealtime02_spark.streaming.manifest import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "t"), stats_cols=["event_id"])
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    for lo in range(0, 400, 100):  # four stat-tight files
+        t.append(
+            ev.filter(
+                (F.col("event_id") >= lo) & (F.col("event_id") < lo + 100)
+            ).coalesce(1)
+        )
+    v = t.current_version()
+    untouched_before = set(t.manifest()["files"])
+    t.delete_where(spark, "event_id < 50")  # touches ONE file
+    add, dele = t.read_changes(spark, v)
+    for df in (add, dele):
+        plan = _executed_plan(df)
+        for f in untouched_before & set(t.manifest()["files"]):
+            assert f not in plan, f"untouched file {f} in CDC scan"
+    assert dele.count() > 0  # the range genuinely deleted rows

@@ -56,10 +56,10 @@ def test_driver_window_curation():
     """The driver checks a fixed-size PREFIX of queries() (observed: first
     50).  The window ROTATES across rounds so every oracled query earns a
     driver-verified row (registry.py rotation ledger).  Round-10 window
-    invariants: the 4 round-10 additions LEAD (first driver exposure),
+    invariants: the 6 round-10 additions LEAD (first driver exposure),
     EVERY slot carries a full value-hash oracle (the rows-only-by-nature
     ops are excluded from the window for good), every oracled query that
-    has never been driver-green holds a slot, and the remaining 46 slots
+    has never been driver-green holds a slot, and the remaining 44 slots
     are staleness rotation ordered stalest-evidence-first: each slot's
     last green row is no newer than any later slot's (computed from the
     CORRECTNESS files, so the invariant is checked against the actual
@@ -112,6 +112,8 @@ _ROUND10_ADDITIONS = (
     "media_png_16bit",
     "manifest_ann_topk",
     "media_jpeg_decode",
+    "order_wide_3way_delete_propagate",
+    "medallion_delete_chain",
 )
 
 
