@@ -4,9 +4,11 @@ item 7: "decide-or-document"; this is the decide branch).
 
 Decoder scope (reject-clean outside it, null rows never task
 failures): baseline sequential DCT (SOF0), 8-bit samples, Huffman
-entropy coding, grayscale (1 component) or YCbCr 4:4:4 (3 components,
-all sampling factors 1x1).  Progressive (SOF2), arithmetic coding,
-12-bit, subsampled chroma, and restart intervals return None.
+entropy coding, grayscale (1 component, non-interleaved per T.81 A.2)
+or YCbCr (3 components) at sampling factors up to 2 — 4:4:4, 4:2:2
+and 4:2:0, the forms real scraped JPEGs use; subsampled chroma
+upsamples by sample replication.  Progressive (SOF2), arithmetic
+coding, 12-bit, factors > 2, and restart intervals return None.
 
 JPEG is LOSSY, so the PNG-style "predict the decode from the encode
 input" oracle only transfers where the transform chain is EXACT.  The
@@ -169,10 +171,10 @@ def _extend(v: int, t: int) -> int:
 
 def jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     """Decode a baseline JPEG into (width, height, luma bytes
-    row-major) — grayscale Y directly; 4:4:4 color through YCbCr→RGB
-    (JFIF) then the same ITU-R 601-2 integer luma as the BMP/PNG
-    paths.  None for anything outside the documented scope or
-    corrupt."""
+    row-major) — grayscale Y directly; color (4:4:4 / 4:2:2 / 4:2:0)
+    through YCbCr→RGB (JFIF, replicated chroma upsampling) then the
+    same ITU-R 601-2 integer luma as the BMP/PNG paths.  None for
+    anything outside the documented scope or corrupt."""
     b = bytes(b)
     if len(b) < 4 or b[0:2] != b"\xff\xd8":
         return None
@@ -246,9 +248,10 @@ def jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
                         seg[7 + 3 * ci],
                         seg[8 + 3 * ci],
                     )
-                    if hv != 0x11:
-                        return None  # subsampling out of scope
-                    comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                    h, v = hv >> 4, hv & 0x0F
+                    if h not in (1, 2) or v not in (1, 2):
+                        return None  # sampling factors out of scope
+                    comps.append((cid, h, v, tq))
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                             0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # non-baseline SOF
@@ -276,79 +279,103 @@ def jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
 
 
 def _decode_scan(b, pos, width, height, comps, scan, qt, huff_dc, huff_ac):
+    """Entropy-coded scan → luma plane.  General sampling-factor MCU
+    walk (each factor 1 or 2): an MCU holds h_i×v_i blocks of
+    component i in raster order, so 4:4:4 (1x1,1x1,1x1), 4:2:2
+    (2x1,1x1,1x1) and 4:2:0 (2x2,1x1,1x1) — the forms real scraped
+    JPEGs actually use — all decode from one loop.  Subsampled chroma
+    upsamples by sample replication (nearest): cx = x·h_c//h_max —
+    the cheap standard reconstruction, pinned in pytest."""
     from .multimodal import _luma_601
 
     r = _BitReader(b, pos)
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
     nc = len(comps)
-    planes = [bytearray(bw * 8 * bh * 8) for _ in range(nc)]
+    if nc == 1:
+        # T.81 A.2: a single-component scan is NON-INTERLEAVED — one
+        # block per MCU, sampling factors ignored (gray JPEGs often
+        # declare 2x2 factors that mean nothing)
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcux = (width + 8 * max_h - 1) // (8 * max_h)
+    mcuy = (height + 8 * max_v - 1) // (8 * max_v)
+    strides = [mcux * 8 * c[1] for c in comps]
+    planes = [
+        bytearray(strides[i] * mcuy * 8 * comps[i][2]) for i in range(nc)
+    ]
     pred = [0] * nc
-    for by in range(bh):
-        for bx in range(bw):
+    floor = math.floor
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci in range(nc):
+                _, ch, cv, tq = comps[ci]
                 _, dct, act = scan[ci]
-                q = qt[comps[ci][3]]
-                coef = [0] * 64
-                t = r.decode(huff_dc[dct])
-                diff = _extend(r.read_bits(t), t)
-                pred[ci] += diff
-                coef[0] = pred[ci] * q[0]
-                kk = 1
-                while kk < 64:
-                    rs = r.decode(huff_ac[act])
-                    rr, ss = rs >> 4, rs & 0x0F
-                    if ss == 0:
-                        if rr == 15:
-                            kk += 16  # ZRL
-                            continue
-                        break  # EOB
-                    kk += rr
-                    if kk > 63:
-                        raise ValueError("AC run past block end")
-                    z = ZIGZAG[kk]
-                    coef[z] = _extend(r.read_bits(ss), ss) * q[z]
-                    kk += 1
-                if kk == 1 and not any(coef[1:]):
-                    # DC-only block: the IDCT is a flat fill at
-                    # exactly DC/8 — libjpeg's idct_1x1 shortcut.
-                    # This is the EXACT mathematical transform (the
-                    # full float path carries ~1e-13 basis error that
-                    # can flip an exact .5 rounding boundary); pytest
-                    # pins the shortcut to the exact value and to the
-                    # full transform away from boundaries.
-                    px = [coef[0] / 8.0] * 64
-                else:
-                    px = idct_2d(coef)
-                plane = planes[ci]
-                stride = bw * 8
-                floor = math.floor
-                for yy in range(8):
-                    base = (by * 8 + yy) * stride + bx * 8
-                    for xx in range(8):
-                        # half-up rounding (libjpeg DESCALE), NOT
-                        # Python's banker's round: keeps the 1x1
-                        # shortcut and the full IDCT identical on
-                        # exact .5 boundaries
-                        v = floor(px[yy * 8 + xx] + 0.5) + 128
-                        plane[base + xx] = 0 if v < 0 else (
-                            255 if v > 255 else v
-                        )
-    stride = bw * 8
+                q = qt[tq]
+                for byy in range(cv):
+                    for bxx in range(ch):
+                        coef = [0] * 64
+                        t = r.decode(huff_dc[dct])
+                        diff = _extend(r.read_bits(t), t)
+                        pred[ci] += diff
+                        coef[0] = pred[ci] * q[0]
+                        kk = 1
+                        while kk < 64:
+                            rs = r.decode(huff_ac[act])
+                            rr, ss = rs >> 4, rs & 0x0F
+                            if ss == 0:
+                                if rr == 15:
+                                    kk += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            kk += rr
+                            if kk > 63:
+                                raise ValueError("AC run past block end")
+                            z = ZIGZAG[kk]
+                            coef[z] = _extend(r.read_bits(ss), ss) * q[z]
+                            kk += 1
+                        if kk == 1 and not any(coef[1:]):
+                            # DC-only block: the IDCT is a flat fill
+                            # at exactly DC/8 — libjpeg's idct_1x1
+                            # shortcut.  This is the EXACT mathematical
+                            # transform (the full float path carries
+                            # ~1e-13 basis error that can flip an
+                            # exact .5 rounding boundary); pytest pins
+                            # the shortcut to the exact value and to
+                            # the full transform away from boundaries.
+                            px = [coef[0] / 8.0] * 64
+                        else:
+                            px = idct_2d(coef)
+                        plane = planes[ci]
+                        stride = strides[ci]
+                        x0 = (mx * ch + bxx) * 8
+                        y0 = (my * cv + byy) * 8
+                        for yy in range(8):
+                            base = (y0 + yy) * stride + x0
+                            for xx in range(8):
+                                # half-up rounding (libjpeg DESCALE),
+                                # NOT Python's banker's round: keeps
+                                # the 1x1 shortcut and the full IDCT
+                                # identical on exact .5 boundaries
+                                v = floor(px[yy * 8 + xx] + 0.5) + 128
+                                plane[base + xx] = (
+                                    0 if v < 0 else (255 if v > 255 else v)
+                                )
     luma = bytearray(width * height)
     if nc == 1:
-        p = planes[0]
+        p, stride = planes[0], strides[0]
         for y in range(height):
             luma[y * width : (y + 1) * width] = p[
                 y * stride : y * stride + width
             ]
     else:
+        (_, hy, vy, _), (_, hb, vb, _), (_, hr, vr, _) = comps
         py, pcb, pcr = planes
-        floor = math.floor
+        sy, sb, sr = strides
         for y in range(height):
             for x in range(width):
-                i = y * stride + x
-                yy, cb, cr = py[i], pcb[i] - 128, pcr[i] - 128
+                yy = py[(y * vy // max_v) * sy + (x * hy // max_h)]
+                cb = pcb[(y * vb // max_v) * sb + (x * hb // max_h)] - 128
+                cr = pcr[(y * vr // max_v) * sr + (x * hr // max_h)] - 128
                 rr = min(255, max(0, floor(yy + 1.402 * cr + 0.5)))
                 gg = min(
                     255,

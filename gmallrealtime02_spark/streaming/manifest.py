@@ -226,7 +226,7 @@ def _stat_in_range(e, lo, hi, temporal: bool = False) -> bool:
     per the table schema) compares timestamp-shaped strings as
     instants, so a space-form probe orders correctly against the
     isoformat() 'T'-form the stats store."""
-    from .skipping import _lt
+    from .skipping import _lt  # module-cached; hot path stays cheap
 
     return not (_lt(e, lo, temporal) or _lt(hi, e, temporal))
 
@@ -1510,8 +1510,12 @@ class ManifestTable:
         has_inserts = inserts is not None and not inserts.isEmpty()
         if has_inserts:
             inserts = self._ann_prepare(inserts)
-        if not live and not has_inserts:
+        if not live and not has_inserts and txn is None:
             return None  # idle tick: no content, no commit
+        # content-free but WATERMARK-BEARING input (a propagator
+        # absorbed a net-zero change range) falls through: the txn must
+        # still advance exactly once via a metadata-only commit, or the
+        # caller would re-read an ever-growing range on every run
         merged_schema_src = None
         for _ in range(max_restarts):
             snap = self.manifest()

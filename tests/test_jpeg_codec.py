@@ -126,11 +126,16 @@ def test_rejects_out_of_scope_and_corrupt():
     # restart-interval DRI rejected
     dri = good[:2] + b"\xff\xdd\x00\x04\x00\x08" + good[2:]
     assert jpeg_pixels(dri) is None
-    # subsampled SOF (2x2 luma factors) rejected
+    # single-component scans are NON-INTERLEAVED (T.81 A.2): declared
+    # 2x2 factors on a gray JPEG mean nothing and must decode the same
     sub = bytearray(good)
     j = sub.find(b"\xff\xc0")
     sub[j + 2 + 2 + 5 + 2] = 0x22  # component 0 h/v factors
-    assert jpeg_pixels(bytes(sub)) is None
+    assert jpeg_pixels(bytes(sub)) == jpeg_pixels(good)
+    # factors > 2 rejected
+    big = bytearray(good)
+    big[j + 2 + 2 + 5 + 2] = 0x33
+    assert jpeg_pixels(bytes(big)) is None
 
 
 def test_color_444_ycbcr_to_luma():
@@ -239,3 +244,85 @@ def test_decode_media_over_jpeg_table(spark, sf_dir):
         want = 64 * sum((173 * v + 37) % 256 for v in cps)
         assert rows[d.doc_id].sum_luma == want
         assert (rows[d.doc_id].width, rows[d.doc_id].height) == (64, 64)
+
+
+def _dc_block_bits(w, flat, pred, dc_codes, ac_codes, _category):
+    dc = 8 * (flat - 128)
+    diff = dc - pred
+    t = _category(diff)
+    code, ln = dc_codes[t]
+    w.write(code, ln)
+    if t:
+        w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    ec, el = ac_codes[0x00]
+    w.write(ec, el)
+    return dc
+
+
+def test_color_420_subsampled_decodes():
+    """4:2:0 — the dominant real-corpus layout: one MCU = four Y
+    blocks (2x2) + one Cb + one Cr at quarter resolution.  DC-only
+    flat blocks keep the decode exact; each 8x8 luma quadrant carries
+    its own Y while the chroma pair replicates across the whole 16x16
+    MCU, so the expected luma per quadrant is closed-form."""
+    from gmallrealtime02_spark.functions.jpeg import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        _BitWriter,
+        _category,
+        _huff_codes,
+    )
+    from gmallrealtime02_spark.functions.multimodal import _luma_601
+
+    dc_codes = _huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    Ys = (100, 140, 180, 220)  # the four quadrants, raster order
+    Cb, Cr = 90, 200
+    w = _BitWriter()
+    pred_y = pred_b = pred_r = 0
+    for yv in Ys:  # Y blocks first (2x2 raster), then Cb, then Cr
+        pred_y = _dc_block_bits(w, yv, pred_y, dc_codes, ac_codes, _category)
+    pred_b = _dc_block_bits(w, Cb, pred_b, dc_codes, ac_codes, _category)
+    pred_r = _dc_block_bits(w, Cr, pred_r, dc_codes, ac_codes, _category)
+    entropy = w.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", 16, 16)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS[1:]) + bytes(DC_LUMA_VALS)
+    ) + seg(
+        0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS[1:]) + bytes(AC_LUMA_VALS)
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    jp = b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+    got = jpeg_pixels(jp)
+    assert got is not None
+    width, height, px = got
+    assert (width, height) == (16, 16)
+    cb, cr = Cb - 128, Cr - 128
+
+    def expect(yv):
+        rr = min(255, max(0, math.floor(yv + 1.402 * cr + 0.5)))
+        gg = min(
+            255,
+            max(0, math.floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5)),
+        )
+        bb = min(255, max(0, math.floor(yv + 1.772 * cb + 0.5)))
+        return _luma_601(rr, gg, bb)
+
+    for y in range(16):
+        for x in range(16):
+            q = (y // 8) * 2 + (x // 8)
+            assert px[y * 16 + x] == expect(Ys[q]), (x, y, q)

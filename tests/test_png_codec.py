@@ -660,3 +660,46 @@ def test_decode_media_over_16bit_table(spark, sf_dir):
         want = sum((251 * v + 17) % 256 for v in vals)
         assert rows[d.doc_id].sum_luma == want
         assert (rows[d.doc_id].width, rows[d.doc_id].height) == (8, 8)
+
+
+def test_16bit_adam7_interlaced_decodes():
+    """Depth-16 + Adam7 composed: each reduced image defilters at the
+    2-byte stride and scatters two-byte samples back to the grid; the
+    decode must equal the plain 16-bit twin pixel-for-pixel."""
+    from gmallrealtime02_spark.functions.multimodal import _ADAM7
+
+    w, h = 8, 8
+    vals = bytes((v * 37 + 5) % 256 for v in range(w * h))
+    samples = [(((251 * v + 17) % 256) << 8) | ((193 * v + 89) % 256) for v in vals]
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        for yp in range(hp):
+            y = y0 + yp * dy
+            raw.append(0)  # filter: None
+            for xp in range(wp):
+                s = samples[y * w + x0 + xp * dx]
+                raw += bytes(((s >> 8) & 0xFF, s & 0xFF))
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    got = png_pixels(png)
+    assert got is not None
+    plain = png_pixels(encode_png_16bit(w, h, vals))
+    assert got == plain
+    assert got[2] == bytes((251 * v + 17) % 256 for v in vals)

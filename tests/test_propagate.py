@@ -640,3 +640,24 @@ def test_multi_source_fallbacks_and_validation(spark, sf_dir, tmp_path):
             _events(spark, sf_dir, 10, 140), _users(spark, sf_dir, 0, 50)
         )
     )
+
+
+def test_net_zero_range_still_advances_watermark(spark, sf_dir, tmp_path):
+    """A range whose changes cancel exactly (delete + identical
+    re-append) must STILL advance the propagator's watermark via a
+    metadata-only merge commit — otherwise every later run re-reads an
+    ever-growing range."""
+    bronze = ManifestTable(str(tmp_path / "bronze"), stats_cols=["event_id"])
+    silver = ManifestTable(str(tmp_path / "silver"), stats_cols=["event_id"])
+    p = IncrementalPropagator(
+        bronze, silver, lambda df: df, key_cols=["event_id"]
+    )
+    bronze.append(_events(spark, sf_dir, 0, 100))
+    p.run_once(spark)
+    bronze.delete_where(spark, "event_id < 30")
+    bronze.append(_events(spark, sf_dir, 0, 30))  # identical re-add
+    r = p.run_once(spark)
+    assert r["mode"] == "incremental"
+    assert p.reflected_version() == bronze.current_version()  # advanced
+    assert p.run_once(spark)["mode"] == "noop"
+    assert _ids(silver.read(spark)) == _ids(_events(spark, sf_dir, 0, 100))
