@@ -1163,6 +1163,110 @@ def bench_cdc_scaling() -> None:
     )
 
 
+def bench_ann_scaling() -> None:
+    """Empirical gate on the manifest ANN index: grow an indexed table
+    1x -> 4x (cell-clustered appends), serve the same 6-query/3-probe
+    top-5 batch at each size, and compare against exact scoring over
+    EVERY live file.  The index's value is file-level pruning, so the
+    probed-file FRACTION must stay flat as the table grows (probing
+    n_probe cells of n_cells touches the same share of files whatever
+    the row count) and the probe must beat the all-files exact scan at
+    the large size.  Raises on either failure — a gate, not a claim."""
+    import shutil
+    import tempfile
+
+    from gmallrealtime02_spark.streaming.manifest import ManifestTable
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="bench-ann-scaling")
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base_n = emb.count()
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 6).collect()
+    ]
+    root = tempfile.mkdtemp(prefix="bench_ann_scaling_")
+    out: dict[str, dict] = {}
+    try:
+        t = ManifestTable(
+            f"{root}/t", ann_col="embedding", ann_centroids=cents
+        )
+        n = 0
+        for target in (1, 4):
+            while n < target:
+                t.append(
+                    emb.select(
+                        (F.col("vec_id") + n * 10_000_000).alias("vec_id"),
+                        "embedding",
+                        "label",
+                    )
+                )
+                n += 1
+            best = full = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                res, rep = t.ann_topk(spark, qs, k=5, n_probe=3)
+                res.collect()
+                best = min(best, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                # exact scoring over EVERY live file (no index)
+                from gmallrealtime02_spark.streaming.annindex import (
+                    ANN_CELL,
+                    score_topk,
+                )
+
+                allc = t.read(spark)
+                score_topk(
+                    spark,
+                    qs,
+                    {qid: list(range(16)) for qid, _ in qs},
+                    allc,
+                    "vec_id",
+                    "embedding",
+                    5,
+                ).collect()
+                full = min(full, time.perf_counter() - t0)
+            out[f"{target}x"] = {
+                "probe_sec": round(best, 3),
+                "scan_sec": round(full, 3),
+                "files_probed": rep["files_probed"],
+                "files_live": rep["files_live"],
+                "rows": base_n * target,
+            }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    fr1 = out["1x"]["files_probed"] / max(out["1x"]["files_live"], 1)
+    fr4 = out["4x"]["files_probed"] / max(out["4x"]["files_live"], 1)
+    if fr4 > fr1 * 1.5 + 0.05:
+        raise RuntimeError(
+            f"probed-file fraction grew with the table: {fr1:.2f} -> {fr4:.2f}"
+        )
+    if out["4x"]["probe_sec"] > out["4x"]["scan_sec"]:
+        raise RuntimeError("indexed probe slower than the all-files scan")
+    print(
+        json.dumps(
+            {
+                "metric": "ann_probe_pruning_flatness",
+                # probed-file fraction at 4x over 1x: ~1.0 = the index
+                # keeps skipping the same SHARE of files as data grows
+                "value": round(fr4 / max(fr1, 1e-9), 3),
+                "unit": "fraction_ratio_4x_over_1x",
+                "queries": out,
+                "sf": sf,
+                "calibration_sec": _calibration(spark),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     import sys
 
@@ -1184,5 +1288,7 @@ if __name__ == "__main__":
         bench_manifest_scaling()
     elif "--cdc-scaling" in sys.argv[1:]:
         bench_cdc_scaling()
+    elif "--ann-scaling" in sys.argv[1:]:
+        bench_ann_scaling()
     else:
         main()
