@@ -85,12 +85,16 @@ def score_topk(
     id_col: str,
     vec_col: str,
     k: int,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k of each query against its probed cells'
     candidate rows: broadcast the (tiny) query block, score with the
     fold cosine rounded to 6 dp, rank with cid tie-breaks — the same
     scoring stage as ``ann_ivf_topk``, fed by manifest-pruned files
-    instead of a full scan."""
+    instead of a full scan.  ``exclude_self=False`` for callers whose
+    query ids are NOT table row ids (``read_ann``'s opaque vectors) —
+    filtering there would silently drop the legitimate candidate whose
+    row id happens to equal the placeholder."""
     from pyspark.sql import Window
 
     from ..functions.similarity import _dot
@@ -105,17 +109,16 @@ def score_topk(
             "qid long, qe array<double>, cell int",
         )
     )
-    cand = (
-        qdf.join(
-            candidates.select(
-                F.col(id_col).alias("cid"),
-                F.col(vec_col).alias("ce"),
-                F.col(ANN_CELL).alias("cell"),
-            ),
-            "cell",
-        )
-        .filter(F.col("qid") != F.col("cid"))
+    cand = qdf.join(
+        candidates.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("ce"),
+            F.col(ANN_CELL).alias("cell"),
+        ),
+        "cell",
     )
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col("cid"))
     dot = _dot(F.col("qe"), F.col("ce"))
     qn = F.sqrt(_dot(F.col("qe"), F.col("qe")))
     cn = F.sqrt(_dot(F.col("ce"), F.col("ce")))

@@ -145,12 +145,12 @@ def _copy_state(state: dict) -> dict:
     the LRU cache — mutation-safe for callers, O(live files) shallow
     (per-file stat entries stay shared; treat them as immutable)."""
     out = dict(state)
-    if "files" in out:
-        out["files"] = list(out["files"])
-    if "stats" in out:
-        out["stats"] = dict(out["stats"])
-    if "txn" in out:
-        out["txn"] = dict(out["txn"])
+    for key in ("files",):
+        if key in out:
+            out[key] = list(out[key])
+    for key in ("stats", "txn", "config"):
+        if key in out:
+            out[key] = dict(out[key])
     return out
 
 
@@ -1154,6 +1154,10 @@ class ManifestTable:
             id_col,
             self.ann_col,
             k,
+            # the caller's vector is opaque — 0 is a PLACEHOLDER id,
+            # not a row id, so self-exclusion would wrongly drop the
+            # real row whose id is 0
+            exclude_self=False,
         ).select("cid", "cosine", "rnk")
 
     def ann_topk(

@@ -94,8 +94,12 @@ class ContinuousAggregate:
     def _aggregate(self, df: DataFrame, negate: bool = False) -> DataFrame:
         """Per-group partials plus the hidden ``__rows__`` count.
         ``negate=True`` flips every partial's sign — the RETRACTION of
-        net-deleted rows; only reachable when all aggs are invertible
-        (checked by the caller)."""
+        net-deleted rows; only valid when all aggs are invertible
+        (a negated min/max would be silently wrong, so refuse)."""
+        if negate and any(
+            agg not in _INVERTIBLE for agg, _c in self.aggs.values()
+        ):
+            raise ValueError("cannot negate non-invertible partials")
         sign = -1 if negate else 1
         exprs = [
             (

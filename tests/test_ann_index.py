@@ -122,20 +122,20 @@ def test_index_persists_and_prunes_from_cold_handle(spark, sf_dir, tmp_path):
     qs = _queries(spark, sf_dir)
     out, rep = cold.ann_topk(spark, qs, k=5, n_probe=3)
     assert rep["files_probed"] < rep["files_live"]  # pruning engaged
-    # single-vector serving form agrees with the batch form
+    # single-vector serving form agrees with the batch form: read_ann
+    # knows no row identity, so probing with vec qs[0]'s own embedding
+    # returns the row itself at rank 1 (cosine 1.0) plus the same
+    # neighbors the batch form ranks
     qid, qvec = qs[0]
-    single = {
-        (r.cid, r.rnk)
-        for r in cold.read_ann(spark, qvec, k=5, n_probe=3).collect()
-        if r.cid != qid
+    single = cold.read_ann(spark, qvec, k=6, n_probe=3).orderBy(
+        "rnk"
+    ).collect()
+    assert single[0].cid == qid and single[0].cosine == 1.0
+    single_cids = {r.cid for r in single if r.cid != qid}
+    batch_cids = {
+        r.cid for r in out.filter(F.col("qid") == qid).collect()
     }
-    batch = {
-        (r.cid, r.rnk)
-        for r in out.filter(F.col("qid") == qid).collect()
-    }
-    # read_ann does not exclude the query row itself by id (it only
-    # knows the vector) — compare after dropping rank-consuming self
-    assert {c for c, _ in batch} <= {c for c, _ in single} | {qid}
+    assert batch_cids <= single_cids
 
 
 def test_assignments_maintained_through_upsert_and_compact(
@@ -191,3 +191,26 @@ def test_unconfigured_table_raises(spark, sf_dir, tmp_path):
     t.append(load_table(spark, sf_dir, "embeddings").limit(10))
     with pytest.raises(ValueError):
         t.read_ann(spark, [0.0] * 64, k=5)
+
+
+def test_read_ann_does_not_drop_row_id_zero(spark, sf_dir, tmp_path):
+    """read_ann's query vector is opaque (no row identity): the
+    legitimate candidate whose vec_id happens to be 0 must not be
+    dropped by a self-exclusion against the internal placeholder id.
+    Probing with vec 0's own embedding must return cid 0 at rank 1."""
+    cents = _centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = ManifestTable(
+        str(tmp_path / "t"), ann_col="embedding", ann_centroids=cents
+    )
+    t.append(emb)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first().embedding
+    ]
+    top = (
+        t.read_ann(spark, qvec, k=3, n_probe=3)
+        .orderBy("rnk")
+        .collect()
+    )
+    assert top and top[0].cid == 0 and top[0].cosine == 1.0, top[:3]
