@@ -2074,6 +2074,15 @@ class ManifestTable:
         if nf is None:
             return None
         new_files, gone_files = nf
+        if (
+            new_files
+            and gone_files
+            and self.manifest(until).get("schema") is None
+        ):
+            # pre-schema-tracking table: the two sides would read under
+            # independently-inferred schemas and exceptAll could throw
+            # on a mismatch — decline, the caller full-recomputes
+            return None
 
         def rd(files: list[str]) -> DataFrame:
             if not files:
