@@ -703,3 +703,27 @@ def test_16bit_adam7_interlaced_decodes():
     plain = png_pixels(encode_png_16bit(w, h, vals))
     assert got == plain
     assert got[2] == bytes((251 * v + 17) % 256 for v in vals)
+
+
+def test_pillow_parity_16bit_high_byte_narrowing():
+    """Parity gate for the round-10 16-bit path (round-11 verdict item
+    1: every newly decoded format pins pure-vs-Pillow agreement).
+    Pillow opens depth-16 gray PNGs as 16-bit integer samples, so the
+    libpng png_set_strip_16 narrowing our decoder applies is the
+    explicit >>8 here — asserting both the sample values and the
+    narrowed luma bit-for-bit."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    vals = bytes((v * 37 + 5) % 256 for v in range(64))
+    b = encode_png_16bit(8, 8, vals)
+    im = PIL.open(io.BytesIO(b))
+    assert im.size == (8, 8)
+    theirs16 = list(im.getdata())
+    expect16 = [
+        (((251 * v + 17) % 256) << 8) | ((193 * v + 89) % 256) for v in vals
+    ]
+    assert theirs16 == expect16
+    got = png_pixels(b)
+    assert got is not None
+    assert list(got[2]) == [s >> 8 for s in theirs16]
