@@ -1045,6 +1045,50 @@ def as_jpeg_media_table(
     )
 
 
+def as_jpeg_progressive_media_table(
+    docs: DataFrame,
+    width: int = 8 * BMP_W,
+    height: int = 8 * BMP_H,
+    text_col: str = "text",
+) -> DataFrame:
+    """PROGRESSIVE twin of :func:`as_jpeg_media_table`: the same
+    DC-only lossless construction (flat 8x8 blocks, all-ones
+    quantization), emitted as an SOF2 stream through the default
+    successive-approximation scan script — DC at Al=3, three one-bit
+    DC refinements, AC band 1-63 first + refinement
+    (:func:`~.jpeg.encode_jpeg_gray_flat_progressive`).  The value map
+    (157·v+91)%256 differs from the baseline twin's so a decoder
+    cross-wiring the two paths cannot match both oracles."""
+    from .jpeg import encode_jpeg_gray_flat_progressive
+
+    n = (width // 8) * (height // 8)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                cps = [min(ord(c), 255) for c in t[:n]]
+                cps += [0] * (n - len(cps))
+                vals = bytes((157 * v + 91) % 256 for v in cps)
+                payloads.append(
+                    encode_jpeg_gray_flat_progressive(width, height, vals)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": payloads,
+                    "media_type": "image/jpeg",
+                    "n_bytes": pd.Series(
+                        [len(p) for p in payloads], dtype="int64"
+                    ),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        op, schema=MEDIA_SCHEMA
+    )
+
+
 def as_png_palette_media_table(
     docs: DataFrame,
     width: int = BMP_W,

@@ -5560,3 +5560,49 @@ def media_jpeg_decode(spark, sf_dir):
     return decode_media(media, decoder=_jd).select(
         "doc_id", "width", "height", "n_pixels", "sum_luma"
     )
+
+
+@register(
+    "media_jpeg_progressive",
+    oracle=f"""
+    SELECT doc_id, {8 * BMP_W} AS width, {8 * BMP_H} AS height,
+           CAST({64 * BMP_W * BMP_H} AS BIGINT) AS n_pixels,
+           CAST(coalesce(list_sum(list_transform(
+                generate_series(1, {BMP_W * BMP_H}),
+                i -> 64 * ((157 * least(coalesce(cp[i], 0), 255) + 91) % 256)
+           )), 0) AS BIGINT) AS sum_luma
+    FROM (SELECT doc_id, {_BMP_CP} AS cp FROM documents)
+    """,
+    tags=("multimodal", "decode", "jpeg", "progressive"),
+)
+def media_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE JPEG decode (SOF2 — round-10 verdict item 2: a
+    double-digit share of scraped web JPEGs that previously nulled
+    out), hash-oracled in-sandbox: the DC-only lossless class extends
+    to progressive because DC = 8·(v−128) is a multiple of 8, so every
+    successive-approximation point transform (the default script: DC
+    at Al=3, three one-bit DC refinements, AC band 1-63 first +
+    refinement) is exact and the oracle stays codepoint arithmetic.
+    The decoder runs the REAL Annex-G accumulation on real
+    entropy-coded scans: per-scan SOS parsing, DC first/refine, AC
+    first with EOBRUN batching, AC refinement correction bits,
+    DHT-between-scans, then one dequantize+IDCT render.  Nonzero-AC
+    spectral-selection/successive-approximation scripts, interleaved
+    color DC scans, the real-vs-padded non-interleaved block grid, and
+    the reject matrix (arithmetic, 12-bit, DRI, multi-component AC
+    scans) are pinned in ``tests/test_jpeg_codec.py`` against the
+    baseline decode of identical coefficients
+    (``functions/jpeg.py:_decode_progressive``).
+
+    Scale shape: identical to the other codec paths — one
+    zero-exchange Arrow scan, only small typed feature columns
+    continue (the payload never shuffles)."""
+    from ..functions.jpeg import jpeg_decoder as _jd
+    from ..functions.multimodal import as_jpeg_progressive_media_table
+
+    media = as_jpeg_progressive_media_table(
+        load_table(spark, sf_dir, "documents")
+    )
+    return decode_media(media, decoder=_jd).select(
+        "doc_id", "width", "height", "n_pixels", "sum_luma"
+    )

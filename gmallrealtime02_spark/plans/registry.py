@@ -135,16 +135,76 @@ def register(
 #                 evidence, then the 22 oldest r5 rows — stalest
 #                 evidence first, computed from the CORRECTNESS files
 #                 (no green row older than r4 remains).
+#   round 11    — (current window) the round-11 additions lead (first
+#                 driver exposure: progressive JPEG decode and the
+#                 round's table-service/streaming additions), then the
+#                 29 rows whose newest green is r6, then the
+#                 alphabetically-first r7 rows filling to 50 —
+#                 stalest evidence first, computed from the
+#                 CORRECTNESS files (no green row older than r6
+#                 remains; the leftover r7 rows rotate next round).
 _PRIORITY = [
-    # ---- round-10 window (50) ----
-    # round-10 additions, first driver exposure
+    # ---- round-11 window (50) ----
+    # round-11 additions, first driver exposure
+    "media_jpeg_progressive",
+    # staleness rotation: stalest green rows first (29x r6, then r7)
+    "embedding_norm_stats",
+    "epoch_shuffle",
+    "event_trigrams",
+    "ewma_daily_value",
+    "gap_fill",
+    "grouping_sets_revenue",
+    "hard_negative_mining",
+    "hybrid_search_rrf",
+    "interval_error_purchase_join",
+    "kn_bigram_lm",
+    "lsh_tuning_curve",
+    "market_share",
+    "media_dedup_phash",
+    "mmr_rerank",
+    "nation_revenue_share",
+    "order_wide",
+    "pack_boundary_masks",
+    "pricing_summary",
+    "quality_classifier_score",
+    "quantity_price_corr",
+    "revenue_by_nation",
+    "seasonality_profile",
+    "source_jsd_matrix",
+    "span_corruption_masks",
+    "table_stats",
+    "temperature_mix",
+    "time_to_convert",
+    "unpivot_event_counts",
+    "zorder_layout",
+    "agg_avg_ordered",
+    "ann_cosine_topk",
+    "ann_dim_truncation_eval",
+    "ann_ivf_kmeans_topk",
+    "ann_multiprobe_lsh",
+    "cdc_splitter",
+    "coview_clustering_coefficient",
+    "coview_item_similarity",
+    "customers_no_orders",
+    "customers_with_orders",
+    "dau_hourly",
+    "dau_mids",
+    "dau_today_yesterday",
+    "dau_total",
+    "dedup_canonical",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_paragraphs_global",
+    "distinct_users_daily",
+    "doc_fingerprint",
+    # ---- post-window (ordering here is not scoring surface): all
+    # remaining green rows + rows-only-by-nature ops (pytest-pinned) ----
     "order_wide_delete_propagate",
     "media_png_16bit",
     "manifest_ann_topk",
     "media_jpeg_decode",
     "order_wide_3way_delete_propagate",
     "medallion_delete_chain",
-    # staleness rotation: stalest green rows first (23x r5, 21x r6)
     "ann_ivfpq_topk",
     "ann_pq_topk",
     "attribution_last_touch",
@@ -189,11 +249,6 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "detail_snowflake",
     "doc_kn_perplexity",
-    # ---- post-window (ordering here is not scoring surface): all
-    # remaining green rows + rows-only-by-nature ops (pytest-pinned) ----
-    "embedding_norm_stats",
-    "epoch_shuffle",
-    "event_trigrams",
     "manifest_predicate_delete",
     "order_wide_incremental",
     "manifest_restore",
@@ -294,82 +349,36 @@ _PRIORITY = [
     "supplier_balance_quartiles",
     "pivot_event_counts",
     "revenue_rollup",
-    "ann_multiprobe_lsh",
     "semantic_decontamination",
     "lang_confusion_matrix",
     "quality_percentile_by_source",
     "tokenizer_fertility_by_lang",
     "pack_efficiency_report",
-    "coview_item_similarity",
-    "coview_clustering_coefficient",
     "perplexity_mix",
     "event_transition_matrix",
-    "ann_ivf_kmeans_topk",
-    "ann_dim_truncation_eval",
     "monthly_revenue_sql",
     "media_bmp_decode",
     "media_resize_decoded",
     "media_scanlines",
     "manifest_rollup_e2e",
-    "dau_mids",
-    "dau_hourly",
-    "dau_total",
-    "dau_today_yesterday",
     "order_enrich",
     "user_tier_bucket",
     "scd2_history",
-    "agg_avg_ordered",
-    "distinct_users_daily",
     "json_extract_props",
-    "cdc_splitter",
     "topic_route",
     "start_event_route",
     "word_explode",
     "urgent_orders_topk",
     "order_page",
-    "customers_no_orders",
-    "customers_with_orders",
-    "dedup_exact",
-    "dedup_canonical",
-    "dedup_paragraphs_global",
     "intra_doc_dedup",
     "simhash_signatures",
     "simhash_pairs",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
     "lang_id",
     "doc_quality",
     "token_stats",
-    "doc_fingerprint",
     "doc_top_terms",
     "gopher_quality_filter",
     "pii_scrub",
-    "temperature_mix",
-    "mmr_rerank",
-    "span_corruption_masks",
-    "pack_boundary_masks",
-    "kn_bigram_lm",
-    "quality_classifier_score",
-    "hard_negative_mining",
-    "lsh_tuning_curve",
-    "media_dedup_phash",
-    "source_jsd_matrix",
-    "hybrid_search_rrf",
-    "interval_error_purchase_join",
-    "zorder_layout",
-    "gap_fill",
-    "table_stats",
-    "ewma_daily_value",
-    "grouping_sets_revenue",
-    "seasonality_profile",
-    "time_to_convert",
-    "unpivot_event_counts",
-    "quantity_price_corr",
-    "market_share",
-    "nation_revenue_share",
-    "pricing_summary",
-    "order_wide",
-    "revenue_by_nation",
     "daily_uniques_approx",
     "value_percentiles_approx",
     "ann_cosine_topk_np",

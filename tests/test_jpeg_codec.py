@@ -326,3 +326,378 @@ def test_color_420_subsampled_decodes():
         for x in range(16):
             q = (y // 8) * 2 + (x // 8)
             assert px[y * 16 + x] == expect(Ys[q]), (x, y, q)
+
+
+# -- progressive (SOF2) -----------------------------------------------------
+
+from gmallrealtime02_spark.functions.jpeg import (  # noqa: E402
+    PROG_SCANS,
+    encode_jpeg_coeffs_progressive,
+    encode_jpeg_gray_flat_progressive,
+)
+
+
+def test_progressive_dc_only_lossless():
+    """The DC-only lossless class extends to progressive unchanged:
+    DC = 8·(v−128) is a multiple of 8, so the successive-approximation
+    point transforms (Al up to 3) are exact and the decode equals the
+    baseline decode byte-for-byte."""
+    vals = bytes((173 * v + 37) % 256 for v in range(64))
+    got = jpeg_pixels(encode_jpeg_gray_flat_progressive(64, 64, vals))
+    assert got is not None
+    w, h, px = got
+    assert (w, h) == (64, 64)
+    assert px == jpeg_pixels(encode_jpeg_gray_flat(64, 64, vals))[2]
+    # and the closed form directly
+    expect = bytearray(64 * 64)
+    for bi, v in enumerate(vals):
+        for yy in range(8):
+            for xx in range(8):
+                expect[((bi // 8) * 8 + yy) * 64 + (bi % 8) * 8 + xx] = v
+    assert px == bytes(expect)
+
+
+def test_progressive_matches_baseline_across_scan_scripts():
+    """Spectral selection AND successive approximation, gray, random
+    coefficients: whatever legal scan script carries the bits, the
+    accumulated coefficients must equal the sequential encoding's —
+    progressive(blocks) == baseline(blocks) pixel-for-pixel.  Scripts
+    cover: single full band, band splits, DC+AC successive
+    approximation with interleaved refinement order, and the libjpeg-
+    shaped default."""
+    rng = random.Random(1117)
+    q = [1 if i == 0 else rng.choice([1, 2, 3, 5, 8]) for i in range(64)]
+    scripts = [
+        [(0, 0, 0, 0), (1, 63, 0, 0)],
+        [(0, 0, 0, 0), (1, 5, 0, 0), (6, 63, 0, 0)],
+        [(0, 0, 0, 1), (0, 0, 1, 0), (1, 63, 0, 2), (1, 63, 2, 1),
+         (1, 63, 1, 0)],
+        PROG_SCANS,
+        [(0, 0, 0, 2), (1, 10, 0, 1), (11, 63, 0, 3), (0, 0, 2, 1),
+         (1, 10, 1, 0), (11, 63, 3, 2), (0, 0, 1, 0), (11, 63, 2, 1),
+         (11, 63, 1, 0)],
+    ]
+    for trial in range(12):
+        bw, bh = rng.choice([(2, 2), (3, 1), (1, 3), (4, 2)])
+        blocks = []
+        for _ in range(bw * bh):
+            blk = [0] * 64
+            blk[0] = rng.randint(-1024, 1016)
+            for _ in range(rng.randint(0, 20)):
+                blk[rng.randint(1, 63)] = rng.randint(-255, 255)
+            blocks.append(blk)
+        want = jpeg_pixels(encode_jpeg_coeffs(bw * 8, bh * 8, blocks, q))
+        for sc in scripts:
+            got = jpeg_pixels(
+                encode_jpeg_coeffs_progressive(bw * 8, bh * 8, blocks, q, sc)
+            )
+            assert got == want, (trial, sc)
+
+
+def test_progressive_eobrun_spans_blocks():
+    """A sparse image whose AC band is zero almost everywhere forces
+    the encoder's EOBRUN batching (one code covering dozens of blocks)
+    and the decoder's run-skip/refinement-tail paths — including a
+    late significant coefficient that terminates the run mid-scan."""
+    blocks = []
+    for i in range(32):
+        blk = [0] * 64
+        blk[0] = 16 * (i - 16)
+        blocks.append(blk)
+    blocks[30][17] = -6  # terminates a 30-block EOB run
+    q = [1] * 64
+    want = jpeg_pixels(encode_jpeg_coeffs(64, 32, blocks, q))
+    for sc in (
+        [(0, 0, 0, 0), (1, 63, 0, 0)],
+        [(0, 0, 0, 0), (1, 63, 0, 1), (1, 63, 1, 0)],
+    ):
+        got = jpeg_pixels(
+            encode_jpeg_coeffs_progressive(64, 32, blocks, q, sc)
+        )
+        assert got == want, sc
+
+
+def _seg(marker, payload):
+    return bytes([0xFF, marker]) + struct.pack(
+        ">H", len(payload) + 2
+    ) + payload
+
+
+def test_progressive_color_420_dc_interleaved():
+    """Color progressive: the DC scan is MCU-INTERLEAVED (all three
+    components, 2x2 luma factors) while each AC scan is single-
+    component per T.81 B.2.3.  DC-only flat blocks keep the decode
+    exact, so the result must equal the baseline 4:2:0 decode of the
+    same values."""
+    from gmallrealtime02_spark.functions.jpeg import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        _BitWriter,
+        _category,
+        _huff_codes,
+    )
+
+    dc_codes = _huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    Ys = (100, 140, 180, 220)
+    Cb, Cr = 90, 200
+
+    def dc_bits(w, flat, pred):
+        dc = 8 * (flat - 128)
+        diff = dc - pred
+        t = _category(diff)
+        code, ln = dc_codes[t]
+        w.write(code, ln)
+        if t:
+            w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        return dc
+
+    # scan 1: interleaved DC first (Ss=Se=0, Ah=0, Al=0)
+    w = _BitWriter()
+    pred_y = pred_b = pred_r = 0
+    for yv in Ys:
+        pred_y = dc_bits(w, yv, pred_y)
+    pred_b = dc_bits(w, Cb, pred_b)
+    pred_r = dc_bits(w, Cr, pred_r)
+    dc_scan = _seg(
+        0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0])
+    ) + w.flush()
+    # scans 2-4: per-component AC first, all-zero band -> one EOB each
+    ac_scans = b""
+    eb_code, eb_len = ac_codes[0x00]
+    for cid, nblocks in ((1, 4), (2, 1), (3, 1)):
+        w = _BitWriter()
+        for _ in range(nblocks):
+            w.write(eb_code, eb_len)
+        ac_scans += _seg(
+            0xDA, bytes([1, cid, 0x00, 1, 63, 0])
+        ) + w.flush()
+
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = _seg(
+        0xC2,
+        bytes([8])
+        + struct.pack(">HH", 16, 16)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = _seg(
+        0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS[1:]) + bytes(DC_LUMA_VALS)
+    ) + _seg(
+        0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS[1:]) + bytes(AC_LUMA_VALS)
+    )
+    jp = (
+        b"\xff\xd8" + dqt + sof + dht + dc_scan + ac_scans + b"\xff\xd9"
+    )
+    got = jpeg_pixels(jp)
+    assert got is not None
+    # the baseline 4:2:0 twin (test_color_420_subsampled_decodes's file)
+    w = _BitWriter()
+    pred_y = pred_b = pred_r = 0
+    for yv in Ys:
+        pred_y = _dc_block_bits(w, yv, pred_y, dc_codes, ac_codes, _category)
+    pred_b = _dc_block_bits(w, Cb, pred_b, dc_codes, ac_codes, _category)
+    pred_r = _dc_block_bits(w, Cr, pred_r, dc_codes, ac_codes, _category)
+    base = (
+        b"\xff\xd8"
+        + dqt
+        + _seg(
+            0xC0,
+            bytes([8])
+            + struct.pack(">HH", 16, 16)
+            + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        + dht
+        + _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + w.flush()
+        + b"\xff\xd9"
+    )
+    assert got == jpeg_pixels(base)
+
+
+def test_progressive_noninterleaved_grid_is_real_not_padded():
+    """4:2:2 at width 24: the MCU-padded luma grid is 4 blocks wide
+    (mcux=2 × h=2) but the REAL component grid is ceil(24/8)=3 — the
+    interleaved DC scan codes the dummy 4th block, the non-interleaved
+    luma AC scan must NOT.  A nonzero AC coefficient in each real
+    block makes a grid mistake decode garbage or raise; the expected
+    pixels come from the hand-built baseline twin."""
+    from gmallrealtime02_spark.functions.jpeg import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        _BitWriter,
+        _category,
+        _huff_codes,
+    )
+
+    dc_codes = _huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    W, H = 24, 8
+    y_dcs = (-120, 40, 200, 0)  # 4 luma blocks per MCU row incl. dummy
+    y_ac = (9, -5, 13)  # zigzag index 1 of the three REAL blocks
+    cb_dcs = (16, -56)
+    cr_dcs = (80, 120)
+
+    def dc_bits(w, dc, pred):
+        diff = dc - pred
+        t = _category(diff)
+        code, ln = dc_codes[t]
+        w.write(code, ln)
+        if t:
+            w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        return dc
+
+    def ac_one(w, v):
+        s = abs(v).bit_length()
+        code, ln = ac_codes[(0 << 4) | s]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        eb, el = ac_codes[0x00]
+        w.write(eb, el)
+
+    # progressive: interleaved DC scan walks MCUs (Y Y Cb Cr per MCU)
+    w = _BitWriter()
+    py = pb = pr = 0
+    for mx in range(2):
+        py = dc_bits(w, y_dcs[2 * mx], py)
+        py = dc_bits(w, y_dcs[2 * mx + 1], py)
+        pb = dc_bits(w, cb_dcs[mx], pb)
+        pr = dc_bits(w, cr_dcs[mx], pr)
+    dc_scan = _seg(
+        0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0])
+    ) + w.flush()
+    # luma AC scan: exactly the 3 REAL blocks
+    w = _BitWriter()
+    for v in y_ac:
+        ac_one(w, v)
+    y_scan = _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0])) + w.flush()
+    # chroma AC scans: 2 real blocks each, all-zero band
+    ch_scans = b""
+    eb, el = ac_codes[0x00]
+    for cid in (2, 3):
+        w = _BitWriter()
+        w.write(eb, el)
+        w.write(eb, el)
+        ch_scans += _seg(0xDA, bytes([1, cid, 0x00, 1, 63, 0])) + w.flush()
+
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    dht = _seg(
+        0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS[1:]) + bytes(DC_LUMA_VALS)
+    ) + _seg(
+        0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS[1:]) + bytes(AC_LUMA_VALS)
+    )
+    prog = (
+        b"\xff\xd8"
+        + dqt
+        + _seg(
+            0xC2,
+            bytes([8])
+            + struct.pack(">HH", H, W)
+            + bytes([3, 1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        + dht
+        + dc_scan
+        + y_scan
+        + ch_scans
+        + b"\xff\xd9"
+    )
+    got = jpeg_pixels(prog)
+    assert got is not None
+
+    # baseline twin: interleaved scan codes ALL 4 luma blocks (dummy
+    # 4th gets EOB after its DC) with the same real AC coefficients
+    w = _BitWriter()
+    py = pb = pr = 0
+    bi = 0
+    for mx in range(2):
+        for _ in range(2):
+            py = dc_bits(w, y_dcs[bi], py)
+            if bi < 3:
+                ac_one(w, y_ac[bi])
+            else:
+                w.write(eb, el)
+            bi += 1
+        pb = dc_bits(w, cb_dcs[mx], pb)
+        w.write(eb, el)
+        pr = dc_bits(w, cr_dcs[mx], pr)
+        w.write(eb, el)
+    base = (
+        b"\xff\xd8"
+        + dqt
+        + _seg(
+            0xC0,
+            bytes([8])
+            + struct.pack(">HH", H, W)
+            + bytes([3, 1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        + dht
+        + _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + w.flush()
+        + b"\xff\xd9"
+    )
+    want = jpeg_pixels(base)
+    assert want is not None
+    assert got == want
+
+
+def test_progressive_rejects_stay_clean():
+    """Out-of-scope progressive forms return None, never raise:
+    restart intervals, arithmetic coding (SOF10), 12-bit samples,
+    multi-component AC scans, truncated scan data."""
+    vals = bytes(range(64))
+    good = encode_jpeg_gray_flat_progressive(64, 64, vals)
+    assert jpeg_pixels(good) is not None
+    # DRI inserted before the first scan
+    sos_at = good.find(b"\xff\xda")
+    dri = _seg(0xDD, struct.pack(">H", 4))
+    assert jpeg_pixels(good[:sos_at] + dri + good[sos_at:]) is None
+    # arithmetic progressive: SOF10 (0xCA) instead of SOF2
+    assert jpeg_pixels(good.replace(b"\xff\xc2", b"\xff\xca", 1)) is None
+    # 12-bit precision in the SOF2 header
+    sof_at = good.find(b"\xff\xc2")
+    bad = bytearray(good)
+    bad[sof_at + 4] = 12
+    assert jpeg_pixels(bytes(bad)) is None
+    # AC scan that names two components
+    from gmallrealtime02_spark.functions.jpeg import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+    )
+
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = _seg(
+        0xC2,
+        bytes([8]) + struct.pack(">HH", 8, 8)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = _seg(
+        0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS[1:]) + bytes(DC_LUMA_VALS)
+    ) + _seg(
+        0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS[1:]) + bytes(AC_LUMA_VALS)
+    )
+    bad_ac = _seg(0xDA, bytes([2, 1, 0x00, 2, 0x00, 1, 63, 0]))
+    assert (
+        jpeg_pixels(b"\xff\xd8" + dqt + sof + dht + bad_ac + b"\xff\xd9")
+        is None
+    )
+    # truncated mid-scan
+    assert jpeg_pixels(good[: sos_at + 20]) is None
+
+
+def test_progressive_decoder_dict_and_media_dispatch():
+    """jpeg_decoder and the pure_decoder magic dispatch handle
+    progressive payloads identically to baseline ones."""
+    from gmallrealtime02_spark.functions.multimodal import pure_decoder
+
+    vals = bytes((251 * v + 3) % 256 for v in range(64))
+    prog = encode_jpeg_gray_flat_progressive(64, 64, vals)
+    base = encode_jpeg_gray_flat(64, 64, vals)
+    dp, db = jpeg_decoder(prog), jpeg_decoder(base)
+    assert dp == db
+    assert dp["width"] == 64 and dp["sum_luma"] == 64 * sum(vals)
+    assert pure_decoder(prog) == pure_decoder(base)

@@ -55,8 +55,8 @@ def test_entry_smoke(spark):
 def test_driver_window_curation():
     """The driver checks a fixed-size PREFIX of queries() (observed: first
     50).  The window ROTATES across rounds so every oracled query earns a
-    driver-verified row (registry.py rotation ledger).  Round-10 window
-    invariants: the 6 round-10 additions LEAD (first driver exposure),
+    driver-verified row (registry.py rotation ledger).  Round-11 window
+    invariants: the round-11 additions LEAD (first driver exposure),
     EVERY slot carries a full value-hash oracle (the rows-only-by-nature
     ops are excluded from the window for good), every oracled query that
     has never been driver-green holds a slot, and the remaining 44 slots
@@ -70,14 +70,14 @@ def test_driver_window_curation():
     here = os.path.dirname(__file__)
     qs = load_all()
     window = list(qs)[:50]
-    n_new = len(_ROUND10_ADDITIONS)
-    assert window[:n_new] == list(_ROUND10_ADDITIONS), window[:n_new]
+    n_new = len(_ROUND11_ADDITIONS)
+    assert window[:n_new] == list(_ROUND11_ADDITIONS), window[:n_new]
     # every window slot is hash-gradable
     rows_only = {n for n in window if qs[n].oracle is None}
     assert not rows_only, rows_only
     # every never-driver-green oracled row holds a slot
     last_green: dict[str, int] = {}
-    for r in range(1, 10):
+    for r in range(1, 11):
         d = json.load(
             open(os.path.join(here, "..", f"CORRECTNESS_r0{r}.json"))
         )
@@ -107,13 +107,8 @@ def test_driver_window_curation():
         )
 
 
-_ROUND10_ADDITIONS = (
-    "order_wide_delete_propagate",
-    "media_png_16bit",
-    "manifest_ann_topk",
-    "media_jpeg_decode",
-    "order_wide_3way_delete_propagate",
-    "medallion_delete_chain",
+_ROUND11_ADDITIONS = (
+    "media_jpeg_progressive",
 )
 
 
