@@ -147,6 +147,7 @@ _PRIORITY = [
     # ---- round-11 window (50) ----
     # round-11 additions, first driver exposure
     "media_jpeg_progressive",
+    "rollup_minmax_delete",
     # staleness rotation: stalest green rows first (29x r6, then r7)
     "embedding_norm_stats",
     "epoch_shuffle",
@@ -196,9 +197,9 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_paragraphs_global",
     "distinct_users_daily",
-    "doc_fingerprint",
     # ---- post-window (ordering here is not scoring surface): all
     # remaining green rows + rows-only-by-nature ops (pytest-pinned) ----
+    "doc_fingerprint",
     "order_wide_delete_propagate",
     "media_png_16bit",
     "manifest_ann_topk",

@@ -1278,6 +1278,100 @@ def medallion_delete_chain(spark, sf_dir):
 
 
 @register(
+    "rollup_minmax_delete",
+    oracle="""
+    WITH ev AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS dt, event_id, value FROM events
+    ),
+    days AS (
+        SELECT MIN(dt) AS d0,
+               MIN(CASE WHEN dt > (SELECT MIN(dt) FROM ev) THEN dt END) AS d1
+        FROM ev
+    )
+    SELECT dt, COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax
+    FROM ev
+    WHERE NOT (dt = (SELECT d0 FROM days) AND value >= 0.5)
+      AND dt != (SELECT d1 FROM days)
+    GROUP BY dt
+    """,
+    tags=(
+        "table-service",
+        "manifest",
+        "rollup",
+        "delete",
+        "minmax",
+        "touched-groups",
+    ),
+)
+def rollup_minmax_delete(spark, sf_dir):
+    """min/max rollup under deletes via TOUCHED-GROUP refresh
+    (round-10 verdict item 4), hash-proven with the scan bound
+    ENFORCED: a dt-grouped count/min/max rollup over day-range-
+    clustered files absorbs (a) a partial-day delete that removes the
+    day's maxima — mode ``touched_groups``, re-reading strictly fewer
+    files than live (stats prune the untouched days) — and (b) a
+    whole-day delete — the group VANISHES from the rollup, again
+    re-reading only the stats-surviving neighborhood (the day-per-file
+    pytest pins the exact zero-files case).
+    Untouched days keep their stored partials verbatim; min/max never
+    pretends to un-see an extremum, it re-derives exactly the groups
+    the row-level CDC names.  At 100 TB this is what keeps a
+    dashboard rollup with min/max columns maintainable under GDPR/
+    retention deletes: O(rows of touched groups), never O(table)
+    (``streaming/rollup.py:_touched_group_refresh``)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.manifest import ManifestTable
+    from ..streaming.rollup import ContinuousAggregate
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+            "event_id",
+            "value",
+        )
+    )
+    days = sorted(r[0] for r in ev.select("dt").distinct().collect())
+    d0, d1 = days[0], days[1]
+    root = tempfile.mkdtemp(prefix="rollup_minmax_delete_")
+    try:
+        src = ManifestTable(f"{root}/src", stats_cols=["dt", "value"])
+        ca = ContinuousAggregate(
+            src,
+            f"{root}/roll",
+            group_cols=["dt"],
+            aggs={
+                "n": ("count", "*"),
+                "vmin": ("min", "value"),
+                "vmax": ("max", "value"),
+            },
+        )
+        src.append(ev.repartitionByRange(6, "dt"))
+        ca.refresh(spark)
+        src.delete_where(spark, f"dt = '{d0}' AND value >= 0.5")
+        r = ca.refresh(spark)
+        if r["mode"] != "touched_groups":
+            raise RuntimeError(f"expected touched_groups refresh, got {r}")
+        if r["files_scanned"] >= len(src.files()):
+            raise RuntimeError(
+                f"touched-group refresh scanned everything: {r}"
+            )
+        src.delete_where(spark, f"dt = '{d1}'")
+        r2 = ca.refresh(spark)
+        if r2["mode"] != "touched_groups" or r2[
+            "files_scanned"
+        ] >= len(src.files()):
+            raise RuntimeError(
+                f"whole-day delete did not stay touched-group-pruned: {r2}"
+            )
+        return _materialized(spark, ca.read(spark))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "manifest_restore",
     oracle="""
     SELECT event_id, user_id, event_type, value

@@ -35,9 +35,16 @@ source range refreshes by aggregating the manifest's row-level CDC
 (``read_changes``): stored partials ∪ partials(net added) ∪ NEGATED
 partials(net deleted), with groups whose hidden ``__rows__`` count
 reaches zero dropped — O(files the range touched), never O(table).
-min/max cannot un-see a deleted extremum, so their presence (or a
-pre-round-10 rollup without the ``__rows__`` partial) falls back to
-the documented full recompute.
+
+Round 11 — min/max under deletes take a TOUCHED-GROUP refresh instead
+of the former full recompute: min/max cannot un-see a deleted
+extremum, but the row-level CDC names exactly which GROUPS the range
+touched, so only those groups re-aggregate from the source (stats-
+pruned where the group column carries file stats — a dt-keyed rollup
+re-reads the touched days' files) while every untouched group keeps
+its stored partials verbatim.  Aggregation work is O(rows of touched
+groups), not O(table groups); the honest full fallback remains for
+vacuumed history, compaction rewrites, and pre-``__rows__`` rollups.
 """
 
 from __future__ import annotations
@@ -152,10 +159,13 @@ class ContinuousAggregate:
         merge with the stored partials.  Range with deletes/upserts
         and ALL-INVERTIBLE aggs: aggregate the row-level CDC — net
         added rows merge in, net deleted rows merge in NEGATED, and
-        groups whose ``__rows__`` hits zero drop out.  Anything else
-        (min/max under deletes, compact/replace, vacuumed history, a
-        pre-round-10 rollup without ``__rows__``): one honest full
-        recompute."""
+        groups whose ``__rows__`` hits zero drop out.  Range with
+        deletes/upserts and min/max present: TOUCHED-GROUP refresh —
+        the CDC names the groups the range touched; only those
+        re-aggregate from the (stats-pruned) source, untouched groups
+        keep their stored partials verbatim.  Anything else
+        (compact/replace, vacuumed history, a pre-round-10 rollup
+        without ``__rows__``): one honest full recompute."""
         import os
 
         now = self.source.current_version()
@@ -175,14 +185,13 @@ class ContinuousAggregate:
                 self.rollup.read(spark).unionByName(fresh)
             )
             mode, scanned = "incremental", len(new_files)
-        elif (
-            since
-            and new_files is None
-            and self._stored_has_rows()
-            and all(agg in _INVERTIBLE for agg, _c in self.aggs.values())
-        ):
+        elif since and new_files is None and self._stored_has_rows():
             ch = self.source.read_changes(spark, since, now)
-            if ch is not None:
+            if ch is None:
+                pass  # vacuumed/compacted/keyless range: full below
+            elif all(
+                agg in _INVERTIBLE for agg, _c in self.aggs.values()
+            ):
                 net_add, net_del = ch
                 parts = (
                     self.rollup.read(spark)
@@ -193,11 +202,82 @@ class ContinuousAggregate:
                 nf = self.source.net_changed_files(since, now)
                 mode = "retraction"
                 scanned = len(nf[0]) + len(nf[1]) if nf else 0
+            else:
+                merged, scanned = self._touched_group_refresh(spark, ch)
+                mode = "touched_groups"
         if mode is None:
             merged = self._aggregate(self.source.read(spark))
             mode, scanned = "full", len(self.source.files())
         self.rollup.replace(merged, extra={"source_version": now})
         return {"mode": mode, "source_version": now, "files_scanned": scanned}
+
+    def _touched_group_refresh(
+        self, spark: SparkSession, ch: tuple[DataFrame, DataFrame]
+    ) -> tuple[DataFrame, int]:
+        """Recompute ONLY the groups the CDC range touched (the groups
+        a deleted extremum could have lived in), keep every other
+        group's stored partials untouched — the min/max answer to
+        retraction without pretending to un-see an extremum.
+
+        Mechanics: touched = distinct group keys of net-added ∪
+        net-deleted rows (null-safe — NULL is a group); the source
+        read is file-pruned on the FIRST group column's stats against
+        the touched keys' [min, max] (exact via the residual semi
+        join whatever the stats say), so a dt-bucketed rollup whose
+        deletes hit one day re-reads that day's files; fresh partials
+        for touched groups union with the anti-joined survivors.
+        Groups whose rows all died simply produce no fresh partial
+        and vanish.  Returns (merged, files_scanned)."""
+        import functools
+        import os
+
+        from pyspark.sql import functions as F  # noqa: F811
+
+        net_add, net_del = ch
+        touched = (
+            net_add.select(*self.group_cols)
+            .unionByName(net_del.select(*self.group_cols))
+            .distinct()
+        )
+        # file pruning on the first group column: a tiny 2-scalar agg
+        # over the touched keys bounds the stats probe; files without
+        # stats stay in conservatively
+        key0 = self.group_cols[0]
+        bounds = touched.agg(
+            F.min(key0).alias("lo"), F.max(key0).alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is not None:
+            fs = self.source.pruned_files(key0, bounds["lo"], bounds["hi"])
+        else:
+            fs = self.source.files()
+        if fs:
+            src = self.source._read_files(
+                spark,
+                [os.path.join(self.source.data_dir, f) for f in fs],
+                None,
+            )
+        else:
+            src = self.source.read(spark).limit(0)
+        t = touched.alias("__t__")
+        s = src.alias("__s__")
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__s__.{c}").eqNullSafe(F.col(f"__t__.{c}"))
+                for c in self.group_cols
+            ],
+        )
+        fresh = self._aggregate(s.join(F.broadcast(t), cond, "left_semi"))
+        r = self.rollup.read(spark).alias("__r__")
+        kcond = functools.reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__r__.{c}").eqNullSafe(F.col(f"__t__.{c}"))
+                for c in self.group_cols
+            ],
+        )
+        kept = r.join(F.broadcast(t), kcond, "left_anti")
+        return kept.unionByName(fresh), len(fs)
 
     def read(self, spark: SparkSession) -> DataFrame:
         """The rollup WITHOUT the internal ``__rows__`` partial."""

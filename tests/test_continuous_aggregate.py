@@ -227,9 +227,14 @@ def test_rollup_absorbs_deletes_as_retractions(spark, sf_dir, tmp_path):
     assert ca.refresh(spark)["mode"] == "incremental"
 
 
-def test_rollup_minmax_deletes_fall_back_to_full(spark, sf_dir, tmp_path):
-    """min/max cannot un-see a deleted extremum: a delete in range
-    forces the full recompute — and the result is still exact."""
+def test_rollup_minmax_deletes_refresh_touched_groups(
+    spark, sf_dir, tmp_path
+):
+    """min/max cannot un-see a deleted extremum, but the CDC names the
+    touched GROUPS: a delete that removes maxima refreshes in mode
+    'touched_groups' (round 11) — only those groups re-aggregate from
+    the source — and the result equals a from-scratch recompute,
+    including the new (smaller) maxima."""
     from gmallrealtime02_spark.streaming.manifest import ManifestTable
     from gmallrealtime02_spark.streaming.rollup import ContinuousAggregate
 
@@ -244,7 +249,7 @@ def test_rollup_minmax_deletes_fall_back_to_full(spark, sf_dir, tmp_path):
     ca.refresh(spark)
     src.delete_where(spark, "event_id >= 150")  # removes maxima
     r = ca.refresh(spark)
-    assert r["mode"] == "full"
+    assert r["mode"] == "touched_groups", r
     want = {
         (x.event_type, x.n, x.m)
         for x in _events(spark, sf_dir, 0, 150)
@@ -256,6 +261,109 @@ def test_rollup_minmax_deletes_fall_back_to_full(spark, sf_dir, tmp_path):
         (x.event_type, x.n, x.max_id) for x in ca.read(spark).collect()
     }
     assert got == want
+    # a compaction still forces the honest full fallback
+    src.compact(spark)
+    src.append(_events(spark, sf_dir, 200, 220))
+    assert ca.refresh(spark)["mode"] == "incremental"
+    src.delete_where(spark, "event_id < 10")
+    src.compact(spark)
+    assert ca.refresh(spark)["mode"] == "full"
+
+
+def test_touched_group_refresh_scans_only_touched_days(
+    spark, sf_dir, tmp_path
+):
+    """O(touched groups), asserted structurally: a dt-grouped min/max
+    rollup over day-clustered files absorbs a one-day delete by
+    re-reading ONLY that day's (stats-surviving) files — files_scanned
+    strictly below the live file count — while the other days' stored
+    partials survive verbatim; a whole-day delete makes the day's
+    group vanish with zero files re-read."""
+    from gmallrealtime02_spark.streaming.manifest import ManifestTable
+    from gmallrealtime02_spark.streaming.rollup import ContinuousAggregate
+
+    ev_all = _events(spark, sf_dir, 0, 1000)
+    days = sorted(
+        r[0] for r in ev_all.select("dt").distinct().collect()
+    )[:4]
+    assert len(days) >= 3
+    ev = ev_all.filter(F.col("dt").isin(days))
+    src = ManifestTable(str(tmp_path / "src"), stats_cols=["dt", "value"])
+    ca = ContinuousAggregate(
+        src,
+        str(tmp_path / "roll"),
+        group_cols=["dt"],
+        aggs={
+            "n": ("count", "*"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+        },
+    )
+    for d in days:  # day-clustered files, one commit per day
+        src.append(ev.filter(F.col("dt") == d))
+    ca.refresh(spark)
+    # partial delete inside ONE day: only that day's files re-read
+    cut = ev.filter(F.col("dt") == days[1]).agg(
+        F.expr("percentile_approx(value, 0.5)")
+    ).collect()[0][0]
+    src.delete_where(spark, f"dt = '{days[1]}' AND value >= {cut}")
+    r = ca.refresh(spark)
+    assert r["mode"] == "touched_groups", r
+    # strictly fewer than the live files, and bounded by the one
+    # rewritten day file (stats pruned the untouched days)
+    assert r["files_scanned"] < len(src.files())
+    assert r["files_scanned"] <= 2
+    remaining = ev.filter(
+        (F.col("dt") != days[1]) | (F.col("value") < cut)
+    )
+    want = {
+        (x.dt, x.n, round(x.a, 6), round(x.b, 6))
+        for x in remaining.groupBy("dt")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("a"),
+            F.max("value").alias("b"),
+        )
+        .collect()
+    }
+    got = {
+        (x.dt, x.n, round(x.vmin, 6), round(x.vmax, 6))
+        for x in ca.read(spark).collect()
+    }
+    assert got == want
+    # whole-day delete: the group vanishes, nothing needs re-reading
+    src.delete_where(spark, f"dt = '{days[2]}'")
+    r = ca.refresh(spark)
+    assert r["mode"] == "touched_groups", r
+    assert r["files_scanned"] == 0, r
+    got_days = {x.dt for x in ca.read(spark).collect()}
+    assert days[2] not in got_days
+    assert days[1] in got_days and days[0] in got_days
+
+
+def test_touched_group_refresh_null_group_keys(spark, tmp_path):
+    """NULL is a group: the touched-key semi/anti joins are null-safe,
+    so deleting rows of the NULL group refreshes that group rather
+    than silently keeping its stale partials."""
+    from gmallrealtime02_spark.streaming.manifest import ManifestTable
+    from gmallrealtime02_spark.streaming.rollup import ContinuousAggregate
+
+    rows = [("a", 1), ("a", 5), (None, 2), (None, 9), ("b", 4)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    src = ManifestTable(str(tmp_path / "src"), stats_cols=["v"])
+    ca = ContinuousAggregate(
+        src,
+        str(tmp_path / "roll"),
+        group_cols=["g"],
+        aggs={"n": ("count", "*"), "vmax": ("max", "v")},
+    )
+    src.append(df)
+    ca.refresh(spark)
+    src.delete_where(spark, "v = 9")  # the NULL group's maximum
+    r = ca.refresh(spark)
+    assert r["mode"] == "touched_groups", r
+    got = {(x.g, x.n, x.vmax) for x in ca.read(spark).collect()}
+    assert got == {("a", 2, 5), (None, 1, 2), ("b", 1, 4)}
 
 
 def test_legacy_rollup_without_rows_upgrades_once(spark, sf_dir, tmp_path):

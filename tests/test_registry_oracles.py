@@ -79,7 +79,7 @@ def test_driver_window_curation():
     last_green: dict[str, int] = {}
     for r in range(1, 11):
         d = json.load(
-            open(os.path.join(here, "..", f"CORRECTNESS_r0{r}.json"))
+            open(os.path.join(here, "..", f"CORRECTNESS_r{r:02d}.json"))
         )
         for n, v in d.items():
             if v.get("hash_match"):
@@ -109,6 +109,7 @@ def test_driver_window_curation():
 
 _ROUND11_ADDITIONS = (
     "media_jpeg_progressive",
+    "rollup_minmax_delete",
 )
 
 
