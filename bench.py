@@ -1349,6 +1349,51 @@ def bench_ann_scaling() -> None:
                 "files_live": rep["files_live"],
                 "rows": base_n * target,
             }
+        # drift phase (round 11): a concentrated upsert wave piles
+        # files into one hot cell — probes into that region decay —
+        # then ann_maintain() refits/re-clusters in one commit and the
+        # SAME probes must prune again.  RAISES unless maintenance
+        # recovers the probed fraction below both the drifted reading
+        # and an absolute 0.5 bound.
+        hot = cents[7]
+        hot_arr = ",".join(str(v) for v in hot)
+        drift = emb.select(
+            (F.col("vec_id") + 90_000_000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> CAST(x + 2.0 * "
+                f"element_at(array({hot_arr}), i + 1) AS float))"
+            ).alias("embedding"),
+            "label",
+        )
+        for w in range(3):
+            t.append(
+                drift.withColumn("vec_id", F.col("vec_id") + w * 100_000)
+            )
+        qs_drift = [
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in drift.limit(5).collect()
+        ]
+        _, rep_d = t.ann_topk(spark, qs_drift, k=5, n_probe=3)
+        frac_drift = rep_d["files_probed"] / max(rep_d["files_live"], 1)
+        t0 = time.perf_counter()
+        rm = t.ann_maintain(spark, skew_threshold=2.0)
+        maintain_sec = time.perf_counter() - t0
+        if rm["mode"] != "refit":
+            raise RuntimeError(f"drift wave did not trigger a refit: {rm}")
+        _, rep_m = t.ann_topk(spark, qs_drift, k=5, n_probe=3)
+        frac_after = rep_m["files_probed"] / max(rep_m["files_live"], 1)
+        if frac_after >= frac_drift or frac_after > 0.5:
+            raise RuntimeError(
+                "ann_maintain did not recover pruning: "
+                f"{frac_drift:.2f} -> {frac_after:.2f}"
+            )
+        out["drift"] = {
+            "frac_drifted": round(frac_drift, 3),
+            "frac_after_maintain": round(frac_after, 3),
+            "skew": rm["skew"],
+            "skew_after": rm["skew_after"],
+            "maintain_sec": round(maintain_sec, 3),
+        }
     finally:
         shutil.rmtree(root, ignore_errors=True)
     fr1 = out["1x"]["files_probed"] / max(out["1x"]["files_live"], 1)

@@ -578,12 +578,18 @@ class ManifestTable:
             if ANN_CELL in df.columns:
                 # cluster the commit's files BY CELL so each file's
                 # recorded cell range is tight — the layout that makes
-                # an n_probe read open n_probe-ish files.  An explicit
-                # coalesce (compact's sizing contract) wins; the stats
-                # still record whatever ranges result, so pruning
-                # degrades gracefully, never wrongly.
+                # an n_probe read open n_probe-ish files.  RANGE
+                # partitioning, not hash: hash packs arbitrary
+                # (non-contiguous) cell subsets per file, so a
+                # whole-table rewrite gets [min,max] ranges spanning
+                # everything and pruning collapses (measured in the
+                # ann_maintain pytest); contiguous ranges keep each
+                # file ~one cell.  An explicit coalesce (compact's
+                # sizing contract) wins; the stats still record
+                # whatever ranges result, so pruning degrades
+                # gracefully, never wrongly.
                 n = max(len(self.ann_centroids or []), 1)
-                df = df.repartition(n, F.col(ANN_CELL))
+                df = df.repartitionByRange(n, F.col(ANN_CELL))
         tmp = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
         (df.coalesce(coalesce) if coalesce else df).write.parquet(tmp)
         out = []
@@ -1202,6 +1208,98 @@ class ManifestTable:
             "cells": cell_union,
         }
         return out, report
+
+    def ann_maintain(
+        self,
+        spark: SparkSession,
+        skew_threshold: float = 2.0,
+        refit_iters: int = 4,
+    ) -> dict:
+        """Index maintenance under drift (round-10 verdict item 3): an
+        upsert wave concentrated in embedding space piles rows (and
+        files) into a few hot cells, and probes into that region decay
+        toward opening every drifted file.  ``ann_maintain`` measures
+        cell-occupancy skew (max cell count over the balanced share,
+        one narrow cell-column aggregate); above ``skew_threshold`` it
+        REFITS the centroids executor-side seeded from the current set
+        (:func:`~.annindex.refit_centroids` — the index's own
+        fold-cosine metric, exact-decimal means), then reassigns and
+        re-clusters the whole table in ONE atomic commit: the new
+        content-addressed centroid sidecar and the cell-reclustered
+        file set publish together (config rides every commit), so a
+        cold reader sees either the old index or the new one, never a
+        mix.  Below the threshold: noop.
+
+        Like compact/OPTIMIZE this is an explicit O(table) maintenance
+        op — the cost model is 'rewrite once, then every probe prunes
+        again'; downstream version-chain consumers see an honest
+        ``replace``.  Returns {"mode": "noop"|"refit", "skew": s} plus
+        occupancy before/after on refit.
+
+        Boundary (documented, by design): a wave of NEAR-DUPLICATE
+        vectors stays one cell however often you refit — near-copies
+        are genuinely one neighborhood, and probes for them need that
+        cell's candidates whatever the partition; collapsing them is
+        the dedup family's job (``dedup_embedding_cosine``,
+        ``semdedup_pairs``), not the index's.  The refit's bisection
+        splits DIVERSE drift (a new data region with internal spread),
+        which is what re-balances file pruning."""
+        from pyspark.sql import functions as F
+
+        from .annindex import ANN_CELL, refit_centroids
+
+        cents = self.ann_centroids
+        if not self.ann_col or not cents:
+            raise ValueError("table has no ANN index configured")
+        df = self.read(spark)
+
+        def occupancy(frame) -> dict[int, int]:
+            return {
+                int(r["c"]): int(r["n"])
+                for r in frame.groupBy(
+                    F.col(ANN_CELL).alias("c")
+                ).agg(F.count("*").alias("n")).collect()
+            }
+
+        occ = occupancy(df)
+        total = sum(occ.values())
+        k = len(cents)
+        if total == 0:
+            return {"mode": "noop", "skew": 0.0, "rows": 0}
+        skew = max(occ.values()) * k / total
+        if skew < skew_threshold:
+            return {
+                "mode": "noop", "skew": round(skew, 3), "rows": total
+            }
+        new_cents = refit_centroids(
+            df.select(self.ann_col), self.ann_col, cents, iters=refit_iters
+        )
+        old_arg = self._ann_centroids_arg
+        old_cache = self._ann_centroids_cache
+        self._ann_centroids_arg = new_cents
+        self._ann_centroids_cache = None
+        try:
+            # dropping the stored assignment forces _ann_prepare to
+            # reassign under the NEW centroids; _write_data re-clusters
+            # the files by the new cells; _commit publishes the new
+            # sidecar reference in the same manifest version
+            self.replace(df.drop(ANN_CELL))
+        except BaseException:
+            # failed commit: restore the handle so it keeps matching
+            # the table's published index
+            self._ann_centroids_arg = old_arg
+            self._ann_centroids_cache = old_cache
+            raise
+        occ_after = occupancy(self.read(spark))
+        skew_after = max(occ_after.values()) * k / max(
+            sum(occ_after.values()), 1
+        )
+        return {
+            "mode": "refit",
+            "skew": round(skew, 3),
+            "skew_after": round(skew_after, 3),
+            "rows": total,
+        }
 
     # -- the commit protocol -------------------------------------------------
 

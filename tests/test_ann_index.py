@@ -214,3 +214,124 @@ def test_read_ann_does_not_drop_row_id_zero(spark, sf_dir, tmp_path):
         .collect()
     )
     assert top and top[0].cid == 0 and top[0].cosine == 1.0, top[:3]
+
+
+def test_ann_maintain_noop_when_balanced(spark, sf_dir, tmp_path):
+    cents = _centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = ManifestTable(
+        str(tmp_path / "t"), ann_col="embedding", ann_centroids=cents
+    )
+    t.append(emb)
+    v_before = t.current_version()
+    r = t.ann_maintain(spark, skew_threshold=8.0)
+    assert r["mode"] == "noop" and r["rows"] == emb.count()
+    assert t.current_version() == v_before  # no commit on noop
+
+
+def test_ann_maintain_recovers_pruning_after_drift(
+    spark, sf_dir, tmp_path
+):
+    """The drift story end to end: a concentrated upsert wave piles
+    rows and files into one hot cell, probes into that region open
+    almost every drifted file, ann_maintain() refits/reassigns/
+    re-clusters in ONE commit, and the same probes prune again —
+    probed-file fraction back under the flat gate.  A cold handle
+    reads the NEW index (sidecar + config versioned with the commit)
+    and the maintained table still serves exact fold-cosine top-k."""
+    cents = _centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim_row = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(dim_row["d"])
+    t = ManifestTable(
+        str(tmp_path / "t"), ann_col="embedding", ann_centroids=cents
+    )
+    t.append(emb)
+    # drift wave: 4 appends whose vectors all collapse toward one
+    # direction (0.02 * original + hot centroid) -> one hot cell
+    hot = cents[7]
+    drift = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x + 2.0 * "
+            f"element_at(array({','.join(str(v) for v in hot)}), i + 1) "
+            "AS float))"
+        ).alias("embedding"),
+        "label",
+    )
+    for w in range(4):
+        t.append(
+            drift.withColumn(
+                "vec_id", F.col("vec_id") + w * 10_000
+            )
+        )
+    # queries in the drifted region
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in drift.limit(5).collect()
+    ]
+    _, rep_before = t.ann_topk(spark, qs, k=5, n_probe=3)
+    frac_before = rep_before["files_probed"] / rep_before["files_live"]
+    r = t.ann_maintain(spark, skew_threshold=2.0)
+    assert r["mode"] == "refit", r
+    assert r["skew_after"] < r["skew"], r
+    out_after, rep_after = t.ann_topk(spark, qs, k=5, n_probe=3)
+    frac_after = rep_after["files_probed"] / rep_after["files_live"]
+    assert frac_after < frac_before, (frac_before, frac_after)
+    # the flat gate: probing 3 of 16 cells over re-clustered files
+    # opens a bounded share, not the drifted near-everything
+    assert frac_after <= 0.5, (frac_before, frac_after)
+    # cold handle serves the NEW index
+    cold = ManifestTable(str(t.root))
+    assert cold.ann_centroids == t.ann_centroids
+    out_cold, rep_cold = cold.ann_topk(spark, qs, k=5, n_probe=3)
+    assert rep_cold["files_probed"] == rep_after["files_probed"]
+    a = {(x.qid, x.cid, x.rnk) for x in out_after.collect()}
+    c = {(x.qid, x.cid, x.rnk) for x in out_cold.collect()}
+    assert a == c
+    # exactness within probed cells: each qid's results are the true
+    # fold-cosine top-k of its probed cells' candidates
+    from gmallrealtime02_spark.streaming.annindex import score_topk
+
+    probes = {
+        qid: nearest_cells(vec, t.ann_centroids, 3) for qid, vec in qs
+    }
+    want = {
+        (x.qid, x.cid, x.rnk)
+        for x in score_topk(
+            spark, qs, probes, t.read(spark), "vec_id", "embedding", 5
+        ).collect()
+    }
+    assert a == want
+
+
+def test_ann_maintain_failed_commit_restores_handle(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """If the maintenance commit raises, the handle must keep serving
+    the PUBLISHED centroid set (not the half-adopted refit)."""
+    cents = _centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = ManifestTable(
+        str(tmp_path / "t"), ann_col="embedding", ann_centroids=cents
+    )
+    t.append(emb)
+    hot = cents[3]
+    drift = emb.select(
+        (F.col("vec_id") + 50_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x + 2.0 * "
+            f"element_at(array({','.join(str(v) for v in hot)}), i + 1) "
+            "AS float))"
+        ).alias("embedding"),
+        "label",
+    )
+    t.append(drift)
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected commit failure")
+
+    monkeypatch.setattr(t, "replace", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        t.ann_maintain(spark, skew_threshold=1.5)
+    assert t.ann_centroids == cents  # handle restored
