@@ -148,6 +148,7 @@ _PRIORITY = [
     # round-11 additions, first driver exposure
     "media_jpeg_progressive",
     "rollup_minmax_delete",
+    "order_wide_dedup_propagate",
     # staleness rotation: stalest green rows first (29x r6, then r7)
     "embedding_norm_stats",
     "epoch_shuffle",
@@ -196,10 +197,10 @@ _PRIORITY = [
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_paragraphs_global",
-    "distinct_users_daily",
     # ---- post-window (ordering here is not scoring surface): all
     # remaining green rows + rows-only-by-nature ops (pytest-pinned) ----
     "doc_fingerprint",
+    "distinct_users_daily",
     "order_wide_delete_propagate",
     "media_png_16bit",
     "manifest_ann_topk",

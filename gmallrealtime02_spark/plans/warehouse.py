@@ -1093,6 +1093,148 @@ def order_wide_delete_propagate(spark, sf_dir):
 
 
 @register(
+    "order_wide_dedup_propagate",
+    oracle="""
+    SELECT order_id, detail_seq, sku_id, sku_price, sku_num, user_id,
+           order_status, final_total_amount, dt, final_detail_amount
+    FROM (
+        SELECT l_orderkey AS order_id, l_linenumber AS detail_seq,
+               l_partkey AS sku_id, l_extendedprice AS sku_price,
+               l_quantity AS sku_num, o_custkey AS user_id,
+               o_orderstatus AS order_status, o_totalprice AS final_total_amount,
+               strftime(o_orderdate, '%Y-%m-%d') AS dt,
+               CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS DOUBLE)
+                   AS final_detail_amount,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey, l_linenumber
+                   ORDER BY l_partkey, l_extendedprice, l_quantity,
+                            CAST(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,6)) AS DOUBLE)
+               ) AS rn
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderkey >= (SELECT MAX(o_orderkey) // 3 FROM orders)
+    ) WHERE rn = 1
+    """,
+    tags=(
+        "K7",
+        "J4",
+        "J5",
+        "A5",
+        "table-service",
+        "manifest",
+        "incremental",
+        "cdc",
+        "delete",
+        "dedup",
+    ),
+)
+def order_wide_dedup_propagate(spark, sf_dir):
+    """The NON-BILINEAR combine path (round-10 verdict item 7),
+    hash-proven: the order_wide fact IS a keep-best dedup over a join
+    (A5's unique-per-detail-id), and until round 11 that forced either
+    dedup-key-aligned slicing (``order_wide_incremental``'s
+    discipline) or a full recompute per run.  Here the propagator OWNS
+    the dedup (``dedup_keys``/``dedup_order`` on
+    ``DeltaJoinPropagator``): lineitem lands in two commits sliced by
+    an ARBITRARY hash of the part key — duplicates of one (orderkey,
+    linenumber) deliberately scattered across commits — the second run
+    is ENFORCED incremental (new candidates compete against only the
+    STORED winners of the touched keys; keep-min is a semilattice, so
+    suppressed history is never needed), and a GDPR-style delete of
+    the low third of orders is then ENFORCED incremental too: affected
+    keys re-derive from the dedup-side source filtered to exactly
+    those keys, winners whose provenance died are swapped or dropped
+    in one atomic ``merge_delta``.  Hash-matching the complement
+    ROW_NUMBER oracle proves no key kept a stale winner, lost a
+    runner-up, or survived its own deletion
+    (``streaming/propagate.py:_run_cdc_dedup``)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.manifest import ManifestTable
+    from ..streaming.propagate import DeltaJoinPropagator
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    thr = int(orders.agg(F.max("o_orderkey")).first()[0]) // 3
+
+    def combine(o, li):
+        # the RAW bilinear join — no in-combine dedup; the propagator
+        # owns keep-best per (order_id, detail_seq)
+        j = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        return j.select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_linenumber").alias("detail_seq"),
+            F.col("l_partkey").alias("sku_id"),
+            F.col("l_extendedprice").alias("sku_price"),
+            F.col("l_quantity").alias("sku_num"),
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderstatus").alias("order_status"),
+            F.col("o_totalprice").alias("final_total_amount"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("final_detail_amount"),
+        )
+
+    root = tempfile.mkdtemp(prefix="order_wide_dedup_propagate_")
+    try:
+        bronze_o = ManifestTable(f"{root}/orders", stats_cols=["o_orderkey"])
+        bronze_l = ManifestTable(f"{root}/lineitem")
+        silver = ManifestTable(f"{root}/order_wide", stats_cols=["order_id"])
+        prop = DeltaJoinPropagator(
+            bronze_o,
+            bronze_l,
+            silver,
+            combine,
+            left_keys={"o_orderkey": "order_id"},
+            right_keys={
+                "l_orderkey": "order_id",
+                "l_linenumber": "detail_seq",
+            },
+            dedup_keys={
+                "l_orderkey": "order_id",
+                "l_linenumber": "detail_seq",
+            },
+            dedup_order=[
+                "sku_id", "sku_price", "sku_num", "final_detail_amount"
+            ],
+        )
+        # arbitrary slicing: crc32 of the PART key scatters duplicate
+        # (orderkey, linenumber) dedup keys across the two commits
+        sliced = lineitem.withColumn(
+            "slice", F.crc32(F.col("l_partkey").cast("string")) % 2
+        )
+        bronze_o.append(orders)
+        bronze_l.append(sliced.filter(F.col("slice") == 0).drop("slice"))
+        r1 = prop.run_once(spark)
+        if r1["mode"] != "full":
+            raise RuntimeError(f"expected full initial run, got {r1}")
+        bronze_l.append(sliced.filter(F.col("slice") == 1).drop("slice"))
+        r2 = prop.run_once(spark)
+        if r2["mode"] != "incremental" or r2.get("dedup") is not True:
+            raise RuntimeError(
+                f"expected incremental dedup-aware run, got {r2}"
+            )
+        bronze_o.delete_where(spark, f"o_orderkey < {thr}")
+        r3 = prop.run_once(spark)
+        if (
+            r3["mode"] != "incremental"
+            or not r3.get("retractions")
+            or r3.get("dedup") is not True
+        ):
+            raise RuntimeError(
+                f"expected incremental dedup retraction run, got {r3}"
+            )
+        if prop.run_once(spark)["mode"] != "noop":
+            raise RuntimeError("replayed run was not declined")
+        return _materialized(spark, silver.read(spark))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "order_wide_3way_delete_propagate",
     oracle="""
     SELECT l_orderkey AS order_id, l_linenumber AS detail_seq,

@@ -37,6 +37,22 @@ def _key_pairs(keys) -> list[tuple[str, str]]:
     return [(k, k) for k in keys]
 
 
+def _best_per_key(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
+    """Deterministic keep-best: the first row per key group ordered by
+    ``order`` ascending (``first_seen_dedup``'s convention — ordering
+    by every varying column makes the survivor a pure function of the
+    row multiset, partitioning-invariant)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order])
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
 class IncrementalPropagator:
     """``key_cols`` (optional) unlocks DELETE-AWARE incrementality: the
     columns that uniquely identify a source row AND survive
@@ -161,6 +177,9 @@ class DeltaJoinPropagator:
         app_id: str = "propagate2",
         left_keys: list[str] | dict[str, str] | None = None,
         right_keys: list[str] | dict[str, str] | None = None,
+        dedup_keys: list[str] | dict[str, str] | None = None,
+        dedup_order: list[str] | None = None,
+        dedup_side: str = "right",
     ) -> None:
         """``left_keys``/``right_keys`` (optional, both required to
         take effect) unlock DELETE-AWARE incrementality: the columns
@@ -174,7 +193,29 @@ class DeltaJoinPropagator:
             A'⋈B' = (A−∇A)⋈(B−∇B)  ∪  ΔA⋈B'  ∪  (A−∇A)⋈ΔB
 
         applied as ONE atomic ``merge_delta`` (retract keys(∇A) and
-        keys(∇B), insert the two delta joins)."""
+        keys(∇B), insert the two delta joins).
+
+        ``dedup_keys`` + ``dedup_order`` (round 11 — the
+        NON-BILINEAR combine path) declare that the destination is
+        the deterministic keep-best over combine's rows:
+        dest = first row per ``dedup_keys`` group ordered by
+        ``dedup_order`` ascending (``first_seen_dedup``'s convention).
+        ``combine`` itself must stay bilinear — the PROPAGATOR owns
+        the dedup, which is what makes it incrementalizable: keep-min
+        is a semilattice, so best(stored ∪ new-candidates) needs only
+        the stored winner per key, never the suppressed history.
+        Append-only ranges then run as: delta-join candidates →
+        in-batch best → compete against the stored winners of exactly
+        the touched keys (one keyed ``merge_delta``).  Delete ranges
+        re-derive exactly the AFFECTED keys (winners whose provenance
+        was retracted + keys with new candidates) from a combine whose
+        ``dedup_side`` source is filtered to those keys.
+        ``dedup_side`` names the source that OWNS the dedup keys
+        (each output key value is carried by one row of that side —
+        order_wide's detail id lives in the lineitem side), and
+        ``dedup_keys`` accepts the same {source: dest} spec as the
+        provenance keys, read against that source (a plain list when
+        the names survive unchanged)."""
         self.left = left
         self.right = right
         self.dest = dest
@@ -182,6 +223,25 @@ class DeltaJoinPropagator:
         self.app_id = app_id
         self.left_keys = left_keys
         self.right_keys = right_keys
+        if (dedup_keys is None) != (dedup_order is None):
+            raise ValueError("dedup_keys and dedup_order go together")
+        if dedup_side not in ("left", "right"):
+            raise ValueError("dedup_side must be 'left' or 'right'")
+        self.dedup_pairs = (
+            _key_pairs(dedup_keys) if dedup_keys is not None else None
+        )
+        self.dedup_keys = (
+            [d for _, d in self.dedup_pairs]
+            if self.dedup_pairs is not None
+            else None
+        )
+        self.dedup_order = list(dedup_order) if dedup_order else None
+        self.dedup_side = dedup_side
+
+    def _best(self, df: DataFrame) -> DataFrame:
+        if self.dedup_keys is None:
+            return df
+        return _best_per_key(df, self.dedup_keys, self.dedup_order)
 
     def reflected_versions(self) -> tuple[int, int]:
         """(left, right) source versions already propagated (0 = none)."""
@@ -218,8 +278,25 @@ class DeltaJoinPropagator:
                 delta = self.combine(d_left, right_new).unionByName(
                     self.combine(left_old, d_right)
                 )
-                self.dest.append(delta, txn=txns)
-                return {"mode": "incremental", **out_meta}
+                if self.dedup_keys is None:
+                    self.dest.append(delta, txn=txns)
+                    return {"mode": "incremental", **out_meta}
+                # keep-best dedup: new candidates compete against the
+                # STORED winners of exactly the touched keys —
+                # best(stored ∪ new) == best(all-history ∪ new)
+                # because keep-min is a semilattice
+                cand = self._best(delta)
+                touched = cand.select(*self.dedup_keys).dropDuplicates(
+                    self.dedup_keys
+                )
+                stored = self.dest.read(spark).join(
+                    touched, self.dedup_keys, "left_semi"
+                )
+                refreshed = self._best(stored.unionByName(cand))
+                self.dest.merge_delta(
+                    spark, refreshed, [(self.dedup_keys, touched)], txn=txns
+                )
+                return {"mode": "incremental", "dedup": True, **out_meta}
             if self.left_keys is not None and self.right_keys is not None:
                 res = self._run_cdc(spark, la, lb, na, nb, txns)
                 if res is not None:
@@ -228,9 +305,11 @@ class DeltaJoinPropagator:
         # full recompute PINNED to the captured versions (an unpinned
         # read racing a concurrent source append would include rows
         # beyond the recorded watermarks — duplicated next run)
-        out = self.combine(
-            self.left.read(spark, version=na),
-            self.right.read(spark, version=nb),
+        out = self._best(
+            self.combine(
+                self.left.read(spark, version=na),
+                self.right.read(spark, version=nb),
+            )
         )
         self.dest.replace(out, txn=txns)
         return {"mode": "full", **out_meta}
@@ -254,6 +333,8 @@ class DeltaJoinPropagator:
         chr_ = self.right.read_changes(spark, lb, nb)
         if chl is None or chr_ is None:
             return None
+        if self.dedup_keys is not None:
+            return self._run_cdc_dedup(spark, chl, chr_, la, na, nb, txns)
         add_l, del_l = chl
         add_r, del_r = chr_
         lp = _key_pairs(self.left_keys)
@@ -283,6 +364,99 @@ class DeltaJoinPropagator:
         ]
         self.dest.merge_delta(spark, inserts, deletes, txn=txns)
         return {"mode": "incremental", "retractions": True}
+
+    def _run_cdc_dedup(
+        self, spark, chl, chr_, la, na, nb, txns
+    ) -> dict | None:
+        """Delete-aware incremental step when the destination is a
+        keep-best dedup over the combine.  A retracted provenance row
+        may have been a key's WINNER with suppressed runners-up still
+        live, so keys cannot simply lose rows — the AFFECTED keys are
+        RE-DERIVED from the current state and swapped in atomically.
+
+        Affected keys come from three places: (1) dedup-side deletes
+        name their keys DIRECTLY (the ``dedup_keys`` {source: dest}
+        spec reads them off the raw deleted rows); (2) other-side
+        deletes mark the stored winners they produced (dest semi-join
+        on that side's surviving provenance columns); (3) the linear
+        identity's delta-join terms name every key with NEW
+        candidates.  Re-derivation combines the ``dedup_side`` source
+        FILTERED to the affected keys (each output key is owned by one
+        row of that side) against the other side in full, then
+        keep-best.  One atomic ``merge_delta``: retract affected keys,
+        insert their re-derived winners — keys whose candidates all
+        died simply vanish.  O(affected keys' candidate rows), never
+        O(dest).  None (→ honest full fallback) when the other side's
+        provenance columns are invisible in the destination or the
+        dedup key spec names columns absent from the dedup-side
+        source."""
+        from pyspark.sql import functions as F
+
+        add_l, del_l = chl
+        add_r, del_r = chr_
+        lp = _key_pairs(self.left_keys)
+        rp = _key_pairs(self.right_keys)
+        dp = self.dedup_pairs
+        side_del = del_r if self.dedup_side == "right" else del_l
+        other_pairs = lp if self.dedup_side == "right" else rp
+        other_del = del_l if self.dedup_side == "right" else del_r
+        dest_cur = self.dest.read(spark)
+        if not {d for _, d in other_pairs} <= set(dest_cur.columns):
+            return None  # other-side provenance invisible in dest
+        if not {s for s, _ in dp} <= set(side_del.columns):
+            return None  # dedup keys not named on the dedup-side source
+        # (1) dedup-side deletes name their keys directly
+        aff_side = side_del.select(*[F.col(s).alias(d) for s, d in dp])
+        # (2) other-side deletes: the stored winners they produced
+        odel_keys = other_del.select(
+            *[F.col(s).alias(d) for s, d in other_pairs]
+        ).dropDuplicates([d for _, d in other_pairs])
+        aff_other = dest_cur.join(
+            odel_keys, [d for _, d in other_pairs], "left_semi"
+        ).select(*self.dedup_keys)
+        # (3) keys with NEW candidates: the delta-join terms
+        left_surv = self.left.read(spark, version=la).join(
+            del_l.select(*[s for s, _ in lp]).dropDuplicates(
+                [s for s, _ in lp]
+            ),
+            [s for s, _ in lp],
+            "left_anti",
+        )
+        right_new = self.right.read(spark, version=nb)
+        cand = self.combine(add_l, right_new).unionByName(
+            self.combine(left_surv, add_r)
+        )
+        affected = (
+            aff_side.unionByName(aff_other)
+            .unionByName(cand.select(*self.dedup_keys))
+            .dropDuplicates(self.dedup_keys)
+        )
+        src_keys = affected.select(
+            *[F.col(d).alias(s) for s, d in dp]
+        )
+        join_cols = [s for s, _ in dp]
+        if self.dedup_side == "right":
+            refreshed = self._best(
+                self.combine(
+                    self.left.read(spark, version=na),
+                    self.right.read(spark, version=nb).join(
+                        src_keys, join_cols, "left_semi"
+                    ),
+                )
+            )
+        else:
+            refreshed = self._best(
+                self.combine(
+                    self.left.read(spark, version=na).join(
+                        src_keys, join_cols, "left_semi"
+                    ),
+                    self.right.read(spark, version=nb),
+                )
+            )
+        self.dest.merge_delta(
+            spark, refreshed, [(self.dedup_keys, affected)], txn=txns
+        )
+        return {"mode": "incremental", "retractions": True, "dedup": True}
 
 
 class MultiJoinPropagator:

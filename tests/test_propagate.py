@@ -661,3 +661,237 @@ def test_net_zero_range_still_advances_watermark(spark, sf_dir, tmp_path):
     assert p.reflected_version() == bronze.current_version()  # advanced
     assert p.run_once(spark)["mode"] == "noop"
     assert _ids(silver.read(spark)) == _ids(_events(spark, sf_dir, 0, 100))
+
+
+# -- keep-best dedup over a bilinear combine (round 11) ---------------------
+
+
+def _dj_dedup(tmp_path, spark, tag="d"):
+    """left(user rows) ⋈ right(item rows with DUPLICATE item keys):
+    the destination keeps the best row per item — combine is the plain
+    bilinear join, the PROPAGATOR owns the dedup."""
+    left = ManifestTable(str(tmp_path / f"l{tag}"))
+    right = ManifestTable(str(tmp_path / f"r{tag}"), stats_cols=["item"])
+    dest = ManifestTable(str(tmp_path / f"d{tag}"))
+
+    def combine(ldf, rdf):
+        return rdf.join(ldf, rdf.owner == ldf.uid, "inner").select(
+            "item", "owner", "price", "uname"
+        )
+
+    prop = DeltaJoinPropagator(
+        left,
+        right,
+        dest,
+        combine,
+        left_keys={"uid": "owner"},
+        right_keys={"rid": "item"},
+        dedup_keys=["item"],
+        dedup_order=["price", "owner", "uname"],
+    )
+    return left, right, dest, prop
+
+
+def _rows(df):
+    return {tuple(r) for r in df.select("item", "owner", "price", "uname").collect()}
+
+
+def test_dedup_combine_appends_compete_with_stored(spark, tmp_path):
+    """Duplicate dedup keys SPLIT ACROSS commits — the case the
+    bilinear contract used to forbid without key-aligned slicing: a
+    later commit carries a better row for an existing key (winner
+    replaced) and a worse one (stored winner survives).  Enforced
+    incremental with the dedup flag; final state equals the one-shot
+    keep-best over everything."""
+    left, right, dest, prop = _dj_dedup(tmp_path, spark)
+    left.append(
+        spark.createDataFrame([(1, "ann"), (2, "bo")], "uid long, uname string")
+    )
+    right.append(
+        spark.createDataFrame(
+            [(10, 100, 1, 5.0), (11, 101, 2, 7.0)],
+            "rid long, item long, owner long, price double",
+        )
+    )
+    assert prop.run_once(spark)["mode"] == "full"
+    # second wave: better row for item 100, worse row for item 101,
+    # plus a brand-new item 102
+    right.append(
+        spark.createDataFrame(
+            [(12, 100, 2, 3.0), (13, 101, 1, 9.0), (14, 102, 1, 1.0)],
+            "rid long, item long, owner long, price double",
+        )
+    )
+    r = prop.run_once(spark)
+    assert r["mode"] == "incremental" and r.get("dedup") is True, r
+    got = _rows(dest.read(spark))
+    assert got == {
+        (100, 2, 3.0, "bo"),   # new winner (lower price)
+        (101, 2, 7.0, "bo"),   # stored winner survived the 9.0 challenger
+        (102, 1, 1.0, "ann"),  # new key
+    }
+    # replay declined
+    assert prop.run_once(spark)["mode"] == "noop"
+
+
+def test_dedup_winner_retraction_resurrects_runner_up(spark, tmp_path):
+    """Deleting the WINNING provenance row must resurrect the
+    suppressed runner-up — the re-derivation path a plain keyed
+    retraction cannot express.  Also: a key whose candidates all die
+    vanishes, and untouched keys keep their winners."""
+    left, right, dest, prop = _dj_dedup(tmp_path, spark, tag="e")
+    left.append(
+        spark.createDataFrame([(1, "ann"), (2, "bo")], "uid long, uname string")
+    )
+    right.append(
+        spark.createDataFrame(
+            [
+                (10, 100, 1, 5.0),
+                (11, 100, 2, 8.0),   # suppressed runner-up for item 100
+                (12, 101, 1, 2.0),
+                (13, 102, 2, 4.0),
+            ],
+            "rid long, item long, owner long, price double",
+        )
+    )
+    assert prop.run_once(spark)["mode"] == "full"
+    assert _rows(dest.read(spark)) == {
+        (100, 1, 5.0, "ann"),
+        (101, 1, 2.0, "ann"),
+        (102, 2, 4.0, "bo"),
+    }
+    # delete item 100's winner (rid 10) and ALL of item 101
+    right.delete_where(spark, "rid = 10 OR item = 101")
+    r = prop.run_once(spark)
+    assert (
+        r["mode"] == "incremental"
+        and r.get("retractions") is True
+        and r.get("dedup") is True
+    ), r
+    assert _rows(dest.read(spark)) == {
+        (100, 2, 8.0, "bo"),  # runner-up resurrected
+        (102, 2, 4.0, "bo"),  # untouched key kept
+    }
+
+
+def test_dedup_left_delete_rederives_owned_keys(spark, tmp_path):
+    """A LEFT-side delete retracts every key whose winner it produced;
+    keys whose surviving right rows still join other left rows
+    re-derive, keys with no surviving join vanish."""
+    left, right, dest, prop = _dj_dedup(tmp_path, spark, tag="f")
+    left.append(
+        spark.createDataFrame([(1, "ann"), (2, "bo")], "uid long, uname string")
+    )
+    right.append(
+        spark.createDataFrame(
+            [
+                (10, 100, 1, 5.0),
+                (11, 100, 2, 8.0),
+                (12, 101, 1, 2.0),
+            ],
+            "rid long, item long, owner long, price double",
+        )
+    )
+    assert prop.run_once(spark)["mode"] == "full"
+    left.delete_where(spark, "uid = 1")  # ann owned both winners
+    r = prop.run_once(spark)
+    assert r["mode"] == "incremental" and r.get("dedup") is True, r
+    assert _rows(dest.read(spark)) == {
+        (100, 2, 8.0, "bo"),  # re-derived from the surviving candidate
+        # item 101 vanished: its only candidate joined the deleted user
+    }
+
+
+def test_dedup_requires_expressible_keys(spark, tmp_path):
+    """When the OTHER side's provenance columns are invisible in the
+    destination (here: uid joins away into `owner` but the spec says
+    plain `uid`), the dedup CDC path cannot locate the winners a
+    left-side delete produced — it declines and the run takes the
+    honest full fallback, still correct."""
+    left = ManifestTable(str(tmp_path / "lg"))
+    right = ManifestTable(str(tmp_path / "rg"))
+    dest = ManifestTable(str(tmp_path / "dg"))
+
+    def combine(ldf, rdf):
+        return rdf.join(ldf, rdf.owner == ldf.uid, "inner").select(
+            "item", "owner", "price", "uname"
+        )
+
+    prop = DeltaJoinPropagator(
+        left,
+        right,
+        dest,
+        combine,
+        left_keys=["uid"],  # uid does NOT survive combine (-> owner)
+        right_keys=["rid"],
+        dedup_keys=["item"],
+        dedup_order=["price", "owner", "uname"],
+    )
+    left.append(
+        spark.createDataFrame([(1, "ann"), (2, "bo")], "uid long, uname string")
+    )
+    right.append(
+        spark.createDataFrame(
+            [(10, 100, 1, 5.0), (11, 100, 2, 3.0)],
+            "rid long, item long, owner long, price double",
+        )
+    )
+    assert prop.run_once(spark)["mode"] == "full"
+    right.delete_where(spark, "rid = 11")
+    r = prop.run_once(spark)
+    assert r["mode"] == "full", r
+    assert _rows(dest.read(spark)) == {(100, 1, 5.0, "ann")}
+
+
+def test_dedup_order_wide_without_aligned_slicing(spark, sf_dir, tmp_path):
+    """The order_wide shape WITHOUT the dedup-key-aligned slicing
+    discipline: lineitem splits by an ARBITRARY hash that scatters
+    duplicate (orderkey, linenumber) keys across commits, the combine
+    is the raw bilinear join, and the propagator's keep-best matches
+    the one-shot first_seen_dedup result exactly."""
+    from gmallrealtime02_spark.operators.dau import first_seen_dedup
+
+    orders = load_table(spark, sf_dir, "orders").limit(200)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def combine(o, li):
+        j = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        return j.select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_linenumber").alias("detail_seq"),
+            F.col("l_partkey").alias("sku_id"),
+            F.col("l_quantity").alias("sku_num"),
+            F.col("o_custkey").alias("user_id"),
+        )
+
+    bronze_o = ManifestTable(str(tmp_path / "bo"))
+    bronze_l = ManifestTable(str(tmp_path / "bl"))
+    silver = ManifestTable(str(tmp_path / "sv"))
+    prop = DeltaJoinPropagator(
+        bronze_o,
+        bronze_l,
+        silver,
+        combine,
+        left_keys={"o_orderkey": "order_id"},
+        right_keys={"l_orderkey": "order_id", "l_linenumber": "detail_seq"},
+        dedup_keys=["order_id", "detail_seq"],
+        dedup_order=["sku_id", "sku_num", "user_id"],
+    )
+    # ARBITRARY slicing: crc32 of the part key — duplicates of one
+    # (orderkey, linenumber) land in DIFFERENT commits
+    sliced = lineitem.withColumn(
+        "slice", F.crc32(F.col("l_partkey").cast("string")) % 2
+    )
+    bronze_o.append(orders)
+    bronze_l.append(sliced.filter(F.col("slice") == 0).drop("slice"))
+    assert prop.run_once(spark)["mode"] == "full"
+    bronze_l.append(sliced.filter(F.col("slice") == 1).drop("slice"))
+    r = prop.run_once(spark)
+    assert r["mode"] == "incremental" and r.get("dedup") is True, r
+    want = first_seen_dedup(
+        combine(orders, lineitem),
+        keys=["order_id", "detail_seq"],
+        order_by=["sku_id", "sku_num", "user_id"],
+    )
+    got = {tuple(r) for r in silver.read(spark).collect()}
+    assert got == {tuple(r) for r in want.collect()}

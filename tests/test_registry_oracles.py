@@ -110,6 +110,7 @@ def test_driver_window_curation():
 _ROUND11_ADDITIONS = (
     "media_jpeg_progressive",
     "rollup_minmax_delete",
+    "order_wide_dedup_propagate",
 )
 
 
