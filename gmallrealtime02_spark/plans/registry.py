@@ -149,6 +149,7 @@ _PRIORITY = [
     "media_jpeg_progressive",
     "rollup_minmax_delete",
     "order_wide_dedup_propagate",
+    "medallion_stream_chain",
     # staleness rotation: stalest green rows first (29x r6, then r7)
     "embedding_norm_stats",
     "epoch_shuffle",
@@ -196,11 +197,11 @@ _PRIORITY = [
     "dedup_canonical",
     "dedup_embedding_cosine",
     "dedup_exact",
-    "dedup_paragraphs_global",
     # ---- post-window (ordering here is not scoring surface): all
     # remaining green rows + rows-only-by-nature ops (pytest-pinned) ----
     "doc_fingerprint",
     "distinct_users_daily",
+    "dedup_paragraphs_global",
     "order_wide_delete_propagate",
     "media_png_16bit",
     "manifest_ann_topk",

@@ -1514,6 +1514,133 @@ def rollup_minmax_delete(spark, sf_dir):
 
 
 @register(
+    "medallion_stream_chain",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events
+    WHERE value > 0.2
+      AND event_id >= (SELECT MAX(event_id) // 4 FROM events)
+    GROUP BY event_type
+    """,
+    tags=(
+        "K7",
+        "A1",
+        "A2",
+        "table-service",
+        "manifest",
+        "incremental",
+        "cdc",
+        "delete",
+        "rollup",
+        "medallion",
+        "streaming",
+    ),
+)
+def medallion_stream_chain(spark, sf_dir):
+    """§3.3's end state, hash-proven: the bronze → silver → gold
+    medallion chain as ONE always-on Structured Streaming query —
+    ``writeStream.foreachBatch(make_medallion_sink)`` over a file
+    source — instead of batch ``run_once`` calls.  Each trigger lands
+    one idempotent bronze commit, advances the delete-aware propagator
+    stage, and refreshes the continuous aggregate; the query then
+    STOPS and RESTARTS from its checkpoint mid-run (the reference's
+    always-on job lifecycle), and a GDPR ``delete_where`` issued
+    BETWEEN triggers rides the next tick's version range.  Enforced
+    from the sink's recorded history, not trusted: post-initial
+    stages ran incrementally and the delete propagated as a keyed
+    retraction; bronze holds exactly one commit per trigger (replays
+    declined by the txn watermark across the restart).  The final
+    gold rollup hash-matches the doubly-filtered one-shot oracle
+    (``streaming/propagate.py:make_medallion_sink``)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.manifest import ManifestTable
+    from ..streaming.propagate import (
+        IncrementalPropagator,
+        make_medallion_sink,
+    )
+    from ..streaming.rollup import ContinuousAggregate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    thr = int(ev.agg(F.max("event_id")).first()[0]) // 4
+    root = tempfile.mkdtemp(prefix="medallion_stream_chain_")
+    try:
+        src_dir = f"{root}/src"
+        ckpt = f"{root}/ckpt"
+        ev.filter(F.col("event_id") < 2 * thr).repartition(2).write.parquet(
+            src_dir
+        )
+        bronze = ManifestTable(f"{root}/bronze", stats_cols=["event_id"])
+        silver = ManifestTable(f"{root}/silver", stats_cols=["event_id"])
+        prop = IncrementalPropagator(
+            bronze,
+            silver,
+            lambda df: df.filter(F.col("value") > 0.2),
+            key_cols=["event_id"],
+        )
+        gold = ContinuousAggregate(
+            silver,
+            f"{root}/gold",
+            group_cols=["event_type"],
+            aggs={"n": ("count", "*"), "sum_ids": ("sum", "event_id")},
+        )
+        sink = make_medallion_sink(bronze, [prop], [gold])
+
+        def run_stream():
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            q = (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run_stream()
+        # GDPR delete BETWEEN triggers, then more data + a checkpoint
+        # RESTART — the always-on lifecycle
+        bronze.delete_where(spark, f"event_id < {thr}")
+        ev.filter(F.col("event_id") >= 2 * thr).repartition(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        run_stream()
+        stage_runs = [
+            h["result"] for h in sink.history if h["stage"] == "stage0"
+        ]
+        if not any(r.get("retractions") for r in stage_runs):
+            raise RuntimeError(
+                f"delete did not propagate as a retraction: {stage_runs}"
+            )
+        if any(
+            r["mode"] == "full"
+            for r in stage_runs[1:]
+            if r["mode"] != "noop"
+        ):
+            raise RuntimeError(
+                f"a post-initial stage run fell back to full: {stage_runs}"
+            )
+        n_triggers = len({h["batch_id"] for h in sink.history})
+        if bronze.current_version() != n_triggers + 1:  # +1: the delete
+            raise RuntimeError(
+                "bronze commits != triggers + delete: "
+                f"{bronze.current_version()} vs {n_triggers}"
+            )
+        return _materialized(spark, gold.read(spark))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "manifest_restore",
     oracle="""
     SELECT event_id, user_id, event_type, value

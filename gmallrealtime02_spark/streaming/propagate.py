@@ -580,3 +580,61 @@ class MultiJoinPropagator:
         )
         self.dest.replace(out, txn=txns)
         return {"mode": "full", **meta}
+
+
+def make_medallion_sink(
+    bronze: ManifestTable,
+    stages: list | None = None,
+    rollups: list | None = None,
+    app_id: str = "medallion-stream",
+):
+    """foreachBatch sink that runs the WHOLE medallion chain per
+    micro-batch — §3.3's end state: the reference's three chained
+    always-on jobs as one Structured Streaming DAG over the table
+    service.  Per trigger: the batch lands in bronze as ONE idempotent
+    commit (``txn=(app_id, batch_id)``), then every propagator stage
+    advances to its source's current version, then every continuous
+    aggregate refreshes.
+
+    Restart-safe at ANY point in the chain, because each link carries
+    its own exactly-once ledger: a replayed bronze append is declined
+    by the txn watermark; a stage that already committed this version
+    range no-ops (its watermark rode its dest commit); a stage that
+    crashed BEFORE committing redoes the same version range against an
+    unchanged snapshot (its dest commit is atomic).  So a checkpoint
+    restart mid-chain neither double-counts nor drops — pinned by the
+    restart pytest.
+
+    Out-of-band bronze deletes (a GDPR/retention ``delete_where``
+    between triggers) ride the next tick's version range and propagate
+    as keyed retractions through every delete-aware stage — the batch
+    ``run_once`` machinery unchanged, just driven by the stream clock.
+    An idle tick (empty batch) still advances stage watermarks through
+    content-free commits.
+
+    The sink records every stage/rollup result dict in
+    ``sink.history`` (a list of {"batch_id", "stage", "result"}), so a
+    caller can ENFORCE that a delete propagated incrementally rather
+    than trusting it did."""
+    stages = list(stages or [])
+    rollups = list(rollups or [])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..caching import begin_query
+
+        begin_query()
+        bronze.append(batch_df, txn=(app_id, int(batch_id)))
+        spark = batch_df.sparkSession
+        for i, st in enumerate(stages):
+            r = st.run_once(spark)
+            sink.history.append(
+                {"batch_id": int(batch_id), "stage": f"stage{i}", "result": r}
+            )
+        for i, ca in enumerate(rollups):
+            r = ca.refresh(spark)
+            sink.history.append(
+                {"batch_id": int(batch_id), "stage": f"rollup{i}", "result": r}
+            )
+
+    sink.history = []
+    return sink

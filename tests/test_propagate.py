@@ -895,3 +895,210 @@ def test_dedup_order_wide_without_aligned_slicing(spark, sf_dir, tmp_path):
     )
     got = {tuple(r) for r in silver.read(spark).collect()}
     assert got == {tuple(r) for r in want.collect()}
+
+
+# -- streaming medallion chain (round 11) -----------------------------------
+
+from gmallrealtime02_spark.streaming.propagate import make_medallion_sink
+
+
+def test_medallion_sink_streams_chain_end_to_end(spark, sf_dir, tmp_path):
+    """bronze → silver (propagator) → gold (rollup) driven by a REAL
+    writeStream.foreachBatch over a file source: after
+    processAllAvailable every layer equals its batch oracle, with one
+    bronze commit per trigger and stage watermarks current."""
+    from gmallrealtime02_spark.streaming.rollup import ContinuousAggregate
+
+    events = _events(spark, sf_dir, 0, 600)
+    src_dir = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src_dir)
+    bronze = ManifestTable(str(tmp_path / "bronze"), stats_cols=["event_id"])
+    silver = ManifestTable(str(tmp_path / "silver"), stats_cols=["event_id"])
+    prop = IncrementalPropagator(
+        bronze,
+        silver,
+        lambda df: df.filter(F.col("event_id") % 10 != 0),
+        key_cols=["event_id"],
+    )
+    gold = ContinuousAggregate(
+        silver,
+        str(tmp_path / "gold"),
+        group_cols=["event_type"],
+        aggs={"n": ("count", "*"), "s": ("sum", "event_id")},
+    )
+    sink = make_medallion_sink(bronze, [prop], [gold])
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert bronze.current_version() == 3
+    want = events.filter(F.col("event_id") % 10 != 0)
+    assert silver.read(spark).count() == want.count()
+    got = {(r.event_type, r.n, r.s) for r in gold.read(spark).collect()}
+    exp = {
+        (r.event_type, r.n, r.s)
+        for r in want.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("event_id").alias("s"))
+        .collect()
+    }
+    assert got == exp
+    # beyond batch 1, stages ran incrementally, not full
+    modes = [
+        h["result"]["mode"]
+        for h in sink.history
+        if h["stage"] == "stage0" and h["batch_id"] > 0
+    ]
+    assert modes and all(m == "incremental" for m in modes), sink.history
+
+
+def test_medallion_sink_restart_mid_chain_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """Crash INSIDE the chain (bronze committed, silver not), restart
+    from the checkpoint: the replayed batch's bronze append is
+    declined by the txn watermark, the stage redoes its range, and no
+    layer double-counts or drops — the exactly-once claim under the
+    worst interleaving."""
+    from gmallrealtime02_spark.streaming.rollup import ContinuousAggregate
+
+    events = _events(spark, sf_dir, 0, 600)
+    src_dir = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src_dir)
+    bronze = ManifestTable(str(tmp_path / "bronze"), stats_cols=["event_id"])
+    silver = ManifestTable(str(tmp_path / "silver"), stats_cols=["event_id"])
+    prop = IncrementalPropagator(
+        bronze, silver, lambda df: df, key_cols=["event_id"]
+    )
+    gold = ContinuousAggregate(
+        silver,
+        str(tmp_path / "gold"),
+        group_cols=["event_type"],
+        aggs={"n": ("count", "*")},
+    )
+    inner = make_medallion_sink(bronze, [prop], [gold])
+    crashed = {"done": False}
+
+    def crashing_sink(batch_df, batch_id):
+        if batch_id == 1 and not crashed["done"]:
+            # bronze commits under the SAME txn the real sink would
+            # use, then the "process dies" before the stage runs
+            bronze.append(
+                batch_df, txn=("medallion-stream", int(batch_id))
+            )
+            crashed["done"] = True
+            raise RuntimeError("injected crash mid-chain")
+        inner(batch_df, batch_id)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(crashing_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    import pyspark.errors
+
+    try:
+        with pytest.raises(pyspark.errors.StreamingQueryException):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # restart from the same checkpoint: batch 1 replays
+    q2 = (
+        stream.writeStream.foreachBatch(crashing_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert bronze.read(spark).count() == events.count()  # no double-count
+    assert silver.read(spark).count() == events.count()
+    got = {(r.event_type, r.n) for r in gold.read(spark).collect()}
+    exp = {
+        (r.event_type, r.n)
+        for r in events.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_medallion_sink_out_of_band_delete_retracts(spark, sf_dir, tmp_path):
+    """A GDPR delete_where on bronze BETWEEN triggers rides the next
+    tick's version range and propagates as a keyed retraction through
+    the streaming chain (enforced from sink.history, not trusted)."""
+    from gmallrealtime02_spark.streaming.rollup import ContinuousAggregate
+
+    events = _events(spark, sf_dir, 0, 600)
+    src_dir = str(tmp_path / "src")
+    events.filter(F.col("event_id") < 400).repartition(2).write.parquet(
+        src_dir
+    )
+    bronze = ManifestTable(str(tmp_path / "bronze"), stats_cols=["event_id"])
+    silver = ManifestTable(str(tmp_path / "silver"), stats_cols=["event_id"])
+    prop = IncrementalPropagator(
+        bronze, silver, lambda df: df, key_cols=["event_id"]
+    )
+    gold = ContinuousAggregate(
+        silver,
+        str(tmp_path / "gold"),
+        group_cols=["event_type"],
+        aggs={"n": ("count", "*"), "s": ("sum", "event_id")},
+    )
+    sink = make_medallion_sink(bronze, [prop], [gold])
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_stream()
+    # out-of-band retention delete between triggers
+    bronze.delete_where(spark, "event_id < 100")
+    # new wave arrives; the delete rides this tick's version range
+    events.filter(F.col("event_id") >= 400).repartition(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    run_stream()
+    retraction_runs = [
+        h
+        for h in sink.history
+        if h["stage"] == "stage0" and h["result"].get("retractions")
+    ]
+    assert retraction_runs, sink.history
+    want = events.filter(F.col("event_id") >= 100)
+    assert silver.read(spark).count() == want.count()
+    got = {(r.event_type, r.n, r.s) for r in gold.read(spark).collect()}
+    exp = {
+        (r.event_type, r.n, r.s)
+        for r in want.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("event_id").alias("s"))
+        .collect()
+    }
+    assert got == exp

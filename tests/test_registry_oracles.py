@@ -111,6 +111,7 @@ _ROUND11_ADDITIONS = (
     "media_jpeg_progressive",
     "rollup_minmax_delete",
     "order_wide_dedup_propagate",
+    "medallion_stream_chain",
 )
 
 
