@@ -6,14 +6,16 @@ Decoder scope (reject-clean outside it, null rows never task
 failures): baseline sequential DCT (SOF0) AND progressive DCT (SOF2,
 round 11 — spectral-selection + successive-approximation scan
 accumulation per T.81 Annex G over the same marker/Huffman machinery),
-8-bit samples, Huffman entropy coding, grayscale (1 component,
-non-interleaved per T.81 A.2) or YCbCr (3 components) at sampling
-factors up to 2 — 4:4:4, 4:2:2 and 4:2:0, the forms real scraped
-JPEGs use; subsampled chroma upsamples by sample replication.
-Arithmetic coding, 12-bit, factors > 2, and restart intervals return
-None.  Progressive matters at corpus scale: it is a double-digit
-share of scraped web JPEGs, and before round 11 every one of them
-silently nulled out of a curation run.
+8-bit samples, Huffman entropy coding, RESTART INTERVALS (DRI +
+RSTn cycle verification, DC-prediction/EOBRUN resets — round 11;
+ubiquitous in camera/scraper output for error resilience), grayscale
+(1 component, non-interleaved per T.81 A.2) or YCbCr (3 components)
+at sampling factors up to 2 — 4:4:4, 4:2:2 and 4:2:0, the forms real
+scraped JPEGs use; subsampled chroma upsamples by sample replication.
+Arithmetic coding, 12-bit samples, and factors > 2 return None.
+Progressive matters at corpus scale: it is a double-digit share of
+scraped web JPEGs, and before round 11 every one of them silently
+nulled out of a curation run.
 
 JPEG is LOSSY, so the PNG-style "predict the decode from the encode
 input" oracle only transfers where the transform chain is EXACT.  The
@@ -166,6 +168,28 @@ class _BitReader:
                 return sym
         raise ValueError("invalid huffman code")
 
+    def sync_restart(self) -> int:
+        """Consume the padding bits + RSTn marker at a restart-interval
+        boundary (T.81 F.2.2.5): discard the partial byte (its stuffed
+        0x00 too, if the padded byte was 0xFF), then require FF D0-D7;
+        returns the marker's modulo-8 index for the cycle check."""
+        d = self.data
+        if self.bit:
+            byte = d[self.pos]
+            self.pos += 1
+            self.bit = 0
+            if byte == 0xFF:
+                if self.pos >= len(d) or d[self.pos] != 0x00:
+                    raise ValueError("bad padding before restart")
+                self.pos += 1
+        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
+            raise ValueError("expected restart marker")
+        m = d[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError("expected RSTn marker")
+        self.pos += 2
+        return m - 0xD0
+
 
 def _extend(v: int, t: int) -> int:
     """T.81 F.12 EXTEND: map a t-bit magnitude to its signed value."""
@@ -292,6 +316,7 @@ def jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
     scan: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
     progressive = False
+    restart_interval = 0
     pos = 2
     try:
         while pos + 4 <= len(b):
@@ -335,15 +360,18 @@ def jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
             elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                             0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # extended/lossless/arithmetic SOF
-            elif marker == 0xDD:
-                return None  # restart intervals out of scope
+            elif marker == 0xDD:  # DRI: restart interval (round 11)
+                if len(seg) != 2:
+                    return None
+                restart_interval = struct.unpack(">H", seg)[0]
             elif marker == 0xDA:  # SOS: entropy-coded data follows
                 if progressive:
                     # the progressive walk owns everything from this
                     # marker on: scan accumulation across multiple SOS
                     # (with DHT/DQT redefinitions between), render at EOI
                     return _decode_progressive(
-                        b, pos, width, height, comps, qt, huff_dc, huff_ac
+                        b, pos, width, height, comps, qt, huff_dc,
+                        huff_ac, restart_interval,
                     )
                 ns = seg[0]
                 if not comps or ns != len(comps):
@@ -356,7 +384,7 @@ def jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
                     scan.append((by_id[cs], tt >> 4, tt & 0x0F))
                 return _decode_scan(
                     b, data_start, width, height, comps, scan,
-                    qt, huff_dc, huff_ac,
+                    qt, huff_dc, huff_ac, restart_interval,
                 )
             # APPn/COM/others: skip
             pos = data_start
@@ -365,7 +393,10 @@ def jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
         return None
 
 
-def _decode_scan(b, pos, width, height, comps, scan, qt, huff_dc, huff_ac):
+def _decode_scan(
+    b, pos, width, height, comps, scan, qt, huff_dc, huff_ac,
+    restart_interval=0,
+):
     """Entropy-coded scan → luma plane.  General sampling-factor MCU
     walk (each factor 1 or 2): an MCU holds h_i×v_i blocks of
     component i in raster order, so 4:4:4 (1x1,1x1,1x1), 4:2:2
@@ -389,8 +420,17 @@ def _decode_scan(b, pos, width, height, comps, scan, qt, huff_dc, huff_ac):
         bytearray(strides[i] * mcuy * 8 * comps[i][2]) for i in range(nc)
     ]
     pred = [0] * nc
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # T.81 F.2.2.5: byte-align, verify the RSTn cycle,
+                # reset every component's DC prediction
+                n = r.sync_restart()
+                if n != (mcu_i // restart_interval - 1) % 8:
+                    raise ValueError("restart marker out of sequence")
+                pred = [0] * nc
+            mcu_i += 1
             for ci in range(nc):
                 _, ch, cv, tq = comps[ci]
                 _, dct, act = scan[ci]
@@ -545,7 +585,10 @@ def _next_marker(d: bytes, pos: int) -> int:
     raise ValueError("no marker after scan")
 
 
-def _decode_progressive(b, pos, width, height, comps, qt, huff_dc, huff_ac):
+def _decode_progressive(
+    b, pos, width, height, comps, qt, huff_dc, huff_ac,
+    restart_interval=0,
+):
     """SOF2 scan accumulation: every SOS deposits bits of the
     quantized coefficients (DC first/refine, AC first/refine per band)
     into per-component block arrays; DHT/DQT may be redefined between
@@ -602,8 +645,10 @@ def _decode_progressive(b, pos, width, height, comps, qt, huff_dc, huff_ac):
             _parse_dht(seg, huff_dc, huff_ac)
         elif marker == 0xDB:
             _parse_dqt(seg, qt)
-        elif marker == 0xDD:
-            raise ValueError("restart intervals out of scope")
+        elif marker == 0xDD:  # DRI may be redefined between scans
+            if len(seg) != 2:
+                raise ValueError("bad DRI")
+            restart_interval = struct.unpack(">H", seg)[0]
         elif marker == 0xDA:
             ns = seg[0]
             by_id = {c[0]: i for i, c in enumerate(comps)}
@@ -632,11 +677,20 @@ def _decode_progressive(b, pos, width, height, comps, qt, huff_dc, huff_ac):
                     elif r.read_bit():
                         c0[0] |= 1 << al
 
+                ri = restart_interval
+                unit = 0
                 if ns > 1:
                     if ns != nc:
                         raise ValueError("partial interleaved DC scan")
                     for my in range(mcuy):
                         for mx in range(mcux):
+                            if ri and unit and unit % ri == 0:
+                                if r.sync_restart() != (
+                                    unit // ri - 1
+                                ) % 8:
+                                    raise ValueError("RSTn out of sequence")
+                                preds[:] = [0] * nc
+                            unit += 1
                             for ci, dct, _act in scomp:
                                 _, ch, cv, _ = comps[ci]
                                 for byy in range(cv):
@@ -649,6 +703,13 @@ def _decode_progressive(b, pos, width, height, comps, qt, huff_dc, huff_ac):
                     ci, dct, _act = scomp[0]
                     for by in range(nbh[ci]):
                         for bx in range(nbw[ci]):
+                            if ri and unit and unit % ri == 0:
+                                if r.sync_restart() != (
+                                    unit // ri - 1
+                                ) % 8:
+                                    raise ValueError("RSTn out of sequence")
+                                preds[:] = [0] * nc
+                            unit += 1
                             dc_one(ci, dct, by, bx)
             else:
                 # AC scans: single component, non-interleaved (B.2.3)
@@ -657,8 +718,18 @@ def _decode_progressive(b, pos, width, height, comps, qt, huff_dc, huff_ac):
                 ci, _dct, act = scomp[0]
                 tbl = huff_ac[act]
                 step = _ac_first if ah == 0 else _ac_refine
+                ri = restart_interval
+                unit = 0
                 for by in range(nbh[ci]):
                     for bx in range(nbw[ci]):
+                        if ri and unit and unit % ri == 0:
+                            if eobrun:
+                                raise ValueError(
+                                    "EOB run crosses a restart boundary"
+                                )
+                            if r.sync_restart() != (unit // ri - 1) % 8:
+                                raise ValueError("RSTn out of sequence")
+                        unit += 1
                         eobrun = step(
                             r, tbl, blk(ci, by, bx), ss, se, al, eobrun
                         )
@@ -709,6 +780,19 @@ class _BitWriter:
                 self.acc = 0
                 self.n = 0
 
+    def restart(self, n: int) -> None:
+        """Pad to a byte boundary (1-bits, stuffed if 0xFF) and emit
+        the RSTn marker for interval index ``n`` (cycles mod 8)."""
+        if self.n:
+            self.acc <<= 8 - self.n
+            self.acc |= (1 << (8 - self.n)) - 1
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+        self.out += bytes([0xFF, 0xD0 + (n % 8)])
+
     def flush(self) -> bytes:
         if self.n:
             self.acc <<= 8 - self.n
@@ -740,7 +824,11 @@ def _category(v: int) -> int:
 
 
 def encode_jpeg_coeffs(
-    width: int, height: int, blocks: list[list[int]], qtable: list[int]
+    width: int,
+    height: int,
+    blocks: list[list[int]],
+    qtable: list[int],
+    restart_interval: int = 0,
 ) -> bytes:
     """Serialize QUANTIZED coefficient blocks (zigzag order, one list
     of 64 per 8x8 block, row-major block order) as a grayscale
@@ -755,7 +843,10 @@ def encode_jpeg_coeffs(
     ac_codes = _huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     w = _BitWriter()
     pred = 0
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            w.restart(bi // restart_interval - 1)
+            pred = 0
         diff = blk[0] - pred
         pred = blk[0]
         t = _category(diff)
@@ -790,6 +881,11 @@ def encode_jpeg_coeffs(
 
     zz_q = bytes(qtable[ZIGZAG[j]] for j in range(64))
     dqt = seg(0xDB, bytes([0x00]) + zz_q)
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     sof = seg(
         0xC0,
         bytes([8])
@@ -805,7 +901,8 @@ def encode_jpeg_coeffs(
     )
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (
-        b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+        b"\xff\xd8" + dqt + dri + sof + dht + sos + entropy
+        + b"\xff\xd9"
     )
 
 
@@ -831,7 +928,7 @@ PROG_SCANS = [
 ]
 
 
-def _encode_ac_first_scan(w, blocks, ss, se, al, ac_codes):
+def _encode_ac_first_scan(w, blocks, ss, se, al, ac_codes, ri=0):
     """AC first scan (G.1.2.2 / libjpeg encode_mcu_AC_first): the
     point transform is a SIGN-MAGNITUDE shift (truncate toward zero),
     zero-history runs >15 emit ZRL, and blocks whose band ends in
@@ -852,7 +949,10 @@ def _encode_ac_first_scan(w, blocks, ss, se, al, ac_codes):
                 w.write(eobrun & ((1 << nbits) - 1), nbits)
             eobrun = 0
 
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
+        if ri and bi and bi % ri == 0:
+            flush_eob()  # an EOB run may not cross a restart boundary
+            w.restart(bi // ri - 1)
         r = 0
         for k in range(ss, se + 1):
             t = blk[k]
@@ -877,7 +977,7 @@ def _encode_ac_first_scan(w, blocks, ss, se, al, ac_codes):
     flush_eob()
 
 
-def _encode_ac_refine_scan(w, blocks, ss, se, al, ac_codes):
+def _encode_ac_refine_scan(w, blocks, ss, se, al, ac_codes, ri=0):
     """AC refinement scan (G.1.2.3 / libjpeg encode_mcu_AC_refine):
     correction bits for already-significant coefficients buffer until
     the next emitted symbol; EOB-run blocks park their whole band's
@@ -901,7 +1001,10 @@ def _encode_ac_refine_scan(w, blocks, ss, se, al, ac_codes):
             w.write(bit, 1)
         pend = []
 
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
+        if ri and bi and bi % ri == 0:
+            flush_eob()  # run + buffered correction bits flush first
+            w.restart(bi // ri - 1)
         absv = {}
         eob = ss - 1  # index of the LAST newly-significant coefficient
         for k in range(ss, se + 1):
@@ -947,6 +1050,7 @@ def encode_jpeg_coeffs_progressive(
     blocks: list[list[int]],
     qtable: list[int],
     scans: list[tuple[int, int, int, int]] = PROG_SCANS,
+    restart_interval: int = 0,
 ) -> bytes:
     """Serialize QUANTIZED coefficient blocks (zigzag order, one list
     of 64 per 8x8 block, row-major block order) as a grayscale
@@ -970,6 +1074,8 @@ def encode_jpeg_coeffs_progressive(
     zz_q = bytes(qtable[ZIGZAG[j]] for j in range(64))
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, bytes([0x00]) + zz_q)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(
         0xC2,
         bytes([8])
@@ -987,12 +1093,16 @@ def encode_jpeg_coeffs_progressive(
     for ss, se, ah, al in scans:
         out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
         w = _BitWriter()
+        ri = restart_interval
         if ss == 0:
             if se != 0:
                 raise ValueError("DC scan with Se != 0")
             if ah == 0:
                 pred = 0
-                for blk in blocks:
+                for bi, blk in enumerate(blocks):
+                    if ri and bi and bi % ri == 0:
+                        w.restart(bi // ri - 1)
+                        pred = 0
                     t = blk[0] >> al  # DC point transform: floor shift
                     diff = t - pred
                     pred = t
@@ -1004,12 +1114,14 @@ def encode_jpeg_coeffs_progressive(
                             diff if diff >= 0 else diff + (1 << s) - 1, s
                         )
             else:
-                for blk in blocks:
+                for bi, blk in enumerate(blocks):
+                    if ri and bi and bi % ri == 0:
+                        w.restart(bi // ri - 1)
                     w.write((blk[0] >> al) & 1, 1)
         elif ah == 0:
-            _encode_ac_first_scan(w, blocks, ss, se, al, ac_codes)
+            _encode_ac_first_scan(w, blocks, ss, se, al, ac_codes, ri)
         else:
-            _encode_ac_refine_scan(w, blocks, ss, se, al, ac_codes)
+            _encode_ac_refine_scan(w, blocks, ss, se, al, ac_codes, ri)
         out += w.flush()
     out += b"\xff\xd9"
     return bytes(out)
@@ -1041,7 +1153,7 @@ def encode_jpeg_gray_flat_progressive(
 
 
 def encode_jpeg_gray_flat(
-    width: int, height: int, values: bytes
+    width: int, height: int, values: bytes, restart_interval: int = 0
 ) -> bytes:
     """DC-only grayscale baseline JPEG: each 8x8 block is the FLAT
     sample ``values[i]`` — encoded as DC = 8·(v−128) under an all-ones
@@ -1058,7 +1170,9 @@ def encode_jpeg_gray_flat(
         blk = [0] * 64
         blk[0] = 8 * (v - 128)
         blocks.append(blk)
-    return encode_jpeg_coeffs(width, height, blocks, [1] * 64)
+    return encode_jpeg_coeffs(
+        width, height, blocks, [1] * 64, restart_interval
+    )
 
 
 def jpeg_decoder(b: bytes) -> dict | None:

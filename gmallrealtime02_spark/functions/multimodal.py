@@ -1089,6 +1089,54 @@ def as_jpeg_progressive_media_table(
     )
 
 
+def as_jpeg_restart_media_table(
+    docs: DataFrame,
+    width: int = 8 * BMP_W,
+    height: int = 8 * BMP_H,
+    restart_interval: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """RESTART-INTERVAL twin of :func:`as_jpeg_media_table`: the same
+    DC-only lossless construction carrying a DRI segment and RSTn
+    markers every ``restart_interval`` MCUs — the default 5 does not
+    divide the 64 blocks and forces the marker index past one
+    modulo-8 cycle, so decoding must byte-align, verify the cycle, and
+    reset DC predictions at every boundary.  The value map
+    (149·v+53)%256 differs from both JPEG twins' so cross-wiring any
+    two paths cannot match two oracles."""
+    from .jpeg import encode_jpeg_gray_flat
+
+    n = (width // 8) * (height // 8)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                cps = [min(ord(c), 255) for c in t[:n]]
+                cps += [0] * (n - len(cps))
+                vals = bytes((149 * v + 53) % 256 for v in cps)
+                payloads.append(
+                    encode_jpeg_gray_flat(
+                        width, height, vals,
+                        restart_interval=restart_interval,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": payloads,
+                    "media_type": "image/jpeg",
+                    "n_bytes": pd.Series(
+                        [len(p) for p in payloads], dtype="int64"
+                    ),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        op, schema=MEDIA_SCHEMA
+    )
+
+
 def as_png_palette_media_table(
     docs: DataFrame,
     width: int = BMP_W,

@@ -5606,3 +5606,45 @@ def media_jpeg_progressive(spark, sf_dir):
     return decode_media(media, decoder=_jd).select(
         "doc_id", "width", "height", "n_pixels", "sum_luma"
     )
+
+
+@register(
+    "media_jpeg_restart",
+    oracle=f"""
+    SELECT doc_id, {8 * BMP_W} AS width, {8 * BMP_H} AS height,
+           CAST({64 * BMP_W * BMP_H} AS BIGINT) AS n_pixels,
+           CAST(coalesce(list_sum(list_transform(
+                generate_series(1, {BMP_W * BMP_H}),
+                i -> 64 * ((149 * least(coalesce(cp[i], 0), 255) + 53) % 256)
+           )), 0) AS BIGINT) AS sum_luma
+    FROM (SELECT doc_id, {_BMP_CP} AS cp FROM documents)
+    """,
+    tags=("multimodal", "decode", "jpeg", "restart"),
+)
+def media_jpeg_restart(spark, sf_dir):
+    """RESTART-INTERVAL JPEG decode (DRI + RSTn — round 11; the error-
+    resilience feature virtually every camera and scraper JPEG
+    carries, previously a clean reject), hash-oracled in-sandbox via
+    the same DC-only lossless class: every payload declares DRI=5 —
+    which does not divide the 64 blocks and pushes the marker index
+    past a full modulo-8 cycle — so the decoder must byte-align at
+    every boundary, consume and VERIFY the RSTn sequence (an
+    out-of-order index or missing marker is corrupt → None, pinned in
+    pytest), and reset the DC prediction per interval; a decoder that
+    ignored resets would drift off the closed-form oracle on block 6
+    onward.  Progressive × restart composition and marker-sequence
+    corruption are pinned in ``tests/test_jpeg_codec.py``
+    (``functions/jpeg.py:_BitReader.sync_restart``).
+
+    Scale shape: identical to the other codec paths — one
+    zero-exchange Arrow scan, only small typed feature columns
+    continue (the payload never shuffles)."""
+    from ..functions.jpeg import jpeg_decoder as _jd
+    from ..functions.multimodal import as_jpeg_restart_media_table
+
+    media = as_jpeg_restart_media_table(
+        load_table(spark, sf_dir, "documents")
+    )
+    return decode_media(media, decoder=_jd).select(
+        "doc_id", "width", "height", "n_pixels", "sum_luma"
+    )

@@ -150,6 +150,7 @@ _PRIORITY = [
     "rollup_minmax_delete",
     "order_wide_dedup_propagate",
     "medallion_stream_chain",
+    "media_jpeg_restart",
     # staleness rotation: stalest green rows first (29x r6, then r7)
     "embedding_norm_stats",
     "epoch_shuffle",
@@ -196,12 +197,12 @@ _PRIORITY = [
     "dau_total",
     "dedup_canonical",
     "dedup_embedding_cosine",
-    "dedup_exact",
     # ---- post-window (ordering here is not scoring surface): all
     # remaining green rows + rows-only-by-nature ops (pytest-pinned) ----
     "doc_fingerprint",
     "distinct_users_daily",
     "dedup_paragraphs_global",
+    "dedup_exact",
     "order_wide_delete_propagate",
     "media_png_16bit",
     "manifest_ann_topk",

@@ -118,12 +118,13 @@ def test_rejects_out_of_scope_and_corrupt():
     assert jpeg_pixels(b"nonsense") is None
     assert jpeg_pixels(good[:50]) is None  # truncated mid-tables
     assert jpeg_pixels(b"\xff\xd8\xff\xd9") is None  # no scan
-    # progressive SOF2 rejected: rewrite the SOF marker byte
+    # an SOF2 CLAIM over baseline-coded scan data is corrupt (the
+    # progressive walk rejects a DC scan with Se=63), never a crash
     prog = bytearray(good)
     i = prog.find(b"\xff\xc0")
     prog[i + 1] = 0xC2
     assert jpeg_pixels(bytes(prog)) is None
-    # restart-interval DRI rejected
+    # a DRI whose promised restart markers never appear is corrupt
     dri = good[:2] + b"\xff\xdd\x00\x04\x00\x08" + good[2:]
     assert jpeg_pixels(dri) is None
     # single-component scans are NON-INTERLEAVED (T.81 A.2): declared
@@ -650,7 +651,7 @@ def test_progressive_rejects_stay_clean():
     vals = bytes(range(64))
     good = encode_jpeg_gray_flat_progressive(64, 64, vals)
     assert jpeg_pixels(good) is not None
-    # DRI inserted before the first scan
+    # a DRI injected without its restart markers is corrupt
     sos_at = good.find(b"\xff\xda")
     dri = _seg(0xDD, struct.pack(">H", 4))
     assert jpeg_pixels(good[:sos_at] + dri + good[sos_at:]) is None
@@ -701,3 +702,77 @@ def test_progressive_decoder_dict_and_media_dispatch():
     assert dp == db
     assert dp["width"] == 64 and dp["sum_luma"] == 64 * sum(vals)
     assert pure_decoder(prog) == pure_decoder(base)
+
+
+# -- restart intervals (DRI, round 11) --------------------------------------
+
+from gmallrealtime02_spark.functions.jpeg import (  # noqa: E402
+    encode_jpeg_coeffs,
+)
+
+
+def test_restart_intervals_roundtrip_baseline_and_progressive():
+    """DRI + RSTn streams decode identically to their unrestarted
+    twins — including interval counts past 8 (the marker index cycles
+    mod 8) and intervals not dividing the block count — for baseline
+    AND progressive scan scripts (DC-prediction resets, EOBRUN flushed
+    at every boundary)."""
+    rng = random.Random(23)
+    q = [1 if i == 0 else rng.choice([1, 2, 3, 5]) for i in range(64)]
+    blocks = []
+    for _ in range(24):
+        blk = [0] * 64
+        blk[0] = rng.randint(-1024, 1016)
+        for _ in range(rng.randint(0, 15)):
+            blk[rng.randint(1, 63)] = rng.randint(-200, 200)
+        blocks.append(blk)
+    want = jpeg_pixels(encode_jpeg_coeffs(48, 32, blocks, q))
+    scripts = (
+        [(0, 0, 0, 0), (1, 63, 0, 0)],
+        PROG_SCANS,
+        [(0, 0, 0, 1), (0, 0, 1, 0), (1, 20, 0, 1), (21, 63, 0, 0),
+         (1, 20, 1, 0)],
+    )
+    for ri in (1, 3, 5, 7, 9):
+        got = jpeg_pixels(
+            encode_jpeg_coeffs(48, 32, blocks, q, restart_interval=ri)
+        )
+        assert got == want, ("baseline", ri)
+        for sc in scripts:
+            got = jpeg_pixels(
+                encode_jpeg_coeffs_progressive(
+                    48, 32, blocks, q, sc, restart_interval=ri
+                )
+            )
+            assert got == want, ("progressive", ri, sc)
+
+
+def test_restart_marker_sequence_is_verified():
+    """A stream whose RSTn indices break the modulo-8 cycle (a sign of
+    dropped segments) is corrupt — None, not garbage pixels."""
+    vals = bytes((149 * v + 53) % 256 for v in range(64))
+    good = encode_jpeg_gray_flat(64, 64, vals, restart_interval=5)
+    assert jpeg_pixels(good) is not None
+    # corrupt the SECOND restart marker's index (D1 -> D5)
+    first = good.find(b"\xff\xd0")
+    second = good.find(b"\xff\xd1", first)
+    assert second > 0
+    bad = bytearray(good)
+    bad[second + 1] = 0xD5
+    assert jpeg_pixels(bytes(bad)) is None
+    # dropping a marker entirely desynchronizes the stream: reject
+    dropped = good[:second] + good[second + 2 :]
+    assert jpeg_pixels(dropped) is None
+
+
+def test_restart_decoder_dict_matches_plain():
+    vals = bytes((149 * v + 53) % 256 for v in range(64))
+    plain = jpeg_decoder(encode_jpeg_gray_flat(64, 64, vals))
+    rst = jpeg_decoder(
+        encode_jpeg_gray_flat(64, 64, vals, restart_interval=5)
+    )
+    assert rst == plain
+    prog_rst = jpeg_decoder(
+        encode_jpeg_gray_flat_progressive(64, 64, vals)
+    )
+    assert prog_rst["pixel_digest"] == plain["pixel_digest"]

@@ -112,6 +112,7 @@ _ROUND11_ADDITIONS = (
     "rollup_minmax_delete",
     "order_wide_dedup_propagate",
     "medallion_stream_chain",
+    "media_jpeg_restart",
 )
 
 
