@@ -638,6 +638,15 @@ def bench_stress() -> None:
         lambda d: as_jpeg_media_table(d),  # 64x64, one DC block per cp
         _jd, reps=16, px_per_img=64 * 64, floor=4_000,
     )
+    from gmallrealtime02_spark.functions.multimodal import (
+        as_jpeg_progressive_media_table,
+    )
+
+    codec_subject(
+        "jpeg_prog_pure_decode_scan",
+        lambda d: as_jpeg_progressive_media_table(d),  # SOF2, 6 scans
+        _jd, reps=16, px_per_img=64 * 64, floor=3_500,
+    )
     codec_subject(
         "png16_pure_decode_scan",
         lambda d: as_png_16bit_media_table(d, width=64, height=64),

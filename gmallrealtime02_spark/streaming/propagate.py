@@ -471,7 +471,10 @@ class MultiJoinPropagator:
     filters qualify).  ``keys[i]`` gives source i's unique row key as
     it survives into the destination (list, or {source: dest} when
     combine renames) — required for incrementality; without it every
-    non-noop run takes the honest full fallback.
+    non-noop run takes the honest full fallback.  A keep-best dedup
+    OVER the combine is supported through ``dedup_keys``/``dedup_order``/
+    ``dedup_side`` (round 11 — see ``__init__``); other cross-row
+    state (aggregations) still belongs to ContinuousAggregate.
 
     Identity (all multisets; S_i = A_i − ∇_i is source i's surviving
     old rows, A_i' = S_i + Δ_i its new state): after retracting
@@ -495,7 +498,21 @@ class MultiJoinPropagator:
         combine: Callable[[list[DataFrame]], DataFrame],
         app_id: str = "propagateN",
         keys: list[list[str] | dict[str, str]] | None = None,
+        dedup_keys: list[str] | dict[str, str] | None = None,
+        dedup_order: list[str] | None = None,
+        dedup_side: int = -1,
     ) -> None:
+        """``dedup_keys`` + ``dedup_order`` + ``dedup_side`` (round 11
+        — closing SURVEY §8j's residual): the destination becomes the
+        deterministic keep-best per key over the (still multilinear)
+        combine, exactly the 2-source semantics of
+        :class:`DeltaJoinPropagator`.  ``dedup_side`` is the INDEX of
+        the source that owns the dedup keys; ``dedup_keys`` is the
+        {source: dest} spec read against that source.  Every
+        incremental run re-derives the AFFECTED keys (dedup-side
+        deletes directly, other sides' deletes via the winners they
+        produced, telescoping delta terms for new candidates) from a
+        combine whose owning source is filtered to those keys."""
         if len(sources) < 2:
             raise ValueError("MultiJoinPropagator needs >= 2 sources")
         if keys is not None and len(keys) != len(sources):
@@ -505,6 +522,27 @@ class MultiJoinPropagator:
         self.combine = combine
         self.app_id = app_id
         self.keys = keys
+        if (dedup_keys is None) != (dedup_order is None):
+            raise ValueError("dedup_keys and dedup_order go together")
+        if dedup_keys is not None and not (
+            0 <= dedup_side < len(sources)
+        ):
+            raise ValueError("dedup_side must index a source")
+        self.dedup_pairs = (
+            _key_pairs(dedup_keys) if dedup_keys is not None else None
+        )
+        self.dedup_keys = (
+            [d for _, d in self.dedup_pairs]
+            if self.dedup_pairs is not None
+            else None
+        )
+        self.dedup_order = list(dedup_order) if dedup_order else None
+        self.dedup_side = dedup_side
+
+    def _best(self, df: DataFrame) -> DataFrame:
+        if self.dedup_keys is None:
+            return df
+        return _best_per_key(df, self.dedup_keys, self.dedup_order)
 
     def reflected_versions(self) -> tuple[int, ...]:
         txn = self.dest.manifest().get("txn", {})
@@ -561,25 +599,97 @@ class MultiJoinPropagator:
                         if inserts is None
                         else inserts.unionByName(term)
                     )
-                deletes = [
-                    (
-                        [d for _, d in pairs[i]],
-                        dels[i].select(
-                            *[F.col(s).alias(d) for s, d in pairs[i]]
-                        ),
+                if self.dedup_keys is not None:
+                    res = self._merge_dedup(
+                        spark, dels, pairs, inserts, new_full, txns
                     )
-                    for i in range(n)
+                    if res is not None:
+                        return {**res, **meta}
+                    # dedup prechecks failed: the plain keyed path
+                    # would be WRONG under keep-best semantics — the
+                    # honest full fallback below re-derives everything
+                else:
+                    deletes = [
+                        (
+                            [d for _, d in pairs[i]],
+                            dels[i].select(
+                                *[F.col(s).alias(d) for s, d in pairs[i]]
+                            ),
+                        )
+                        for i in range(n)
+                    ]
+                    self.dest.merge_delta(
+                        spark, inserts, deletes, txn=txns
+                    )
+                    return {
+                        "mode": "incremental",
+                        "retractions": True,
+                        **meta,
+                    }
+        out = self._best(
+            self.combine(
+                [
+                    self.sources[i].read(spark, version=news[i])
+                    for i in range(len(self.sources))
                 ]
-                self.dest.merge_delta(spark, inserts, deletes, txn=txns)
-                return {"mode": "incremental", "retractions": True, **meta}
-        out = self.combine(
-            [
-                self.sources[i].read(spark, version=news[i])
-                for i in range(len(self.sources))
-            ]
+            )
         )
         self.dest.replace(out, txn=txns)
         return {"mode": "full", **meta}
+
+    def _merge_dedup(
+        self, spark, dels, pairs, cand, new_full, txns
+    ) -> dict | None:
+        """Keep-best CDC step, N-source form of
+        :meth:`DeltaJoinPropagator._run_cdc_dedup`: affected keys from
+        (1) the owning side's deletes directly, (2) every other side's
+        deletes via the stored winners they produced, (3) the
+        telescoping delta terms' candidates; re-derive them from a
+        combine whose owning source is filtered to those keys.  None
+        (→ full fallback) when a non-owning side's provenance is
+        invisible in the destination or the dedup spec names columns
+        absent from the owning side's delete rows."""
+        from pyspark.sql import functions as F
+
+        n = len(self.sources)
+        side = self.dedup_side
+        dp = self.dedup_pairs
+        dest_cur = self.dest.read(spark)
+        dcols = set(dest_cur.columns)
+        for i in range(n):
+            if i != side and not {d for _, d in pairs[i]} <= dcols:
+                return None
+        if not {s for s, _ in dp} <= set(dels[side].columns):
+            return None
+        affected = dels[side].select(
+            *[F.col(s).alias(d) for s, d in dp]
+        )
+        for i in range(n):
+            if i == side:
+                continue
+            ikeys = dels[i].select(
+                *[F.col(s).alias(d) for s, d in pairs[i]]
+            ).dropDuplicates([d for _, d in pairs[i]])
+            affected = affected.unionByName(
+                dest_cur.join(
+                    ikeys, [d for _, d in pairs[i]], "left_semi"
+                ).select(*self.dedup_keys)
+            )
+        affected = affected.unionByName(
+            cand.select(*self.dedup_keys)
+        ).dropDuplicates(self.dedup_keys)
+        src_keys = affected.select(
+            *[F.col(d).alias(s) for s, d in dp]
+        )
+        args = list(new_full)
+        args[side] = new_full[side].join(
+            src_keys, [s for s, _ in dp], "left_semi"
+        )
+        refreshed = self._best(self.combine(args))
+        self.dest.merge_delta(
+            spark, refreshed, [(self.dedup_keys, affected)], txn=txns
+        )
+        return {"mode": "incremental", "retractions": True, "dedup": True}
 
 
 def make_medallion_sink(
