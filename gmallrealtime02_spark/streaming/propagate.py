@@ -71,12 +71,40 @@ class IncrementalPropagator:
         transform: Callable[[DataFrame], DataFrame],
         app_id: str = "propagate",
         key_cols: list[str] | dict[str, str] | None = None,
+        dedup_keys: list[str] | dict[str, str] | None = None,
+        dedup_order: list[str] | None = None,
     ) -> None:
+        """``dedup_keys`` + ``dedup_order`` (round 11, the single-
+        source form of the keep-best family): the destination becomes
+        the deterministic first-row-per-key over transform(source),
+        ordered by ``dedup_order`` ascending.  ``dedup_keys`` is the
+        {source: dest} spec (list when transform keeps the names);
+        the key must survive ``transform``.  Append ranges compete
+        the in-batch best against the stored winners of the touched
+        keys; delete/upsert ranges re-derive the affected keys from
+        the source filtered to them — suppressed runners-up resurrect
+        when a winner's row dies, keys vanish with their last row."""
         self.source = source
         self.dest = dest
         self.transform = transform
         self.app_id = app_id
         self.key_cols = key_cols
+        if (dedup_keys is None) != (dedup_order is None):
+            raise ValueError("dedup_keys and dedup_order go together")
+        self.dedup_pairs = (
+            _key_pairs(dedup_keys) if dedup_keys is not None else None
+        )
+        self.dedup_keys = (
+            [d for _, d in self.dedup_pairs]
+            if self.dedup_pairs is not None
+            else None
+        )
+        self.dedup_order = list(dedup_order) if dedup_order else None
+
+    def _best(self, df: DataFrame) -> DataFrame:
+        if self.dedup_keys is None:
+            return df
+        return _best_per_key(df, self.dedup_keys, self.dedup_order)
 
     def reflected_version(self) -> int:
         """Highest source version already propagated (0 = nothing)."""
@@ -104,9 +132,67 @@ class IncrementalPropagator:
         )
         if since and diff is not None:
             out = self.transform(diff)
-            self.dest.append(out, txn=(self.app_id, now))
-            return {"mode": "incremental", "source_version": now}
-        if since and self.key_cols is not None:
+            if self.dedup_keys is None:
+                self.dest.append(out, txn=(self.app_id, now))
+                return {"mode": "incremental", "source_version": now}
+            cand = self._best(out)
+            touched = cand.select(*self.dedup_keys).dropDuplicates(
+                self.dedup_keys
+            )
+            stored = self.dest.read(spark).join(
+                touched, self.dedup_keys, "left_semi"
+            )
+            refreshed = self._best(stored.unionByName(cand))
+            self.dest.merge_delta(
+                spark,
+                refreshed,
+                [(self.dedup_keys, touched)],
+                txn=(self.app_id, now),
+            )
+            return {
+                "mode": "incremental",
+                "dedup": True,
+                "source_version": now,
+            }
+        if since and self.dedup_keys is not None:
+            ch = self.source.read_changes(spark, since, now)
+            if ch is not None and {
+                s for s, _ in self.dedup_pairs
+            } <= set(ch[1].columns):
+                from pyspark.sql import functions as F
+
+                net_add, net_del = ch
+                dp = self.dedup_pairs
+                affected = (
+                    net_del.select(*[F.col(s).alias(d) for s, d in dp])
+                    .unionByName(
+                        self.transform(net_add).select(*self.dedup_keys)
+                    )
+                    .dropDuplicates(self.dedup_keys)
+                )
+                src_keys = affected.select(
+                    *[F.col(d).alias(s) for s, d in dp]
+                )
+                refreshed = self._best(
+                    self.transform(
+                        self.source.read(spark, version=now).join(
+                            src_keys, [s for s, _ in dp], "left_semi"
+                        )
+                    )
+                )
+                self.dest.merge_delta(
+                    spark,
+                    refreshed,
+                    [(self.dedup_keys, affected)],
+                    txn=(self.app_id, now),
+                )
+                return {
+                    "mode": "incremental",
+                    "retractions": True,
+                    "dedup": True,
+                    "source_version": now,
+                }
+        if since and self.key_cols is not None and self.dedup_keys is None:
             # append-only diff unavailable — try row-level CDC: net
             # added rows propagate as transformed inserts, net deleted
             # rows as keyed retractions, ONE atomic dest commit
@@ -134,7 +220,9 @@ class IncrementalPropagator:
         # read racing a concurrent source append would include rows
         # beyond `now` while recording txn=now — the next incremental
         # run would then re-append them (duplicates)
-        out = self.transform(self.source.read(spark, version=now))
+        out = self._best(
+            self.transform(self.source.read(spark, version=now))
+        )
         self.dest.replace(out, txn=(self.app_id, now))
         return {"mode": "full", "source_version": now}
 

@@ -1247,3 +1247,58 @@ def test_multijoin_dedup_invisible_provenance_full_fallback(
         .select("item", "price", "uname", "cname")
         .collect()
     } == {(100, 5.0, "ann", "x")}
+
+
+def test_single_source_dedup_keep_best(spark, tmp_path):
+    """IncrementalPropagator's keep-best form: duplicate keys split
+    across commits compete through the stored winners; a delete of the
+    winning row resurrects the suppressed runner-up; a key's last row
+    dying removes the key — all enforced incremental."""
+    src = ManifestTable(str(tmp_path / "s"), stats_cols=["k"])
+    dest = ManifestTable(str(tmp_path / "d"))
+    prop = IncrementalPropagator(
+        src,
+        dest,
+        lambda df: df.selectExpr("k AS key", "v * 10 AS score", "tag"),
+        dedup_keys={"k": "key"},
+        dedup_order=["score", "tag"],
+    )
+    src.append(
+        spark.createDataFrame(
+            [(1, 5, "a"), (1, 8, "b"), (2, 3, "c")],
+            "k long, v long, tag string",
+        )
+    )
+    assert prop.run_once(spark)["mode"] == "full"
+
+    def got():
+        return {
+            tuple(r)
+            for r in dest.read(spark).select("key", "score", "tag").collect()
+        }
+
+    assert got() == {(1, 50, "a"), (2, 30, "c")}
+    # a better row for key 1 and a new key arrive
+    src.append(
+        spark.createDataFrame(
+            [(1, 2, "d"), (3, 7, "e")], "k long, v long, tag string"
+        )
+    )
+    r = prop.run_once(spark)
+    assert r["mode"] == "incremental" and r.get("dedup") is True, r
+    assert got() == {(1, 20, "d"), (2, 30, "c"), (3, 70, "e")}
+    # delete the winning row (v=2): the 5 row resurfaces
+    src.delete_where(spark, "k = 1 AND v = 2")
+    r = prop.run_once(spark)
+    assert (
+        r["mode"] == "incremental"
+        and r.get("retractions") is True
+        and r.get("dedup") is True
+    ), r
+    assert got() == {(1, 50, "a"), (2, 30, "c"), (3, 70, "e")}
+    # the whole key dies
+    src.delete_where(spark, "k = 2")
+    r = prop.run_once(spark)
+    assert r["mode"] == "incremental" and r.get("dedup") is True, r
+    assert got() == {(1, 50, "a"), (3, 70, "e")}
+    assert prop.run_once(spark)["mode"] == "noop"
