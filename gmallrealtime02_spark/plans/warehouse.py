@@ -440,8 +440,17 @@ def manifest_rollup_e2e(spark, sf_dir):
 def _materialized(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Pin a workspace-backed result into the session before the temp
     workspace is removed (bounded: used only for sf-scale query results,
-    never a 100 TB table — production tables keep their root)."""
-    return spark.createDataFrame(df.collect(), df.schema)
+    never a 100 TB table — production tables keep their root).
+
+    Eager localCheckpoint: the partitions are computed once and stored
+    in the block manager, the lineage (which references the about-to-be
+    deleted workspace files) is truncated, and the rows never cross the
+    JVM→Python boundary.  The previous ``collect()`` +
+    ``createDataFrame(rows)`` round-trip pickled every row out to the
+    driver and re-verified it field-by-field on the way back in —
+    measured 12.6 s of order_wide_dedup_propagate's 37 s at sf0.1
+    (304k rows), pure guide-§5 driver work."""
+    return df.localCheckpoint(eager=True)
 
 
 @register(

@@ -243,6 +243,16 @@ def _temporal_cols(schema_json) -> set[str]:
     }
 
 
+# Stats-only commits at or under this many files read min/max off the
+# just-written parquet footers on the driver (ms each, zero Spark jobs)
+# instead of launching the executor-side meta job; larger commits — the
+# backfill/compaction scale the executor job exists for — and any
+# bloom-indexed table keep the one-job path.  Conservative: a footer
+# read is ~1 ms local / ~10 ms object store, so 32 files stays well
+# under the fixed cost of one Spark job either way.
+_FOOTER_STATS_MAX_FILES = int(os.environ.get("SPARK_GRAFT_FOOTER_STATS_MAX", "32"))
+
+
 def _pow2_bits(m: int) -> int:
     """Bloom bitmap sizes are rounded UP to a power of two (min 8):
     byte-aligned (a non-multiple-of-8 size would truncate the bytearray
@@ -612,15 +622,30 @@ class ManifestTable:
         shutil.rmtree(tmp, ignore_errors=True)
         stats: dict = {}
         if out and (self.bloom_cols or self._effective_stats_cols()):
-            # ONE executor-side Spark job computes blooms AND range
-            # stats for the whole commit — no per-file driver loop
-            # (neither rows nor footers) anywhere on the commit path
-            blooms, stats = self._build_file_meta(
-                df.sparkSession, out, rows_by_file
-            )
-            for f, bl in blooms.items():
-                if bl:
-                    self._write_bloom_sidecar(f, bl)
+            if not self.bloom_cols and len(out) <= _FOOTER_STATS_MAX_FILES:
+                # Stats-only SMALL commit: read min/max straight off the
+                # just-written parquet footers (the parity-pinned
+                # reference ``_file_stats``) — a handful of local footer
+                # reads (~ms each) instead of launching a whole Spark
+                # job (~1 s fixed cost locally; measured 5.8 s over 5
+                # commits in order_wide_dedup_propagate).  Backfill-
+                # scale commits (many files) and bloom-indexed tables
+                # keep the ONE executor-side job — there the driver
+                # loop is the bottleneck, not the job launch.
+                for f in out:
+                    st = self._file_stats(os.path.join(self.data_dir, f))
+                    if st:
+                        stats[f] = st
+            else:
+                # ONE executor-side Spark job computes blooms AND range
+                # stats for the whole commit — no per-file driver loop
+                # (neither rows nor footers) anywhere on the commit path
+                blooms, stats = self._build_file_meta(
+                    df.sparkSession, out, rows_by_file
+                )
+                for f, bl in blooms.items():
+                    if bl:
+                        self._write_bloom_sidecar(f, bl)
         return out, stats
 
     # -- bloom sidecars --------------------------------------------------------
@@ -1461,6 +1486,24 @@ class ManifestTable:
         lo, hi = _jsonable(row["lo"]), _jsonable(row["hi"])
         return None if lo is None or hi is None else (lo, hi)
 
+    def _count_bounds(self, df: DataFrame, col: str) -> tuple[int, tuple | None]:
+        """(row count, :meth:`_bounds`-style bounds) in ONE 1-row
+        aggregate — merge/upsert need both an emptiness answer and the
+        prune bounds for the same batch, and two separate jobs doubled
+        the batch-plan computations."""
+        from pyspark.sql import functions as F
+
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+        ).first()
+        n = int(row["n"]) if row is not None else 0
+        if n == 0 or row["lo"] is None:
+            return n, None
+        lo, hi = _jsonable(row["lo"]), _jsonable(row["hi"])
+        return n, (None if lo is None or hi is None else (lo, hi))
+
     def upsert(
         self,
         spark: SparkSession,
@@ -1496,20 +1539,37 @@ class ManifestTable:
         the no-usable-bounds path and rewrite the whole table — the
         exact O(table)-per-batch cost this method exists to avoid.
         """
-        if df.isEmpty():
-            return None  # idle tick: no content, no commit
-        df = self._ann_prepare(df.dropDuplicates(keys))
+        # Persist the prepared batch for the duration of the merge: it is
+        # read up to 4x (emptiness, stats bounds, the anti-join probe, the
+        # rewrite union) and callers routinely hand in EXPENSIVE plans
+        # (a fact⋈fact join, a delta recompute) — without the persist each
+        # read re-runs the whole upstream plan (guide §5: cache only what
+        # is reused AND expensive; released in the finally below).
+        df = self._ann_prepare(df.dropDuplicates(keys)).persist()
+        try:
+            return self._upsert_persisted(spark, df, keys, txn, max_restarts)
+        finally:
+            df.unpersist()
+
+    def _upsert_persisted(self, spark, df, keys, txn, max_restarts):
+        # ONE aggregate answers BOTH emptiness and the prune bounds, and
+        # is hoisted out of the CAS loop — bounds are a function of the
+        # batch, not of the snapshot (previously: an isEmpty job plus a
+        # min/max job per restart attempt).
+        prune_col = next((k for k in self.stats_cols if k in keys), None)
+        if prune_col is not None:
+            n, bounds = self._count_bounds(df, prune_col)
+            if n == 0:
+                return None  # idle tick: no content, no commit
+        else:
+            if df.isEmpty():
+                return None  # idle tick: no content, no commit
+            bounds = None
         merged_schema_src = None
         for _ in range(max_restarts):
             snap = self.manifest()
             snap_files = list(snap["files"])
             snap_set = set(snap_files)
-            prune_col = next(
-                (k for k in self.stats_cols if k in keys), None
-            )
-            bounds = (
-                self._bounds(df, prune_col) if prune_col is not None else None
-            )
             if bounds is not None:
                 touched = set(
                     self.pruned_files(
@@ -1604,14 +1664,58 @@ class ManifestTable:
         :meth:`upsert`'s: computed against a snapshot, CAS-declined and
         restarted if the table moved, replayed ``txn`` declined
         idempotently."""
-        live = [
-            (kcols, kdf.dropDuplicates(kcols).select(*kcols))
-            for kcols, kdf in deletes
-            if not kdf.isEmpty()
-        ]
+        # Persist every input for the duration of the merge (released in
+        # the finally): each delete key set is read up to 3x (emptiness,
+        # stats bounds, the per-file anti-joins) and the inserts plan 2x
+        # (emptiness, the rewrite write) — and propagator callers hand in
+        # the expensive side of the CDC identity (delta joins, keep-best
+        # recomputes) as ``inserts``, so every extra read re-ran a
+        # fact-join plan (guide §5; measured 6.3 s of isEmpty alone in
+        # order_wide_dedup_propagate at sf0.1 before this).
+        persisted: list[DataFrame] = []
+
+        def _p(d: DataFrame) -> DataFrame:
+            d = d.persist()
+            persisted.append(d)
+            return d
+
+        try:
+            staged = [
+                (kcols, _p(kdf.dropDuplicates(kcols).select(*kcols)))
+                for kcols, kdf in deletes
+            ]
+            if inserts is not None:
+                inserts = _p(self._ann_prepare(inserts))
+            return self._merge_delta_persisted(
+                spark, inserts, staged, txn, max_restarts
+            )
+        finally:
+            for d in persisted:
+                d.unpersist()
+
+    def _merge_delta_persisted(
+        self, spark, inserts, staged, txn, max_restarts
+    ):
+        # ONE aggregate per delete set answers BOTH "is it empty?" and
+        # "what are its prune bounds?" (previously a separate isEmpty
+        # job then a separate min/max job per CAS attempt), and the
+        # bounds are hoisted out of the restart loop — they are a
+        # function of the input batch, not of the snapshot.
+        live: list[tuple] = []  # (kcols, kdf, prune_col, bounds)
+        for kcols, kdf in staged:
+            prune_col = next(
+                (k for k in self.stats_cols if k in kcols), None
+            )
+            if prune_col is not None:
+                n, bounds = self._count_bounds(kdf, prune_col)
+                if n == 0:
+                    continue
+            else:
+                if kdf.isEmpty():
+                    continue
+                bounds = None
+            live.append((kcols, kdf, prune_col, bounds))
         has_inserts = inserts is not None and not inserts.isEmpty()
-        if has_inserts:
-            inserts = self._ann_prepare(inserts)
         if not live and not has_inserts and txn is None:
             return None  # idle tick: no content, no commit
         # content-free but WATERMARK-BEARING input (a propagator
@@ -1624,16 +1728,8 @@ class ManifestTable:
             snap_files = list(snap["files"])
             snap_set = set(snap_files)
             touched: set[str] = set()
-            for kcols, kdf in live:
-                prune_col = next(
-                    (k for k in self.stats_cols if k in kcols), None
-                )
-                bounds = (
-                    self._bounds(kdf, prune_col)
-                    if prune_col is not None
-                    else None
-                )
-                if bounds is not None:
+            for kcols, kdf, prune_col, bounds in live:
+                if prune_col is not None and bounds is not None:
                     touched |= set(
                         self.pruned_files(
                             prune_col, bounds[0], bounds[1], snap["version"]
@@ -1650,7 +1746,7 @@ class ManifestTable:
                     [os.path.join(self.data_dir, f) for f in sorted(touched)],
                     snap["version"],
                 )
-                for kcols, kdf in live:
+                for kcols, kdf, _pc, _b in live:
                     keep = keep.join(kdf, kcols, "left_anti")
                 parts.append(keep)
             if has_inserts:

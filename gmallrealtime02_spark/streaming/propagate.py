@@ -135,20 +135,26 @@ class IncrementalPropagator:
             if self.dedup_keys is None:
                 self.dest.append(out, txn=(self.app_id, now))
                 return {"mode": "incremental", "source_version": now}
-            cand = self._best(out)
-            touched = cand.select(*self.dedup_keys).dropDuplicates(
-                self.dedup_keys
-            )
-            stored = self.dest.read(spark).join(
-                touched, self.dedup_keys, "left_semi"
-            )
-            refreshed = self._best(stored.unionByName(cand))
-            self.dest.merge_delta(
-                spark,
-                refreshed,
-                [(self.dedup_keys, touched)],
-                txn=(self.app_id, now),
-            )
+            # cand feeds BOTH the touched-key set and the refreshed
+            # winners merge_delta computes — persist it so the best()
+            # window over the batch runs once, not once per consumer
+            cand = self._best(out).persist()
+            try:
+                touched = cand.select(*self.dedup_keys).dropDuplicates(
+                    self.dedup_keys
+                )
+                stored = self.dest.read(spark).join(
+                    touched, self.dedup_keys, "left_semi"
+                )
+                refreshed = self._best(stored.unionByName(cand))
+                self.dest.merge_delta(
+                    spark,
+                    refreshed,
+                    [(self.dedup_keys, touched)],
+                    txn=(self.app_id, now),
+                )
+            finally:
+                cand.unpersist()
             return {
                 "mode": "incremental",
                 "dedup": True,
@@ -163,29 +169,36 @@ class IncrementalPropagator:
 
                 net_add, net_del = ch
                 dp = self.dedup_pairs
+                # affected feeds BOTH the retraction key set and (via
+                # src_keys) the re-derivation semi-join inside refreshed
+                # — persist so the net-change derivation runs once
                 affected = (
                     net_del.select(*[F.col(s).alias(d) for s, d in dp])
                     .unionByName(
                         self.transform(net_add).select(*self.dedup_keys)
                     )
                     .dropDuplicates(self.dedup_keys)
+                    .persist()
                 )
-                src_keys = affected.select(
-                    *[F.col(d).alias(s) for s, d in dp]
-                )
-                refreshed = self._best(
-                    self.transform(
-                        self.source.read(spark, version=now).join(
-                            src_keys, [s for s, _ in dp], "left_semi"
+                try:
+                    src_keys = affected.select(
+                        *[F.col(d).alias(s) for s, d in dp]
+                    )
+                    refreshed = self._best(
+                        self.transform(
+                            self.source.read(spark, version=now).join(
+                                src_keys, [s for s, _ in dp], "left_semi"
+                            )
                         )
                     )
-                )
-                self.dest.merge_delta(
-                    spark,
-                    refreshed,
-                    [(self.dedup_keys, affected)],
-                    txn=(self.app_id, now),
-                )
+                    self.dest.merge_delta(
+                        spark,
+                        refreshed,
+                        [(self.dedup_keys, affected)],
+                        txn=(self.app_id, now),
+                    )
+                finally:
+                    affected.unpersist()
                 return {
                     "mode": "incremental",
                     "retractions": True,
@@ -372,18 +385,27 @@ class DeltaJoinPropagator:
                 # keep-best dedup: new candidates compete against the
                 # STORED winners of exactly the touched keys —
                 # best(stored ∪ new) == best(all-history ∪ new)
-                # because keep-min is a semilattice
-                cand = self._best(delta)
-                touched = cand.select(*self.dedup_keys).dropDuplicates(
-                    self.dedup_keys
-                )
-                stored = self.dest.read(spark).join(
-                    touched, self.dedup_keys, "left_semi"
-                )
-                refreshed = self._best(stored.unionByName(cand))
-                self.dest.merge_delta(
-                    spark, refreshed, [(self.dedup_keys, touched)], txn=txns
-                )
+                # because keep-min is a semilattice.  cand (the delta
+                # joins + in-batch best) feeds BOTH the touched-key set
+                # and the refreshed winners — persist so the fact-join
+                # delta computes once, not once per consumer
+                cand = self._best(delta).persist()
+                try:
+                    touched = cand.select(*self.dedup_keys).dropDuplicates(
+                        self.dedup_keys
+                    )
+                    stored = self.dest.read(spark).join(
+                        touched, self.dedup_keys, "left_semi"
+                    )
+                    refreshed = self._best(stored.unionByName(cand))
+                    self.dest.merge_delta(
+                        spark,
+                        refreshed,
+                        [(self.dedup_keys, touched)],
+                        txn=txns,
+                    )
+                finally:
+                    cand.unpersist()
                 return {"mode": "incremental", "dedup": True, **out_meta}
             if self.left_keys is not None and self.right_keys is not None:
                 res = self._run_cdc(spark, la, lb, na, nb, txns)
@@ -514,36 +536,43 @@ class DeltaJoinPropagator:
         cand = self.combine(add_l, right_new).unionByName(
             self.combine(left_surv, add_r)
         )
+        # affected feeds BOTH the retraction key set and (via src_keys)
+        # the re-derivation semi-join inside refreshed — persist so the
+        # delta-join candidate derivation behind it computes once
         affected = (
             aff_side.unionByName(aff_other)
             .unionByName(cand.select(*self.dedup_keys))
             .dropDuplicates(self.dedup_keys)
+            .persist()
         )
-        src_keys = affected.select(
-            *[F.col(d).alias(s) for s, d in dp]
-        )
-        join_cols = [s for s, _ in dp]
-        if self.dedup_side == "right":
-            refreshed = self._best(
-                self.combine(
-                    self.left.read(spark, version=na),
-                    self.right.read(spark, version=nb).join(
-                        src_keys, join_cols, "left_semi"
-                    ),
-                )
+        try:
+            src_keys = affected.select(
+                *[F.col(d).alias(s) for s, d in dp]
             )
-        else:
-            refreshed = self._best(
-                self.combine(
-                    self.left.read(spark, version=na).join(
-                        src_keys, join_cols, "left_semi"
-                    ),
-                    self.right.read(spark, version=nb),
+            join_cols = [s for s, _ in dp]
+            if self.dedup_side == "right":
+                refreshed = self._best(
+                    self.combine(
+                        self.left.read(spark, version=na),
+                        self.right.read(spark, version=nb).join(
+                            src_keys, join_cols, "left_semi"
+                        ),
+                    )
                 )
+            else:
+                refreshed = self._best(
+                    self.combine(
+                        self.left.read(spark, version=na).join(
+                            src_keys, join_cols, "left_semi"
+                        ),
+                        self.right.read(spark, version=nb),
+                    )
+                )
+            self.dest.merge_delta(
+                spark, refreshed, [(self.dedup_keys, affected)], txn=txns
             )
-        self.dest.merge_delta(
-            spark, refreshed, [(self.dedup_keys, affected)], txn=txns
-        )
+        finally:
+            affected.unpersist()
         return {"mode": "incremental", "retractions": True, "dedup": True}
 
 
@@ -763,20 +792,28 @@ class MultiJoinPropagator:
                     ikeys, [d for _, d in pairs[i]], "left_semi"
                 ).select(*self.dedup_keys)
             )
-        affected = affected.unionByName(
-            cand.select(*self.dedup_keys)
-        ).dropDuplicates(self.dedup_keys)
-        src_keys = affected.select(
-            *[F.col(d).alias(s) for s, d in dp]
+        # affected feeds BOTH the retraction key set and (via src_keys)
+        # the re-derivation semi-join — persist so the N telescoping
+        # delta terms behind cand compute once
+        affected = (
+            affected.unionByName(cand.select(*self.dedup_keys))
+            .dropDuplicates(self.dedup_keys)
+            .persist()
         )
-        args = list(new_full)
-        args[side] = new_full[side].join(
-            src_keys, [s for s, _ in dp], "left_semi"
-        )
-        refreshed = self._best(self.combine(args))
-        self.dest.merge_delta(
-            spark, refreshed, [(self.dedup_keys, affected)], txn=txns
-        )
+        try:
+            src_keys = affected.select(
+                *[F.col(d).alias(s) for s, d in dp]
+            )
+            args = list(new_full)
+            args[side] = new_full[side].join(
+                src_keys, [s for s, _ in dp], "left_semi"
+            )
+            refreshed = self._best(self.combine(args))
+            self.dest.merge_delta(
+                spark, refreshed, [(self.dedup_keys, affected)], txn=txns
+            )
+        finally:
+            affected.unpersist()
         return {"mode": "incremental", "retractions": True, "dedup": True}
 
 
