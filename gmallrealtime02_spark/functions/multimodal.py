@@ -51,6 +51,21 @@ def as_media_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _spread(docs: DataFrame, text_col: str) -> DataFrame:
+    """Narrow (doc_id, text) projection spread across the cores before
+    the per-image Python encode→decode chain.  The local testdata
+    parquet is ONE row group, so without this the whole synthetic
+    encoder AND the decoder under test ran on a single task — the
+    sweep read media_jpeg_progressive at 16.8 s while the (persisted,
+    64-way) --stress twin decodes the same class at 16k imgs/s.  At
+    100 TB the scan arrives pre-split and ``ensure_parallelism`` is a
+    no-op; the conditional exchange carries only the tiny projection,
+    never payloads."""
+    from ..sources.tables import ensure_parallelism
+
+    return ensure_parallelism(docs.select("doc_id", text_col))
+
+
 def _entropy(b: bytes) -> float:
     if not b:
         return 0.0
@@ -696,7 +711,7 @@ def as_bmp_media_table(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    return _spread(docs, text_col).mapInPandas(
         op, schema=MEDIA_SCHEMA
     )
 
@@ -731,7 +746,7 @@ def as_png_media_table(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    return _spread(docs, text_col).mapInPandas(
         op, schema=MEDIA_SCHEMA
     )
 
@@ -855,7 +870,7 @@ def as_png_interlaced_media_table(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    return _spread(docs, text_col).mapInPandas(
         op, schema=MEDIA_SCHEMA
     )
 
@@ -926,7 +941,7 @@ def as_png_rgba_media_table(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    return _spread(docs, text_col).mapInPandas(
         op, schema=MEDIA_SCHEMA
     )
 
@@ -998,7 +1013,7 @@ def as_png_16bit_media_table(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    return _spread(docs, text_col).mapInPandas(
         op, schema=MEDIA_SCHEMA
     )
 
@@ -1040,7 +1055,7 @@ def as_jpeg_media_table(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    return _spread(docs, text_col).mapInPandas(
         op, schema=MEDIA_SCHEMA
     )
 
@@ -1084,7 +1099,7 @@ def as_jpeg_progressive_media_table(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    return _spread(docs, text_col).mapInPandas(
         op, schema=MEDIA_SCHEMA
     )
 
@@ -1132,7 +1147,7 @@ def as_jpeg_restart_media_table(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    return _spread(docs, text_col).mapInPandas(
         op, schema=MEDIA_SCHEMA
     )
 
@@ -1167,7 +1182,7 @@ def as_png_palette_media_table(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    return _spread(docs, text_col).mapInPandas(
         op, schema=MEDIA_SCHEMA
     )
 
