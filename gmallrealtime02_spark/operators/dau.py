@@ -89,10 +89,20 @@ def dau_rows(events: DataFrame) -> DataFrame:
     """
     from ..sources.tables import ensure_parallelism
 
+    # project to the columns the dau row actually carries BEFORE the
+    # exchange: first_seen_dedup packs every non-key column into its
+    # min(struct(...)), so Catalyst cannot prune what the output drops —
+    # without this the events ``props`` JSON blob (the widest column)
+    # rode the shuffle and the aggregate only to be discarded
+    # (guide §2.3: project before the exchange; also narrows ReadSchema
+    # at the parquet scan).  Dropping it cannot change the winner:
+    # (ts, event_id) is unique per key, so the struct min is decided
+    # before any payload column is compared.
+    needed = events.select("event_id", "ts", "user_id", "event_type", "value")
     # pre-cluster by user_id: satisfies the dedup's ClusteredDistribution
     # on (dt, user_id) — subset rule — so no second exchange, and the
     # derive + partial agg run on all cores even from a one-split scan
-    e = with_dt_hr(ensure_parallelism(events, by=("user_id",)), "ts")
+    e = with_dt_hr(ensure_parallelism(needed, by=("user_id",)), "ts")
     deduped = first_seen_dedup(e, keys=["dt", "user_id"], order_by=["ts", "event_id"])
     return deduped.select(
         F.col("user_id").alias("mid"),
