@@ -79,6 +79,13 @@ def first_seen_dedup(
     ).select(*cols)
 
 
+# The event columns a dau row carries (everything dau_rows' output needs;
+# the pre-shuffle projection and the final select both derive from this
+# one list so they cannot drift apart — adding a column to the output
+# means adding it here, once).
+DAU_EVENT_COLS = ("event_id", "ts", "user_id", "event_type", "value")
+
+
 def dau_rows(events: DataFrame) -> DataFrame:
     """events -> deduped daily-active rows (one per dt × mid).
 
@@ -98,7 +105,7 @@ def dau_rows(events: DataFrame) -> DataFrame:
     # at the parquet scan).  Dropping it cannot change the winner:
     # (ts, event_id) is unique per key, so the struct min is decided
     # before any payload column is compared.
-    needed = events.select("event_id", "ts", "user_id", "event_type", "value")
+    needed = events.select(*DAU_EVENT_COLS)
     # pre-cluster by user_id: satisfies the dedup's ClusteredDistribution
     # on (dt, user_id) — subset rule — so no second exchange, and the
     # derive + partial agg run on all cores even from a one-split scan
@@ -111,6 +118,41 @@ def dau_rows(events: DataFrame) -> DataFrame:
         "ts",
         "event_type",
         "value",
+    )
+
+
+def dau_first_ts(events: DataFrame) -> DataFrame:
+    """(mid, dt, hr, ts) of the first-seen row per (dt, mid) — the
+    count-only core of the DAU family (``dau_hourly`` / ``dau_total`` /
+    ``dau_today_yesterday`` read nothing but dt/hr from the dedup winner).
+
+    Equivalence to ``dau_rows``: the first-seen winner under
+    order_by=(ts, event_id) carries ts = min(ts) over its (dt, mid)
+    group — the struct-min is lexicographic with ts leading, and the
+    event_id tiebreak only chooses among rows sharing that same minimal
+    ts — so the winner's dt/hr/ts are pure functions of min(ts).
+    min(ts) has a PRIMITIVE (mutable) aggregation buffer, so the plan
+    replaces the struct-min's per-partition Sort + SortAggregate pair
+    with a partial-aggregating HashAggregate (map-side collapse before
+    the exchange), and the scan's ReadSchema narrows to (ts, user_id) —
+    at 100 TB the dedup exchange carries 16-byte partials instead of
+    full event rows (guide §1.2 algorithm choice, §2.3 shuffle fewer
+    bytes).  Payload consumers (``dau_mids``) stay on ``dau_rows``'
+    struct-min, which is the general form.
+    """
+    from ..sources.tables import ensure_parallelism
+
+    e = ensure_parallelism(events.select("ts", "user_id"), by=("user_id",))
+    agg = (
+        e.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("dt", "user_id")
+        .agg(F.min("ts").alias("ts"))
+    )
+    return agg.select(
+        F.col("user_id").alias("mid"),
+        "dt",
+        F.date_format("ts", "HH").alias("hr"),
+        "ts",
     )
 
 

@@ -21,6 +21,14 @@ def _dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dau_ops.dau_rows(load_table(spark, sf_dir, "events"))
 
 
+def _dau_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-only dedup core for dau_hourly/total/today_yesterday:
+    same (mid, dt, hr) winners as ``_dau`` (see dau_first_ts's
+    equivalence note) through a hash-aggregable min(ts) instead of the
+    struct-min's Sort + SortAggregate."""
+    return dau_ops.dau_first_ts(load_table(spark, sf_dir, "events"))
+
+
 _DAU_ORACLE_CTE = """
 WITH dau AS (
     SELECT mid, dt, hr, ts, event_type, value
@@ -57,7 +65,7 @@ def dau_mids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dau_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly active counts — publisher DauServicelmpl.java:45-74 (A2)."""
-    return dau_ops.dau_hourly(_dau(spark, sf_dir))
+    return dau_ops.dau_hourly(_dau_counts(spark, sf_dir))
 
 
 @register(
@@ -67,7 +75,7 @@ def dau_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dau_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily totals — publisher DauServicelmpl.java:27-42 (A1)."""
-    return dau_ops.dau_total(_dau(spark, sf_dir))
+    return dau_ops.dau_total(_dau_counts(spark, sf_dir))
 
 
 _COMPARE_DATE = "2024-01-02"
@@ -86,7 +94,7 @@ _COMPARE_DATE = "2024-01-02"
 )
 def dau_today_yesterday(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Today-vs-yesterday hourly — ChartController.java:48-61 (A6)."""
-    return dau_ops.dau_today_yesterday(_dau(spark, sf_dir), _COMPARE_DATE)
+    return dau_ops.dau_today_yesterday(_dau_counts(spark, sf_dir), _COMPARE_DATE)
 
 
 # ---------------------------------------------------------------------------
@@ -449,7 +457,16 @@ def _materialized(spark: SparkSession, df: DataFrame) -> DataFrame:
     ``createDataFrame(rows)`` round-trip pickled every row out to the
     driver and re-verified it field-by-field on the way back in —
     measured 12.6 s of order_wide_dedup_propagate's 37 s at sf0.1
-    (304k rows), pure guide-§5 driver work."""
+    (304k rows), pure guide-§5 driver work.
+
+    Two known trade-offs, fine for the local harness and deliberate:
+    checkpoint blocks stay pinned in the block manager until the
+    checkpointed DataFrame is GC'd (the ContextCleaner frees them;
+    results here are bounded sf-scale rows, never a fact table), and a
+    local checkpoint is NOT recoverable after executor loss on a real
+    cluster — a production deployment of these workspace-backed queries
+    should write the result to a table (or ``checkpoint()`` to reliable
+    storage) instead."""
     return df.localCheckpoint(eager=True)
 
 

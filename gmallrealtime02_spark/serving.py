@@ -47,7 +47,10 @@ def _dau_for_dates(spark: SparkSession, sf_dir: str, dates: list[str]):
         "events",
         ts_bounds={"ts": (_day_bounds(lo)[0], _day_bounds(hi)[1])},
     )
-    return dau_ops.dau_rows(events)
+    # both serving consumers (realtime_total / realtime_hour) count by
+    # dt/hr only, so they ride the hash-aggregable count-only dedup core
+    # (operators/dau.py dau_first_ts) instead of the payload struct-min
+    return dau_ops.dau_first_ts(events)
 
 
 # Offset fetches pull page·size rows to the driver, so beyond this many

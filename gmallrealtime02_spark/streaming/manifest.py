@@ -250,7 +250,12 @@ def _temporal_cols(schema_json) -> set[str]:
 # bloom-indexed table keep the one-job path.  Conservative: a footer
 # read is ~1 ms local / ~10 ms object store, so 32 files stays well
 # under the fixed cost of one Spark job either way.
-_FOOTER_STATS_MAX_FILES = int(os.environ.get("SPARK_GRAFT_FOOTER_STATS_MAX", "32"))
+try:
+    _FOOTER_STATS_MAX_FILES = int(
+        os.environ.get("SPARK_GRAFT_FOOTER_STATS_MAX", "32")
+    )
+except ValueError:  # malformed env var must not crash module import
+    _FOOTER_STATS_MAX_FILES = 32
 
 
 def _pow2_bits(m: int) -> int:
@@ -706,8 +711,12 @@ class ManifestTable:
         stats — the executable spec :meth:`_build_file_meta`'s
         executor-side data reduction is pinned identical to in pytest
         (the :meth:`_file_bloom` discipline).  The production write
-        path no longer calls this (the stats ride the one commit-time
-        Spark job); it remains the ground truth.  Timestamps/dates are
+        path calls this ONLY on the stats-only small-commit fast path
+        (≤ ``_FOOTER_STATS_MAX_FILES`` files, no bloom columns — a few
+        local footer reads beat launching a Spark job); every larger or
+        bloom-indexed commit rides the one commit-time Spark job
+        (:meth:`_build_file_meta`), for which this stays the pinned
+        ground truth.  Timestamps/dates are
         stored as ISO strings (order-preserving); columns whose footer
         lacks min/max are simply omitted, which :meth:`pruned_files`
         treats as must-scan."""
@@ -800,8 +809,12 @@ class ManifestTable:
         path cost that must parallelize at backfill/compaction scale
         (10⁶–10⁷ rows per commit), where a driver-side per-row (or,
         for stats, per-file-footer) loop is the bottleneck.  Folding
-        the stats in here retired the LAST O(files-in-commit) driver
-        loop on the commit path (round-9 verdict watch item 1).
+        the stats in here retired the O(files-in-commit) driver loop
+        on the LARGE-commit path (round-9 verdict watch item 1); the
+        one deliberate exception is the stats-only SMALL-commit fast
+        path in ``_write_data``, which re-uses a BOUNDED
+        (≤ ``_FOOTER_STATS_MAX_FILES``) driver footer loop because a
+        handful of ~ms footer reads beat a ~1 s Spark job launch.
 
         Layout: md5 digests run JVM-side (``F.md5`` over the canonical
         string) for string/integral/date columns — the digest's low 32

@@ -96,6 +96,54 @@ def test_first_seen_dedup_equals_ranked_window(spark, rows):
     assert got == want
 
 
+# --- Spark-side invariant: dau_first_ts == dau_rows on the count columns ---
+
+_event = st.tuples(
+    st.integers(min_value=0, max_value=99),        # event_id
+    st.integers(min_value=0, max_value=3),         # user_id
+    st.integers(min_value=0, max_value=60),        # hours offset (ties likely)
+)
+
+
+@given(st.lists(_event, min_size=1, max_size=25, unique_by=lambda t: t[0]))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dau_first_ts_matches_dau_rows(spark, rows):
+    """The count-only DAU core (min(ts) hash agg) must pick the same
+    (mid, dt, hr, ts) winners as the general struct-min dedup — the
+    equivalence dau_hourly/dau_total/dau_today_yesterday stand on.
+    Randomized event tables include same-(dt, user) ts ties (won on
+    event_id by dau_rows, value-irrelevant to min(ts)) and day
+    boundaries."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from gmallrealtime02_spark.operators.dau import dau_first_ts, dau_rows
+
+    base = datetime(2024, 1, 1, 12, 30, 0)
+    data = [
+        (eid, base + timedelta(hours=hrs), uid, "view", float(eid))
+        for eid, uid, hrs in rows
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double"
+    ).withColumn("props", F.lit("{}"))
+    got = {
+        tuple(map(str, r))
+        for r in dau_first_ts(df).collect()
+    }
+    want = {
+        tuple(map(str, r))
+        for r in dau_rows(df).select("mid", "dt", "hr", "ts").collect()
+    }
+    assert got == want
+
+
 # --- packing conservation + quantization edge cases ------------------------
 
 _doc = st.tuples(
