@@ -77,6 +77,21 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # Headline-at-scale twins (round-12, ADDITIVE ONLY): at sf0.1 the
+    # headline queries are fixed-overhead-bound — PERF_r11's 8c/32c
+    # scaling ratios were ≤ 1.0 on 9/10 queries — so plan-level wins are
+    # invisible to the timed numbers and scheduling noise produces fake
+    # ±25% swings.  Each twin re-runs the SAME operator core over a
+    # deterministically replicated input (the --stress recipe:
+    # per-replica id remap keeps key-group SIZE constant while group
+    # COUNT scales — the 100 TB shape), sized to be execution-bound at
+    # 32 cores.  The replicated input is persisted OUTSIDE the timed
+    # region so the timing measures the operator, not the replication,
+    # and is unpersisted immediately after — nothing survives the run.
+    # The headline "value"/total above is computed BEFORE these entries
+    # join the queries dict, so the cross-round total series stays
+    # comparable; the scaled_* entries are new keys (never renames).
+    timings.update(_scaled_headline(spark, sf_dir))
     print(
         json.dumps(
             {
@@ -94,6 +109,180 @@ def main() -> None:
             }
         )
     )
+
+
+def _scaled_headline(spark, sf_dir: str) -> dict[str, float]:
+    """Execution-bound twins of the headline operator cores over
+    replicated inputs (see the call site in :func:`main` for why).
+    Warm best-of-2 through the noop sink, caches cleared between
+    subjects — the same methodology as the headline loop."""
+    from pyspark.sql import functions as F
+
+    from gmallrealtime02_spark.functions import similarity as S
+    from gmallrealtime02_spark.functions import text as TX
+    from gmallrealtime02_spark.operators import dau as dau_ops
+    from gmallrealtime02_spark.operators.aggregates import davg, dsum
+    from gmallrealtime02_spark.operators.enrich import (
+        enrich_detail_snowflake,
+    )
+    from gmallrealtime02_spark.operators.order_wide import order_wide
+    from gmallrealtime02_spark.operators.windows import sessionize
+    from gmallrealtime02_spark.sources.tables import load_table
+
+    out: dict[str, float] = {}
+
+    def replicate(df, n, id_exprs):
+        # explode inherits the one-row-group scan's single split; the
+        # repartition spreads the replicas across cores (same helper
+        # shape as bench_stress's)
+        reps = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
+        return df.select("*", reps).select(*id_exprs).repartition(64)
+
+    def timed(name, df_builder):
+        spark.sparkContext.setJobDescription(f"scaled:{name}:warmup")
+        df_builder().write.mode("overwrite").format("noop").save()
+        best = float("inf")
+        for i in range(2):
+            spark.sparkContext.setJobDescription(f"scaled:{name}:{i}")
+            t0 = time.perf_counter()
+            df_builder().write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        spark.sparkContext.setJobDescription(None)
+        out[name] = round(best, 3)
+
+    # --- events ×64 (~6.4M rows), per-replica user ids: (dt, user)
+    # group size constant, group count ×64 ---
+    ev = load_table(spark, sf_dir, "events")
+    big_ev = replicate(
+        ev, 64,
+        [
+            (F.col("event_id") * 64 + F.col("rep")).alias("event_id"),
+            (F.col("user_id") + F.col("rep") * 10_000_000).alias("user_id"),
+            F.col("ts"),
+            F.col("event_type"),
+        ],
+    ).persist()
+    big_ev.count()
+    timed(
+        "scaled_dau_hourly",
+        lambda: dau_ops.dau_hourly(dau_ops.dau_first_ts(big_ev)),
+    )
+    timed("scaled_sessionize", lambda: sessionize(big_ev, gap_minutes=30))
+    big_ev.unpersist()
+
+    # --- lineitem ×16 (~9.6M) ⋈ orders ×16 (~2.4M), order keys remapped
+    # in lockstep: join fan-out and dedup-group size stay constant ---
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    big_li = replicate(
+        li, 16,
+        [
+            (F.col("l_orderkey") * 16 + F.col("rep")).alias("l_orderkey"),
+            *[
+                F.col(c)
+                for c in li.columns
+                if c != "l_orderkey"
+            ],
+        ],
+    ).persist()
+    big_o = replicate(
+        o, 16,
+        [
+            (F.col("o_orderkey") * 16 + F.col("rep")).alias("o_orderkey"),
+            *[F.col(c) for c in o.columns if c != "o_orderkey"],
+        ],
+    ).persist()
+    big_li.count(), big_o.count()
+    timed("scaled_order_wide", lambda: order_wide(big_o, big_li))
+    timed(
+        "scaled_detail_snowflake",
+        lambda: enrich_detail_snowflake(
+            big_li,
+            load_table(spark, sf_dir, "part"),
+            load_table(spark, sf_dir, "supplier"),
+            load_table(spark, sf_dir, "nation"),
+            load_table(spark, sf_dir, "region"),
+        ),
+    )
+    timed(
+        "scaled_pricing_summary",
+        lambda: (
+            big_li.filter(
+                F.col("l_shipdate")
+                <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+            )
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                dsum("l_quantity", 2).alias("sum_qty"),
+                dsum("l_extendedprice", 2).alias("sum_base_price"),
+                dsum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+                ).alias("sum_disc_price"),
+                davg("l_quantity", 2).alias("avg_qty"),
+                davg("l_extendedprice", 2).alias("avg_price"),
+                F.count("*").alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        ),
+    )
+    timed(
+        "scaled_revenue_by_nation",
+        lambda: (
+            big_li.join(big_o, big_li.l_orderkey == big_o.o_orderkey)
+            .join(
+                F.broadcast(load_table(spark, sf_dir, "customer")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .join(
+                F.broadcast(load_table(spark, sf_dir, "nation")),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .groupBy(F.col("n_name").alias("nation_name"))
+            .agg(
+                dsum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+                ).alias("revenue")
+            )
+        ),
+    )
+    big_li.unpersist(), big_o.unpersist()
+
+    # --- documents ×64 (~320k docs), per-replica text suffix ---
+    docs = load_table(spark, sf_dir, "documents")
+    big_docs = replicate(
+        docs, 64,
+        [
+            (F.col("doc_id") * 64 + F.col("rep")).alias("doc_id"),
+            F.concat("text", F.lit(" r"), F.col("rep")).alias("text"),
+        ],
+    ).persist()
+    big_docs.count()
+    timed(
+        "scaled_doc_quality",
+        lambda: TX.text_profile_table(
+            big_docs,
+            ("doc_id",),
+            (
+                "n_chars", "n_words", "avg_word_len", "stopword_ratio",
+                "punct_ratio", "type_token_ratio", "quality", "pred_lang",
+            ),
+        ),
+    )
+    big_docs.unpersist()
+
+    # --- embeddings ×64 (~128k vectors), original 10-query block kept ---
+    emb = load_table(spark, sf_dir, "embeddings")
+    big_emb = replicate(
+        emb, 64,
+        [
+            (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+            F.col("embedding"),
+        ],
+    ).persist()
+    big_emb.count()
+    timed("scaled_ann_cosine_topk", lambda: S.cosine_topk(big_emb, 10, 5))
+    big_emb.unpersist()
+    return out
 
 
 def _calibration(spark) -> float:
