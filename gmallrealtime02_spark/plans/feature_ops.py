@@ -306,7 +306,12 @@ _score_micro_sql = ratio_micro_sql("sum_w", "1000 * n_bigrams")
     tags=("text", "classifier", "quality", "training-data"),
 )
 def hashed_ngram_score(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    # spread the one-split scan: the per-char portable_hash fold is an
+    # INTERPRETED higher-order expression (~µs per element), and with no
+    # exchange anywhere the whole corpus otherwise hashes on one task
+    # (guide §2.6 idle capacity; measured 2.85 s -> 0.43 s at sf0.1,
+    # row-local arithmetic so results are partitioning-invariant)
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     ws = F.split(F.col("text"), " ")
     wh = F.transform(ws, lambda w: TX.portable_hash(w))
     n = F.size(ws)
